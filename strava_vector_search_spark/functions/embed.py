@@ -1,0 +1,114 @@
+"""Text → dense-vector embedding, the Spark equivalent of
+``SNOWFLAKE.CORTEX.EMBED_TEXT_768('e5-base-v2', txt)`` (reference
+``02_method2_manual_vector_embedding.sql:170-172`` for the corpus batch,
+``02:207`` et al. per-query).
+
+Two embedders behind one contract (a ``Column -> Column`` of
+``array<float>``):
+
+* :func:`hash_embedding` — a **deterministic feature-hashing embedder**
+  built from pure Catalyst expressions (tokenize → xxhash64 bucket/weight →
+  per-bucket sum → L2 normalize). No model download, bit-reproducible,
+  entirely JVM-side: this is what tests and oracles use, and it doubles as a
+  perfectly scalable "embedding" for pipeline plumbing at 100 TB (it is a
+  shuffle-on-doc-id aggregation, nothing more).
+* :func:`model_embedder` — an Arrow-batched Pandas-UDF wrapper around a real
+  sentence-transformer model (gated behind an import-try; this container has
+  no model libs, so tests use the deterministic fake). At scale this is the
+  pattern anyway: `mapInPandas`/pandas_udf with the model broadcast once per
+  executor, batch size tuned to GPU/CPU memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_DIM = 64  # testdata dimensionality; production reference uses 768 (02:88)
+
+
+def _tokens(text: Column) -> Column:
+    """Lowercase, split on non-alphanumerics, drop empties."""
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def hash_embedding_table(
+    df: DataFrame, id_col: str, text_col: str, dim: int = DEFAULT_DIM
+) -> DataFrame:
+    """Distributed feature-hash embedding: (id, text) → (id, embedding).
+
+    Pipeline: explode tokens → bucket = pmod(xxhash64(token), dim), weight
+    derived from higher hash bits → groupBy(id, bucket) partial-sum (map-side
+    combine) → assemble dense array → L2 normalize. One shuffle on id;
+    partial aggregation keeps the shuffle narrow. Weights rounded to 6 dp
+    pre- and post-normalization for reproducibility.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    weighted = tok.select(
+        "_id",
+        F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+        (F.pmod(F.shiftright(h, 8), F.lit(1000)).cast("double") / 1000.0).alias("w"),
+    )
+    per_bucket = weighted.groupBy("_id", "bucket").agg(
+        F.round(F.sum("w"), 6).alias("val")
+    )
+    dense = per_bucket.groupBy("_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "val"))).alias("m")
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("m").getItem(i), F.lit(0.0)),
+    )
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(
+        norm > 0, F.transform(arr, lambda x: F.round(x / norm, 6))
+    ).otherwise(arr)
+    return dense.select(
+        F.col("_id").alias(id_col), unit.cast("array<float>").alias("embedding")
+    )
+
+
+def hash_embed_text(spark, text: str, dim: int = DEFAULT_DIM) -> list[float]:
+    """Embed one query string driver-side with the same hash embedder.
+
+    The reference embeds the query text inside a 1-row CTE (``02:206-208``);
+    we do the same through a 1-row DataFrame so query- and corpus-embeddings
+    share one code path, then collect the single vector.
+    """
+    one = spark.createDataFrame([(0, text)], "id int, t string")
+    return hash_embedding_table(one, "id", "t", dim).collect()[0]["embedding"]
+
+
+def model_embedder(model_name: str = "intfloat/e5-base-v2", dim: int = 768):
+    """Pandas-UDF embedder backed by a real model; deterministic fallback.
+
+    Returns a callable(text_col) -> Column<array<float>>. If
+    sentence-transformers is unavailable (as in this container), raises
+    ImportError — callers choose the hash embedder instead. Kept so the
+    production wiring (Arrow batches, per-executor model reuse) is real.
+    """
+    try:
+        from sentence_transformers import SentenceTransformer  # noqa: F401
+    except ImportError as e:  # pragma: no cover - lib not in container
+        raise ImportError(
+            "sentence-transformers not installed; use hash_embedding_table "
+            "(deterministic) or install the model library"
+        ) from e
+
+    import pandas as pd  # pragma: no cover
+    from pyspark.sql.pandas.functions import pandas_udf  # pragma: no cover
+
+    @pandas_udf("array<float>")  # pragma: no cover
+    def _embed(texts: pd.Series) -> pd.Series:
+        from sentence_transformers import SentenceTransformer
+
+        # one model per executor process, cached on the function object
+        if not hasattr(_embed, "_model"):
+            _embed._model = SentenceTransformer(model_name)
+        vecs = _embed._model.encode(texts.fillna("").tolist(), normalize_embeddings=True)
+        return pd.Series([v.tolist() for v in vecs])
+
+    return _embed

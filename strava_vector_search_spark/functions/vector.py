@@ -1,0 +1,86 @@
+"""Vector scalar functions — the Spark equivalent of Snowflake's
+``VECTOR_COSINE_SIMILARITY`` (reference ``02_method2_manual_vector_embedding.sql:212``)
+and the vector hygiene the reference gets implicitly from ``VECTOR(FLOAT, 768)``.
+
+Two implementations, one contract:
+
+* :func:`cosine_similarity` — a pure Catalyst column expression
+  (``zip_with`` + ``aggregate``). Stays entirely JVM-side inside
+  whole-stage codegen, never blocks predicate pushdown, and is the default.
+* :func:`cosine_similarity_pandas` — a vectorized Arrow/NumPy Pandas UDF.
+  Kept as a benchmark alternative; at very high dimensionality NumPy's SIMD
+  dot can win despite the JVM↔Python Arrow hop. ``bench.py`` compares them.
+
+Scale notes (100 TB): cosine over a scan is embarrassingly parallel — no
+shuffle. The win that matters is (a) L2-normalizing embeddings **at write
+time** so query-time cosine degrades to a dot product (:func:`l2_normalize`,
+:func:`dot_product`), and (b) keeping embeddings in a narrow (id, vector)
+table so the scan moves ``4*D`` bytes/row and nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Sum_i a[i]*b[i] as a fold — deterministic left-to-right accumulation.
+
+    Cast inputs to array<double> upstream for cross-engine reproducibility.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two equal-length vectors, computed in float64.
+
+    Mirrors ``VECTOR_COSINE_SIMILARITY(v1, v2)`` (reference ``02:212``).
+    NULL if either vector is NULL; NaN only if a norm is zero (the reference
+    guards with ``EMBEDDING IS NOT NULL``; we additionally never store
+    zero vectors — see :func:`l2_normalize`).
+    """
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    return dot_product(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+def cosine_similarity_rounded(a: Column, b: Column, scale: int = 6) -> Column:
+    """Cosine rounded for deterministic cross-engine comparison (oracle parity)."""
+    return F.round(cosine_similarity(a, b), scale)
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize; NULL for zero vectors (so downstream dot == cosine)."""
+    ad = a.cast("array<double>")
+    n = l2_norm(ad)
+    return F.when(n > 0, F.transform(ad, lambda x: x / n))
+
+
+def cosine_similarity_pandas():
+    """Factory for the Pandas-UDF cosine: returns a callable(a, b) -> Column.
+
+    Arrow-batched, NumPy-vectorized. Benchmark alternative to the expression
+    form; prefer the expression unless profiling says otherwise (a UDF is a
+    codegen barrier and can fence off later filter pushdown).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy()).astype("float64")
+        bm = np.stack(b.to_numpy()).astype("float64")
+        num = (am * bm).sum(axis=1)
+        den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
+
+    return _cos

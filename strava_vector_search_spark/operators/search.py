@@ -1,0 +1,148 @@
+"""Brute-force filtered cosine top-k — the reference's "method 2"
+(``02_method2_manual_vector_embedding.sql:206-227``) and its variants:
+threshold filtering + cache-decision labels (``02:301-317``), top-k-then-
+join-back (``02:324-348``), similarity histogram (``02:373-389``), and the
+batch multi-query extension the reference prescribes in prose (``02:421``
+"Batch multiple user queries together").
+
+Execution shape (verified via .explain): parquet scan with metadata
+predicates **pushed to the scan** → cosine as a codegen'd expression →
+``TakeOrderedAndProject`` for the top-k (per-partition heap + driver merge,
+no full sort, no shuffle). At 100 TB the metadata filter is the work-saver —
+exactly the manual optimization the reference prescribes
+(``02:406`` "use metadata filters to reduce search space") — which Catalyst
+applies for free as long as the cosine stays an expression, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.functions.vector import cosine_similarity_rounded
+
+# Reference similarity rubric (README.md:86-90) and the enacted cutoffs
+# (02:309-315): >0.80 excellent hit, >0.70 good hit, else miss.
+EXCELLENT_CUTOFF = 0.80
+GOOD_CUTOFF = 0.70
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec: list[float] | Column,
+    k: int = 5,
+    vector_col: str = "embedding",
+    id_col: str = "doc_id",
+    predicate: Column | None = None,
+    similarity_col: str = "similarity",
+) -> DataFrame:
+    """Filter → score → top-k, the EP1 lifecycle (SURVEY §3).
+
+    ``query_vec`` as a Python list compiles to a literal array — the Spark
+    equivalent of the reference's 1-row ``query_embedding`` CTE cross join
+    (``02:220``) without any join at all. Ties broken by id ascending for
+    determinism (reference top-k is tie-unstable; SURVEY §7 risk 5).
+    """
+    if isinstance(query_vec, list):
+        query_vec = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = corpus
+    if predicate is not None:
+        df = df.filter(predicate)
+    df = df.filter(F.col(vector_col).isNotNull())
+    scored = df.withColumn(
+        similarity_col, cosine_similarity_rounded(F.col(vector_col), query_vec)
+    )
+    return scored.orderBy(F.desc(similarity_col), F.asc(id_col)).limit(k)
+
+
+def with_cache_decision(
+    scored: DataFrame, similarity_col: str = "similarity"
+) -> DataFrame:
+    """Cache-decision CASE labels at 0.80/0.70 (reference ``02:309-313``)."""
+    s = F.col(similarity_col)
+    return scored.withColumn(
+        "cache_decision",
+        F.when(s > EXCELLENT_CUTOFF, "CACHE HIT - Excellent Match")
+        .when(s > GOOD_CUTOFF, "CACHE HIT - Good Match")
+        .otherwise("CACHE MISS - Generate New"),
+    )
+
+
+def similarity_histogram(
+    corpus: DataFrame,
+    query_vec: list[float] | Column,
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Bucket all similarities into the rubric's 5 labeled ranges and count —
+    the reference's embedding-space sanity check (``02:373-389``).
+    GROUP BY over a computed CASE alias; Catalyst runs it as a partial+final
+    hash aggregate on 5 keys (no skew possible).
+    """
+    if isinstance(query_vec, list):
+        query_vec = F.array(*[F.lit(float(x)) for x in query_vec])
+    s = cosine_similarity_rounded(F.col(vector_col), query_vec)
+    bucket = (
+        F.when(s >= 0.90, "0.90+ (Excellent)")
+        .when(s >= 0.80, "0.80-0.89 (Likely hit)")
+        .when(s >= 0.70, "0.70-0.79 (Consider)")
+        .when(s >= 0.50, "0.50-0.69 (Weak)")
+        .otherwise("< 0.50 (Miss)")
+    )
+    return (
+        corpus.filter(F.col(vector_col).isNotNull())
+        .select(bucket.alias("similarity_range"))
+        .groupBy("similarity_range")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("similarity_range"))
+    )
+
+
+def topk_join_back(
+    corpus_meta: DataFrame,
+    scored_topk: DataFrame,
+    id_col: str = "doc_id",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Join top-k hits back to the full table for the heavy payload column —
+    reference ``02:324-348`` (top-3 CTE then join for RAW_JSON_STR). The
+    hits side is k rows → Catalyst broadcast-hash-joins it against the
+    corpus; the payload column is only read for k rows (column pruning keeps
+    it out of the similarity scan entirely).
+    """
+    payload = corpus_meta.select(
+        id_col, *(payload_cols or [c for c in corpus_meta.columns if c != id_col])
+    )
+    return F.broadcast(scored_topk).join(payload, id_col, "inner")
+
+
+def batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vector_col: str = "embedding",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Many queries in one job: broadcast the query table against the corpus
+    and take top-k per query with a ranking window partitioned by query —
+    the reference's prescribed batching optimization (``02:421``) expressed
+    as one Spark job. The window shuffle partitions by query_id, so it
+    scales with the number of queries, and each partition holds only one
+    query's scored rows.
+    """
+    scored = corpus.filter(F.col(vector_col).isNotNull()).join(
+        F.broadcast(queries), how="cross"
+    )
+    scored = scored.withColumn(
+        "similarity",
+        cosine_similarity_rounded(F.col(vector_col), F.col(query_vec_col)),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("similarity"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop(query_vec_col, vector_col)
+    )

@@ -1,0 +1,368 @@
+"""The engine's query registry: every operator from SURVEY §2 as a named
+(spark, sf_dir) -> DataFrame callable, each with a DuckDB oracle twin in
+:mod:`strava_vector_search_spark.oracles`.
+
+Determinism contract with the oracle (SURVEY §7 risk register):
+* all float arithmetic in float64 (cast arrays/doubles explicitly),
+* similarities rounded to 6 dp, derived metrics to fixed scales,
+* sums over float columns routed through DECIMAL(18,6) so partial-aggregation
+  order (Spark) vs single-node order (DuckDB) cannot change the result,
+* every top-k tie-broken by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.io.tables import (
+    corpus_with_vectors,
+    load_events,
+    load_table,
+)
+from strava_vector_search_spark.operators import search as S
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Fetch one stored embedding to serve as the query vector (the testdata
+    analogue of embedding the query text driver-side, reference 02:206-208)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [float(x) for x in row["embedding"]]
+
+
+def _dsum(col, scale: int = 2):
+    """Order-insensitive float sum: exact decimal accumulation, then double."""
+    return F.round(F.sum(F.col(col).cast("decimal(18,6)")).cast("double"), scale)
+
+
+def _davg(col, scale: int = 4):
+    # exact decimal sum → double BEFORE the division, so both engines do the
+    # same IEEE double divide (decimal-division scale rules differ)
+    return F.round(
+        F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+        / F.count(F.col(col)),
+        scale,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector search — reference method 2 (02:206-227 and variants)
+
+
+def vs_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship query: metadata filters → cosine → top-k (02:206-227).
+
+    Filters (lang equality, n_chars closed range, embedding not null) mirror
+    P3/P4/P5/P7; projection with derived rounded column mirrors P1/P2/F2.
+    """
+    corpus = corpus_with_vectors(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 0)
+    pred = (
+        F.col("lang").isin("en", "de")
+        & F.col("n_chars").between(100, 450)
+        & (F.col("doc_id") != 0)
+    )
+    top = S.brute_force_topk(corpus, qv, k=10, predicate=pred)
+    return top.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round(F.col("n_chars") / 1000.0, 3).alias("kchars"),
+        F.left(F.col("text"), F.lit(80)).alias("text_preview"),
+        "similarity",
+    )
+
+
+def vs_topk_threshold_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k + threshold filter over computed similarity (P8, 02:315) +
+    cache-decision CASE labels (F10, 02:309-313)."""
+    corpus = corpus_with_vectors(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 1)
+    scored = S.brute_force_topk(
+        corpus, qv, k=25, predicate=F.col("doc_id") != 1
+    ).filter(F.col("similarity") > 0.0)
+    return S.with_cache_decision(scored).select(
+        "doc_id", "lang", "similarity", "cache_decision"
+    )
+
+
+def vs_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity histogram via CASE bucketing + GROUP BY (A5, 02:373-389)."""
+    corpus = corpus_with_vectors(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 2)
+    return S.similarity_histogram(corpus, qv)
+
+
+def vs_topk_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k inside a CTE, then equi-join back on id to fetch the heavy text
+    payload (T2+J2, 02:324-348)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = corpus_with_vectors(spark, sf_dir).select("doc_id", "embedding")
+    qv = _query_vec(spark, sf_dir, 3)
+    top = S.brute_force_topk(
+        corpus, qv, k=3, predicate=F.col("doc_id") != 3
+    )
+    joined = S.topk_join_back(docs, top, payload_cols=["text", "lang", "n_chars"])
+    return joined.select(
+        "doc_id", "lang", "n_chars", F.left(F.col("text"), F.lit(120)).alias("text_preview"), "similarity"
+    )
+
+
+def vs_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query search: 5 query vectors × corpus in ONE job,
+    per-query top-3 via ranking window (02:421; SURVEY §2.5 W-note)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = corpus_with_vectors(spark, sf_dir).select("doc_id", "lang", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = S.batch_topk(corpus, queries, k=3)
+    return out.select("query_id", "doc_id", "lang", "similarity", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A5) on documents / lineitem
+
+
+def a1_distribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key GROUP BY + COUNT/AVG/ROUND distribution report
+    (A1+T3, 01:145-153) over the corpus metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 0).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def a2_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global COUNT(*) (A2, 01:155)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def a3_count_col_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(col) null-skipping vs COUNT(*) (A3, 02:354-359): nulls
+    manufactured via NULLIF (P9) on an event attribute."""
+    ev = load_events(spark, sf_dir)
+    nul = F.nullif(F.col("event_type"), F.lit("click"))
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(nul).alias("n_nonclick"),
+        F.round(100.0 * F.count(nul) / F.count(F.lit(1)), 1).alias("pct_nonclick"),
+    )
+
+
+def a4_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(CASE WHEN)-style conditional aggregate + ratio of aggregates
+    (A4, 02:186-190) on lineitem returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    is_r = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(is_r).alias("n_returned"),
+        F.round(100.0 * F.sum(is_r) / F.count(F.lit(1)), 1).alias("pct_returned"),
+    )
+
+
+def a5_histogram_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE bucketing of a numeric column + GROUP BY on the alias
+    (A5, 02:373-389) — doc length histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.col("n_chars")
+    bucket = (
+        F.when(n >= 450, "450+")
+        .when(n >= 300, "300-449")
+        .when(n >= 150, "150-299")
+        .otherwise("< 150")
+    )
+    return (
+        docs.select(bucket.alias("length_range"))
+        .groupBy("length_range")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("length_range"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / predicates / scalars (P1-P10, F1-F10, T3/T4)
+
+
+def p_predicates_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One query exercising P1-P7, P9, P10, F1-F3, F8-F9, T3: equality,
+    IN-list, closed range, NULLIF, TRY_CAST, LEFT previews, ROUND derived
+    columns, multi-key sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            (F.col("lang") == "en")
+            | (
+                F.col("source").isin("src1", "src2", "src3")
+                & F.col("n_chars").between(150, 400)
+            )
+        )
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.left(F.col("text"), F.lit(50)).alias("preview"),
+            F.round(F.col("n_chars") / 100.0, 2).alias("hecto_chars"),
+            F.nullif(F.col("lang"), F.lit("en")).alias("lang_non_en"),
+            F.substring(F.col("source"), 4, 5).try_cast("int").alias("source_num"),
+            F.col("n_chars").cast("long").alias("n_chars_long"),
+        )
+        .orderBy("lang", "source", "doc_id")
+    )
+
+
+def j3_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL FLATTEN equivalent (J3/F7): explode text into tokens, then
+    re-aggregate token frequencies — exercising array→rows like the
+    reference's JSON-results flatten (01:207-219)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + defensive cast (F5/F6/F8/P10) over the events
+    ``props`` JSON column — the VARIANT-handling analogue (01:201-206)."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational spine on TPC-H tables (scale-bearing joins/aggs for bench)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan+hash-agg with
+    partial aggregation; float sums via exact decimal (oracle parity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + agg + top-k: customer ⋈ orders ⋈
+    lineitem with filter pushdown on both join sides, group on orderkey,
+    TakeOrderedAndProject top-10."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (F.col("o_orderdate") < F.lit("1995-03-15"))
+            & (F.col("l_shipdate") > F.lit("1995-03-15"))
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: small dims (region, nation) broadcast
+    against the fact chain — the broadcast-join pattern that matters at
+    100 TB (dims stay tiny, fact never shuffles for them)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    dims = F.broadcast(
+        nation.join(region.filter(F.col("r_name") == "ASIA"),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "vs_topk_filtered": vs_topk_filtered,
+    "vs_topk_threshold_decision": vs_topk_threshold_decision,
+    "vs_similarity_histogram": vs_similarity_histogram,
+    "vs_topk_join_back": vs_topk_join_back,
+    "vs_batch_topk": vs_batch_topk,
+    "a1_distribution_report": a1_distribution_report,
+    "a2_global_count": a2_global_count,
+    "a3_count_col_nulls": a3_count_col_nulls,
+    "a4_conditional_agg": a4_conditional_agg,
+    "a5_histogram_case_bucketing": a5_histogram_case_bucketing,
+    "p_predicates_projection": p_predicates_projection,
+    "j3_explode_tokens": j3_explode_tokens,
+    "f_json_extract": f_json_extract,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_broadcast_dims": q5_broadcast_dims,
+}
