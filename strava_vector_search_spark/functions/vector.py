@@ -74,8 +74,7 @@ def cosine_similarity_pandas():
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
-    @pandas_udf("double")
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+    def _cos(a, b):
         am = np.stack(a.to_numpy()).astype("float64")
         bm = np.stack(b.to_numpy()).astype("float64")
         num = (am * bm).sum(axis=1)
@@ -83,4 +82,7 @@ def cosine_similarity_pandas():
         with np.errstate(divide="ignore", invalid="ignore"):
             return pd.Series(num / den)
 
-    return _cos
+    # real type objects (not strings) so Spark's hint inference works even
+    # under `from __future__ import annotations`
+    _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos, "double")

@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.functions.embed import (
+    hash_embed_text,
+    hash_embedding_table,
+)
+from strava_vector_search_spark.functions.vector import dot_product
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "interval run workout with speed training"),
+            (2, "easy recovery jog gentle pace"),
+            (3, "interval run workout with speed training"),  # dup of 1
+            (4, "swimming technique drills"),
+        ],
+        "id int, text string",
+    )
+
+
+def test_embedding_deterministic_and_dup_equal(docs):
+    out1 = {r["id"]: list(r["embedding"]) for r in hash_embedding_table(docs, "id", "text", dim=16).collect()}
+    out2 = {r["id"]: list(r["embedding"]) for r in hash_embedding_table(docs, "id", "text", dim=16).collect()}
+    assert out1 == out2  # bit-reproducible
+    assert out1[1] == out1[3]  # identical text -> identical vector
+    assert out1[1] != out1[2]
+
+
+def test_embedding_unit_norm(spark, docs):
+    emb = hash_embedding_table(docs, "id", "text", dim=16)
+    rows = emb.select(
+        dot_product(
+            F.col("embedding").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+        ).alias("n2")
+    ).collect()
+    for r in rows:
+        assert r["n2"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_query_embedding_matches_corpus_path(spark, docs):
+    qv = hash_embed_text(spark, "easy recovery jog gentle pace", dim=16)
+    corpus = {r["id"]: list(r["embedding"]) for r in hash_embedding_table(docs, "id", "text", dim=16).collect()}
+    assert [float(x) for x in qv] == [float(x) for x in corpus[2]]
+
+
+def test_tokenization_case_and_punct_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Run, Fast!  RUN fast."), (2, "run fast run fast")],
+        "id int, text string",
+    )
+    out = {r["id"]: list(r["embedding"]) for r in hash_embedding_table(df, "id", "text", dim=8).collect()}
+    assert out[1] == out[2]

@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.io.tables import corpus_with_vectors, load_table
+from strava_vector_search_spark.operators import search as S
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return corpus_with_vectors(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+
+def test_topk_returns_k_sorted(corpus, qvec):
+    rows = S.brute_force_topk(corpus, qvec, k=5).collect()
+    assert len(rows) == 5
+    sims = [r["similarity"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_topk_self_is_best_hit(corpus, qvec):
+    # vec_id 0's own document must rank first with similarity ~1.0
+    top = S.brute_force_topk(corpus, qvec, k=1).head()
+    assert top["doc_id"] == 0
+    assert top["similarity"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_topk_respects_predicate(corpus, qvec):
+    rows = S.brute_force_topk(
+        corpus, qvec, k=5, predicate=F.col("lang") == "en"
+    ).collect()
+    assert all(r["lang"] == "en" for r in rows)
+
+
+def test_topk_tiebreak_deterministic(spark):
+    # identical embeddings -> tie must break by id ascending (SURVEY §7 risk 5)
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (2, [1.0, 0.0]), (7, [0.0, 1.0])],
+        "doc_id int, embedding array<double>",
+    )
+    rows = S.brute_force_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["doc_id"] for r in rows] == [2, 10]
+
+
+def test_cache_decision_labels(spark):
+    df = spark.createDataFrame(
+        [(1, 0.95), (2, 0.75), (3, 0.5)], "doc_id int, similarity double"
+    )
+    rows = {r["doc_id"]: r["cache_decision"] for r in S.with_cache_decision(df).collect()}
+    assert rows[1].startswith("CACHE HIT - Excellent")
+    assert rows[2].startswith("CACHE HIT - Good")
+    assert rows[3].startswith("CACHE MISS")
+
+
+def test_similarity_histogram_covers_corpus(corpus, qvec):
+    hist = S.similarity_histogram(corpus, qvec).collect()
+    assert sum(r["n_docs"] for r in hist) == corpus.count()
+
+
+def test_batch_topk_per_query_k(spark, corpus, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.batch_topk(corpus.select("doc_id", "embedding"), queries, k=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for q, rows in per_q.items():
+        assert len(rows) == 4
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+        # self-hit first (the query vectors come from the corpus itself)
+        assert sorted(rows, key=lambda r: r["rank"])[0]["doc_id"] == q
+
+
+def test_topk_plan_uses_take_ordered(corpus, qvec):
+    # guard: top-k must compile to TakeOrderedAndProject, not a full sort
+    plan = (
+        S.brute_force_topk(corpus, qvec, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
