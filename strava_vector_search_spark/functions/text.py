@@ -1,0 +1,105 @@
+"""Text-analysis functions for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Catalyst expressions (split/regexp/aggregate) — no Python in the
+hot path, so at 100 TB these run inside whole-stage codegen over the
+documents scan with zero shuffles (per-row metrics) or one partial-agg
+shuffle (corpus statistics).
+
+Every function is oracle-expressible in ANSI SQL (DuckDB twin in
+oracles.py) — deterministic integer/regex logic only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small multilingual stopword seed lists for the lang-id heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "que", "dans"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "para", "que", "en"),
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punct token count — the cheap tokenizer."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-approximating token count: word-pieces + digits + punctuation
+    runs, the standard len(regexp_tokens) proxy for LLM token budgeting.
+    ~chars/4 for English; exact per-model counts need the model's tokenizer
+    (out of engine scope)."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?=[A-Z])|[\s]+|(?=[^A-Za-z0-9\s])"),
+            lambda t: t != "",
+        )
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    total = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(total > 0, F.round(punct / total, 6)).otherwise(0.0)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return F.when(F.size(toks) > 0, F.round(n_stop / F.size(toks), 6)).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic quality score: length band + low punctuation +
+    reasonable mean word length. The standard cheap pre-filter before
+    expensive model-based scoring."""
+    n_tok = token_count(text)
+    mean_wl = F.when(
+        n_tok > 0,
+        F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", "")) / n_tok,
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.0)
+    wl_ok = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 1.0).otherwise(0.0)
+    return F.round((len_ok + punct_ok + wl_ok) / 3.0, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-overlap language guess over LANG_STOPWORDS; 'und'
+    (undetermined) when no list matches. Deterministic argmax with
+    alphabetical tie-break (CASE cascade ⇒ first max wins in fixed order)."""
+    toks = tokens(text)
+
+    def _score(stop_words: tuple[str, ...]) -> Column:
+        stop = F.array(*[F.lit(w) for w in stop_words])
+        # NB: the lambda must take exactly one arg — F.filter treats a
+        # second arg as the element index
+        return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+    scores = {lang: _score(LANG_STOPWORDS[lang]) for lang in sorted(LANG_STOPWORDS)}
+    best = None
+    for lang in sorted(scores):
+        best = scores[lang] if best is None else F.greatest(best, scores[lang])
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in sorted(scores):
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """60-bit content fingerprint: md5 of whitespace/case-normalized text →
+    int. Normalization makes it robust to formatting-only edits — the
+    exact-dedup key for 'same content, different whitespace'."""
+    normalized = F.array_join(tokens(text), " ")
+    return F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("bigint")

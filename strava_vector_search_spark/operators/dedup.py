@@ -1,0 +1,382 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's cache-hit rubric is itself a near-duplicate test ("is this
+query similar enough to a stored workout", README.md:86-90); these operators
+generalize it to corpus-level dedup, the standard LLM-pipeline suite:
+
+* exact dedup — hash-groupBy, keep-first;
+* n-gram (shingle) Jaccard — inverted-index self-join, exact;
+* MinHash + LSH — signature → bands → bucket join, approximate, linear-ish;
+* SimHash — bitwise fingerprint for hamming-based near-dup;
+* embedding cosine near-dup — exact self-join (small) / LSH-bucketed (scale).
+
+Determinism: every hash routes through md5 → first 15 hex chars → int
+(60 bits), which both Spark (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,15))::BIGINT``) compute identically, so even the
+MinHash signatures are oracle-checkable. MinHash permutations are
+``h_i(x) = (a_i * (x mod P) + b_i) mod P`` with P = 2^31-1; a*x stays under
+2^62 so bigint arithmetic never overflows in either engine.
+
+Scale notes (100 TB):
+* the shingle inverted-index join shuffles on shingle — frequent shingles
+  skew; ``max_shingle_df`` drops stop-shingles (standard practice) and AQE
+  skew-join splits the rest;
+* MinHash LSH is the scale path: one shuffle to build signatures (explode ×
+  H hashes is map-side), one shuffle on (band, band-signature) whose groups
+  are tiny by construction;
+* pair generation within a bucket is quadratic per bucket but buckets are
+  capped by construction (near-identical documents); catastrophic buckets
+  (e.g. empty docs) are guarded by ``max_bucket_size``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1, prime
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the MinHash permutations — the single
+    source of truth shared by the Spark implementation and the generated
+    oracle SQL."""
+    out = []
+    for i in range(num_hashes):
+        a = (2_654_435_761 * (i + 1) + 913) % MINHASH_P
+        b = (40_503 * (i + 1) + 17) % MINHASH_P
+        out.append((a or 1, b))
+    return out
+
+
+def md5_int(col: Column) -> Column:
+    """Portable 60-bit integer hash (identical in Spark and DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles of a text column (word n-grams)."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact key (hash-groupBy dedup).
+
+    One shuffle on the key columns. At scale prefer hashing wide keys first
+    (`md5_int`) so the shuffle key is 8 bytes, which this does automatically
+    for multi-column keys.
+    """
+    key = md5_int(F.concat_ws("", *key_cols)) if len(key_cols) > 1 else F.col(key_cols[0])
+    w = Window.partitionBy(key).orderBy(F.asc(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Report duplicate groups: key → n_copies, surviving (min) id."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold, via inverted-index join.
+
+    Exact: J(a,b) = |A∩B| / (|A|+|B|-|A∩B|) with the intersection counted by
+    grouping the shingle-level self-join. ``max_shingle_df`` drops shingles
+    appearing in more than that many docs (stop-shingle skew guard; changes
+    semantics from exact to filtered-exact, so off by default).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    size = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        keep = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= max_shingle_df
+        )
+        sh = sh.join(keep.select("s"), "s")
+    a = sh.select(F.col("_id").alias("id1"), "s")
+    b = sh.select(F.col("_id").alias("id2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz1 = size.select(F.col("_id").alias("id1"), F.col("n_sh").alias("n1"))
+    sz2 = size.select(F.col("_id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(sz1, "id1")
+        .join(sz2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "inter", "n1", "n2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate near-dup, the scale path)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) MinHash signatures over shingles.
+
+    min over the doc's shingles of (a_i * (md5int(s) mod P) + b_i) mod P for
+    each permutation i — one explode + one groupBy(id) with partial min
+    (map-side combine), so the shuffle carries num_hashes longs per doc.
+    """
+    coeffs = minhash_coeffs(num_hashes)
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    x = F.pmod(md5_int(F.col("s")), F.lit(MINHASH_P))
+    hashed = sh.select(
+        "_id",
+        *[
+            F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
+    agg = hashed.groupBy("_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band bucket.
+
+    Bands of r = num_hashes/bands rows each; two docs collide in a band iff
+    their signatures agree on all r rows, P(collide) = j^r per band. The
+    band join shuffles on (band_idx, band_key) — an 8-byte md5 of the band
+    slice — and ``max_bucket_size`` drops degenerate buckets.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_rows = sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    md5_int(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * r + 1, r),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    sized = band_rows.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select("band", "bkey", F.col("_id").alias("id1"))
+    b = sized.select("band", "bkey", F.col("_id").alias("id2"))
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def minhash_dedup_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates → exact Jaccard verification ≥ threshold.
+
+    The production dedup pipeline: LSH prunes the pair space from O(N²) to
+    near-linear, exact Jaccard on the survivors removes false positives.
+    """
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    size = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col("_id").alias("id1"), "s")
+        .join(sh.select(F.col("_id").alias("id2"), "s"), "s")
+        .join(cands, ["id1", "id2"], "left_semi")
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(size.select(F.col("_id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
+        .join(size.select(F.col("_id").alias("id2"), F.col("n_sh").alias("n2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash: bigint) — token-frequency-weighted SimHash fingerprint.
+
+    Bit j of the fingerprint is 1 iff sum over tokens of
+    count(token) * (bit j of md5int(token) ? +1 : -1) > 0. Near-dups have
+    small hamming distance. Pure expressions: explode → groupBy(id, token)
+    count → per-bit conditional sums → bit assembly.
+    """
+    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    cnt = tok.groupBy("_id", "t").agg(F.count(F.lit(1)).alias("w"))
+    h = md5_int(F.col("t"))
+    per_bit = cnt.select(
+        "_id",
+        *[
+            (
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+                .otherwise(-F.col("w"))
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ],
+    )
+    agg = per_bit.groupBy("_id").agg(
+        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(bits)]
+    )
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp + term
+    return agg.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 64, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by hamming distance ≤ max_hamming over simhash.
+
+    Scale path: split the fingerprint into ``chunks`` equal bit-slices; any
+    pair within hamming d < chunks must agree exactly on ≥1 slice
+    (pigeonhole), so candidates come from equi-joins on slices — no O(N²).
+    """
+    width = bits // chunks
+    mask = (1 << width) - 1
+    s = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        *[
+            (F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask))).alias(f"c{c}")
+            for c in range(chunks)
+        ],
+    )
+    cands = None
+    for c in range(chunks):
+        a = s.select(F.col("_id").alias("id1"), F.col("simhash").alias("s1"), F.col(f"c{c}").alias("k"))
+        b = s.select(F.col("_id").alias("id2"), F.col("simhash").alias("s2"), F.col(f"c{c}").alias("k"))
+        p = a.join(b, "k").filter(F.col("id1") < F.col("id2")).select("id1", "id2", "s1", "s2")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact cosine near-dup pairs via self cross-join — correct at any N,
+    quadratic cost: the ≤10K-docs regime the reference calls "brute force is
+    fine" (02:438-442). Above that use LSH bucketing (ann.lsh_near_dup) or
+    IVF-partitioned self-join."""
+    from strava_vector_search_spark.functions.vector import cosine_similarity_rounded
+
+    a = emb.select(F.col(id_col).alias("id1"), F.col(vector_col).alias("v1"))
+    b = emb.select(F.col(id_col).alias("id2"), F.col(vector_col).alias("v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cosine_similarity_rounded(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

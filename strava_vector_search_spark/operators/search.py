@@ -142,7 +142,8 @@ def batch_topk(
         F.desc("similarity"), F.asc(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # bigint rank: matches the width ROW_NUMBER() has in ANSI engines
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .drop(query_vec_col, vector_col)
     )

@@ -233,3 +233,235 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# Generated oracles: dedup / text / service. SQL is generated from the SAME
+# constants the Spark operators use (minhash_coeffs, LANG_STOPWORDS), so the
+# two implementations cannot drift.
+
+from strava_vector_search_spark.functions.text import LANG_STOPWORDS
+from strava_vector_search_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+# portable 60-bit md5 hash (same value as Spark's conv(substr(md5(x),1,15),16,10))
+def _md5i(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+# 3-token shingles with the same <3-token fallback as dedup.shingles()
+_SHINGLE_CTES = f"""
+  toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+  sh_arr AS (
+    SELECT doc_id,
+           CASE WHEN len(ts) >= 3
+                THEN list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                    FOR i IN range(1, len(ts) - 1)])
+                ELSE [array_to_string(ts, ' ')] END AS shingles
+    FROM toks),
+  sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh_arr),
+  sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_arr)
+"""
+
+ORACLES["dd_exact_dedup_keep_first"] = """
+SELECT doc_id, lang, n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) = 1
+"""
+
+ORACLES["dd_exact_dup_groups"] = """
+SELECT lang, n_chars, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY lang, n_chars
+HAVING COUNT(*) > 1
+"""
+
+ORACLES["dd_ngram_jaccard_pairs"] = f"""
+WITH {_SHINGLE_CTES},
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, inter, z1.n_sh AS n1, z2.n_sh AS n2,
+       ROUND(inter / (z1.n_sh + z2.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sz z1 ON z1.doc_id = id1
+JOIN sz z2 ON z2.doc_id = id2
+WHERE ROUND(inter / (z1.n_sh + z2.n_sh - inter), 6) >= 0.5
+"""
+
+
+def _minhash_sig_ctes(num_hashes: int) -> str:
+    coeffs = minhash_coeffs(num_hashes)
+    mins = ",\n         ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    return f"""{_SHINGLE_CTES},
+  xs AS (SELECT doc_id, {_md5i('s')} % {MINHASH_P} AS x FROM sh),
+  sigt AS (SELECT doc_id,
+         {mins}
+  FROM xs GROUP BY doc_id)"""
+
+
+_H16 = ", ".join(f"h{i}" for i in range(16))
+ORACLES["dd_minhash_signatures"] = f"""
+WITH {_minhash_sig_ctes(16)}
+SELECT doc_id, [{_H16}] AS sig FROM sigt
+"""
+
+
+def _band_select(band: int, r: int) -> str:
+    concat = " || ',' || ".join(f"h{band * r + j}::VARCHAR" for j in range(r))
+    return (
+        f"SELECT doc_id, {band} AS band, {_md5i(concat)} AS bkey FROM sigt"
+    )
+
+
+_BANDS_SQL = "\n  UNION ALL ".join(_band_select(b, 4) for b in range(4))
+
+ORACLES["dd_minhash_lsh_verified"] = f"""
+WITH {_minhash_sig_ctes(16)},
+bands AS (
+  {_BANDS_SQL}
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bn FROM bands
+  ) WHERE bn <= 1000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM kept a JOIN kept b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cands c ON c.id1 = a.doc_id AND c.id2 = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       ROUND(inter / (z1.n_sh + z2.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sz z1 ON z1.doc_id = id1
+JOIN sz z2 ON z2.doc_id = id2
+WHERE ROUND(inter / (z1.n_sh + z2.n_sh - inter), 6) >= 0.5
+"""
+
+
+def _simhash_sql(bits: int) -> str:
+    bsums = ",\n         ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN w ELSE -w END) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"((CASE WHEN b{j} > 0 THEN 1 ELSE 0 END)::BIGINT << {j})"
+        for j in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+cnt AS (SELECT doc_id, t, COUNT(*) AS w FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, w, {_md5i('t')} AS hv FROM cnt),
+bitsum AS (SELECT doc_id,
+         {bsums}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM bitsum
+"""
+
+
+ORACLES["dd_simhash"] = _simhash_sql(48)
+
+ORACLES["dd_embedding_near_dup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+
+# -- text analysis ----------------------------------------------------------
+
+_NTOK = f"len({_TOKS})"
+_PUNCT = (
+    "CASE WHEN length(text) > 0 THEN "
+    "ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text), 6) "
+    "ELSE 0.0 END"
+)
+_MEANWL = (
+    f"CASE WHEN {_NTOK} > 0 THEN "
+    f"length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) / {_NTOK} "
+    "ELSE 0.0 END"
+)
+_QS = f"""ROUND((
+    (CASE WHEN {_NTOK} BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+    (CASE WHEN {_PUNCT} <= 0.2 THEN 1.0 ELSE 0.0 END) +
+    (CASE WHEN {_MEANWL} >= 2.0 AND {_MEANWL} <= 12.0 THEN 1.0 ELSE 0.0 END)
+  ) / 3.0, 6)"""
+
+ORACLES["tx_quality_stats"] = f"""
+WITH per_doc AS (
+  SELECT lang, {_NTOK} AS n_tok, {_PUNCT} AS pr, {_QS} AS qs FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(SUM(n_tok::DECIMAL(18,6))::DOUBLE / COUNT(*), 4) AS avg_tokens,
+       ROUND(SUM(pr::DECIMAL(18,6))::DOUBLE / COUNT(*), 4) AS avg_punct_ratio,
+       ROUND(SUM(qs::DECIMAL(18,6))::DOUBLE / COUNT(*), 4) AS avg_quality
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLES["tx_fingerprint_tokens"] = f"""
+SELECT doc_id, {_NTOK} AS n_tokens,
+       {_md5i(f"array_to_string({_TOKS}, ' ')")} AS fingerprint
+FROM documents
+WHERE doc_id < 30
+ORDER BY doc_id
+"""
+
+
+def _lang_id_sql() -> str:
+    scores = {}
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        scores[lang] = f"len(list_filter(ts, t -> list_contains([{words}], t)))"
+    best = f"greatest({', '.join(scores[lg] for lg in sorted(scores))})"
+    whens = "\n           ".join(
+        f"WHEN {scores[lg]} = {best} THEN '{lg}'" for lg in sorted(scores)
+    )
+    return f"""
+WITH toks AS (SELECT lang, {_TOKS} AS ts FROM documents),
+guessed AS (
+  SELECT lang,
+         CASE WHEN {best} = 0 THEN 'und'
+           {whens}
+         END AS guessed
+  FROM toks
+)
+SELECT lang, guessed, COUNT(*) AS n
+FROM guessed GROUP BY lang, guessed ORDER BY lang, guessed
+"""
+
+
+ORACLES["tx_lang_id_confusion"] = _lang_id_sql()
+
+# -- service DSL ------------------------------------------------------------
+
+ORACLES["svc_search_nested_dsl"] = f"""
+WITH {_CORPUS},
+topk AS (
+  SELECT doc_id, lang, source, n_chars, {_sim(7)} AS similarity
+  FROM corpus
+  WHERE lang = 'es' AND (n_chars >= 300 OR source = 'src5')
+  ORDER BY similarity DESC, doc_id ASC
+  LIMIT 5
+)
+SELECT doc_id, lang, source, n_chars, similarity,
+       ROW_NUMBER() OVER (ORDER BY similarity DESC, doc_id ASC) AS rank
+FROM topk
+"""

@@ -366,3 +366,193 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_broadcast_dims": q5_broadcast_dims,
 }
+
+
+# ---------------------------------------------------------------------------
+# Deduplication suite (SURVEY §7 phase 5; BASELINE.json north star)
+
+
+def dd_exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by key (hash-groupBy keep-min-id) over (lang, n_chars)."""
+    from strava_vector_search_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["lang", "n_chars"], "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def dd_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group report: key -> copies + surviving id."""
+    from strava_vector_search_spark.operators.dedup import exact_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, ["lang", "n_chars"], "doc_id")
+
+
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs >= 0.5 via inverted-index
+    self-join."""
+    from strava_vector_search_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signatures over 3-gram shingles (md5-based,
+    bit-reproducible across engines)."""
+    from strava_vector_search_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+
+
+def dd_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH (4 bands x 4 rows) candidates -> exact-Jaccard-verified
+    near-dup pairs >= 0.5 — the near-linear scale path."""
+    from strava_vector_search_spark.operators.dedup import minhash_dedup_verified
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_verified(docs, "doc_id", "text", threshold=0.5)
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit token-frequency SimHash fingerprint per document."""
+    from strava_vector_search_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=48)
+
+
+def dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= 0.4) via exact self-join —
+    the brute-force regime; LSH/IVF variants cover 1M+ (operators/ann.py)."""
+    from strava_vector_search_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+
+def tx_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus quality report: token counts, punctuation ratio,
+    heuristic quality score."""
+    from strava_vector_search_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        T.token_count(F.col("text")).alias("n_tok"),
+        T.punct_ratio(F.col("text")).alias("pr"),
+        T.quality_score(F.col("text")).alias("qs"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("n_tok").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_tokens"),
+            F.round(
+                F.sum(F.col("pr").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_punct_ratio"),
+            F.round(
+                F.sum(F.col("qs").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def tx_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fingerprint + token counts (whitespace and BPE-ish)."""
+    from strava_vector_search_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 30)
+        .select(
+            "doc_id",
+            T.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+            T.fingerprint(F.col("text")).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def tx_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs labeled lang: confusion-matrix counts."""
+    from strava_vector_search_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id(F.col("text")).alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "guessed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Search service (method-1 parity: JSON request + filter DSL)
+
+
+def svc_search_nested_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service search with nested @and/@or filter DSL + limit — notebook
+    Q2/Q3 shape (nb:219-224, nb:285-299)."""
+    from strava_vector_search_spark.service import SearchService
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    svc = SearchService(
+        spark,
+        docs,
+        id_col="doc_id",
+        search_col="text",
+        attributes=("lang", "source", "n_chars"),
+    ).attach_embeddings(emb)
+    qv = _query_vec(spark, sf_dir, 7)
+    request = {
+        "query_vec": qv,
+        "columns": ["lang", "source", "n_chars"],
+        "filter": {
+            "@and": [
+                {"@eq": {"lang": "es"}},
+                {
+                    "@or": [
+                        {"@gte": {"n_chars": 300}},
+                        {"@eq": {"source": "src5"}},
+                    ]
+                },
+            ]
+        },
+        "limit": 5,
+    }
+    return svc.search(request)
+
+
+QUERIES.update(
+    {
+        "dd_exact_dedup_keep_first": dd_exact_dedup_keep_first,
+        "dd_exact_dup_groups": dd_exact_dup_groups,
+        "dd_ngram_jaccard_pairs": dd_ngram_jaccard_pairs,
+        "dd_minhash_signatures": dd_minhash_signatures,
+        "dd_minhash_lsh_verified": dd_minhash_lsh_verified,
+        "dd_simhash": dd_simhash,
+        "dd_embedding_near_dup": dd_embedding_near_dup,
+        "tx_quality_stats": tx_quality_stats,
+        "tx_fingerprint_tokens": tx_fingerprint_tokens,
+        "tx_lang_id_confusion": tx_lang_id_confusion,
+        "svc_search_nested_dsl": svc_search_nested_dsl,
+    }
+)

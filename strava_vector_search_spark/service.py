@@ -1,0 +1,165 @@
+"""Search-service layer: the Spark-first equivalent of Snowflake Cortex
+Search (reference ``01_method1_cortex_search.sql:163-219``).
+
+The reference declares a managed service over a table (searchable column +
+filterable ATTRIBUTES + freshness lag) and queries it with a JSON request
+``{query, columns, filter, limit}`` whose ``filter`` is a mini-DSL
+(``@eq/@gte/@lte/@and/@or``; notebook Q2/Q3 nest them). Here:
+
+* :func:`compile_filter` — recursive descent DSL → a Catalyst ``Column``
+  predicate. Declarative output means Catalyst pushes the compiled filter
+  all the way into the parquet scan (attribute filters prune row groups at
+  100 TB exactly like the reference's "use metadata filters first" advice,
+  02:406).
+* :class:`SearchService` — ``build()`` materializes the index (select the
+  declared columns, embed the search column, write a narrow embeddings
+  parquet partitioned for pruning); ``search(request)`` compiles the DSL,
+  runs the EP1 pipeline (filter → cosine → top-k), and returns rows shaped
+  like the reference's flattened JSON results (one row per hit + rank +
+  similarity), so the reference's post-processing SQL has a 1:1 target.
+
+Freshness (TARGET_LAG, 01:173) is handled by streaming.refresh.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from functools import reduce
+from operator import and_, or_
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.functions.embed import (
+    DEFAULT_DIM,
+    hash_embed_text,
+    hash_embedding_table,
+)
+from strava_vector_search_spark.operators.search import brute_force_topk
+
+
+class FilterDSLError(ValueError):
+    pass
+
+
+_COMPARISONS = {
+    "@eq": lambda c, v: c == F.lit(v),
+    "@ne": lambda c, v: c != F.lit(v),
+    "@gte": lambda c, v: c >= F.lit(v),
+    "@lte": lambda c, v: c <= F.lit(v),
+    "@gt": lambda c, v: c > F.lit(v),
+    "@lt": lambda c, v: c < F.lit(v),
+    "@contains": lambda c, v: c.contains(v),
+    "@in": lambda c, v: c.isin(*v),
+}
+
+
+def compile_filter(node: dict, attributes: set[str] | None = None) -> Column:
+    """Compile one DSL node to a Column predicate.
+
+    Grammar (reference 01:214, nb Q1-Q3 + @ne/@gt/@lt/@contains/@in as the
+    natural completions Cortex also documents):
+      node := {"@and": [node…]} | {"@or": [node…]} | {"@not": node}
+            | {op: {attr: value}}           op ∈ _COMPARISONS
+    Only declared ``attributes`` are filterable (01:170-171); anything else
+    raises — mirroring the service rejecting non-ATTRIBUTE filters.
+    """
+    if not isinstance(node, dict) or len(node) != 1:
+        raise FilterDSLError(f"filter node must be a single-key object: {node!r}")
+    op, body = next(iter(node.items()))
+    if op == "@and" or op == "@or":
+        if not isinstance(body, list) or not body:
+            raise FilterDSLError(f"{op} expects a non-empty list")
+        parts = [compile_filter(n, attributes) for n in body]
+        return reduce(and_ if op == "@and" else or_, parts)
+    if op == "@not":
+        return ~compile_filter(body, attributes)
+    if op in _COMPARISONS:
+        if not isinstance(body, dict) or len(body) != 1:
+            raise FilterDSLError(f"{op} expects {{attribute: value}}")
+        attr, value = next(iter(body.items()))
+        if attributes is not None and attr not in attributes:
+            raise FilterDSLError(f"attribute {attr!r} is not filterable (declared: {sorted(attributes)})")
+        return _COMPARISONS[op](F.col(attr), value)
+    raise FilterDSLError(f"unknown operator {op!r}")
+
+
+@dataclass
+class SearchService:
+    """A declared search service over a corpus (reference 01:168-186).
+
+    Parameters mirror the CREATE SERVICE clauses: ``search_col`` ↔ ON,
+    ``attributes`` ↔ ATTRIBUTES, ``columns`` ↔ the defining query's
+    projection, ``index_path`` ↔ the service's managed index storage.
+    """
+
+    spark: SparkSession
+    corpus: DataFrame
+    id_col: str = "doc_id"
+    search_col: str = "text"
+    attributes: tuple[str, ...] = ()
+    columns: tuple[str, ...] = ()
+    dim: int = DEFAULT_DIM
+    index_path: str | None = None
+    embeddings: DataFrame | None = field(default=None, repr=False)
+
+    def build(self) -> "SearchService":
+        """Materialize the index: embed the search column into a narrow
+        (id, embedding) table. With ``index_path`` set, persists as parquet
+        (the 100 TB layout: embeddings separate from payloads; re-read with
+        only 4*dim+8 bytes per row scanned at query time)."""
+        emb = hash_embedding_table(self.corpus, self.id_col, self.search_col, self.dim)
+        if self.index_path:
+            emb.write.mode("overwrite").parquet(self.index_path)
+            emb = self.spark.read.parquet(self.index_path)
+        self.embeddings = emb
+        return self
+
+    def attach_embeddings(self, emb: DataFrame, vec_id_col: str = "vec_id") -> "SearchService":
+        """Use precomputed embeddings (e.g. the testdata embeddings table or
+        a model-embedded corpus) instead of building."""
+        if vec_id_col != self.id_col:
+            emb = emb.withColumnRenamed(vec_id_col, self.id_col)
+        self.embeddings = emb
+        return self
+
+    # -- query serve ---------------------------------------------------
+
+    def search(self, request: dict | str) -> DataFrame:
+        """Serve one JSON request {query|query_vec, columns, filter, limit}.
+
+        Returns one row per hit: requested columns + similarity + rank —
+        the flattened shape the reference builds with
+        PARSE_JSON → ['results'] → FLATTEN (01:200-219).
+        """
+        if isinstance(request, str):
+            request = json.loads(request)
+        if self.embeddings is None:
+            raise RuntimeError("service not built: call build() or attach_embeddings()")
+
+        if "query_vec" in request:
+            qv = [float(x) for x in request["query_vec"]]
+        elif "query" in request:
+            qv = [float(x) for x in hash_embed_text(self.spark, request["query"], self.dim)]
+        else:
+            raise FilterDSLError("request needs 'query' or 'query_vec'")
+
+        limit = int(request.get("limit", 10))
+        cols = list(request.get("columns", self.columns or self.corpus.columns))
+
+        pred = None
+        if request.get("filter"):
+            attrs = set(self.attributes) if self.attributes else None
+            pred = compile_filter(request["filter"], attrs)
+
+        emb = self.embeddings
+        base = self.corpus.join(emb, self.id_col)
+        top = brute_force_topk(
+            base, qv, k=limit, id_col=self.id_col, predicate=pred
+        )
+        rank_w = F.row_number().over(
+            Window.orderBy(F.desc("similarity"), F.asc(self.id_col))
+        ).cast("bigint")
+        out_cols = [self.id_col] if self.id_col not in cols else []
+        return top.select(*out_cols, *cols, "similarity").withColumn("rank", rank_w)

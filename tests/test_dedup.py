@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    # 1/2 exact dups; 3 near-dup of 1 (one token changed); 4 unrelated
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different content about spark execution plans and shuffles everywhere"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)],
+        "doc_id int, text string",
+    )
+
+
+def test_exact_dedup_keeps_min_id(dup_docs):
+    out = D.exact_dedup(dup_docs, ["text"], "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4]
+
+
+def test_exact_dup_groups(dup_docs):
+    groups = D.exact_dup_groups(dup_docs, ["text"], "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_copies"] == 2
+    assert groups[0]["keep_id"] == 1
+
+
+def test_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame([(1, "two words")], "id int, text string")
+    arr = df.select(D.shingles(F.col("text"), 3).alias("s")).head()["s"]
+    assert arr == ["two words"]
+
+
+def test_ngram_jaccard_finds_near_dup(dup_docs):
+    pairs = D.ngram_jaccard_pairs(dup_docs, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # exact dup
+    assert 0.5 <= got[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in got and (3, 4) not in got
+
+
+def test_minhash_signature_properties(dup_docs):
+    sig = {r["doc_id"]: list(r["sig"]) for r in D.minhash_signatures(dup_docs, "doc_id", "text").collect()}
+    assert len(sig[1]) == 16
+    assert sig[1] == sig[2]  # identical docs -> identical signatures
+    agree_near = sum(a == b for a, b in zip(sig[1], sig[3]))
+    agree_far = sum(a == b for a, b in zip(sig[1], sig[4]))
+    assert agree_near > agree_far  # signature agreement tracks jaccard
+
+
+def test_minhash_lsh_verified_matches_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["id1"], r["id2"])
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in D.minhash_dedup_verified(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    # LSH-verified pairs are a subset of exact pairs (no false positives
+    # after verification), with high recall at j >= 0.5 and 4x4 bands
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8
+
+
+def test_simhash_hamming_tracks_similarity(spark, dup_docs):
+    sig = D.simhash(dup_docs, "doc_id", "text", bits=48)
+    pairs = D.simhash_pairs(sig, "doc_id", max_hamming=48, bits=48, chunks=4)
+    ham = {(r["id1"], r["id2"]): r["hamming"] for r in pairs.collect()}
+    assert ham[(1, 2)] == 0
+    assert ham[(1, 3)] < ham.get((1, 4), 48)
+
+
+def test_embedding_near_dup_symmetric_free(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    assert {(r["id1"], r["id2"]) for r in pairs} == {(1, 2)}
+    assert all(r["id1"] < r["id2"] for r in pairs)

@@ -1,0 +1,135 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.service import (
+    FilterDSLError,
+    SearchService,
+    compile_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "interval run workout speed training", "run", "hard", 5000),
+            (2, "easy recovery jog gentle pace", "run", "easy", 4000),
+            (3, "endurance ride moderate cycling", "ride", "moderate", 40000),
+            (4, "hill repeats very hard climbing ride", "ride", "very hard", 30000),
+            (5, "hill repeats very hard climbing ride", "ride", "very_hard", 30000),
+            (6, "swimming technique drills", "swim", "easy", 1500),
+        ],
+        "doc_id int, text string, sport_type string, difficulty string, distance_meters int",
+    )
+
+
+@pytest.fixture(scope="module")
+def svc(spark, docs):
+    return SearchService(
+        spark,
+        docs,
+        id_col="doc_id",
+        search_col="text",
+        attributes=("sport_type", "difficulty", "distance_meters"),
+        dim=32,
+    ).build()
+
+
+class TestFilterDSL:
+    def test_eq(self, docs):
+        got = docs.filter(compile_filter({"@eq": {"sport_type": "run"}})).count()
+        assert got == 2
+
+    def test_range_and(self, docs):
+        f = {
+            "@and": [
+                {"@gte": {"distance_meters": 4500}},
+                {"@lte": {"distance_meters": 30000}},
+            ]
+        }
+        rows = docs.filter(compile_filter(f)).collect()
+        assert sorted(r["doc_id"] for r in rows) == [1, 4, 5]
+
+    def test_nested_and_or_spelling_wrinkle(self, docs):
+        # the reference's 'very hard'/'very_hard' inconsistency (SURVEY §1.3):
+        # queries must OR both spellings to survive it (nb:513-515)
+        f = {
+            "@and": [
+                {"@eq": {"sport_type": "ride"}},
+                {
+                    "@or": [
+                        {"@eq": {"difficulty": "very hard"}},
+                        {"@eq": {"difficulty": "very_hard"}},
+                    ]
+                },
+            ]
+        }
+        rows = docs.filter(compile_filter(f)).collect()
+        assert sorted(r["doc_id"] for r in rows) == [4, 5]
+
+    def test_not_and_in(self, docs):
+        f = {"@not": {"@in": {"sport_type": ["run", "ride"]}}}
+        rows = docs.filter(compile_filter(f)).collect()
+        assert [r["doc_id"] for r in rows] == [6]
+
+    def test_undeclared_attribute_rejected(self):
+        with pytest.raises(FilterDSLError, match="not filterable"):
+            compile_filter({"@eq": {"text": "x"}}, attributes={"sport_type"})
+
+    def test_malformed_nodes_rejected(self):
+        for bad in (
+            {"@unknown": {"a": 1}},
+            {"@and": []},
+            {"@eq": {"a": 1, "b": 2}},
+            {},
+            "not a dict",
+        ):
+            with pytest.raises(FilterDSLError):
+                compile_filter(bad)  # type: ignore[arg-type]
+
+
+class TestSearchService:
+    def test_text_query_returns_ranked_hits(self, svc):
+        out = svc.search(
+            {"query": "interval run workout speed training", "limit": 3}
+        ).collect()
+        assert len(out) == 3
+        assert out[0]["doc_id"] == 1  # exact text match ranks first
+        assert [r["rank"] for r in out] == [1, 2, 3]
+        assert out[0]["similarity"] == pytest.approx(1.0, abs=1e-4)
+
+    def test_filtered_search_excludes_nonmatching(self, svc):
+        out = svc.search(
+            {
+                "query": "hard workout",
+                "filter": {"@eq": {"sport_type": "ride"}},
+                "columns": ["sport_type", "difficulty"],
+                "limit": 10,
+            }
+        ).collect()
+        assert 0 < len(out) <= 3
+        assert all(r["sport_type"] == "ride" for r in out)
+
+    def test_json_string_request(self, svc):
+        out = svc.search(
+            '{"query": "swimming drills", "limit": 1, "columns": ["sport_type"]}'
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["sport_type"] == "swim"
+
+    def test_unbuilt_service_raises(self, spark, docs):
+        s = SearchService(spark, docs, id_col="doc_id", search_col="text")
+        with pytest.raises(RuntimeError, match="not built"):
+            s.search({"query": "x"})
+
+    def test_index_persistence(self, spark, docs, tmp_path):
+        path = str(tmp_path / "emb_index")
+        s = SearchService(
+            spark, docs, id_col="doc_id", search_col="text", dim=16, index_path=path
+        ).build()
+        assert s.embeddings is not None
+        reread = spark.read.parquet(path)
+        assert reread.count() == docs.count()
+        assert dict(reread.dtypes)["embedding"] == "array<float>"

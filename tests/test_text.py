@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs to the hills for fun"),
+            (2, "der hund und die katze sind nicht mit dem ball zu spielen heute"),
+            (3, "!!! ??? *** $$$ %%%"),
+            (4, ""),
+            (5, "el perro y el gato es una historia para los que quieren leer en casa"),
+        ],
+        "id int, text string",
+    )
+
+
+def _one(df, col_expr, id_):
+    return {r["id"]: r["v"] for r in df.select("id", col_expr.alias("v")).collect()}[id_]
+
+
+def test_token_count(samples):
+    assert _one(samples, T.token_count(F.col("text")), 1) == 16
+    assert _one(samples, T.token_count(F.col("text")), 4) == 0
+
+
+def test_punct_ratio_bounds(samples):
+    assert _one(samples, T.punct_ratio(F.col("text")), 1) == pytest.approx(0.0)
+    r3 = _one(samples, T.punct_ratio(F.col("text")), 3)
+    assert r3 > 0.5
+    assert _one(samples, T.punct_ratio(F.col("text")), 4) == 0.0
+
+
+def test_quality_score_ranks_sane_text_higher(samples):
+    good = _one(samples, T.quality_score(F.col("text")), 1)
+    junk = _one(samples, T.quality_score(F.col("text")), 3)
+    assert good == 1.0
+    assert junk < good
+
+
+def test_lang_id(samples):
+    got = {r["id"]: r["g"] for r in samples.select("id", T.lang_id(F.col("text")).alias("g")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[5] == "es"
+    assert got[3] == "und"
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World! Run"), (2, "hello world RUN"), (3, "different text")],
+        "id int, text string",
+    )
+    fp = {r["id"]: r["f"] for r in df.select("id", T.fingerprint(F.col("text")).alias("f")).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_bpe_ish_token_count_exceeds_words(samples):
+    words = _one(samples, T.token_count(F.col("text")), 1)
+    bpe = _one(samples, T.bpe_ish_token_count(F.col("text")), 1)
+    assert bpe >= words
