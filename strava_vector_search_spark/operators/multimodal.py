@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode kernels are STUBS
+behind ``decoder=`` hooks (a deterministic fake for tests, or raise
+NotImplementedError when a real codec is required) — but everything Spark-
+side is real and tested: schemas, batch iteration, partition sizing, UDF
+signatures, and the narrow-metadata/wide-payload table split.
+
+Scale notes (100 TB of media):
+* payloads live in their own table (id, content binary, media_type), far
+  from the searchable metadata — the same narrow/wide split as embeddings;
+* ``mapInPandas`` streams Arrow record batches, so one task never holds
+  more than spark.sql.execution.arrow.maxRecordsPerBatch payloads;
+* decode fan-out (e.g. video → frames) yields MULTIPLE output rows per
+  input row — mapInPandas is the right shape (1→N), not a scalar UDF;
+* cap partition bytes (`maxPartitionBytes`) so a partition of blobs fits
+  in executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_id bigint, media_type string, n_bytes bigint, header_hex string"
+)
+FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, width int, height int, feature array<float>"
+)
+
+Decoder = Callable[[bytes], list[tuple[int, int, int, list[float]]]]
+# decoder(payload) -> [(frame_idx, width, height, feature_vec), ...]
+
+
+def fake_decoder(payload: bytes) -> list[tuple[int, int, int, list[float]]]:
+    """Deterministic stand-in for a real codec: derives 'frames' and a tiny
+    'feature vector' from the bytes themselves. Keeps the full pipeline
+    runnable + assertable without image/audio libraries."""
+    n = len(payload)
+    n_frames = max(1, min(3, n // 8))
+    return [
+        (
+            i,
+            16 + (n % 16),
+            16 + ((n >> 2) % 16),
+            # whole-number floats: exact in float32, so the oracle can
+            # reproduce them bit-for-bit
+            [float((payload[j % n] + i) % 251) for j in range(4)] if n else [0.0] * 4,
+        )
+        for i in range(n_frames)
+    ]
+
+
+def real_decoder(_: bytes) -> list[tuple[int, int, int, list[float]]]:
+    """The production hook: swap in PIL/ffmpeg/torchaudio here."""
+    raise NotImplementedError(
+        "no media codecs in this environment — inject a decoder built on "
+        "PIL/ffmpeg/torchaudio via the decoder= parameter"
+    )
+
+
+def extract_metadata(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """Cheap typed metadata from opaque payloads — pure expressions, no
+    Python: byte length + magic-bytes prefix for format sniffing."""
+    return media.select(
+        "media_id",
+        "media_type",
+        F.length(F.col(content_col)).cast("bigint").alias("n_bytes"),
+        F.hex(F.substring(F.col(content_col), 1, 4)).alias("header_hex"),
+    )
+
+
+def decode_frames(
+    media: DataFrame,
+    decoder: Decoder = fake_decoder,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """payload → frames/features via mapInPandas (1 row → N rows).
+
+    The iterator signature processes one Arrow batch at a time; peak memory
+    per task is one batch of payloads + its decoded frames.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "feature": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(payload) if payload is not None else b""
+                for frame_idx, w, h, feat in decoder(blob):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(frame_idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, content_col).mapInPandas(_decode, FRAME_SCHEMA)

@@ -465,3 +465,113 @@ SELECT doc_id, lang, source, n_chars, similarity,
        ROW_NUMBER() OVER (ORDER BY similarity DESC, doc_id ASC) AS rank
 FROM topk
 """
+
+# -- ANN / IVF ---------------------------------------------------------------
+
+_CENTROID_CTES = """
+  dims AS (SELECT range AS i FROM range(1, 65)),
+  ex AS (SELECT label AS cluster, d.i AS pos, embedding[d.i]::DOUBLE AS v
+         FROM embeddings, dims d),
+  per_dim AS (
+    SELECT cluster, pos,
+           ROUND(SUM(v::DECIMAL(28,10))::DOUBLE / COUNT(*), 6) AS c
+    FROM ex GROUP BY cluster, pos),
+  cent AS (SELECT cluster, list(c ORDER BY pos) AS centroid
+           FROM per_dim GROUP BY cluster)
+"""
+
+ORACLES["ann_centroids"] = f"""
+WITH {_CENTROID_CTES}
+SELECT cluster, centroid FROM cent
+"""
+
+ORACLES["ann_ivf_topk"] = f"""
+WITH {_CENTROID_CTES},
+probe AS (
+  SELECT cluster FROM cent
+  ORDER BY ROUND(list_cosine_similarity(centroid, {_qvec(11)}), 6) DESC,
+           cluster ASC
+  LIMIT 2
+)
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], {_qvec(11)}), 6)
+         AS similarity
+FROM embeddings
+WHERE label IN (SELECT cluster FROM probe)
+ORDER BY similarity DESC, vec_id ASC
+LIMIT 10
+"""
+
+# -- CSV ingest / windows / multimodal ---------------------------------------
+
+ORACLES["s1_csv_typed_load"] = """
+SELECT doc_id, text, lang, source,
+       (CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END)::INTEGER
+         AS maybe_chars
+FROM documents
+"""
+
+ORACLES["ev_windowed_agg"] = """
+SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day, COUNT(*) AS n,
+       ROUND(SUM(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+ORACLES["ev_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+with_id AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM with_id
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+ORACLES["w_rank_per_group"] = """
+SELECT lang, doc_id, n_chars, rn
+FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+WHERE rn <= 2
+ORDER BY lang, rn
+"""
+
+ORACLES["mm_binary_meta"] = """
+SELECT doc_id AS media_id, 'text/plain' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       hex(encode(substr(text, 1, 4))) AS header_hex
+FROM documents
+"""
+
+ORACLES["mm_decode_frames"] = """
+WITH d AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 40
+)
+SELECT media_id, i.range::INTEGER AS frame_idx,
+       (16 + n % 16)::INTEGER AS width,
+       (16 + (n // 4) % 16)::INTEGER AS height,
+       [((ascii(substr(text, 1, 1)) + i.range) % 251)::FLOAT,
+        ((ascii(substr(text, 2, 1)) + i.range) % 251)::FLOAT,
+        ((ascii(substr(text, 3, 1)) + i.range) % 251)::FLOAT,
+        ((ascii(substr(text, 4, 1)) + i.range) % 251)::FLOAT] AS feature
+FROM d, range(0, 3) i
+WHERE i.range < greatest(1, least(3, n // 8))
+"""

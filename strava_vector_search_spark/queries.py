@@ -556,3 +556,188 @@ QUERIES.update(
         "svc_search_nested_dsl": svc_search_nested_dsl,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# ANN (IVF) — the 1M+ regime (02:438-442), oracle-checkable variant
+
+
+def ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build step: per-cluster elementwise-mean centroids (decimal-exact,
+    one partial-agg shuffle)."""
+    from strava_vector_search_spark.operators.ann import compute_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return compute_centroids(emb, "label", "embedding").select(
+        F.col("cluster").cast("int").alias("cluster"), "centroid"
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: rank centroids, probe top-2 clusters, brute-force inside
+    — reads nprobe/k of the data (partition pruning at scale)."""
+    from strava_vector_search_spark.operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 11)
+    out = ivf_topk(emb, qv, k=10, nprobe=2, id_col="vec_id")
+    return out.select("vec_id", F.col("label").cast("int").alias("label"), "similarity")
+
+
+QUERIES.update(
+    {
+        "ann_centroids": ann_centroids,
+        "ann_ivf_topk": ann_ivf_topk,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# CSV typed ingest (S1/S2), event-time windows, window functions, multimodal
+
+
+def s1_csv_typed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO semantics end-to-end: export the corpus to quoted multiline
+    CSV (with empty strings standing in for NULL ints), re-ingest with
+    positional casts + NULLIF + PERMISSIVE, and return the typed rows —
+    byte-identical to the parquet source (oracle reads parquet directly)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from strava_vector_search_spark.io.csv_ingest import read_csv_typed, valid_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    export = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.when(F.col("n_chars") % 7 == 0, "")
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("maybe_chars"),
+    )
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/svs_csv_cache_{token}"
+    (
+        export.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("maybe_chars", IntegerType()),
+        ]
+    )
+    return valid_rows(read_csv_typed(spark, path, schema))
+
+
+def ev_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (1 day) per event type — the batch
+    equivalent of the streaming windowed aggregation; decimal-exact sums."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window functions: a >30-min silence per user
+    starts a new session (lag + running sum — the batch twin of streaming
+    session windows). Per-session event counts and bounds."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    with_flag = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+        ).otherwise(0),
+    )
+    with_id = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def w_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-2 longest documents per language in ONE pass —
+    the idiomatic improvement over the reference's one-query-per-filter
+    pattern (SURVEY §2.5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 2)
+        .select("lang", "doc_id", "n_chars", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass: opaque binary payloads → typed metadata
+    (byte length + magic-bytes prefix), pure expressions."""
+    from strava_vector_search_spark.operators.multimodal import extract_metadata
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return extract_metadata(media)
+
+
+def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode fan-out via mapInPandas (1 payload → N frames) with
+    the deterministic fake codec — Arrow batch plumbing under test."""
+    from strava_vector_search_spark.operators.multimodal import decode_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return decode_frames(media)
+
+
+QUERIES.update(
+    {
+        "s1_csv_typed_load": s1_csv_typed_load,
+        "ev_windowed_agg": ev_windowed_agg,
+        "ev_sessionize": ev_sessionize,
+        "w_rank_per_group": w_rank_per_group,
+        "mm_binary_meta": mm_binary_meta,
+        "mm_decode_frames": mm_decode_frames,
+    }
+)

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.operators.multimodal import (
+    decode_frames,
+    extract_metadata,
+    fake_decoder,
+    real_decoder,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return spark.createDataFrame(
+        [
+            (1, "image/png", bytearray(b"\x89PNG\r\n\x1a\nrest-of-payload-bytes")),
+            (2, "audio/wav", bytearray(b"RIFFxxxxWAVEfmt padding")),
+            (3, "video/mp4", bytearray(b"\x00\x00\x00 ftypisom-and-more-bytes!")),
+            (4, "image/png", bytearray(b"tiny")),
+        ],
+        "media_id long, media_type string, content binary",
+    )
+
+
+def test_metadata_magic_bytes(media):
+    meta = {r["media_id"]: r for r in extract_metadata(media).collect()}
+    assert meta[1]["header_hex"] == "89504E47"  # PNG magic
+    assert meta[2]["header_hex"] == "52494646"  # RIFF
+    assert meta[1]["n_bytes"] == 29
+
+
+def test_decode_fanout_shapes(media):
+    frames = decode_frames(media).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # n_frames = max(1, min(3, n_bytes // 8))
+    assert len(by_id[1]) == 3
+    assert len(by_id[4]) == 1  # tiny payload -> single frame
+    f0 = sorted(by_id[1], key=lambda r: r["frame_idx"])[0]
+    assert len(f0["feature"]) == 4
+    assert 16 <= f0["width"] < 32 and 16 <= f0["height"] < 32
+
+
+def test_decode_deterministic(media):
+    a = sorted(map(tuple, decode_frames(media).collect()))
+    b = sorted(map(tuple, decode_frames(media).collect()))
+    assert a == b
+
+
+def test_fake_decoder_empty_payload():
+    frames = fake_decoder(b"")
+    assert len(frames) == 1
+    assert frames[0][3] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError, match="codec"):
+        real_decoder(b"anything")
