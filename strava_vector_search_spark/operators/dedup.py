@@ -364,19 +364,22 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     threshold: float = 0.4,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Exact cosine near-dup pairs via self cross-join — correct at any N,
     quadratic cost: the ≤10K-docs regime the reference calls "brute force is
     fine" (02:438-442). Above that use LSH bucketing (ann.lsh_near_dup) or
     IVF-partitioned self-join."""
-    from strava_vector_search_spark.functions.vector import cosine_similarity_rounded
+    from strava_vector_search_spark.functions.vector import similarity
 
     a = emb.select(F.col(id_col).alias("id1"), F.col(vector_col).alias("v1"))
     b = emb.select(F.col(id_col).alias("id2"), F.col(vector_col).alias("v2"))
     return (
         a.crossJoin(b)
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", cosine_similarity_rounded(F.col("v1"), F.col("v2")))
+        .withColumn(
+            "cosine", similarity(F.col("v1"), F.col("v2"), assume_normalized)
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from strava_vector_search_spark.functions.vector import cosine_similarity_rounded
+from strava_vector_search_spark.functions.vector import similarity
 
 # Reference similarity rubric (README.md:86-90) and the enacted cutoffs
 # (02:309-315): >0.80 excellent hit, >0.70 good hit, else miss.
@@ -35,6 +35,7 @@ def brute_force_topk(
     id_col: str = "doc_id",
     predicate: Column | None = None,
     similarity_col: str = "similarity",
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Filter → score → top-k, the EP1 lifecycle (SURVEY §3).
 
@@ -50,7 +51,8 @@ def brute_force_topk(
         df = df.filter(predicate)
     df = df.filter(F.col(vector_col).isNotNull())
     scored = df.withColumn(
-        similarity_col, cosine_similarity_rounded(F.col(vector_col), query_vec)
+        similarity_col,
+        similarity(F.col(vector_col), query_vec, assume_normalized),
     )
     return scored.orderBy(F.desc(similarity_col), F.asc(id_col)).limit(k)
 
@@ -72,6 +74,7 @@ def similarity_histogram(
     corpus: DataFrame,
     query_vec: list[float] | Column,
     vector_col: str = "embedding",
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Bucket all similarities into the rubric's 5 labeled ranges and count —
     the reference's embedding-space sanity check (``02:373-389``).
@@ -80,7 +83,7 @@ def similarity_histogram(
     """
     if isinstance(query_vec, list):
         query_vec = F.array(*[F.lit(float(x)) for x in query_vec])
-    s = cosine_similarity_rounded(F.col(vector_col), query_vec)
+    s = similarity(F.col(vector_col), query_vec, assume_normalized)
     bucket = (
         F.when(s >= 0.90, "0.90+ (Excellent)")
         .when(s >= 0.80, "0.80-0.89 (Likely hit)")
@@ -123,6 +126,7 @@ def batch_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Many queries in one job: broadcast the query table against the corpus
     and take top-k per query with a ranking window partitioned by query —
@@ -136,7 +140,7 @@ def batch_topk(
     )
     scored = scored.withColumn(
         "similarity",
-        cosine_similarity_rounded(F.col(vector_col), F.col(query_vec_col)),
+        similarity(F.col(vector_col), F.col(query_vec_col), assume_normalized),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("similarity"), F.asc(id_col)

@@ -29,7 +29,9 @@ def _qvec(vec_id: int) -> str:
 
 
 def _sim(vec_id: int, emb: str = "emb") -> str:
-    return f"ROUND(list_cosine_similarity({emb}, {_qvec(vec_id)}), 6)"
+    # dot == cosine on the L2-normalized embeddings (the write-time invariant);
+    # the Spark twin scores with assume_normalized=True for the same reason
+    return f"ROUND(list_dot_product({emb}, {_qvec(vec_id)}), 6)"
 
 
 ORACLES: dict[str, str] = {}
@@ -96,7 +98,7 @@ queries AS (
 ),
 scored AS (
   SELECT q.query_id, c.doc_id, c.lang,
-         ROUND(list_cosine_similarity(c.emb, q.qv), 6) AS similarity
+         ROUND(list_dot_product(c.emb, q.qv), 6) AS similarity
   FROM corpus c CROSS JOIN queries q
 ),
 ranked AS (
@@ -379,9 +381,9 @@ ORACLES["dd_simhash"] = _simhash_sql(48)
 ORACLES["dd_embedding_near_dup"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id1, b.vec_id AS id2,
-       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+       ROUND(list_dot_product(a.v, b.v), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.4
 """
 
 # -- text analysis ----------------------------------------------------------

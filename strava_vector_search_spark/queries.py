@@ -66,7 +66,7 @@ def vs_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("n_chars").between(100, 450)
         & (F.col("doc_id") != 0)
     )
-    top = S.brute_force_topk(corpus, qv, k=10, predicate=pred)
+    top = S.brute_force_topk(corpus, qv, k=10, predicate=pred, assume_normalized=True)
     return top.select(
         "doc_id",
         "lang",
@@ -83,7 +83,7 @@ def vs_topk_threshold_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_vectors(spark, sf_dir)
     qv = _query_vec(spark, sf_dir, 1)
     scored = S.brute_force_topk(
-        corpus, qv, k=25, predicate=F.col("doc_id") != 1
+        corpus, qv, k=25, predicate=F.col("doc_id") != 1, assume_normalized=True
     ).filter(F.col("similarity") > 0.0)
     return S.with_cache_decision(scored).select(
         "doc_id", "lang", "similarity", "cache_decision"
@@ -94,7 +94,7 @@ def vs_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity histogram via CASE bucketing + GROUP BY (A5, 02:373-389)."""
     corpus = corpus_with_vectors(spark, sf_dir)
     qv = _query_vec(spark, sf_dir, 2)
-    return S.similarity_histogram(corpus, qv)
+    return S.similarity_histogram(corpus, qv, assume_normalized=True)
 
 
 def vs_topk_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +104,7 @@ def vs_topk_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_vectors(spark, sf_dir).select("doc_id", "embedding")
     qv = _query_vec(spark, sf_dir, 3)
     top = S.brute_force_topk(
-        corpus, qv, k=3, predicate=F.col("doc_id") != 3
+        corpus, qv, k=3, predicate=F.col("doc_id") != 3, assume_normalized=True
     )
     joined = S.topk_join_back(docs, top, payload_cols=["text", "lang", "n_chars"])
     return joined.select(
@@ -121,7 +121,7 @@ def vs_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    out = S.batch_topk(corpus, queries, k=3)
+    out = S.batch_topk(corpus, queries, k=3, assume_normalized=True)
     return out.select("query_id", "doc_id", "lang", "similarity", "rank")
 
 
@@ -431,7 +431,7 @@ def dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strava_vector_search_spark.operators.dedup import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4)
+    return embedding_near_dup_pairs(emb, threshold=0.4, assume_normalized=True)
 
 
 # ---------------------------------------------------------------------------

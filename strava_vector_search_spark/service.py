@@ -102,6 +102,10 @@ class SearchService:
     columns: tuple[str, ...] = ()
     dim: int = DEFAULT_DIM
     index_path: str | None = None
+    # the index is L2-normalized at write (build() uses the normalizing
+    # embedder), so query scoring uses the dot-product fast path; set False
+    # when attaching un-normalized external embeddings
+    assume_normalized: bool = True
     embeddings: DataFrame | None = field(default=None, repr=False)
 
     def build(self) -> "SearchService":
@@ -156,7 +160,12 @@ class SearchService:
         emb = self.embeddings
         base = self.corpus.join(emb, self.id_col)
         top = brute_force_topk(
-            base, qv, k=limit, id_col=self.id_col, predicate=pred
+            base,
+            qv,
+            k=limit,
+            id_col=self.id_col,
+            predicate=pred,
+            assume_normalized=self.assume_normalized,
         )
         rank_w = F.row_number().over(
             Window.orderBy(F.desc("similarity"), F.asc(self.id_col))
