@@ -23,6 +23,11 @@ HEADLINE = [
     "vs_topk_filtered",
     "vs_batch_topk",
     "vs_similarity_histogram",
+    "ann_ivf_topk",
+    "dd_minhash_lsh_verified",
+    "dd_embedding_near_dup",
+    "tx_quality_stats",
+    "ev_sessionize",
     "j3_explode_tokens",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -577,3 +577,25 @@ SELECT media_id, i.range::INTEGER AS frame_idx,
 FROM d, range(0, 3) i
 WHERE i.range < greatest(1, least(3, n // 8))
 """
+
+# -- parameterized SQL / string scalars --------------------------------------
+
+ORACLES["sql_param_query"] = """
+SELECT doc_id, lang, n_chars, left(text, 40) AS preview
+FROM documents
+WHERE lang = 'fr' AND n_chars >= 200
+ORDER BY doc_id
+"""
+
+ORACLES["f_string_scalars"] = """
+SELECT doc_id,
+       lang || ':' || source AS lang_source,
+       upper(lang) AS lang_uc,
+       left(text, 30) AS head30,
+       substr(text, 11, 10) AS mid10,
+       ROUND(n_chars / 7.0, 3) AS sevenths,
+       COALESCE(NULLIF(lang, 'en'), 'english') AS lang_or_english
+FROM documents
+WHERE doc_id < 25
+ORDER BY doc_id
+"""

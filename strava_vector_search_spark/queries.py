@@ -428,10 +428,10 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= 0.4) via exact self-join —
     the brute-force regime; LSH/IVF variants cover 1M+ (operators/ann.py)."""
-    from strava_vector_search_spark.operators.dedup import embedding_near_dup_pairs
+    from strava_vector_search_spark.operators.dedup import embedding_near_dup_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4, assume_normalized=True)
+    return embedding_near_dup_blocked(emb, threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -739,5 +739,54 @@ QUERIES.update(
         "w_rank_per_group": w_rank_per_group,
         "mm_binary_meta": mm_binary_meta,
         "mm_decode_frames": mm_decode_frames,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (F15 session variables) + string scalar surface (F1-F4)
+
+
+def sql_param_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-variable parity: spark.sql with named parameters instead of
+    the notebook's SET var + string splicing (nb:151-161, F15/F16)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT doc_id, lang, n_chars,
+               left(text, :preview_len) AS preview
+        FROM documents_v
+        WHERE lang = :lang AND n_chars >= :min_chars
+        ORDER BY doc_id
+        """,
+        args={"lang": "fr", "min_chars": 200, "preview_len": 40},
+    )
+
+
+def f_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-function surface in one projection: CONCAT, LEFT, ROUND,
+    substring, upper/lower, coalesce (F1-F4, F9)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 25)
+        .select(
+            "doc_id",
+            F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
+            F.upper(F.col("lang")).alias("lang_uc"),
+            F.left(F.col("text"), F.lit(30)).alias("head30"),
+            F.substring(F.col("text"), 11, 10).alias("mid10"),
+            F.round(F.col("n_chars") / 7.0, 3).alias("sevenths"),
+            F.coalesce(F.nullif(F.col("lang"), F.lit("en")), F.lit("english")).alias(
+                "lang_or_english"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update(
+    {
+        "sql_param_query": sql_param_query,
+        "f_string_scalars": f_string_scalars,
     }
 )

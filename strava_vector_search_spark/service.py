@@ -172,3 +172,62 @@ class SearchService:
         ).cast("bigint")
         out_cols = [self.id_col] if self.id_col not in cols else []
         return top.select(*out_cols, *cols, "similarity").withColumn("rank", rank_w)
+
+
+# ---------------------------------------------------------------------------
+# Catalog / introspection — SHOW/DESC CORTEX SEARCH SERVICES parity
+# (01:190-193, 04:26,65-67). Spark tables go through spark.catalog; declared
+# search services live in this process-level registry.
+
+_REGISTRY: dict[str, SearchService] = {}
+
+
+def register_service(name: str, svc: SearchService) -> SearchService:
+    _REGISTRY[name] = svc
+    return svc
+
+
+def drop_service(name: str) -> bool:
+    """DROP CORTEX SEARCH SERVICE equivalent (04:22-26)."""
+    return _REGISTRY.pop(name, None) is not None
+
+
+def show_services() -> list[dict]:
+    """SHOW CORTEX SEARCH SERVICES (01:190)."""
+    return [
+        {"name": name, "search_col": s.search_col, "built": s.embeddings is not None}
+        for name, s in sorted(_REGISTRY.items())
+    ]
+
+
+def describe_service(name: str) -> dict:
+    """DESC CORTEX SEARCH SERVICE (01:193)."""
+    s = _REGISTRY[name]
+    return {
+        "name": name,
+        "id_col": s.id_col,
+        "search_col": s.search_col,
+        "attributes": list(s.attributes),
+        "columns": list(s.columns),
+        "dim": s.dim,
+        "index_path": s.index_path,
+        "built": s.embeddings is not None,
+        "indexed_rows": s.embeddings.count() if s.embeddings is not None else 0,
+    }
+
+
+def build_request(
+    query: str,
+    columns: list[str] | None = None,
+    filter_dsl: dict | None = None,
+    limit: int = 10,
+) -> str:
+    """Compose the JSON request string the service consumes — the notebook's
+    CONCAT-of-session-variables pattern (nb:156-161, F4/F15) done safely
+    with json.dumps instead of string splicing."""
+    req: dict = {"query": query, "limit": limit}
+    if columns:
+        req["columns"] = columns
+    if filter_dsl:
+        req["filter"] = filter_dsl
+    return json.dumps(req)

@@ -89,3 +89,17 @@ def start_refresh_stream(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def embed_missing(
+    docs: DataFrame,
+    embeddings: DataFrame | None,
+    embed: EmbedFn,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The batch write-back: embed every document that has no embedding yet —
+    the reference's ``UPDATE t SET EMBEDDING = EMBED_TEXT_768(...) WHERE
+    EMBED_STR IS NOT NULL`` (02:170-172). Spark has no in-place update; the
+    equivalent is computing the missing rows (this function) and appending
+    them to the embeddings table — same semantics, append-only layout."""
+    return refresh_batch(docs, embeddings, embed, id_col)
