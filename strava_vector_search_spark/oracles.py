@@ -599,3 +599,33 @@ FROM documents
 WHERE doc_id < 25
 ORDER BY doc_id
 """
+
+# -- semi/anti + Q18 ---------------------------------------------------------
+
+ORACLES["j_semi_anti"] = """
+SELECT 'with_orders' AS kind, COUNT(*) AS n
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders' AS kind, COUNT(*) AS n
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+ORACLES["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey,
+         ROUND(SUM(l_quantity::DECIMAL(18,6))::DOUBLE, 2) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING ROUND(SUM(l_quantity::DECIMAL(18,6))::DOUBLE, 2) > 250
+)
+SELECT c_name, o_orderkey, o_orderdate,
+       ROUND((o_totalprice::DECIMAL(18,6))::DOUBLE, 2) AS total_price,
+       sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+LIMIT 10
+"""

@@ -790,3 +790,66 @@ QUERIES.update(
         "f_string_scalars": f_string_scalars,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins + HAVING-subquery top-k (relational completion)
+
+
+def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI joins + UNION ALL: customers with vs without
+    orders. Semi/anti are the existence joins dedup and refresh build on."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    on = cust["c_custkey"] == orders["o_custkey"]
+    semi = (
+        cust.join(orders, on, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("kind"), "n")
+    )
+    anti = (
+        cust.join(orders, on, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("without_orders").alias("kind"), "n")
+    )
+    return semi.unionByName(anti)
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: aggregate subquery with HAVING, joined back to the
+    fact chain, top-10 — group-filter-join-rank in one declarative plan."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("decimal(18,6)").cast("double"), 2).alias(
+                "total_price"
+            ),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+QUERIES.update(
+    {
+        "j_semi_anti": j_semi_anti,
+        "q18_large_orders": q18_large_orders,
+    }
+)
