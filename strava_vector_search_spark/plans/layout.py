@@ -1,0 +1,92 @@
+"""Physical-layout utilities — the write-time decisions that buy query-time
+performance at 100 TB. The reference's equivalents are Snowflake advice the
+scripts leave to the platform ("consider clustering the table by SPORT_TYPE"
+``02:407``, "partition by sport type at 100K" ``02:441``); here they are
+explicit, testable operations:
+
+* :func:`write_partitioned` — directory partitioning → partition pruning for
+  equality/IN filters on the partition column (the reference's clustering).
+* :func:`write_bucketed` — hash bucketing + sorting → co-located,
+  shuffle-free joins on the bucket key (embeddings ⋈ documents on id is THE
+  hot join; bucketed on id both sides, it runs with zero Exchange).
+* :func:`salted_join` — runtime skew mitigation: explode the small side's
+  rows ``salt`` ways, scatter the big side's hot keys across salt values.
+  AQE's skew-join split handles most cases; salting covers extreme keys and
+  non-AQE engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Partition-pruning layout: one directory per partition value. Right
+    for low-cardinality hot filters (sport_type, lang, date)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed + sorted table: joins/aggregations on the bucket key need no
+    shuffle (both sides hash-distributed identically at write time).
+
+    Spark bucketing requires the table catalog (saveAsTable); at 100 TB,
+    bucket count is chosen so a bucket of the big table fits an executor
+    core's working set.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def bucketed_join_is_shuffle_free(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> tuple[DataFrame, bool]:
+    """Join two bucketed tables and report whether the plan contains no
+    shuffle exchange (used by tests and the PLANS.md audit).
+
+    Broadcast is disabled for the probe — at real scale neither side of the
+    hot join is broadcastable, which is exactly when bucketing pays; a
+    BroadcastExchange in a toy-sized test would mask a missing bucket join.
+    """
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.table(left_table)
+        right = spark.table(right_table)
+        joined = left.join(right, on)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return joined, "Exchange hashpartitioning" not in plan
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's key, replicate the
+    small side across all salt values, join on (key, salt).
+
+    Use when one key dominates (power-law ids): the hot key's rows spread
+    over ``salt`` reducers instead of one straggler task.
+    """
+    big_salted = big.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"))
+    small_salted = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    out = big_salted.join(small_salted, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        # keep catalog artifacts (bucketed tables, derby metastore) out of
+        # the repo working directory
+        .config("spark.sql.warehouse.dir", "/tmp/svs_spark_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/svs_derby"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
