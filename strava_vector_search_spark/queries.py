@@ -853,3 +853,42 @@ QUERIES.update(
         "q18_large_orders": q18_large_orders,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# MLlib batch indexing (BASELINE.json: "MLlib for batch indexing").
+# Not ANSI-SQL-expressible (KMeans / random-hyperplane LSH internals), so no
+# oracle entries: the driver records rows-only checks for these two.
+
+
+def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with an MLlib KMeans coarse quantizer (seeded, deterministic):
+    the production build path when no natural cluster column exists."""
+    from strava_vector_search_spark.operators.ann import ivf_topk, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clustered = kmeans_assign(emb, num_clusters=8, seed=42)
+    qv = _query_vec(spark, sf_dir, 11)
+    out = ivf_topk(clustered, qv, k=10, nprobe=3, cluster_col="cluster", id_col="vec_id")
+    return out.select("vec_id", "similarity")
+
+
+def ann_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup pairs via MLlib BucketedRandomProjectionLSH
+    (seeded) — the approxSimilarityJoin scale path."""
+    from strava_vector_search_spark.operators.ann import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        lsh_near_dup_pairs(emb, max_distance=1.1, num_hash_tables=4, bucket_length=0.7)
+        .filter(F.col("cosine") >= 0.4)
+        .orderBy("id1", "id2")
+    )
+
+
+QUERIES.update(
+    {
+        "ann_kmeans_ivf_topk": ann_kmeans_ivf_topk,
+        "ann_lsh_near_dup": ann_lsh_near_dup,
+    }
+)

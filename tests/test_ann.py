@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.operators import ann as A
+from strava_vector_search_spark.operators.search import brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 11).head()["embedding"]]
+
+
+def test_centroids_shape_and_determinism(emb):
+    c1 = {r["cluster"]: list(r["centroid"]) for r in A.compute_centroids(emb).collect()}
+    c2 = {r["cluster"]: list(r["centroid"]) for r in A.compute_centroids(emb).collect()}
+    assert c1 == c2
+    assert len(c1) == 10  # labels 0..9
+    assert all(len(v) == 64 for v in c1.values())
+
+
+def test_ivf_equals_brute_force_on_probed_clusters(emb, qvec):
+    # labels are random (not similarity clusters), so IVF's guarantee here is
+    # functional: its result == brute force restricted to the probed clusters
+    cents = A.compute_centroids(emb)
+    out = A.ivf_topk(emb, qvec, k=10, nprobe=3, centroids=cents).collect()
+    assert len(out) == 10
+    from strava_vector_search_spark.functions.vector import cosine_similarity_rounded
+
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    probed = [
+        r["cluster"]
+        for r in cents.withColumn(
+            "cd", cosine_similarity_rounded(F.col("centroid"), qcol)
+        )
+        .orderBy(F.desc("cd"), F.asc("cluster"))
+        .limit(3)
+        .collect()
+    ]
+    restricted = brute_force_topk(
+        emb.filter(F.col("label").isin(probed)), qvec, k=10, id_col="vec_id"
+    ).collect()
+    assert [r["vec_id"] for r in out] == [r["vec_id"] for r in restricted]
+
+
+def test_ivf_partition_pruned_layout(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    A.write_ivf_index(emb, path, "label")
+    back = spark.read.parquet(path)
+    plan = (
+        back.filter(F.col("label") == 3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan  # cluster filter prunes files, not rows
+    assert back.count() == emb.count()
+
+
+def test_kmeans_assign_improves_ivf_recall(spark, emb, qvec):
+    clustered = A.kmeans_assign(emb, num_clusters=8, seed=42).cache()
+    assert clustered.select("cluster").distinct().count() <= 8
+    exact = [r["vec_id"] for r in brute_force_topk(
+        emb, qvec, k=10, id_col="vec_id", assume_normalized=True
+    ).collect()]
+    approx = [
+        r["vec_id"]
+        for r in A.ivf_topk(
+            clustered, qvec, k=10, nprobe=3, cluster_col="cluster"
+        ).collect()
+    ]
+    assert approx[0] == 11  # with geometric clusters the self-hit survives
+    recall = len(set(exact) & set(approx)) / 10
+    # KMeans quantization groups similar vectors: probing 3/8 clusters must
+    # recover a solid share of the true top-10
+    assert recall >= 0.5
+
+
+def test_lsh_near_dup_agrees_with_exact(spark, emb):
+    from strava_vector_search_spark.operators.dedup import embedding_near_dup_blocked
+
+    exact = {
+        (r["id1"], r["id2"])
+        for r in embedding_near_dup_blocked(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id1"], r["id2"])
+        for r in A.lsh_near_dup_pairs(
+            emb, max_distance=1.1, num_hash_tables=4, bucket_length=0.7
+        ).filter(F.col("cosine") >= 0.4).collect()
+    }
+    assert approx <= exact or len(approx - exact) == 0
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.6
