@@ -36,6 +36,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: the driver JVM is the whole engine — size it for the
+        # container (Spark's 1g default OOMs on million-row shuffles)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -54,6 +59,9 @@ def get_spark(
         # keep catalog artifacts (bucketed tables, derby metastore) out of
         # the repo working directory
         .config("spark.sql.warehouse.dir", "/tmp/svs_spark_warehouse")
+        # dedicated scratch dir: /tmp cleaners have been observed deleting
+        # live blockmgr shuffle files mid-job
+        .config("spark.local.dir", "/root/.spark_scratch")
         .config(
             "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/svs_derby"
         )
