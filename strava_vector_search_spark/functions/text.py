@@ -103,3 +103,98 @@ def fingerprint(text: Column) -> Column:
     exact-dedup key for 'same content, different whitespace'."""
     normalized = F.array_join(tokens(text), " ")
     return F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("bigint")
+
+
+# character-n-gram profiles per language: the classic n-gram lang-id
+# heuristic (top trigrams incl. space-padded word boundaries). Tiny seed
+# profiles; production would learn them from a labeled corpus.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "and", "ion", "ent", " th", "he ", "er ", " of", "nd "),
+    "de": ("der", "die", "und", "ein", "ich", "sch", "en ", " de", "cht", "ung"),
+    "fr": ("les", "ent", "que", "our", "ait", " le", " de", "es ", "ion", "eur"),
+    "es": ("que", "ent", "los", "ado", "par", " de", " la", "os ", "ión", "ara"),
+}
+
+
+def lang_id_ngram(text: Column) -> Column:
+    """Char-trigram-overlap language guess: count occurrences of each
+    language's signature trigrams in the lowercased text, argmax with
+    alphabetical tie-break; 'und' when nothing matches.
+
+    Pure expressions: one pass builds the trigram multiset; membership is
+    counted against literal arrays. Complements :func:`lang_id` (stopword
+    tokens) — trigram profiles also work on languages without clear token
+    boundaries."""
+    lowered = F.lower(text)
+    padded = F.concat(F.lit(" "), lowered, F.lit(" "))
+    n = F.length(padded)
+    tris = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: F.substring(padded, i, 3)
+        ),
+    ).otherwise(F.array())
+
+    def _score(profile: tuple[str, ...]) -> Column:
+        sig = F.array(*[F.lit(t) for t in profile])
+        return F.size(F.filter(tris, lambda t: F.array_contains(sig, t)))
+
+    scores = {lang: _score(LANG_TRIGRAMS[lang]) for lang in sorted(LANG_TRIGRAMS)}
+    best = None
+    for lang in sorted(scores):
+        best = scores[lang] if best is None else F.greatest(best, scores[lang])
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in sorted(scores):
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def lang_id_table(
+    df,
+    id_cols: list[str],
+    text_col: str,
+    mode: str = "token",
+):
+    """Corpus-scale language ID: explode the text into units (tokens or
+    char-trigrams) ONCE, then count profile membership per language with a
+    single partial-aggregated groupBy.
+
+    The Column-expression variants (:func:`lang_id`, :func:`lang_id_ngram`)
+    inline the unit array into every score expression — fine for a handful
+    of rows, but codegen re-builds the array per reference (measured ~20x
+    overhead corpus-wide). This is the one-pass formulation for tables.
+    """
+    from pyspark.sql import functions as F
+
+    if mode == "token":
+        profiles = LANG_STOPWORDS
+        units = tokens(F.col(text_col))
+    elif mode == "trigram":
+        profiles = LANG_TRIGRAMS
+        padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+        n = F.length(padded)
+        units = F.when(
+            n >= 3,
+            F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.substring(padded, i, 3)),
+        ).otherwise(F.array())
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    rows = df.select(*id_cols, F.explode_outer(units).alias("u"))
+    langs = sorted(profiles)
+    scored = rows.groupBy(*id_cols).agg(
+        *[
+            F.sum(
+                F.when(F.col("u").isin(*profiles[lang]), 1).otherwise(0)
+            ).alias(f"_s_{lang}")
+            for lang in langs
+        ]
+    )
+    best = None
+    for lang in langs:
+        c = F.col(f"_s_{lang}")
+        best = c if best is None else F.greatest(best, c)
+    guessed = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        guessed = guessed.when(F.col(f"_s_{lang}") == best, F.lit(lang))
+    return scored.select(*id_cols, guessed.alias("guessed"))

@@ -629,3 +629,52 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY sum_qty DESC, o_orderkey ASC
 LIMIT 10
 """
+
+# -- char-ngram lang-id + JSON-array flatten ---------------------------------
+
+from strava_vector_search_spark.functions.text import LANG_TRIGRAMS
+
+
+def _lang_id_ngram_sql() -> str:
+    scores = {}
+    for lang in sorted(LANG_TRIGRAMS):
+        tris = ", ".join("'" + t.replace("'", "''") + "'" for t in LANG_TRIGRAMS[lang])
+        scores[lang] = f"len(list_filter(tris, t -> list_contains([{tris}], t)))"
+    best = f"greatest({', '.join(scores[lg] for lg in sorted(scores))})"
+    whens = "\n           ".join(
+        f"WHEN {scores[lg]} = {best} THEN '{lg}'" for lg in sorted(scores)
+    )
+    return f"""
+WITH padded AS (
+  SELECT lang, ' ' || lower(text) || ' ' AS p FROM documents
+),
+tri AS (
+  SELECT lang,
+         CASE WHEN length(p) >= 3
+              THEN [substr(p, i, 3) FOR i IN range(1, length(p) - 1)]
+              ELSE [] END AS tris
+  FROM padded
+),
+guessed AS (
+  SELECT lang,
+         CASE WHEN {best} = 0 THEN 'und'
+           {whens}
+         END AS guessed
+  FROM tri
+)
+SELECT lang, guessed, COUNT(*) AS n
+FROM guessed GROUP BY lang, guessed ORDER BY lang, guessed
+"""
+
+
+ORACLES["tx_lang_id_ngram"] = _lang_id_ngram_sql()
+
+ORACLES["j3_json_array_flatten"] = """
+SELECT user_id, COUNT(*) AS n_props,
+       SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))::BIGINT
+         AS sum_k
+FROM events
+WHERE user_id < 20
+GROUP BY user_id
+ORDER BY user_id
+"""

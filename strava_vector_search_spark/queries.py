@@ -495,9 +495,9 @@ def tx_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strava_vector_search_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
+    guessed = T.lang_id_table(docs, ["doc_id", "lang"], "text", mode="token")
     return (
-        docs.select("lang", T.lang_id(F.col("text")).alias("guessed"))
-        .groupBy("lang", "guessed")
+        guessed.groupBy("lang", "guessed")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "guessed")
     )
@@ -890,5 +890,61 @@ QUERIES.update(
     {
         "ann_kmeans_ivf_topk": ann_kmeans_ivf_topk,
         "ann_lsh_near_dup": ann_lsh_near_dup,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# char-n-gram language ID + JSON-array FLATTEN (J3/F5/F7 exact shape)
+
+
+def tx_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID vs labeled lang (the n-gram
+    heuristic variant of tx_lang_id_confusion)."""
+    from strava_vector_search_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    guessed = T.lang_id_table(docs, ["doc_id", "lang"], "text", mode="trigram")
+    return (
+        guessed.groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "guessed")
+    )
+
+
+def j3_json_array_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FLATTEN lifecycle end-to-end (01:207-219): build a
+    JSON array string per user, PARSE_JSON it, explode to one row per
+    element, extract + aggregate the field. The engine-side build step makes
+    the parse/flatten observable; the oracle aggregates the source rows
+    directly (same semantics)."""
+    ev = load_events(spark, sf_dir)
+    arr = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.concat(
+                F.lit("["), F.array_join(F.collect_list("props"), ","), F.lit("]")
+            ).alias("props_json")
+        )
+    )
+    flat = arr.select(
+        "user_id",
+        F.explode(F.from_json("props_json", "array<struct<k:int>>")).alias("p"),
+    )
+    return (
+        flat.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_props"),
+            F.sum(F.col("p.k")).alias("sum_k"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES.update(
+    {
+        "tx_lang_id_ngram": tx_lang_id_ngram,
+        "j3_json_array_flatten": j3_json_array_flatten,
     }
 )

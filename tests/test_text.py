@@ -65,3 +65,36 @@ def test_bpe_ish_token_count_exceeds_words(samples):
     words = _one(samples, T.token_count(F.col("text")), 1)
     bpe = _one(samples, T.bpe_ish_token_count(F.col("text")), 1)
     assert bpe >= words
+
+
+def test_lang_id_ngram(samples):
+    got = {
+        r["id"]: r["g"]
+        for r in samples.select(
+            "id", T.lang_id_ngram(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_lang_id_table_matches_column_variant(spark, samples):
+    col_res = {
+        r["id"]: r["g"]
+        for r in samples.select("id", T.lang_id(F.col("text")).alias("g")).collect()
+    }
+    tbl_res = {
+        r["id"]: r["guessed"]
+        for r in T.lang_id_table(samples, ["id"], "text", mode="token").collect()
+    }
+    assert col_res == tbl_res
+    tri_tbl = {
+        r["id"]: r["guessed"]
+        for r in T.lang_id_table(samples, ["id"], "text", mode="trigram").collect()
+    }
+    ngram_col = {
+        r["id"]: r["g"]
+        for r in samples.select("id", T.lang_id_ngram(F.col("text")).alias("g")).collect()
+    }
+    assert tri_tbl == ngram_col
