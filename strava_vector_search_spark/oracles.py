@@ -678,3 +678,32 @@ WHERE user_id < 20
 GROUP BY user_id
 ORDER BY user_id
 """
+
+# -- Q6 / Q10 ----------------------------------------------------------------
+
+ORACLES["q6_forecast_revenue"] = """
+SELECT ROUND(SUM(l_extendedprice::DECIMAL(18,6)
+              * l_discount::DECIMAL(18,6))::DOUBLE, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["q10_returned_items"] = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice::DECIMAL(18,6)
+                 * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6)))::DOUBLE, 2)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""

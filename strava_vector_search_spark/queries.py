@@ -948,3 +948,83 @@ QUERIES.update(
         "j3_json_array_flatten": j3_json_array_flatten,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q6/Q10-shaped relational queries + index-build gate entry
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: tight scan-filter-aggregate — the pure pushdown +
+    vectorized-scan benchmark (no join, no group key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,6)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: who returned the most revenue — 4-table join,
+    group by customer, top-20."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def vs_index_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index build through the service path (S6): hash-embed the documents
+    corpus and report invariants (row parity with the corpus, dimensionality,
+    unit norms). Embedder internals are xxhash64-based -> rows-only check."""
+    from strava_vector_search_spark.functions.embed import hash_embedding_table
+    from strava_vector_search_spark.functions.vector import dot_product
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hash_embedding_table(docs, "doc_id", "text", dim=64)
+    n2 = dot_product(
+        F.col("embedding").cast("array<double>"),
+        F.col("embedding").cast("array<double>"),
+    )
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+        F.round(F.min(n2), 3).alias("min_norm2"),
+        F.round(F.max(n2), 3).alias("max_norm2"),
+    )
+
+
+QUERIES.update(
+    {
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "vs_index_build_stats": vs_index_build_stats,
+    }
+)
