@@ -707,3 +707,55 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
+
+# -- distinct/rollup/time/null/DSL extras ------------------------------------
+
+ORACLES["a6_distinct_agg"] = """
+SELECT lang, COUNT(DISTINCT source) AS n_sources, COUNT(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["a7_rollup"] = """
+SELECT lang, source, COUNT(*) AS n
+FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST
+"""
+
+ORACLES["f_time_funcs"] = """
+SELECT event_id,
+       year(ts)::INTEGER AS y, month(ts)::INTEGER AS m,
+       day(ts)::INTEGER AS d, hour(ts)::INTEGER AS hr,
+       isodow(ts)::INTEGER - 1 AS dow0,
+       date_trunc('hour', ts)::TIMESTAMP AS hour_start,
+       ts + INTERVAL 1 DAY AS next_day
+FROM events
+WHERE event_id < 40
+ORDER BY event_id
+"""
+
+ORACLES["p_null_ordering"] = """
+SELECT doc_id, lang_nullable,
+       ROW_NUMBER() OVER (ORDER BY lang_nullable ASC NULLS LAST, doc_id ASC)
+         AS rn_nulls_last,
+       lang_nullable IS NOT DISTINCT FROM NULL AS is_null_safe_eq
+FROM (
+  SELECT doc_id, NULLIF(lang, 'en') AS lang_nullable
+  FROM documents WHERE doc_id < 40
+)
+ORDER BY doc_id
+"""
+
+ORACLES["svc_search_contains_not"] = f"""
+WITH {_CORPUS},
+topk AS (
+  SELECT doc_id, lang, source, {_sim(9)} AS similarity
+  FROM corpus
+  WHERE source LIKE '%1%' AND NOT (lang = 'en')
+  ORDER BY similarity DESC, doc_id ASC
+  LIMIT 5
+)
+SELECT doc_id, lang, source, similarity,
+       ROW_NUMBER() OVER (ORDER BY similarity DESC, doc_id ASC) AS rank
+FROM topk
+"""

@@ -1028,3 +1028,112 @@ QUERIES.update(
         "vs_index_build_stats": vs_index_build_stats,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregates, rollup, time functions, null semantics, DSL extras
+
+
+def a6_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (beyond the reference's surface — Spark
+    plans it as a two-phase expand+agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(lang, source): subtotals + grand total in one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
+    )
+
+
+def f_time_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: extraction, truncation, interval
+    arithmetic. (dayofweek normalized to ISO Monday=1 in both engines.)"""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_id") < 40)
+        .select(
+            "event_id",
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("hr"),
+            F.weekday("ts").cast("int").alias("dow0"),  # Monday=0
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("next_day"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def p_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics made visible: explicit NULLS LAST ordering observed
+    through row_number, plus null-safe equality (<=> / IS NOT DISTINCT
+    FROM). Spark's bare ASC is NULLS FIRST while most engines default NULLS
+    LAST — the explicit spec removes the divergence."""
+    docs = load_table(spark, sf_dir, "documents")
+    nullable = F.nullif(F.col("lang"), F.lit("en"))
+    w = Window.orderBy(nullable.asc_nulls_last(), F.col("doc_id").asc())
+    return (
+        docs.filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            nullable.alias("lang_nullable"),
+            F.row_number().over(w).cast("bigint").alias("rn_nulls_last"),
+            nullable.eqNullSafe(F.lit(None).cast("string")).alias("is_null_safe_eq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def svc_search_contains_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service DSL with @contains and @not — the remaining DSL operators
+    through the full service path."""
+    from strava_vector_search_spark.service import SearchService
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    svc = SearchService(
+        spark,
+        docs,
+        id_col="doc_id",
+        search_col="text",
+        attributes=("lang", "source"),
+    ).attach_embeddings(emb)
+    qv = _query_vec(spark, sf_dir, 9)
+    return svc.search(
+        {
+            "query_vec": qv,
+            "columns": ["lang", "source"],
+            "filter": {
+                "@and": [
+                    {"@contains": {"source": "1"}},
+                    {"@not": {"@eq": {"lang": "en"}}},
+                ]
+            },
+            "limit": 5,
+        }
+    )
+
+
+QUERIES.update(
+    {
+        "a6_distinct_agg": a6_distinct_agg,
+        "a7_rollup": a7_rollup,
+        "f_time_funcs": f_time_funcs,
+        "p_null_ordering": p_null_ordering,
+        "svc_search_contains_not": svc_search_contains_not,
+    }
+)
