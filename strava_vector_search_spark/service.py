@@ -231,3 +231,75 @@ def build_request(
     if filter_dsl:
         req["filter"] = filter_dsl
     return json.dumps(req)
+
+
+# ---------------------------------------------------------------------------
+# App-layer result caching + pre-warm — the reference's serving-side advice
+# ("cache frequent query results app-side, TTL 5-10 min" 02:416-417, 02:435;
+# "pre-warm" 02:424). Spark serves batch/interactive; these cover the
+# interactive path.
+
+
+class ResultCache:
+    """TTL + LRU cache of COLLECTED search results, keyed by the canonical
+    JSON of the request. Collected rows (not DataFrames) are cached — a
+    cached lazy plan would re-execute on every use."""
+
+    def __init__(self, max_entries: int = 256, ttl_seconds: float = 300.0, clock=None):
+        import time as _time
+
+        self.max_entries = max_entries
+        self.ttl_seconds = ttl_seconds
+        self._clock = clock or _time.monotonic
+        self._data: dict[str, tuple[float, list]] = {}
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def key(request: dict | str) -> str:
+        if isinstance(request, str):
+            request = json.loads(request)
+        return json.dumps(request, sort_keys=True)
+
+    def get(self, request: dict | str):
+        k = self.key(request)
+        entry = self._data.get(k)
+        if entry is None or self._clock() - entry[0] > self.ttl_seconds:
+            if entry is not None:
+                del self._data[k]
+            self.misses += 1
+            return None
+        # LRU touch: move to the end
+        self._data[k] = self._data.pop(k)
+        self.hits += 1
+        return entry[1]
+
+    def put(self, request: dict | str, rows: list) -> None:
+        k = self.key(request)
+        self._data.pop(k, None)
+        self._data[k] = (self._clock(), rows)
+        while len(self._data) > self.max_entries:
+            self._data.pop(next(iter(self._data)))  # evict oldest-used
+
+
+def warm(svc: SearchService) -> SearchService:
+    """Pre-warm (02:424): pin corpus + index in executor memory and
+    materialize both, so first-query latency excludes the cold scan."""
+    svc.corpus = svc.corpus.cache()
+    svc.corpus.count()
+    if svc.embeddings is not None:
+        svc.embeddings = svc.embeddings.cache()
+        svc.embeddings.count()
+    return svc
+
+
+def cached_search(
+    svc: SearchService, request: dict | str, cache: ResultCache
+) -> list:
+    """search() with the app-layer cache in front: returns collected rows."""
+    got = cache.get(request)
+    if got is not None:
+        return got
+    rows = svc.search(request).collect()
+    cache.put(request, rows)
+    return rows

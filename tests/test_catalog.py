@@ -61,3 +61,31 @@ def test_embed_missing_is_update_equivalent(spark):
     # union = the fully-embedded table (the post-UPDATE state)
     full = existing.unionByName(missing)
     assert full.count() == 3
+
+
+def test_result_cache_ttl_lru(spark, svc):
+    from strava_vector_search_spark.service import ResultCache, cached_search, warm
+
+    warm(svc.build())
+    now = [0.0]
+    cache = ResultCache(max_entries=2, ttl_seconds=10.0, clock=lambda: now[0])
+    req = {"query": "alpha run", "limit": 1}
+
+    first = cached_search(svc, req, cache)
+    again = cached_search(svc, req, cache)
+    assert cache.misses == 1 and cache.hits == 1
+    assert first == again
+
+    # key canonicalization: dict order / json string form hit the same entry
+    assert cached_search(svc, '{"limit": 1, "query": "alpha run"}', cache) == first
+    assert cache.hits == 2
+
+    # TTL expiry forces recompute
+    now[0] = 11.0
+    cached_search(svc, req, cache)
+    assert cache.misses == 2
+
+    # LRU eviction at capacity
+    cached_search(svc, {"query": "beta ride", "limit": 1}, cache)
+    cached_search(svc, {"query": "alpha", "limit": 2}, cache)
+    assert len(cache._data) == 2
