@@ -39,7 +39,7 @@ ORACLES: dict[str, str] = {}
 ORACLES["vs_topk_filtered"] = f"""
 WITH {_CORPUS}
 SELECT doc_id, lang, source,
-       ROUND(n_chars / 1000.0, 3) AS kchars,
+       ROUND(n_chars / 1000.0, 3)::DOUBLE AS kchars,
        LEFT(text, 80) AS text_preview,
        {_sim(0)} AS similarity
 FROM corpus
@@ -122,16 +122,16 @@ ORACLES["a2_global_count"] = "SELECT COUNT(*) AS n_rows FROM documents"
 ORACLES["a3_count_col_nulls"] = """
 SELECT COUNT(*) AS n_total,
        COUNT(NULLIF(event_type, 'click')) AS n_nonclick,
-       ROUND(100.0 * COUNT(NULLIF(event_type, 'click')) / COUNT(*), 1)
+       ROUND(100.0 * COUNT(NULLIF(event_type, 'click')) / COUNT(*), 1)::DOUBLE
          AS pct_nonclick
 FROM events
 """
 
 ORACLES["a4_conditional_agg"] = """
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned,
        ROUND(100.0 * SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-             / COUNT(*), 1) AS pct_returned
+             / COUNT(*), 1)::DOUBLE AS pct_returned
 FROM lineitem
 """
 
@@ -149,7 +149,7 @@ ORDER BY n_docs DESC, length_range ASC
 ORACLES["p_predicates_projection"] = """
 SELECT doc_id, lang, source,
        LEFT(text, 50) AS preview,
-       ROUND(n_chars / 100.0, 2) AS hecto_chars,
+       ROUND(n_chars / 100.0, 2)::DOUBLE AS hecto_chars,
        NULLIF(lang, 'en') AS lang_non_en,
        TRY_CAST(substr(source, 4, 5) AS INTEGER) AS source_num,
        n_chars::BIGINT AS n_chars_long
@@ -533,7 +533,7 @@ WITH flagged AS (
 with_id AS (
   SELECT user_id, ts,
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -593,7 +593,7 @@ SELECT doc_id,
        upper(lang) AS lang_uc,
        left(text, 30) AS head30,
        substr(text, 11, 10) AS mid10,
-       ROUND(n_chars / 7.0, 3) AS sevenths,
+       ROUND(n_chars / 7.0, 3)::DOUBLE AS sevenths,
        COALESCE(NULLIF(lang, 'en'), 'english') AS lang_or_english
 FROM documents
 WHERE doc_id < 25
