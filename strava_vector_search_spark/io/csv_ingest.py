@@ -53,18 +53,42 @@ def read_csv_typed(
         columnNameOfCorruptRecord=CORRUPT_COL,
         encoding="UTF-8",
     )
+    return _apply_typed_casts(df, schema)
+
+
+def _apply_typed_casts(df: DataFrame, schema: StructType) -> DataFrame:
+    """The shared NULLIF($n,'')::TYPE pipeline: empty string → NULL, then
+    try_cast so a malformed cell nulls the cell (the row survives) —
+    mirroring ON_ERROR='CONTINUE'."""
     casts = []
     for f in schema.fields:
         c = F.col(f.name)
         if f.dataType.simpleString() == "string":
             casts.append(F.when(c == "", None).otherwise(c).alias(f.name))
         else:
-            # NULLIF($n,'') :: TYPE — try_cast so a malformed cell nulls the
-            # cell (the row survives), mirroring ON_ERROR='CONTINUE'
             casts.append(
                 F.when(c == "", None).otherwise(c).try_cast(f.dataType).alias(f.name)
             )
     return df.select(*casts, F.col(CORRUPT_COL))
+
+
+def read_jsonl_typed(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = WORKOUTS_SCHEMA,
+) -> DataFrame:
+    """JSON-lines ingest with the same typed-load semantics as the CSV path:
+    every declared column read as string first (so '' → NULL and bad cells
+    null out identically across formats), structurally-corrupt lines
+    quarantined in ``_corrupt_record``. JSONL splits by line, so unlike
+    multiline CSV it parallelizes within a file — the preferred landing
+    format at scale."""
+    raw_fields = [StructField(f.name, StringType(), True) for f in schema.fields]
+    raw_schema = StructType(raw_fields + [StructField(CORRUPT_COL, StringType(), True)])
+    df = spark.read.schema(raw_schema).json(
+        path, mode="PERMISSIVE", columnNameOfCorruptRecord=CORRUPT_COL
+    )
+    return _apply_typed_casts(df, schema)
 
 
 def valid_rows(df: DataFrame) -> DataFrame:
@@ -72,8 +96,13 @@ def valid_rows(df: DataFrame) -> DataFrame:
 
 
 def corrupt_rows(df: DataFrame) -> DataFrame:
-    """The quarantine: rows Snowflake's ON_ERROR='CONTINUE' would skip."""
-    return df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    """The quarantine: rows Snowflake's ON_ERROR='CONTINUE' would skip.
+
+    Caches the parsed frame first — Spark disallows plans whose referenced
+    columns are ONLY the internal corrupt-record column on raw JSON/CSV
+    reads (SPARK-21610); materializing lifts the restriction.
+    """
+    return df.cache().filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
 
 
 def parse_raw_json(df: DataFrame, col: str = "raw_json_str", schema=None) -> DataFrame:

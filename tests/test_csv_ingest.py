@@ -106,3 +106,28 @@ def test_partitioned_corpus_write_prunes(spark, loaded, tmp_path):
     # partition pruning: the sport_type predicate appears as a partition
     # filter, not a data filter
     assert "PartitionFilters" in plan
+
+
+JSONL_BODY = "\n".join(
+    [
+        '{"id": "SLAM_j001", "embed_str": "Run\\n## Warm-up\\neasy", "sport_type": "run", "difficulty": "hard", "moving_time_seconds": "3600", "distance_meters": "5000", "generation_model": "bedrock-sonnet4.0", "workout_source": "slam", "store_version": "v1", "raw_json_str": "{\\"workout_title\\": \\"R\\"}", "created_at": "2025-10-22 05:00:00.000"}',
+        '{"id": "SLAM_j002", "embed_str": "Ride", "sport_type": "ride", "difficulty": "easy", "moving_time_seconds": "", "distance_meters": "oops", "generation_model": "bedrock-sonnet4.0", "workout_source": "slam", "store_version": "v1", "raw_json_str": null, "created_at": "2025-10-23 06:00:00.000"}',
+        'this is not json at all {{{',
+    ]
+)
+
+
+def test_jsonl_typed_load_matches_csv_semantics(spark, tmp_path):
+    from strava_vector_search_spark.io.csv_ingest import read_jsonl_typed
+
+    p = tmp_path / "workouts.jsonl"
+    p.write_text(JSONL_BODY + "\n")
+    loaded = read_jsonl_typed(spark, str(p), WORKOUTS_SCHEMA)
+    good = {r["id"]: r for r in valid_rows(loaded).collect()}
+    assert set(good) == {"SLAM_j001", "SLAM_j002"}
+    assert "## Warm-up" in good["SLAM_j001"]["embed_str"]
+    assert good["SLAM_j001"]["distance_meters"] == 5000
+    assert good["SLAM_j002"]["moving_time_seconds"] is None  # '' -> NULL
+    assert good["SLAM_j002"]["distance_meters"] is None  # bad cell nulls
+    assert good["SLAM_j001"]["created_at"].hour == 5
+    assert corrupt_rows(loaded).count() == 1  # the non-JSON line quarantined
