@@ -759,3 +759,25 @@ SELECT doc_id, lang, source, similarity,
        ROW_NUMBER() OVER (ORDER BY similarity DESC, doc_id ASC) AS rank
 FROM topk
 """
+
+# -- percentiles + array aggregation -----------------------------------------
+
+ORACLES["a8_percentiles"] = """
+SELECT lang,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["f_array_funcs"] = """
+WITH agg AS (
+  SELECT lang, list_sort(list(DISTINCT source)) AS sources
+  FROM documents GROUP BY lang
+)
+SELECT lang, sources,
+       len(sources) AS n_sources,
+       list_contains(sources, 'src3') AS has_src3,
+       array_to_string(sources, ',') AS sources_csv
+FROM agg ORDER BY lang
+"""

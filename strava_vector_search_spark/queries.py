@@ -1137,3 +1137,48 @@ QUERIES.update(
         "svc_search_contains_not": svc_search_contains_not,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles + array/string aggregation
+
+
+def a8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    SQL-standard continuous quantile; bit-equal to DuckDB quantile_cont)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.percentile("n_chars", F.lit(0.25)).alias("p25"),
+            F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+            F.percentile("n_chars", F.lit(0.9)).alias("p90"),
+        )
+        .orderBy("lang")
+    )
+
+
+def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/string aggregation surface: sorted distinct collect, array
+    length, membership, and deterministic string_agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+        .select(
+            "lang",
+            "sources",
+            F.size("sources").cast("bigint").alias("n_sources"),
+            F.array_contains("sources", "src3").alias("has_src3"),
+            F.array_join("sources", ",").alias("sources_csv"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES.update(
+    {
+        "a8_percentiles": a8_percentiles,
+        "f_array_funcs": f_array_funcs,
+    }
+)
