@@ -60,7 +60,7 @@ def hash_embedding_table(
     )
     arr = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.col("m").getItem(i), F.lit(0.0)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
     )
     norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
     unit = F.when(
