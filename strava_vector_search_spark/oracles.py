@@ -781,3 +781,21 @@ SELECT lang, sources,
        array_to_string(sources, ',') AS sources_csv
 FROM agg ORDER BY lang
 """
+
+# -- SQL-text flagship -------------------------------------------------------
+
+ORACLES["sql_topk_filtered"] = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 4
+),
+corpus AS (
+  SELECT d.doc_id, d.lang, d.n_chars, e.embedding::DOUBLE[] AS emb
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang = 'fr' AND d.doc_id <> 4
+)
+SELECT c.doc_id, c.lang, c.n_chars,
+       ROUND(list_dot_product(c.emb, q.qv), 6) AS similarity
+FROM corpus c CROSS JOIN q
+ORDER BY similarity DESC, doc_id ASC
+LIMIT 8
+"""

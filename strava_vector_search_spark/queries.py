@@ -1182,3 +1182,40 @@ QUERIES.update(
         "f_array_funcs": f_array_funcs,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL-text flagship (the spark.sql surface, incl. SQL lambda functions)
+
+
+def sql_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query expressed as ONE SQL string — higher-order SQL
+    functions (zip_with/aggregate lambdas) compute the dot product, proving
+    the DataFrame and SQL surfaces are the same engine. Parameterized via
+    named args (no string splicing)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    return spark.sql(
+        """
+        WITH q AS (
+          SELECT CAST(embedding AS array<double>) AS qv
+          FROM embeddings_v WHERE vec_id = :qid
+        ),
+        corpus AS (
+          SELECT d.doc_id, d.lang, d.n_chars,
+                 CAST(e.embedding AS array<double>) AS emb
+          FROM documents_v d JOIN embeddings_v e ON d.doc_id = e.vec_id
+          WHERE d.lang = :lang AND d.doc_id <> :qid
+        )
+        SELECT c.doc_id, c.lang, c.n_chars,
+               ROUND(aggregate(zip_with(c.emb, q.qv, (x, y) -> x * y),
+                               0D, (acc, x) -> acc + x), 6) AS similarity
+        FROM corpus c CROSS JOIN q
+        ORDER BY similarity DESC, doc_id ASC
+        LIMIT :k
+        """,
+        args={"qid": 4, "lang": "fr", "k": 8},
+    )
+
+
+QUERIES.update({"sql_topk_filtered": sql_topk_filtered})
