@@ -799,3 +799,22 @@ FROM corpus c CROSS JOIN q
 ORDER BY similarity DESC, doc_id ASC
 LIMIT 8
 """
+
+# -- statistical aggregates + regexp -----------------------------------------
+
+ORACLES["a9_stats_agg"] = """
+SELECT lang,
+       ROUND(stddev_samp(n_chars), 4) AS sd_chars,
+       ROUND(var_samp(n_chars), 4) AS var_chars,
+       ROUND(corr(n_chars, doc_id), 4) AS corr_chars_id
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["f_regexp"] = """
+SELECT doc_id, source,
+       TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) AS src_num,
+       regexp_replace(source, '\\d+', '#', 'g') AS masked
+FROM documents
+WHERE regexp_matches(source, '^src1[0-9]$')
+ORDER BY doc_id
+"""

@@ -1219,3 +1219,41 @@ def sql_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"sql_topk_filtered": sql_topk_filtered})
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates + regexp functions
+
+
+def a9_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance and Pearson correlation per group (rounded to
+    4 dp — both engines compute stable single-pass moments in float64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+            F.round(F.var_samp("n_chars"), 4).alias("var_chars"),
+            F.round(F.corr("n_chars", "doc_id"), 4).alias("corr_chars_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def f_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar surface: extract (with group), replace, and an RLIKE
+    row filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("source").rlike("^src1[0-9]$"))
+        .select(
+            "doc_id",
+            "source",
+            F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("src_num"),
+            F.regexp_replace("source", r"\d+", "#").alias("masked"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"a9_stats_agg": a9_stats_agg, "f_regexp": f_regexp})
