@@ -818,3 +818,23 @@ FROM documents
 WHERE regexp_matches(source, '^src1[0-9]$')
 ORDER BY doc_id
 """
+
+# -- set ops + argminmax -----------------------------------------------------
+
+ORACLES["set_ops"] = """
+WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+teen AS (SELECT doc_id FROM documents WHERE regexp_matches(source, '^src1[0-9]$'))
+SELECT 'en_and_teen' AS kind, doc_id FROM (SELECT doc_id FROM en INTERSECT SELECT doc_id FROM teen)
+UNION ALL
+SELECT 'en_only' AS kind, doc_id FROM (SELECT doc_id FROM en EXCEPT ALL SELECT doc_id FROM teen)
+ORDER BY kind, doc_id
+"""
+
+ORACLES["a10_argminmax"] = """
+SELECT lang,
+       arg_max(doc_id, n_chars * 1000000 + doc_id) AS longest_doc,
+       arg_min(doc_id, n_chars * 1000000 + doc_id) AS shortest_doc,
+       MAX(n_chars) AS max_chars,
+       MIN(n_chars) AS min_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""

@@ -1257,3 +1257,38 @@ def f_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"a9_stats_agg": a9_stats_agg, "f_regexp": f_regexp})
+
+
+# ---------------------------------------------------------------------------
+# Set operations + argmax aggregates
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over id sets (§2.7 completion):
+    English docs vs teen-numbered sources, with a label per branch."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    teen = docs.filter(F.col("source").rlike("^src1[0-9]$")).select("doc_id")
+    both = en.intersect(teen).select(F.lit("en_and_teen").alias("kind"), "doc_id")
+    only_en = en.exceptAll(teen).select(F.lit("en_only").alias("kind"), "doc_id")
+    return both.unionByName(only_en).orderBy("kind", "doc_id")
+
+
+def a10_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) per group with a deterministic
+    composite ordering key (value then id — no tie ambiguity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("n_chars") * 1_000_000 + F.col("doc_id")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.max_by("doc_id", key).alias("longest_doc"),
+            F.min_by("doc_id", key).alias("shortest_doc"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES.update({"set_ops": set_ops, "a10_argminmax": a10_argminmax})
