@@ -466,3 +466,62 @@ def embedding_near_dup_blocked(
             yield pd.DataFrame({"id1": out_i, "id2": out_j, "cosine": out_c})
 
     return block_pairs.mapInPandas(_score, "id1 long, id2 long, cosine double")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, comp) connected components over an undirected pair set —
+    iterative min-label propagation, the step that turns near-dup PAIRS into
+    dedup GROUPS (comp = the minimum member id = the canonical survivor).
+
+    Each iteration joins labels to the symmetric edge list and takes the
+    elementwise min; convergence in O(component diameter) rounds (dup
+    clusters are near-cliques, so 2-3 rounds in practice). Lineage is
+    truncated per round (localCheckpoint) so the plan doesn't grow with the
+    iteration count — the standard Spark pattern for iterative algorithms.
+    """
+    edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["a"] == labels["id"]).select(
+            F.col("b").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_near_dup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Assign every row its near-dup component (singletons keep their own
+    id) — the complete corpus-dedup output: filter ``comp == id`` for the
+    surviving canonical rows, or group by comp for cluster inspection."""
+    cc = connected_components(pairs)
+    return df.join(cc, df[id_col] == cc["id"], "left").select(
+        df["*"], F.coalesce(F.col("comp"), df[id_col]).alias("comp")
+    )

@@ -838,3 +838,48 @@ SELECT lang,
        MIN(n_chars) AS min_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+# -- connected components over verified near-dup pairs ------------------------
+
+ORACLES["dd_connected_components"] = f"""
+WITH RECURSIVE {_minhash_sig_ctes(16)},
+bands AS (
+  {_BANDS_SQL}
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bn FROM bands
+  ) WHERE bn <= 1000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM kept a JOIN kept b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cands c ON c.id1 = a.doc_id AND c.id2 = b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sz z1 ON z1.doc_id = id1
+  JOIN sz z2 ON z2.doc_id = id2
+  WHERE ROUND(inter / (z1.n_sh + z2.n_sh - inter), 6) >= 0.5
+),
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+),
+cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS comp
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+ORDER BY d.doc_id
+"""

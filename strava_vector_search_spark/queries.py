@@ -1292,3 +1292,21 @@ def a10_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"set_ops": set_ops, "a10_argminmax": a10_argminmax})
+
+
+def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-dedup action: MinHash-LSH verified pairs -> connected
+    components (iterative min-label propagation) -> every document labeled
+    with its canonical group id (comp == doc_id for survivors/singletons)."""
+    from strava_vector_search_spark.operators.dedup import (
+        dedup_by_near_dup_groups,
+        minhash_dedup_verified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_verified(docs, "doc_id", "text", threshold=0.5)
+    out = dedup_by_near_dup_groups(docs, pairs, "doc_id")
+    return out.select("doc_id", "comp").orderBy("doc_id")
+
+
+QUERIES.update({"dd_connected_components": dd_connected_components})

@@ -87,3 +87,28 @@ def test_embedding_near_dup_symmetric_free(spark):
     pairs = D.embedding_near_dup_pairs(emb, threshold=0.9).collect()
     assert {(r["id1"], r["id2"]) for r in pairs} == {(1, 2)}
     assert all(r["id1"] < r["id2"] for r in pairs)
+
+
+def test_connected_components_known_graph(spark):
+    # components: {1,2,3} (chain), {10,11}, singleton 99 appears only in df
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    cc = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    df = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+    out = {r["doc_id"]: r["comp"] for r in D.dedup_by_near_dup_groups(df, pairs, "doc_id").collect()}
+    assert out[99] == 99  # singleton keeps its own id
+    assert out[3] == 1 and out[11] == 10
+    survivors = sorted(k for k, v in out.items() if k == v)
+    assert survivors == [1, 10, 99]
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a path graph 0-1-2-...-9: diameter 9, exercises multi-round propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id1 long, id2 long"
+    )
+    cc = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    assert set(cc.values()) == {0}
