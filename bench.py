@@ -25,6 +25,7 @@ HEADLINE = [
     "vs_similarity_histogram",
     "ann_ivf_topk",
     "dd_minhash_lsh_verified",
+    "dd_connected_components",
     "dd_embedding_near_dup",
     "tx_quality_stats",
     "ev_sessionize",

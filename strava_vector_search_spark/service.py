@@ -130,6 +130,13 @@ class SearchService:
 
     # -- query serve ---------------------------------------------------
 
+    def search_json(self, request: dict | str) -> str:
+        """The reference's wire shape verbatim: ``{"results": [...]}`` JSON
+        (what SEARCH_PREVIEW returns and the caller FLATTENs, 01:207-219).
+        Timestamps/bytes are stringified; floats kept as numbers."""
+        rows = [r.asDict(recursive=True) for r in self.search(request).collect()]
+        return json.dumps({"results": rows}, default=str)
+
     def search(self, request: dict | str) -> DataFrame:
         """Serve one JSON request {query|query_vec, columns, filter, limit}.
 

@@ -133,3 +133,17 @@ class TestSearchService:
         reread = spark.read.parquet(path)
         assert reread.count() == docs.count()
         assert dict(reread.dtypes)["embedding"] == "array<float>"
+
+
+def test_search_json_wire_shape(svc):
+    import json
+
+    out = json.loads(
+        svc.search_json({"query": "swimming technique drills", "limit": 2,
+                         "columns": ["sport_type"]})
+    )
+    assert set(out) == {"results"}
+    assert len(out["results"]) == 2
+    hit = out["results"][0]
+    assert hit["sport_type"] == "swim"
+    assert hit["rank"] == 1 and isinstance(hit["similarity"], float)
