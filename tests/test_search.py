@@ -90,3 +90,23 @@ def test_topk_plan_uses_take_ordered(corpus, qvec):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_blas_topk_matches_expression(corpus, qvec):
+    expr_rows = [
+        (r["doc_id"], r["similarity"])
+        for r in S.brute_force_topk(
+            corpus, qvec, k=8, assume_normalized=True,
+            predicate=F.col("lang") == "en",
+        ).collect()
+    ]
+    blas_rows = sorted(
+        (
+            (r["doc_id"], r["similarity"])
+            for r in S.brute_force_topk_blas(
+                corpus, qvec, k=8, predicate=F.col("lang") == "en"
+            ).collect()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert blas_rows == expr_rows

@@ -28,9 +28,13 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
 
 
 def t(fn):
-    t0 = time.time()
-    n = fn()
-    return time.time() - t0, n
+    best, n = None, None
+    for _ in range(2):  # best-of-2: first run pays worker startup / codegen
+        t0 = time.time()
+        n = fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best, n
 
 
 def main() -> None:
@@ -59,8 +63,17 @@ def main() -> None:
     sec, _ = t(lambda: brute_force_topk(
         big_emb, qv, k=10, id_col="vec_id", assume_normalized=True
     ).collect())
-    results.append(("brute_force_topk", f"{n_vec:,} vecs x 64d", sec,
+    results.append(("brute_force_topk (expr)", f"{n_vec:,} vecs x 64d", sec,
                     "full scan; linear in N, embarrassingly parallel"))
+
+    from strava_vector_search_spark.operators.search import brute_force_topk_blas
+
+    sec, _ = t(lambda: brute_force_topk_blas(
+        big_emb, qv, k=10, id_col="vec_id"
+    ).collect())
+    results.append(("brute_force_topk (BLAS)", f"{n_vec:,} vecs x 64d", sec,
+                    "same scan, numpy matvec + per-batch argpartition inside "
+                    "mapInPandas — the dim>=64 large-corpus kernel"))
 
     cents = A.compute_centroids(big_emb, "label").cache()
     cents.count()
