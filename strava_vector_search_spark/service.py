@@ -310,3 +310,75 @@ def cached_search(
     rows = svc.search(request).collect()
     cache.put(request, rows)
     return rows
+
+
+def search_many(
+    svc: SearchService, requests: list[dict], k_default: int = 10
+) -> DataFrame:
+    """Serve MANY requests in ONE Spark job — the reference's 'batch
+    multiple user queries together' (02:421) at the service layer.
+
+    All query vectors ship as one broadcast table against a single corpus
+    scan (operators.search.batch_topk); per-request filters are compiled
+    into the scored stream as (request_id AND predicate) disjunctions so
+    rows are only scored for the requests whose filters they pass. Returns
+    (request_id, id, similarity, rank) — join back for payload columns.
+    """
+    from strava_vector_search_spark.functions.embed import hash_embed_text
+    from strava_vector_search_spark.functions.vector import similarity as _similarity
+
+    if svc.embeddings is None:
+        raise RuntimeError("service not built: call build() or attach_embeddings()")
+
+    rows = []
+    max_k = k_default
+    for i, req in enumerate(requests):
+        if "query_vec" in req:
+            qv = [float(x) for x in req["query_vec"]]
+        else:
+            qv = [float(x) for x in hash_embed_text(svc.spark, req["query"], svc.dim)]
+        rows.append((i, qv))
+        max_k = max(max_k, int(req.get("limit", k_default)))
+    queries_df = svc.spark.createDataFrame(
+        rows, "request_id int, query_vec array<double>"
+    )
+
+    # per-request predicates compile into ONE disjunction applied BEFORE
+    # scoring/ranking (filter-then-rank, the reference's evaluation order —
+    # a filtered-out row must not consume a rank slot)
+    attrs = set(svc.attributes) if svc.attributes else None
+    pre = []
+    limits = []
+    for i, req in enumerate(requests):
+        c = F.col("request_id") == i
+        if req.get("filter"):
+            c = c & compile_filter(req["filter"], attrs)
+        pre.append(c)
+        limits.append(int(req.get("limit", k_default)))
+    keep = pre[0]
+    for c in pre[1:]:
+        keep = keep | c
+
+    base = svc.corpus.join(svc.embeddings, svc.id_col)
+    candidates = base.join(F.broadcast(queries_df), how="cross").filter(keep)
+    scored = candidates.withColumn(
+        "similarity",
+        _similarity(
+            F.col("embedding"), F.col("query_vec"), svc.assume_normalized
+        ),
+    )
+    w = Window.partitionBy("request_id").orderBy(
+        F.desc("similarity"), F.asc(svc.id_col)
+    )
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).drop("query_vec", "embedding")
+
+    limit_conds = [
+        (F.col("request_id") == i) & (F.col("rank") <= lim)
+        for i, lim in enumerate(limits)
+    ]
+    lim_keep = limit_conds[0]
+    for c in limit_conds[1:]:
+        lim_keep = lim_keep | c
+    return ranked.filter(lim_keep)

@@ -147,3 +147,49 @@ def test_search_json_wire_shape(svc):
     hit = out["results"][0]
     assert hit["sport_type"] == "swim"
     assert hit["rank"] == 1 and isinstance(hit["similarity"], float)
+
+
+def test_search_many_single_job_batching(spark, svc):
+    from strava_vector_search_spark.service import search_many
+
+    requests = [
+        {"query": "interval run workout speed training", "limit": 2},
+        {
+            "query": "hard climbing",
+            "filter": {"@eq": {"sport_type": "ride"}},
+            "limit": 3,
+        },
+    ]
+    out = search_many(svc, requests)
+    by_req = {}
+    for r in out.collect():
+        by_req.setdefault(r["request_id"], []).append(r)
+    assert len(by_req[0]) == 2
+    # request 0's top hit is the exact text match
+    top0 = min(by_req[0], key=lambda r: r["rank"])
+    assert top0["doc_id"] == 1
+    # request 1's hits all satisfy its own filter
+    assert all(r["sport_type"] == "ride" for r in by_req[1])
+    assert len(by_req[1]) <= 3
+
+
+def test_search_many_filter_before_rank(spark, svc):
+    # the filtered request must fill its limit from FILTERED docs even when
+    # unfiltered docs dominate the global ranking (filter-then-rank order)
+    from strava_vector_search_spark.service import search_many
+
+    out = search_many(
+        svc,
+        [
+            {
+                "query": "interval run workout speed training",
+                "filter": {"@eq": {"sport_type": "ride"}},
+                "limit": 3,
+            }
+        ],
+    ).collect()
+    # 3 ride docs exist; despite run docs scoring higher globally, all 3
+    # slots must be rides with ranks 1..3
+    assert len(out) == 3
+    assert all(r["sport_type"] == "ride" for r in out)
+    assert sorted(r["rank"] for r in out) == [1, 2, 3]
