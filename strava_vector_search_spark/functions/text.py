@@ -198,3 +198,27 @@ def lang_id_table(
     for lang in langs:
         guessed = guessed.when(F.col(f"_s_{lang}") == best, F.lit(lang))
     return scored.select(*id_cols, guessed.alias("guessed"))
+
+
+ROLLING_B = 1_000_003
+ROLLING_P = 2_147_483_647  # 2^31 - 1
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling (polynomial) content hash over tokens:
+    h = fold(tokens, 0, (h, t) -> (h*B + md5int(t)) mod P).
+
+    Complements :func:`fingerprint` (whole-content md5): the polynomial
+    form is incrementally maintainable and position-sensitive — swapped
+    token order changes the value, which set-style hashing misses. Bounds:
+    h < P ~ 2^31, h*B < 2^51, + token hash < 2^52 — no bigint overflow.
+    """
+    tok_hash = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+        F.lit(ROLLING_P),
+    )
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: F.pmod(acc * ROLLING_B + tok_hash(t), F.lit(ROLLING_P)),
+    )

@@ -107,3 +107,46 @@ def decode_frames(
             yield pd.DataFrame(out)
 
     return media.select(id_col, content_col).mapInPandas(_decode, FRAME_SCHEMA)
+
+
+def sample_frames(frames: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling: keep every n-th decoded frame — the standard
+    video-pipeline decimation, a pure filter (no Python)."""
+    return frames.filter(F.col("frame_idx") % every_n == 0)
+
+
+def fake_resize(
+    frame_feature: list[float], width: int, height: int, out_w: int, out_h: int
+) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for a real resampler: rescales the feature
+    values by the area ratio. Keeps the resize plumbing runnable without
+    image libraries."""
+    ratio = (out_w * out_h) / float(max(1, width * height))
+    return out_w, out_h, [round(v * ratio, 6) for v in frame_feature]
+
+
+def resize_frames(
+    frames: DataFrame,
+    out_w: int = 16,
+    out_h: int = 16,
+    resizer=fake_resize,
+) -> DataFrame:
+    """Resize decoded frames via mapInPandas (Arrow-batched; swap
+    ``resizer`` for a PIL/opencv kernel in production — same signature)."""
+    import pandas as pd
+
+    def _resize(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "width": [], "height": [], "feature": [],
+            }
+            for _, r in pdf.iterrows():
+                w, h, feat = resizer(list(r["feature"]), r["width"], r["height"], out_w, out_h)
+                out["media_id"].append(r["media_id"])
+                out["frame_idx"].append(r["frame_idx"])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(_resize, FRAME_SCHEMA)

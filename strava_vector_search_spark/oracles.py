@@ -883,3 +883,19 @@ SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS comp
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
 ORDER BY d.doc_id
 """
+
+# -- rolling fingerprint -----------------------------------------------------
+
+ORACLES["tx_rolling_fingerprint"] = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           [{_md5i('t')} % 2147483647
+            FOR t IN list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '')]),
+         (a, b) -> (a * 1000003 + b) % 2147483647
+       ) AS rhash
+FROM documents
+WHERE doc_id < 50
+ORDER BY doc_id
+"""

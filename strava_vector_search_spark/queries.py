@@ -1310,3 +1310,19 @@ def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dd_connected_components": dd_connected_components})
+
+
+def tx_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling polynomial hash per document (incrementally
+    maintainable content fingerprint)."""
+    from strava_vector_search_spark.functions.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select("doc_id", rolling_fingerprint(F.col("text")).alias("rhash"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"tx_rolling_fingerprint": tx_rolling_fingerprint})

@@ -59,3 +59,34 @@ def test_fake_decoder_empty_payload():
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError, match="codec"):
         real_decoder(b"anything")
+
+
+def test_sample_and_resize_frames(media):
+    from strava_vector_search_spark.operators.multimodal import (
+        resize_frames,
+        sample_frames,
+    )
+
+    frames = decode_frames(media)
+    sampled = sample_frames(frames, every_n=2).collect()
+    assert all(r["frame_idx"] % 2 == 0 for r in sampled)
+    assert len(sampled) < frames.count()
+
+    resized = resize_frames(frames, out_w=8, out_h=8).collect()
+    assert all(r["width"] == 8 and r["height"] == 8 for r in resized)
+    assert len(resized) == frames.count()
+    # features rescaled by area ratio, deterministic
+    again = resize_frames(frames, out_w=8, out_h=8).collect()
+    assert sorted(map(tuple, resized)) == sorted(map(tuple, again))
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from strava_vector_search_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "id int, text string",
+    )
+    fp = {r["id"]: r["f"] for r in df.select("id", rolling_fingerprint(F.col("text")).alias("f")).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]  # order matters — unlike the set-style md5 fingerprint
