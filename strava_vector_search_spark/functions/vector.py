@@ -105,3 +105,30 @@ def cosine_similarity_pandas():
     # under `from __future__ import annotations`
     _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
     return pandas_udf(_cos, "double")
+
+
+def quantize_int8(a: Column, scale: int = 127) -> Column:
+    """Symmetric int8 quantization of a unit-normalized vector:
+    q[i] = round(v[i] * scale) as tinyint. 1 byte/dim at rest — 4x less
+    scan/shuffle volume than float32 at 100 TB; cosine error on unit
+    vectors is < ~1% at scale 127."""
+    return F.transform(
+        a.cast("array<double>"),
+        lambda x: F.round(x * scale, 0).cast("tinyint"),
+    )
+
+
+def dequantize_int8(q: Column, scale: int = 127) -> Column:
+    return F.transform(q, lambda x: x.cast("double") / scale)
+
+
+def quantized_dot(qa: Column, qb: Column, scale: int = 127) -> Column:
+    """Integer dot product of two int8-quantized vectors, rescaled back to
+    the unit range: sum(qa[i]*qb[i]) / scale^2. All-integer accumulation
+    (exact, order-insensitive) — cross-engine deterministic by construction."""
+    acc = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return acc.cast("double") / (scale * scale)

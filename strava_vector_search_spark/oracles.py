@@ -899,3 +899,32 @@ FROM documents
 WHERE doc_id < 50
 ORDER BY doc_id
 """
+
+# -- int8 quantized search + hash sampling -----------------------------------
+
+ORACLES["vs_quantized_topk"] = f"""
+WITH q AS (
+  SELECT [ROUND(x * 127, 0)::BIGINT FOR x IN embedding::DOUBLE[]] AS qv
+  FROM embeddings WHERE vec_id = 6
+),
+c AS (
+  SELECT vec_id,
+         [ROUND(x * 127, 0)::BIGINT FOR x IN embedding::DOUBLE[]] AS q8
+  FROM embeddings WHERE vec_id <> 6
+)
+SELECT vec_id,
+       ROUND(list_reduce(list_prepend(0::BIGINT,
+               [c.q8[i] * q.qv[i] FOR i IN range(1, len(c.q8) + 1)]),
+             (a, b) -> a + b)::DOUBLE / 16129, 6) AS qsim
+FROM c CROSS JOIN q
+ORDER BY qsim DESC, vec_id ASC
+LIMIT 10
+"""
+
+ORACLES["tx_hash_sample"] = f"""
+SELECT doc_id, lang,
+       {_md5i('doc_id::VARCHAR')} % 100 AS sample_bucket
+FROM documents
+WHERE {_md5i('doc_id::VARCHAR')} % 100 < 20
+ORDER BY doc_id
+"""

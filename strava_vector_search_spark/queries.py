@@ -1326,3 +1326,52 @@ def tx_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_rolling_fingerprint": tx_rolling_fingerprint})
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized vector search + deterministic hash sampling
+
+
+def vs_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-QUANTIZED embeddings: 1 byte/dim at rest (4x less
+    scan volume), integer dot products (exact accumulation). The ranking
+    approximates full-precision cosine within ~1%; this entry pins the
+    quantized arithmetic itself against the oracle."""
+    from strava_vector_search_spark.functions.vector import (
+        quantize_int8,
+        quantized_dot,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q8 = emb.select(
+        "vec_id", quantize_int8(F.col("embedding")).alias("q8")
+    )
+    qv = _query_vec(spark, sf_dir, 6)
+    qcol = quantize_int8(F.array(*[F.lit(float(x)) for x in qv]))
+    return (
+        q8.withColumn("qsim", F.round(quantized_dot(F.col("q8"), qcol), 6))
+        .filter(F.col("vec_id") != 6)
+        .orderBy(F.desc("qsim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "qsim")
+    )
+
+
+def tx_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample: keep rows whose md5-bucket of the id falls
+    under the rate — the reproducible train/eval split trick (same rows
+    selected on every engine, every run; no RNG state)."""
+    from strava_vector_search_spark.operators.dedup import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(md5_int(F.col("doc_id").cast("string")), F.lit(100))
+    return (
+        docs.filter(bucket < 20)
+        .select("doc_id", "lang", bucket.alias("sample_bucket"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update(
+    {"vs_quantized_topk": vs_quantized_topk, "tx_hash_sample": tx_hash_sample}
+)

@@ -81,3 +81,34 @@ def test_real_embeddings_are_unit_norm(spark, sf_dir):
     r = stats.head()
     assert r["mn"] == pytest.approx(1.0, abs=1e-5)
     assert r["mx"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_quantize_roundtrip_accuracy(spark, sf_dir):
+    from strava_vector_search_spark.functions.vector import (
+        dequantize_int8,
+        quantize_int8,
+        quantized_dot,
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    q = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        quantize_int8(F.col("embedding")).alias("q8"),
+    )
+    # quantized self-dot approximates the true unit norm within 1%
+    rows = q.select(
+        quantized_dot(F.col("q8"), F.col("q8")).alias("qn"),
+        similarity(F.col("v"), F.col("v"), assume_normalized=True).alias("n"),
+    ).collect()
+    for r in rows:
+        assert abs(r["qn"] - r["n"]) < 0.01
+    # dequantize returns to the unit sphere within quantization error
+    back = q.select(
+        similarity(
+            dequantize_int8(F.col("q8")), F.col("v"), assume_normalized=False
+        ).alias("c")
+    ).collect()
+    for r in back:
+        assert r["c"] > 0.995
