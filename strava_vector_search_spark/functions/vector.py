@@ -111,7 +111,7 @@ def quantize_int8(a: Column, scale: int = 127) -> Column:
     """Symmetric int8 quantization of a unit-normalized vector:
     q[i] = round(v[i] * scale) as tinyint. 1 byte/dim at rest — 4x less
     scan/shuffle volume than float32 at 100 TB; cosine error on unit
-    vectors is < ~1% at scale 127."""
+    vectors is ~1-2% at scale 127 (measured on dim-64 testdata)."""
     return F.transform(
         a.cast("array<double>"),
         lambda x: F.round(x * scale, 0).cast("tinyint"),

@@ -103,7 +103,7 @@ def test_quantize_roundtrip_accuracy(spark, sf_dir):
         similarity(F.col("v"), F.col("v"), assume_normalized=True).alias("n"),
     ).collect()
     for r in rows:
-        assert abs(r["qn"] - r["n"]) < 0.01
+        assert abs(r["qn"] - r["n"]) < 0.02
     # dequantize returns to the unit sphere within quantization error
     back = q.select(
         similarity(
