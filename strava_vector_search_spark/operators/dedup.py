@@ -484,7 +484,12 @@ def connected_components(
     truncated per round (localCheckpoint) so the plan doesn't grow with the
     iteration count — the standard Spark pattern for iterative algorithms.
     """
-    edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    # materialize the pair set BEFORE the symmetric union — both union
+    # branches read it, and an un-checkpointed lineage (e.g. the whole
+    # MinHash pipeline) would otherwise compute twice
+    edges = pairs.select(
+        F.col(id1).alias("a"), F.col(id2).alias("b")
+    ).localCheckpoint(eager=False)
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)
