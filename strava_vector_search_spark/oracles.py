@@ -928,3 +928,15 @@ FROM documents
 WHERE {_md5i('doc_id::VARCHAR')} % 100 < 20
 ORDER BY doc_id
 """
+
+# -- BLAS top-k (same arithmetic contract as the expression form) ------------
+
+ORACLES["vs_topk_blas"] = f"""
+SELECT vec_id,
+       ROUND(list_dot_product(embedding::DOUBLE[], {_qvec(13)}), 6)
+         AS similarity
+FROM embeddings
+WHERE vec_id <> 13
+ORDER BY similarity DESC, vec_id ASC
+LIMIT 10
+"""

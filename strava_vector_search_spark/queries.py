@@ -1375,3 +1375,20 @@ def tx_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update(
     {"vs_quantized_topk": vs_quantized_topk, "tx_hash_sample": tx_hash_sample}
 )
+
+
+def vs_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS-kernel exact top-k (numpy matvec + per-batch argpartition in
+    mapInPandas) — same contract as the expression top-k, checked against
+    the same dot-product oracle."""
+    from strava_vector_search_spark.operators.search import brute_force_topk_blas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 13)
+    out = brute_force_topk_blas(
+        emb, qv, k=10, id_col="vec_id", predicate=F.col("vec_id") != 13
+    )
+    return out.select("vec_id", "similarity")
+
+
+QUERIES.update({"vs_topk_blas": vs_topk_blas})
