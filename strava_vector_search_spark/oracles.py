@@ -940,3 +940,17 @@ WHERE vec_id <> 13
 ORDER BY similarity DESC, vec_id ASC
 LIMIT 10
 """
+
+# -- curation filter ----------------------------------------------------------
+
+ORACLES["tx_quality_filter"] = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_QS} AS quality, {_NTOK} AS n_tokens
+  FROM documents
+  WHERE lang IN ('en', 'de', 'fr')
+)
+SELECT doc_id, lang, quality, n_tokens
+FROM scored
+WHERE quality >= 0.66
+ORDER BY doc_id
+"""

