@@ -210,3 +210,54 @@ def brute_force_topk_blas(
         F.broadcast(top.withColumnRenamed("_id", id_col))
         .join(df, id_col, "inner")
     )
+
+
+def hybrid_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    query_terms: list[str],
+    k: int = 10,
+    vector_weight: float = 0.5,
+    vector_col: str = "embedding",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    predicate: Column | None = None,
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Hybrid retrieval: weighted fusion of semantic (vector) and keyword
+    (term-overlap) scores — the shape managed search services (incl. the
+    reference's Cortex) serve under the hood.
+
+    keyword = |query_terms ∩ doc_tokens| / |query_terms| (both distinct);
+    final = vector_weight * vec + (1-vector_weight) * keyword, both rounded
+    at 6 dp before fusion for cross-engine determinism. All expressions —
+    the keyword leg is an array_intersect over the tokenized scan, no
+    inverted index needed for scoring (at serving scale, pre-tokenize at
+    write time the way embeddings are pre-computed).
+    """
+    from strava_vector_search_spark.functions.vector import similarity
+
+    terms = F.array_distinct(F.array(*[F.lit(t.lower()) for t in query_terms]))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = corpus
+    if predicate is not None:
+        df = df.filter(predicate)
+    df = df.filter(F.col(vector_col).isNotNull())
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+    )
+    kw = F.round(
+        F.size(F.array_intersect(toks, terms)) / F.size(terms), 6
+    )
+    vec = similarity(F.col(vector_col), qcol, assume_normalized)
+    scored = df.withColumn("keyword_score", kw).withColumn(
+        "vector_score", vec
+    ).withColumn(
+        "score",
+        F.round(
+            F.lit(vector_weight) * F.col("vector_score")
+            + F.lit(1.0 - vector_weight) * F.col("keyword_score"),
+            6,
+        ),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -954,3 +954,24 @@ FROM scored
 WHERE quality >= 0.66
 ORDER BY doc_id
 """
+
+# -- hybrid keyword+vector retrieval -----------------------------------------
+
+ORACLES["vs_hybrid_topk"] = f"""
+WITH {_CORPUS},
+scored AS (
+  SELECT doc_id, lang,
+         ROUND(len(list_intersect(
+                 list_distinct(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')),
+                 ['fast', 'join', 'window', 'stream'])) / 4.0, 6)
+           AS keyword_score,
+         {_sim(8)} AS vector_score
+  FROM corpus
+)
+SELECT doc_id, lang, keyword_score, vector_score,
+       ROUND(0.6 * vector_score + 0.4 * keyword_score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""

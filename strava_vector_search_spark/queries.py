@@ -1411,3 +1411,24 @@ def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_quality_filter": tx_quality_filter})
+
+
+def vs_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid keyword+vector retrieval: term-overlap score fused with the
+    semantic dot product (0.6 vector / 0.4 keyword), top-10."""
+    corpus = corpus_with_vectors(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 8)
+    out = S.hybrid_topk(
+        corpus,
+        qv,
+        query_terms=["fast", "join", "window", "stream"],
+        k=10,
+        vector_weight=0.6,
+        assume_normalized=True,
+    )
+    return out.select(
+        "doc_id", "lang", "keyword_score", "vector_score", "score"
+    )
+
+
+QUERIES.update({"vs_hybrid_topk": vs_hybrid_topk})

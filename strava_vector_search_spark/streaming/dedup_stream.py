@@ -1,0 +1,173 @@
+"""Streaming near-duplicate rejection: incoming documents are checked
+against the accumulated corpus BEFORE admission — the training-pipeline
+gate that keeps a growing corpus duplicate-free (the streaming twin of the
+batch dedup suite, and the natural extension of the reference's
+cache-growth append stream, 02:418).
+
+Mechanics per micro-batch (pure function :func:`admit_batch`, streaming
+wiring :func:`start_dedup_stream`):
+
+1. MinHash-sign the incoming documents (same signatures as batch dedup);
+2. LSH band join against the persisted signature store — candidates only;
+3. exact shingle-Jaccard verification of candidates (candidate-driven);
+4. ALSO dedup the batch against itself (two dups arriving together);
+5. append survivors to the corpus store + their signatures to the index.
+
+State is the signature store (num_hashes longs per admitted doc) — not the
+corpus text — so the check scales like the LSH band join: shuffles 8-byte
+band keys, reads no text for non-candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.operators.dedup import (
+    MINHASH_P,
+    md5_int,
+    minhash_coeffs,
+    minhash_signatures,
+    shingle_rows,
+)
+
+
+def _band_rows(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    r = num_hashes // bands
+    return sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    md5_int(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * r + 1, r),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bkey")
+
+
+def admit_batch(
+    new_docs: DataFrame,
+    existing_signatures: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """One admission step. Returns (admitted_docs, admitted_signatures).
+
+    A new doc is REJECTED if it verifies as a near-dup (Jaccard >= threshold)
+    of any already-admitted doc, or of an admitted doc earlier in the same
+    batch (lower id wins within a batch — deterministic).
+    """
+    sh_new = shingle_rows(new_docs, id_col, text_col, shingle_n).localCheckpoint(
+        eager=False
+    )
+    sig_new = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_n, shingle_df=sh_new
+    ).localCheckpoint(eager=False)
+    bands_new = _band_rows(sig_new, id_col, num_hashes, bands)
+
+    # candidates vs the store AND vs the batch itself (id-ordered)
+    cand_parts = []
+    if existing_signatures is not None:
+        bands_old = _band_rows(existing_signatures, id_col, num_hashes, bands)
+        cand_parts.append(
+            bands_new.alias("n")
+            .join(bands_old.alias("o"), ["band", "bkey"])
+            .select(F.col("n._id").alias("new_id"), F.col("o._id").alias("ref_id"))
+        )
+    cand_parts.append(
+        bands_new.alias("a")
+        .join(bands_new.alias("b"), ["band", "bkey"])
+        .filter(F.col("b._id") < F.col("a._id"))
+        .select(F.col("a._id").alias("new_id"), F.col("b._id").alias("ref_id"))
+    )
+    cands = cand_parts[0]
+    for p in cand_parts[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.distinct()
+
+    # exact verification needs the REFERENCE docs' shingles: for the store
+    # we only kept signatures, so verification uses signature agreement
+    # (estimated Jaccard = fraction of matching minhash rows) — the standard
+    # streaming trade-off: signatures are the state, text is not re-read.
+    sig_all = sig_new if existing_signatures is None else sig_new.unionByName(
+        existing_signatures
+    )
+    est = (
+        cands.join(
+            sig_all.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_n")),
+            "new_id",
+        )
+        .join(
+            sig_all.select(F.col(id_col).alias("ref_id"), F.col("sig").alias("sig_r")),
+            "ref_id",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("sig_n"), F.col("sig_r"), lambda a, b: a == b),
+                        lambda x: x,
+                    )
+                )
+                / num_hashes,
+                6,
+            ),
+        )
+    )
+    rejected = est.filter(F.col("est_jaccard") >= threshold).select(
+        F.col("new_id").alias(id_col)
+    ).distinct()
+
+    admitted = new_docs.join(rejected, id_col, "left_anti")
+    admitted_sigs = sig_new.join(rejected, id_col, "left_anti")
+    return admitted, admitted_sigs
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    incoming_path: str,
+    corpus_path: str,
+    signature_path: str,
+    checkpoint_path: str,
+    docs_schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    trigger_seconds: int = 60,
+):
+    """Wire admission as a Structured Stream over an incoming directory."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            existing = spark.read.parquet(signature_path)
+        except Exception:
+            existing = None
+        admitted, sigs = admit_batch(
+            batch_df, existing, id_col, text_col, threshold
+        )
+        admitted.write.mode("append").parquet(corpus_path)
+        sigs.write.mode("append").parquet(signature_path)
+
+    stream = spark.readStream.schema(docs_schema).parquet(incoming_path)
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
