@@ -23,6 +23,9 @@ HEADLINE = [
     "vs_topk_filtered",
     "vs_batch_topk",
     "vs_similarity_histogram",
+    "vs_hybrid_topk",
+    "vs_quantized_topk",
+    "vs_topk_blas",
     "ann_ivf_topk",
     "dd_minhash_lsh_verified",
     "dd_connected_components",
