@@ -79,3 +79,21 @@ def test_streaming_dedup_end_to_end(spark, tmp_path):
         assert sig_ids == {1, 2, 4}
     finally:
         q.stop()
+
+
+def test_admit_batch_empty_and_degenerate_inputs(spark):
+    from strava_vector_search_spark.operators.dedup import minhash_signatures
+
+    # empty incoming batch: no-op, no crash
+    empty = _docs(spark, []).filter("doc_id > 0")
+    admitted, sigs = admit_batch(empty, None)
+    assert admitted.count() == 0 and sigs.count() == 0
+
+    # empty-text and single-token docs survive (degenerate shingles)
+    weird = _docs(spark, [(1, ""), (2, "word"), (3, OTHER)])
+    admitted, sigs = admit_batch(weird, None)
+    assert admitted.count() == 3
+    # but two empty-text docs ARE mutual dups -> lower id wins
+    two_empty = _docs(spark, [(7, ""), (8, "")])
+    admitted2, _ = admit_batch(two_empty, None)
+    assert sorted(r["doc_id"] for r in admitted2.collect()) == [7]
