@@ -473,6 +473,7 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(id, comp) connected components over an undirected pair set —
     iterative min-label propagation, the step that turns near-dup PAIRS into
@@ -490,6 +491,34 @@ def connected_components(
     edges = pairs.select(
         F.col(id1).alias("a"), F.col(id2).alias("b")
     ).localCheckpoint(eager=False)
+
+    # adaptive small-graph path: near-dup pair sets are tiny relative to the
+    # corpus (they ARE the duplicates); below the threshold a driver-side
+    # union-find replaces R rounds of join+aggregate actions — the same
+    # size-based switch Catalyst makes for broadcast joins. Identical output.
+    if driver_threshold and edges.count() <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in edges.collect():
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        if not rows:
+            return spark.createDataFrame([], "id long, comp long")
+        return spark.createDataFrame(rows, "id long, comp long")
+
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)
