@@ -26,12 +26,20 @@ from strava_vector_search_spark.operators import search as S
 # helpers
 
 
+_QUERY_VEC_CACHE: dict[tuple[str, int], list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """Fetch one stored embedding to serve as the query vector (the testdata
-    analogue of embedding the query text driver-side, reference 02:206-208)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
-    return [float(x) for x in row["embedding"]]
+    analogue of embedding the query text driver-side, reference 02:206-208).
+    Memoized per (sf_dir, vec_id): the value is a pure function of the
+    parquet file, so repeated queries skip the lookup job entirely."""
+    key = (sf_dir.rstrip("/"), vec_id)
+    if key not in _QUERY_VEC_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+        _QUERY_VEC_CACHE[key] = [float(x) for x in row["embedding"]]
+    return _QUERY_VEC_CACHE[key]
 
 
 def _dsum(col, scale: int = 2):
