@@ -24,11 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from strava_vector_search_spark.operators.dedup import (
-    MINHASH_P,
     md5_int,
-    minhash_coeffs,
     minhash_signatures,
-    shingle_rows,
 )
 
 
@@ -72,11 +69,8 @@ def admit_batch(
     of any already-admitted doc, or of an admitted doc earlier in the same
     batch (lower id wins within a batch — deterministic).
     """
-    sh_new = shingle_rows(new_docs, id_col, text_col, shingle_n).localCheckpoint(
-        eager=False
-    )
     sig_new = minhash_signatures(
-        new_docs, id_col, text_col, num_hashes, shingle_n, shingle_df=sh_new
+        new_docs, id_col, text_col, num_hashes, shingle_n
     ).localCheckpoint(eager=False)
     bands_new = _band_rows(sig_new, id_col, num_hashes, bands)
 
