@@ -21,9 +21,9 @@ Scale notes (100 TB):
 * the shingle inverted-index join shuffles on shingle — frequent shingles
   skew; ``max_shingle_df`` drops stop-shingles (standard practice) and AQE
   skew-join splits the rest;
-* MinHash LSH is the scale path: one shuffle to build signatures (explode ×
-  H hashes is map-side), one shuffle on (band, band-signature) whose groups
-  are tiny by construction;
+* MinHash LSH is the scale path: signatures are MAP-ONLY (per-row array
+  expressions, no shuffle at all); the only shuffle is the band join on
+  (band, band-signature) whose groups are tiny by construction;
 * pair generation within a bucket is quadratic per bucket but buckets are
   capped by construction (near-identical documents); catastrophic buckets
   (e.g. empty docs) are guarded by ``max_bucket_size``.
