@@ -107,6 +107,194 @@ def write_ivf_index(
 
 
 # ---------------------------------------------------------------------------
+# Signed-random-projection (SRP) LSH — the native cosine-LSH banded join.
+#
+# Replaces MLlib's euclidean approxSimilarityJoin for the 1M+ near-dup
+# regime: SCALE.md measured MLlib at 127 s for 30K vectors vs 39.5 s for the
+# exact blocked-BLAS join, i.e. MLlib's constant costs put its crossover far
+# past where an LSH should win. This formulation is pure DataFrame ops:
+#
+# * signatures are MAP-ONLY — per-row integer dot products against literal
+#   +/-1 hyperplanes (no fit step, no shuffle, no Python);
+# * the only shuffle is the band-bucket self-join on (band, key) — an
+#   8-byte key, bounded buckets;
+# * verification is candidate-driven exact cosine (join back to vectors).
+#
+# Bits come from int8-QUANTIZED vectors so the signature arithmetic is
+# all-integer: exact, order-insensitive, and bit-identical in DuckDB — the
+# whole pipeline is oracle-checkable, which MLlib's RNG-seeded hyperplanes
+# are not. P(bit agrees) = 1 - theta/pi; a band of r bits collides with
+# p^r, so r tunes selectivity: r=4 for the 0.4-cosine regime (high recall),
+# r=8..16 at 1M+ where only >=0.9 pairs matter and buckets must stay tiny.
+
+
+def srp_sign_matrix(bits: int, dim: int) -> list[list[int]]:
+    """Deterministic +/-1 hyperplane matrix from md5 parity — the single
+    source of truth shared by the Spark expressions and the generated
+    oracle SQL (same contract as dedup.minhash_coeffs)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"srp_{b}_{d}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def srp_band_rows(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    bits: int = 64,
+    bands: int = 16,
+    dim: int = 64,
+    quant_scale: int = 127,
+) -> DataFrame:
+    """(_id, band, key) — one row per (vector, band); key packs the band's
+    sign bits into an integer. Map-only: quantize → integer dot per
+    hyperplane → sign bit → shift-add per band → explode bands.
+
+    The quantized vector is materialized in its own projection so codegen
+    evaluates the round/cast pass once, not once per referencing bit
+    (the expression-recompute gotcha measured 8x on shingles).
+    """
+    assert bits % bands == 0
+    r = bits // bands
+    signs = srp_sign_matrix(bits, dim)
+    q = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vector_col).cast("array<double>"),
+            lambda x: F.round(x * quant_scale, 0).cast("bigint"),
+        ).alias("_q"),
+    )
+
+    def bit(b: int) -> Column:
+        w = F.array(*[F.lit(s) for s in signs[b]])
+        dot = F.aggregate(
+            F.zip_with(F.col("_q"), w, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    keys = [
+        sum(
+            (bit(k * r + j) * F.lit(1 << j) for j in range(1, r)),
+            start=bit(k * r) * F.lit(1),
+        ).alias(f"k{k}")
+        for k in range(bands)
+    ]
+    wide = q.select("_id", *keys)
+    return wide.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), F.col(f"k{k}").alias("key"))
+                    for k in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def srp_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.4,
+    bits: int = 64,
+    bands: int = 16,
+    dim: int = 64,
+    max_bucket_size: int = 10_000,
+    assume_normalized: bool = True,
+) -> DataFrame:
+    """Near-dup pairs (cosine >= threshold) via SRP-LSH banding + exact
+    verification. One band-key shuffle + two id equi-joins — near-linear vs
+    the quadratic exact join; approximate only in RECALL (every emitted pair
+    is exactly verified). ``max_bucket_size`` drops degenerate buckets
+    (e.g. a zero-vector pile-up) exactly like the MinHash guard."""
+    from pyspark.sql import Window
+
+    from strava_vector_search_spark.functions.vector import similarity
+
+    rows = srp_band_rows(emb, id_col, vector_col, bits, bands, dim)
+    sized = rows.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select("band", "key", F.col("_id").alias("id1"))
+    b = sized.select("band", "key", F.col("_id").alias("id2"))
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    v1 = emb.select(F.col(id_col).alias("id1"), F.col(vector_col).alias("v1"))
+    v2 = emb.select(F.col(id_col).alias("id2"), F.col(vector_col).alias("v2"))
+    return (
+        cands.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cosine", similarity(F.col("v1"), F.col("v2"), assume_normalized))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
+def srp_band_rows_blas(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    bits: int = 64,
+    bands: int = 16,
+    dim: int = 64,
+    quant_scale: int = 127,
+) -> DataFrame:
+    """BLAS kernel for srp_band_rows: one int64 matmul per Arrow batch
+    inside mapInPandas. Bit-identical output (integer arithmetic in both
+    paths — asserted in tests); use when the expression form's per-bit fold
+    shows up in profiles (wide corpora, high bit counts)."""
+    import numpy as np
+    import pandas as pd
+
+    assert bits % bands == 0
+    r = bits // bands
+    smat = np.array(srp_sign_matrix(bits, dim), dtype="int64")  # bits x dim
+    pack = (1 << np.arange(r, dtype="int64"))  # r-bit little-endian weights
+
+    def _sig(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            v = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            # HALF_UP (away from zero) to match Spark's F.round — np.round
+            # is half-to-even and would flip bits on exact .5 products
+            s = v * quant_scale
+            q = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype("int64")
+            bits_m = (q @ smat.T >= 0).astype("int64")  # n x bits
+            keys = bits_m.reshape(len(ids), bands, r) @ pack  # n x bands
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, bands),
+                    "band": np.tile(np.arange(bands, dtype="int32"), len(ids)),
+                    "key": keys.reshape(-1),
+                }
+            )
+
+    packed = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vector_col).cast("array<double>").alias("_v"),
+    )
+    return packed.mapInPandas(_sig, f"_id {packed.schema['_id'].dataType.simpleString()}, band int, key long")
+
+
+# ---------------------------------------------------------------------------
 # KMeans coarse quantizer + MLlib LSH (the 1M+ regime builders)
 
 

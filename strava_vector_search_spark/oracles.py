@@ -975,3 +975,59 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
+
+# -- SRP-LSH near-dup ---------------------------------------------------------
+# Generated from the same srp_sign_matrix constants the Spark operator uses.
+# Signature bits are integer dot products of the int8-quantized vector with
+# +/-1 hyperplanes, expressed as sum(selected dims) - sum(remaining dims);
+# COALESCE guards the (theoretical) all-plus/all-minus hyperplane. The OR-join
+# emits each colliding pair once (no DISTINCT needed). The Spark side's
+# max_bucket_size guard is a no-op at oracle scale (N <= 2000 < 10000).
+
+
+def _srp_oracle(
+    bits: int = 64, bands: int = 16, dim: int = 64, threshold: float = 0.4
+) -> str:
+    from strava_vector_search_spark.operators.ann import srp_sign_matrix
+
+    signs = srp_sign_matrix(bits, dim)
+    r = bits // bands
+
+    def dot(b: int) -> str:
+        plus = [str(d + 1) for d in range(dim) if signs[b][d] == 1]
+        minus = [str(d + 1) for d in range(dim) if signs[b][d] == -1]
+        p = f"COALESCE(list_sum(list_select(qv, [{', '.join(plus)}])), 0)"
+        m = f"COALESCE(list_sum(list_select(qv, [{', '.join(minus)}])), 0)"
+        return f"({p} - {m})"
+
+    keys = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN {dot(k * r + j)} >= 0 THEN {1 << j} ELSE 0 END"
+            for j in range(r)
+        )
+        + f") AS k{k}"
+        for k in range(bands)
+    )
+    collide = " OR ".join(f"a.k{k} = b.k{k}" for k in range(bands))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qt AS (SELECT vec_id, v, [ROUND(x * 127, 0)::BIGINT FOR x IN v] AS qv FROM e),
+sig AS (
+  SELECT vec_id,
+         {keys}
+  FROM qt
+),
+cand AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({collide})
+)
+SELECT c.id1, c.id2, ROUND(list_dot_product(ea.v, eb.v), 6) AS cosine
+FROM cand c
+JOIN e ea ON ea.vec_id = c.id1
+JOIN e eb ON eb.vec_id = c.id2
+WHERE ROUND(list_dot_product(ea.v, eb.v), 6) >= {threshold}
+"""
+
+
+ORACLES["ann_srp_near_dup"] = _srp_oracle()

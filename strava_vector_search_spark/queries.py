@@ -1440,3 +1440,18 @@ def vs_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"vs_hybrid_topk": vs_hybrid_topk})
+
+
+def ann_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native signed-random-projection LSH near-dup join (cosine >= 0.4):
+    map-only integer-exact signatures -> band-bucket join -> exact verify.
+    The oracle-checkable replacement for MLlib approxSimilarityJoin
+    (ann_lsh_near_dup), which is rows-only-checkable and 3x slower than even
+    the exact BLAS join at 30K vectors (SCALE.md)."""
+    from strava_vector_search_spark.operators.ann import srp_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_near_dup_pairs(emb, threshold=0.4, bits=64, bands=16)
+
+
+QUERIES.update({"ann_srp_near_dup": ann_srp_near_dup})

@@ -96,3 +96,33 @@ def test_lsh_near_dup_agrees_with_exact(spark, emb):
     if exact:
         recall = len(approx & exact) / len(exact)
         assert recall >= 0.6
+
+
+def test_srp_band_rows_blas_matches_expression(emb):
+    expr = {tuple(r) for r in A.srp_band_rows(emb).collect()}
+    blas = {tuple(r) for r in A.srp_band_rows_blas(emb).collect()}
+    assert expr == blas  # integer arithmetic both sides: bit-identical
+
+
+def test_srp_near_dup_is_verified_subset_with_high_recall(emb):
+    from strava_vector_search_spark.operators.dedup import embedding_near_dup_blocked
+
+    exact = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in embedding_near_dup_blocked(emb, threshold=0.4).collect()
+    }
+    srp = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in A.srp_near_dup_pairs(emb, threshold=0.4, bits=64, bands=16).collect()
+    }
+    # every emitted pair is exactly verified: subset of exact, same cosines
+    assert set(srp) <= set(exact)
+    assert all(abs(srp[p] - exact[p]) < 1e-9 for p in srp)
+    assert len(srp) / len(exact) >= 0.9  # r=4 x 16 bands: high-recall regime
+
+
+def test_srp_signatures_are_map_only(emb):
+    plan = (
+        A.srp_band_rows(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # signatures never shuffle
