@@ -1031,3 +1031,16 @@ WHERE ROUND(list_dot_product(ea.v, eb.v), 6) >= {threshold}
 
 
 ORACLES["ann_srp_near_dup"] = _srp_oracle()
+
+# -- simhash hamming pairs ----------------------------------------------------
+# Brute-force twin of the chunked candidate join: complete because
+# max_hamming (3) < chunks (4) — the pigeonhole bound the query docstring
+# states. bit_count/xor are exact integer ops in both engines.
+
+ORACLES["dd_simhash_pairs"] = f"""
+WITH s AS ({_simhash_sql(48)})
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""

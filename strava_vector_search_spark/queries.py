@@ -1455,3 +1455,19 @@ def ann_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ann_srp_near_dup": ann_srp_near_dup})
+
+
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 3 via the chunked candidate join
+    (48 bits, 4 x 12-bit slices). Pigeonhole: any pair within hamming 3 must
+    agree exactly on >= 1 slice, so the equi-join candidates are provably
+    complete — the oracle checks against the brute-force hamming join."""
+    from strava_vector_search_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash(docs, "doc_id", "text", bits=48)
+    out = simhash_pairs(sig, "doc_id", max_hamming=3, bits=48, chunks=4)
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+QUERIES.update({"dd_simhash_pairs": dd_simhash_pairs})

@@ -112,3 +112,25 @@ def test_connected_components_long_chain_converges(spark):
     )
     cc = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
     assert set(cc.values()) == {0}
+
+
+def test_simhash_chunked_pairs_complete_within_pigeonhole_bound(spark, sf_dir):
+    # max_hamming (3) < chunks (4): the chunked equi-join candidates must
+    # recover EXACTLY the brute-force hamming pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = D.simhash(docs, "doc_id", "text", bits=48).cache()
+    chunked = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in D.simhash_pairs(sig, "doc_id", max_hamming=3, bits=48, chunks=4).collect()
+    }
+    a = sig.selectExpr("doc_id AS id1", "simhash AS s1")
+    b = sig.selectExpr("doc_id AS id2", "simhash AS s2")
+    brute = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in a.crossJoin(b)
+        .filter("id1 < id2")
+        .selectExpr("id1", "id2", "bit_count(s1 ^ s2) AS hamming")
+        .filter("hamming <= 3")
+        .collect()
+    }
+    assert chunked == brute
