@@ -27,6 +27,7 @@ HEADLINE = [
     "vs_quantized_topk",
     "vs_topk_blas",
     "ann_ivf_topk",
+    "ann_srp_topk",
     "ann_srp_near_dup",
     "dd_minhash_lsh_verified",
     "dd_connected_components",

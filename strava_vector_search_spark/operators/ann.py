@@ -246,6 +246,102 @@ def srp_near_dup_pairs(
     )
 
 
+def srp_query_keys(
+    query_vec: list[float],
+    bits: int = 64,
+    bands: int = 16,
+    quant_scale: int = 127,
+) -> list[int]:
+    """The query vector's band keys, computed driver-side in exact integer
+    arithmetic (same quantize→sign→pack pipeline as srp_band_rows). Python
+    ints, HALF_UP rounding — bit-identical to the executor expressions."""
+    import math
+
+    dim = len(query_vec)
+    signs = srp_sign_matrix(bits, dim)
+    q = [
+        int(math.copysign(math.floor(abs(x * quant_scale) + 0.5), x * quant_scale))
+        for x in query_vec
+    ]
+    bitvals = [
+        1 if sum(s * v for s, v in zip(signs[b], q)) >= 0 else 0
+        for b in range(bits)
+    ]
+    r = bits // bands
+    return [
+        sum(bitvals[k * r + j] << j for j in range(r)) for k in range(bands)
+    ]
+
+
+def srp_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 64,
+    bands: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    quant_scale: int = 127,
+    assume_normalized: bool = True,
+    predicate: Column | None = None,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: keep only corpus rows that share >= 1
+    band bucket with the query, then exact-rank the candidates.
+
+    The query's band keys are LITERALS (computed driver-side), so candidate
+    selection is a map-only filter — no join, no shuffle, no index build;
+    the only ordering work is TakeOrderedAndProject over the survivors.
+    At 100 TB this scans once and scores only the ~p^r * bands fraction
+    that collides; with band keys materialized as columns at write time the
+    filter pushes down to parquet row-group stats. Approximate in RECALL
+    only — returned scores are exact cosine/dot."""
+    from strava_vector_search_spark.functions.vector import similarity
+
+    dim = len(query_vec)
+    assert bits % bands == 0
+    r = bits // bands
+    signs = srp_sign_matrix(bits, dim)
+    qkeys = srp_query_keys(query_vec, bits, bands, quant_scale)
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    base = emb
+    if predicate is not None:
+        base = base.filter(predicate)
+    withq = base.withColumn(
+        "_q",
+        F.transform(
+            F.col(vector_col).cast("array<double>"),
+            lambda x: F.round(x * quant_scale, 0).cast("bigint"),
+        ),
+    )
+
+    def bit(b: int) -> Column:
+        w = F.array(*[F.lit(s) for s in signs[b]])
+        dot = F.aggregate(
+            F.zip_with(F.col("_q"), w, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    collide = None
+    for band in range(bands):
+        key = sum(
+            (bit(band * r + j) * F.lit(1 << j) for j in range(1, r)),
+            start=bit(band * r) * F.lit(1),
+        )
+        c = key == F.lit(qkeys[band])
+        collide = c if collide is None else (collide | c)
+
+    return (
+        withq.filter(collide)
+        .withColumn("similarity", similarity(F.col(vector_col), qarr, assume_normalized))
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(k)
+        .drop("_q")
+    )
+
+
 def srp_band_rows_blas(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -985,9 +985,9 @@ LIMIT 10
 # max_bucket_size guard is a no-op at oracle scale (N <= 2000 < 10000).
 
 
-def _srp_oracle(
-    bits: int = 64, bands: int = 16, dim: int = 64, threshold: float = 0.4
-) -> str:
+def _srp_key_exprs(bits: int = 64, bands: int = 16, dim: int = 64) -> str:
+    """The band-key SELECT fragment (k0..k{bands-1}) over a quantized vector
+    column ``qv`` — shared by the near-dup and bucketed-top-k oracles."""
     from strava_vector_search_spark.operators.ann import srp_sign_matrix
 
     signs = srp_sign_matrix(bits, dim)
@@ -1000,7 +1000,7 @@ def _srp_oracle(
         m = f"COALESCE(list_sum(list_select(qv, [{', '.join(minus)}])), 0)"
         return f"({p} - {m})"
 
-    keys = ",\n         ".join(
+    return ",\n         ".join(
         "("
         + " + ".join(
             f"CASE WHEN {dot(k * r + j)} >= 0 THEN {1 << j} ELSE 0 END"
@@ -1009,6 +1009,12 @@ def _srp_oracle(
         + f") AS k{k}"
         for k in range(bands)
     )
+
+
+def _srp_oracle(
+    bits: int = 64, bands: int = 16, dim: int = 64, threshold: float = 0.4
+) -> str:
+    keys = _srp_key_exprs(bits, bands, dim)
     collide = " OR ".join(f"a.k{k} = b.k{k}" for k in range(bands))
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1044,3 +1050,32 @@ SELECT a.doc_id AS id1, b.doc_id AS id2,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
+
+# -- SRP-bucketed approximate top-k ------------------------------------------
+# The query's band keys come from the same SQL fragment applied to the query
+# row; candidate = shares >= 1 band key; ranking is exact dot on survivors.
+
+
+def _srp_topk_oracle(
+    vec_id: int, k: int = 10, bits: int = 64, bands: int = 16, dim: int = 64
+) -> str:
+    keys = _srp_key_exprs(bits, bands, dim)
+    collide = " OR ".join(f"s.k{b} = q.k{b}" for b in range(bands))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qt AS (SELECT vec_id, v, [ROUND(x * 127, 0)::BIGINT FOR x IN v] AS qv FROM e),
+sig AS (
+  SELECT vec_id, v,
+         {keys}
+  FROM qt
+),
+qs AS (SELECT * FROM sig WHERE vec_id = {vec_id})
+SELECT s.vec_id, ROUND(list_dot_product(s.v, {_qvec(vec_id)}), 6) AS similarity
+FROM sig s CROSS JOIN qs q
+WHERE s.vec_id <> {vec_id} AND ({collide})
+ORDER BY similarity DESC, s.vec_id ASC
+LIMIT {k}
+"""
+
+
+ORACLES["ann_srp_topk"] = _srp_topk_oracle(11)

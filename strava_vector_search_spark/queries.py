@@ -1471,3 +1471,21 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dd_simhash_pairs": dd_simhash_pairs})
+
+
+def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: the query's SRP band keys are computed
+    driver-side and pushed as literal filters, so candidate selection is a
+    map-only scan (no join, no index build) and ranking is exact dot over
+    the colliding fraction — the similarity-search scale path alongside IVF."""
+    from strava_vector_search_spark.operators.ann import srp_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 11)
+    out = srp_topk(
+        emb, qv, k=10, bits=64, bands=16, predicate=F.col("vec_id") != 11
+    )
+    return out.select("vec_id", "similarity")
+
+
+QUERIES.update({"ann_srp_topk": ann_srp_topk})

@@ -126,3 +126,34 @@ def test_srp_signatures_are_map_only(emb):
         A.srp_band_rows(emb)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # signatures never shuffle
+
+
+def test_srp_query_keys_match_executor_band_rows(emb, qvec):
+    # driver-side Python integer pipeline == executor expression pipeline
+    py_keys = A.srp_query_keys(qvec, bits=64, bands=16)
+    spark_keys = {
+        r["band"]: r["key"]
+        for r in A.srp_band_rows(emb.filter(F.col("vec_id") == 11)).collect()
+    }
+    assert [spark_keys[b] for b in range(16)] == py_keys
+
+
+def test_srp_topk_exact_scores_and_recall(emb, qvec):
+    from strava_vector_search_spark.operators.search import brute_force_topk
+
+    exact = {
+        r["vec_id"]: r["similarity"]
+        for r in brute_force_topk(
+            emb, qvec, k=500, id_col="vec_id", assume_normalized=True,
+            predicate=F.col("vec_id") != 11,
+        ).collect()
+    }
+    top10 = sorted(exact, key=lambda i: (-exact[i], i))[:10]
+    srp = A.srp_topk(emb, qvec, k=10, bands=16, predicate=F.col("vec_id") != 11).collect()
+    assert len(srp) == 10
+    # approximate in recall only: every returned score is the exact cosine
+    assert all(abs(r["similarity"] - exact[r["vec_id"]]) < 1e-9 for r in srp)
+    assert len(set(top10) & {r["vec_id"] for r in srp}) >= 6
+    # and the bucket filter actually prunes (not a full scan in disguise)
+    n_cand = A.srp_topk(emb, qvec, k=10**6, bands=16, predicate=F.col("vec_id") != 11).count()
+    assert n_cand < len(exact)
