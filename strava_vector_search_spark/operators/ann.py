@@ -145,6 +145,43 @@ def srp_sign_matrix(bits: int, dim: int) -> list[list[int]]:
     ]
 
 
+def _srp_key_cols(
+    bits: int, bands: int, dim: int, qcol: Column, total: Column
+) -> list[Column]:
+    """Band-key expressions over a quantized-vector column and its element
+    sum. Each sign bit is ``2 * sum(plus-set dims) - total >= 0`` — plain
+    ``element_at`` additions instead of a per-bit ``zip_with``/``aggregate``
+    fold (higher-order functions are evaluated INTERPRETED in Spark), and
+    half the dimension touches. Caveat found while benchmarking: at
+    bits x dim = 64 x 64 the combined projection exceeds janino's method
+    limits, codegen fails, and evaluation falls back to interpreted — so
+    the hot operators default to the BLAS kernel (bit-identical, see
+    srp_band_rows_blas) and this expression form remains the dependency-free
+    reference implementation the oracle SQL mirrors."""
+    r = bits // bands
+    signs = srp_sign_matrix(bits, dim)
+
+    def bit(b: int) -> Column:
+        plus = [d for d in range(dim) if signs[b][d] == 1]
+        if plus:
+            psum = sum(
+                (F.element_at(qcol, d + 1) for d in plus[1:]),
+                start=F.element_at(qcol, plus[0] + 1),
+            )
+            dot = F.lit(2) * psum - total
+        else:
+            dot = -total
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    return [
+        sum(
+            (bit(k * r + j) * F.lit(1 << j) for j in range(1, r)),
+            start=bit(k * r) * F.lit(1),
+        ).alias(f"k{k}")
+        for k in range(bands)
+    ]
+
+
 def srp_band_rows(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -158,13 +195,11 @@ def srp_band_rows(
     sign bits into an integer. Map-only: quantize → integer dot per
     hyperplane → sign bit → shift-add per band → explode bands.
 
-    The quantized vector is materialized in its own projection so codegen
-    evaluates the round/cast pass once, not once per referencing bit
+    The quantized vector and its total are materialized in their own
+    projection so codegen evaluates them once, not once per referencing bit
     (the expression-recompute gotcha measured 8x on shingles).
     """
     assert bits % bands == 0
-    r = bits // bands
-    signs = srp_sign_matrix(bits, dim)
     q = emb.select(
         F.col(id_col).alias("_id"),
         F.transform(
@@ -172,23 +207,11 @@ def srp_band_rows(
             lambda x: F.round(x * quant_scale, 0).cast("bigint"),
         ).alias("_q"),
     )
-
-    def bit(b: int) -> Column:
-        w = F.array(*[F.lit(s) for s in signs[b]])
-        dot = F.aggregate(
-            F.zip_with(F.col("_q"), w, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
-
-    keys = [
-        sum(
-            (bit(k * r + j) * F.lit(1 << j) for j in range(1, r)),
-            start=bit(k * r) * F.lit(1),
-        ).alias(f"k{k}")
-        for k in range(bands)
-    ]
+    q = q.withColumn(
+        "_t",
+        F.aggregate(F.col("_q"), F.lit(0).cast("bigint"), lambda a, x: a + x),
+    )
+    keys = _srp_key_cols(bits, bands, dim, F.col("_q"), F.col("_t"))
     wide = q.select("_id", *keys)
     return wide.select(
         "_id",
@@ -213,17 +236,31 @@ def srp_near_dup_pairs(
     dim: int = 64,
     max_bucket_size: int = 10_000,
     assume_normalized: bool = True,
+    kernel: str = "blas",
 ) -> DataFrame:
     """Near-dup pairs (cosine >= threshold) via SRP-LSH banding + exact
     verification. One band-key shuffle + two id equi-joins — near-linear vs
     the quadratic exact join; approximate only in RECALL (every emitted pair
     is exactly verified). ``max_bucket_size`` drops degenerate buckets
-    (e.g. a zero-vector pile-up) exactly like the MinHash guard."""
+    (e.g. a zero-vector pile-up) exactly like the MinHash guard.
+    ``kernel='blas'`` (default) computes signatures via the NumPy matmul
+    kernel; ``'expr'`` uses the pure-expression form (same bits, no pandas
+    dependency).
+
+    Verification runs as a vectorized NumPy row-wise dot over Arrow batches
+    (one fused pass per ~10K candidate pairs) — the interpreted per-pair
+    expression fold was the sf0.1 bottleneck once candidates number in the
+    millions. Scores round to 6 dp like every similarity in the engine
+    (cross-engine-stable at these magnitudes — same contract vs_topk_blas
+    pins against the oracle).
+    """
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql import Window
 
-    from strava_vector_search_spark.functions.vector import similarity
-
-    rows = srp_band_rows(emb, id_col, vector_col, bits, bands, dim)
+    band_rows_fn = srp_band_rows_blas if kernel == "blas" else srp_band_rows
+    rows = band_rows_fn(emb, id_col, vector_col, bits, bands, dim)
     sized = rows.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
     ).filter(F.col("bucket_n") <= max_bucket_size)
@@ -235,14 +272,46 @@ def srp_near_dup_pairs(
         .select("id1", "id2")
         .distinct()
     )
-    v1 = emb.select(F.col(id_col).alias("id1"), F.col(vector_col).alias("v1"))
-    v2 = emb.select(F.col(id_col).alias("id2"), F.col(vector_col).alias("v2"))
-    return (
-        cands.join(v1, "id1")
-        .join(v2, "id2")
-        .withColumn("cosine", similarity(F.col("v1"), F.col("v2"), assume_normalized))
-        .filter(F.col("cosine") >= threshold)
-        .select("id1", "id2", "cosine")
+    v1 = emb.select(
+        F.col(id_col).alias("id1"),
+        F.col(vector_col).cast("array<double>").alias("v1"),
+    )
+    v2 = emb.select(
+        F.col(id_col).alias("id2"),
+        F.col(vector_col).cast("array<double>").alias("v2"),
+    )
+    paired = cands.join(v1, "id1").join(v2, "id2")
+    if not assume_normalized:
+        # full cosine falls back to the expression form (rare path: the
+        # write layer guarantees unit vectors)
+        from strava_vector_search_spark.functions.vector import similarity
+
+        return (
+            paired.withColumn("cosine", similarity(F.col("v1"), F.col("v2"), False))
+            .filter(F.col("cosine") >= threshold)
+            .select("id1", "id2", "cosine")
+        )
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def _verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m1 = np.stack(pdf["v1"].to_numpy()).astype("float64")
+            m2 = np.stack(pdf["v2"].to_numpy()).astype("float64")
+            cos = np.round(np.einsum("ij,ij->i", m1, m2), 6)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id1": pdf["id1"].to_numpy()[keep],
+                    "id2": pdf["id2"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return paired.mapInPandas(
+        _verify, f"id1 {id_type}, id2 {id_type}, cosine double"
     )
 
 
@@ -284,52 +353,89 @@ def srp_topk(
     quant_scale: int = 127,
     assume_normalized: bool = True,
     predicate: Column | None = None,
+    kernel: str = "blas",
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: keep only corpus rows that share >= 1
     band bucket with the query, then exact-rank the candidates.
 
     The query's band keys are LITERALS (computed driver-side), so candidate
-    selection is a map-only filter — no join, no shuffle, no index build;
+    selection is a map-only pass — no join, no shuffle, no index build;
     the only ordering work is TakeOrderedAndProject over the survivors.
     At 100 TB this scans once and scores only the ~p^r * bands fraction
     that collides; with band keys materialized as columns at write time the
     filter pushes down to parquet row-group stats. Approximate in RECALL
-    only — returned scores are exact cosine/dot."""
-    from strava_vector_search_spark.functions.vector import similarity
+    only — returned scores are exact cosine/dot. Returns (id, similarity).
 
+    ``kernel='blas'`` (default) fuses quantize→bits→collide→score into one
+    NumPy pass per Arrow batch; ``'expr'`` is the pure-expression twin
+    (same bits, same scores — see _srp_key_cols on why it's not the hot
+    path)."""
     dim = len(query_vec)
     assert bits % bands == 0
     r = bits // bands
-    signs = srp_sign_matrix(bits, dim)
     qkeys = srp_query_keys(query_vec, bits, bands, quant_scale)
-    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
 
     base = emb
     if predicate is not None:
         base = base.filter(predicate)
+
+    if kernel == "blas":
+        import numpy as np
+        import pandas as pd
+
+        smat = np.array(srp_sign_matrix(bits, dim), dtype="int64")
+        pack = 1 << np.arange(r, dtype="int64")
+        qk = np.array(qkeys, dtype="int64")
+        qv = np.array(query_vec, dtype="float64")
+        qnorm = float(np.linalg.norm(qv))
+        id_type = emb.schema[id_col].dataType.simpleString()
+
+        def _cand(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["_id"].to_numpy()
+                v = np.stack(pdf["_v"].to_numpy()).astype("float64")
+                s = v * quant_scale
+                q = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype("int64")
+                keys = ((q @ smat.T >= 0).astype("int64")).reshape(
+                    len(ids), bands, r
+                ) @ pack
+                mask = (keys == qk).any(axis=1)
+                hits = v[mask]
+                sim = hits @ qv
+                if not assume_normalized:
+                    sim = sim / (np.linalg.norm(hits, axis=1) * qnorm)
+                yield pd.DataFrame(
+                    {"_id": ids[mask], "similarity": np.round(sim, 6)}
+                )
+
+        scored = base.select(
+            F.col(id_col).alias("_id"),
+            F.col(vector_col).cast("array<double>").alias("_v"),
+        ).mapInPandas(_cand, f"_id {id_type}, similarity double")
+        return (
+            scored.select(F.col("_id").alias(id_col), "similarity")
+            .orderBy(F.desc("similarity"), F.asc(id_col))
+            .limit(k)
+        )
+
+    from strava_vector_search_spark.functions.vector import similarity
+
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     withq = base.withColumn(
         "_q",
         F.transform(
             F.col(vector_col).cast("array<double>"),
             lambda x: F.round(x * quant_scale, 0).cast("bigint"),
         ),
+    ).withColumn(
+        "_t",
+        F.aggregate(F.col("_q"), F.lit(0).cast("bigint"), lambda a, x: a + x),
     )
-
-    def bit(b: int) -> Column:
-        w = F.array(*[F.lit(s) for s in signs[b]])
-        dot = F.aggregate(
-            F.zip_with(F.col("_q"), w, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
-
+    keys = _srp_key_cols(bits, bands, dim, F.col("_q"), F.col("_t"))
     collide = None
-    for band in range(bands):
-        key = sum(
-            (bit(band * r + j) * F.lit(1 << j) for j in range(1, r)),
-            start=bit(band * r) * F.lit(1),
-        )
+    for band, key in enumerate(keys):
         c = key == F.lit(qkeys[band])
         collide = c if collide is None else (collide | c)
 
@@ -338,7 +444,7 @@ def srp_topk(
         .withColumn("similarity", similarity(F.col(vector_col), qarr, assume_normalized))
         .orderBy(F.desc("similarity"), F.asc(id_col))
         .limit(k)
-        .drop("_q")
+        .select(id_col, "similarity")
     )
 
 

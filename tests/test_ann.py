@@ -157,3 +157,9 @@ def test_srp_topk_exact_scores_and_recall(emb, qvec):
     # and the bucket filter actually prunes (not a full scan in disguise)
     n_cand = A.srp_topk(emb, qvec, k=10**6, bands=16, predicate=F.col("vec_id") != 11).count()
     assert n_cand < len(exact)
+
+
+def test_srp_topk_kernels_agree(emb, qvec):
+    blas = [tuple(r) for r in A.srp_topk(emb, qvec, k=10, bands=16, predicate=F.col("vec_id") != 11, kernel="blas").collect()]
+    expr = [tuple(r) for r in A.srp_topk(emb, qvec, k=10, bands=16, predicate=F.col("vec_id") != 11, kernel="expr").collect()]
+    assert blas == expr
