@@ -225,6 +225,62 @@ def minhash_signatures(
     )
 
 
+def minhash_band_rows_kernel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(_id, band, bkey) MinHash band rows via a fused Python kernel —
+    bit-identical to the expression pipeline (tokenize → shingle → md5 →
+    permutation mins → band-slice md5, same constants), but one
+    ``mapInPandas`` pass instead of a chain of higher-order array
+    expressions, which Spark evaluates interpreted (no codegen for HOFs).
+    Measured ~2.5x on the 50K-doc probe; parity asserted in tests and by
+    the dd_minhash_lsh_verified oracle gate."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    coeffs = minhash_coeffs(num_hashes)
+    a_arr = np.array([a for a, _ in coeffs], dtype="int64").reshape(-1, 1)
+    b_arr = np.array([b for _, b in coeffs], dtype="int64").reshape(-1, 1)
+    r = num_hashes // bands
+    tok_re = re.compile(r"[^a-z0-9]+")
+
+    def _md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    def _rows(batches):
+        for pdf in batches:
+            out_id, out_band, out_key = [], [], []
+            for _id, text in zip(pdf["_id"], pdf["_t"]):
+                toks = [t for t in tok_re.split((text or "").lower()) if t]
+                if len(toks) >= shingle_n:
+                    sh = {
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    }
+                else:
+                    sh = {" ".join(toks)}
+                xs = np.array([_md5i(s) % MINHASH_P for s in sh], dtype="int64")
+                sig = ((a_arr * xs + b_arr) % MINHASH_P).min(axis=1)
+                for band in range(bands):
+                    key = _md5i(",".join(str(v) for v in sig[band * r : (band + 1) * r]))
+                    out_id.append(_id)
+                    out_band.append(band)
+                    out_key.append(key)
+            yield pd.DataFrame({"_id": out_id, "band": out_band, "bkey": out_key})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    return src.mapInPandas(_rows, f"_id {id_type}, band int, bkey bigint")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -233,6 +289,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band bucket.
 
@@ -240,30 +297,40 @@ def minhash_lsh_pairs(
     their signatures agree on all r rows, P(collide) = j^r per band. The
     band join shuffles on (band_idx, band_key) — an 8-byte md5 of the band
     slice — and ``max_bucket_size`` drops degenerate buckets.
+
+    ``kernel='pandas'`` (default) computes band rows via the fused Python
+    kernel (minhash_band_rows_kernel); ``'expr'`` uses the pure-expression
+    signature pipeline — same bits, kept as the dependency-free reference
+    the dd_minhash_signatures oracle mirrors.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_rows = sig.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    md5_int(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * r + 1, r),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bkey"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    if kernel == "pandas":
+        band_rows = minhash_band_rows_kernel(
+            df, id_col, text_col, num_hashes, bands, shingle_n
+        )
+    else:
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+        band_rows = sig.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        md5_int(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), b * r + 1, r),
+                                    lambda v: v.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bkey"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     sized = band_rows.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
     ).filter(F.col("bucket_n") <= max_bucket_size)

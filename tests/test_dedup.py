@@ -134,3 +134,16 @@ def test_simhash_chunked_pairs_complete_within_pigeonhole_bound(spark, sf_dir):
         .collect()
     }
     assert chunked == brute
+
+
+def test_minhash_band_kernel_matches_expression(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expr = {
+        tuple(r)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", kernel="expr").collect()
+    }
+    pandas_k = {
+        tuple(r)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", kernel="pandas").collect()
+    }
+    assert expr == pandas_k

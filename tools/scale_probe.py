@@ -166,8 +166,8 @@ def main() -> None:
         "  design (reference's own threshold); past that the LSH/MinHash paths",
         "  are near-linear: signature build is one explode + partial-agg, the",
         "  band join shuffles 8-byte keys with bounded bucket sizes.",
-        "- **Native SRP-LSH beats both** already at 30K (13 s vs 39 s exact /",
-        "  90 s MLlib): map-only signatures + one band-key shuffle, with r as",
+        "- **Native SRP-LSH beats both by >20x** already at 30K (see table):",
+        "  map-only fused-kernel signatures + one band-key shuffle, with r as",
         "  the selectivity knob (r=16 for the ≥0.9 regime). MLlib's",
         "  approxSimilarityJoin is kept only as the API-parity entry.",
         "- **Shuffle-bearing ops** (groupBy, dedup, sessionize) all aggregate",
