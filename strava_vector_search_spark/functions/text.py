@@ -33,17 +33,19 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+BPE_ISH_PATTERN = r"[A-Z][a-z]*|[a-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count(text: Column) -> Column:
-    """BPE-approximating token count: word-pieces + digits + punctuation
-    runs, the standard len(regexp_tokens) proxy for LLM token budgeting.
-    ~chars/4 for English; exact per-model counts need the model's tokenizer
-    (out of engine scope)."""
-    return F.size(
-        F.filter(
-            F.split(text, r"(?=[A-Z])|[\s]+|(?=[^A-Za-z0-9\s])"),
-            lambda t: t != "",
-        )
-    )
+    """BPE-approximating token count: camel-case word pieces + letter runs +
+    digit runs + individual punctuation — the standard len(regexp_tokens)
+    proxy for LLM token budgeting. ~chars/4 for English; exact per-model
+    counts need the model's tokenizer (out of engine scope).
+
+    Expressed as a MATCH count (not a lookahead split) so the pattern stays
+    inside the RE2 subset DuckDB supports — the oracle twin is
+    ``len(regexp_extract_all(text, …))`` with the same pattern."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
 def punct_ratio(text: Column) -> Column:

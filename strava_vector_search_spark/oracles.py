@@ -1079,3 +1079,21 @@ LIMIT {k}
 
 
 ORACLES["ann_srp_topk"] = _srp_topk_oracle(11)
+
+# -- token budgeting ----------------------------------------------------------
+# Same BPE-ish pattern constant as functions/text.py (RE2-compatible: match
+# count, no lookaheads).
+
+from strava_vector_search_spark.functions.text import BPE_ISH_PATTERN as _BPE
+
+_NBPE = f"len(regexp_extract_all(text, '{_BPE}'))"
+
+ORACLES["tx_token_budget"] = f"""
+SELECT doc_id,
+       {_NTOK}::BIGINT AS n_ws_tokens,
+       {_NBPE}::BIGINT AS n_bpe_tokens,
+       ROUND(length(text) / GREATEST({_NBPE}, 1), 4) AS chars_per_token
+FROM documents
+WHERE text IS NOT NULL
+ORDER BY doc_id
+"""

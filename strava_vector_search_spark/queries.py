@@ -1489,3 +1489,29 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ann_srp_topk": ann_srp_topk})
+
+
+def tx_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget report per document: whitespace tokens vs the BPE-ish
+    regex count and the chars-per-token ratio — the two counters the brief's
+    text-analysis suite names, side by side."""
+    from strava_vector_search_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            T.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+            T.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.length("text")
+                / F.greatest(T.bpe_ish_token_count(F.col("text")), F.lit(1)),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"tx_token_budget": tx_token_budget})
