@@ -1097,3 +1097,6 @@ FROM documents
 WHERE text IS NOT NULL
 ORDER BY doc_id
 """
+
+# the BLAS batch kernel shares vs_batch_topk's contract and oracle verbatim
+ORACLES["vs_batch_topk_blas"] = ORACLES["vs_batch_topk"]

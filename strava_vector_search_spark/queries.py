@@ -1515,3 +1515,20 @@ def tx_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_token_budget": tx_token_budget})
+
+
+def vs_batch_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch multi-query search through the fused Q@V.T kernel — same
+    contract (and same oracle) as vs_batch_topk, one matmul per Arrow batch
+    instead of nq interpreted dots per row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = corpus_with_vectors(spark, sf_dir).select("doc_id", "lang", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = S.batch_topk_blas(corpus, queries, k=3, meta_cols=["lang"])
+    return out.select("query_id", "doc_id", "lang", "similarity", "rank")
+
+
+QUERIES.update({"vs_batch_topk_blas": vs_batch_topk_blas})

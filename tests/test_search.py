@@ -110,3 +110,26 @@ def test_blas_topk_matches_expression(corpus, qvec):
         key=lambda t: (-t[1], t[0]),
     )
     assert blas_rows == expr_rows
+
+
+def test_batch_topk_blas_matches_expression(spark, sf_dir):
+    from strava_vector_search_spark.operators.search import batch_topk, batch_topk_blas
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.selectExpr("vec_id AS doc_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    expr = {
+        (r["query_id"], r["doc_id"], r["similarity"], r["rank"])
+        for r in batch_topk(corpus, queries, k=5, assume_normalized=True)
+        .select("query_id", "doc_id", "similarity", "rank")
+        .collect()
+    }
+    blas = {
+        (r["query_id"], r["doc_id"], r["similarity"], r["rank"])
+        for r in batch_topk_blas(corpus, queries, k=5)
+        .select("query_id", "doc_id", "similarity", "rank")
+        .collect()
+    }
+    assert expr == blas

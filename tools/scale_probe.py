@@ -93,6 +93,15 @@ def main() -> None:
     results.append(("batch_topk 32 queries", f"{n_vec:,} vecs", sec,
                     "one corpus scan amortized over 32 queries"))
 
+    from strava_vector_search_spark.operators.search import batch_topk_blas
+
+    sec, _ = t(lambda: batch_topk_blas(
+        big_emb, queries, k=5, id_col="vec_id"
+    ).count())
+    results.append(("batch_topk 32 queries (BLAS)", f"{n_vec:,} vecs", sec,
+                    "same scan, one Q@V.T matmul per Arrow batch, nq*k rows "
+                    "into the global rank instead of nq*|batch|"))
+
     # ---- near-dup: exact blocked BLAS vs LSH at 30K vectors
     mid_emb = (
         emb.crossJoin(spark.range(15).select(F.col("id").alias("rep")))
