@@ -22,6 +22,7 @@ from strava_vector_search_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "vs_topk_filtered",
     "vs_batch_topk",
+    "vs_batch_topk_blas",
     "vs_similarity_histogram",
     "vs_hybrid_topk",
     "vs_quantized_topk",
