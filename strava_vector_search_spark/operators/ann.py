@@ -496,6 +496,75 @@ def srp_band_rows_blas(
     return packed.mapInPandas(_sig, f"_id {packed.schema['_id'].dataType.simpleString()}, band int, key long")
 
 
+def write_srp_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    bits: int = 64,
+    bands: int = 16,
+    dim: int = 64,
+    sort_band: int = 0,
+) -> None:
+    """Materialize SRP band keys as plain columns (k0..k{bands-1}) next to
+    the vectors — the write-time layout that turns srp_topk's candidate
+    filter into PARQUET PUSHDOWN: the OR-of-equalities on key columns
+    reaches the scan as PushedFilters, and sorting within partitions by one
+    band's key gives that band real row-group min/max selectivity (the
+    other bands still prune via dictionary filters). One-off build cost,
+    every query after it skips non-colliding row groups instead of reading
+    them."""
+    keys = (
+        srp_band_rows_blas(emb, id_col, vector_col, bits, bands, dim)
+        .groupBy("_id")
+        .pivot("band", list(range(bands)))
+        .agg(F.first("key"))
+    )
+    wide = emb.join(
+        keys.select(
+            F.col("_id").alias(id_col),
+            *[F.col(str(b)).alias(f"k{b}") for b in range(bands)],
+        ),
+        id_col,
+    )
+    wide.sortWithinPartitions(f"k{sort_band}").write.mode("overwrite").parquet(path)
+
+
+def srp_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 64,
+    bands: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    assume_normalized: bool = True,
+) -> DataFrame:
+    """srp_topk over a write_srp_index layout: the band-key collide filter
+    references STORED columns, so no signature computation happens at query
+    time at all — the predicate pushes into the parquet scan and only
+    colliding row groups are decoded. Exact-rank of survivors as usual."""
+    from strava_vector_search_spark.functions.vector import similarity
+
+    qkeys = srp_query_keys(query_vec, bits, bands)
+    df = spark.read.parquet(path)
+    collide = None
+    for b, qk in enumerate(qkeys):
+        c = F.col(f"k{b}") == F.lit(qk)
+        collide = c if collide is None else (collide | c)
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.filter(collide)
+        .withColumn(
+            "similarity", similarity(F.col(vector_col), qarr, assume_normalized)
+        )
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "similarity")
+    )
+
+
 # ---------------------------------------------------------------------------
 # KMeans coarse quantizer + MLlib LSH (the 1M+ regime builders)
 

@@ -163,3 +163,15 @@ def test_srp_topk_kernels_agree(emb, qvec):
     blas = [tuple(r) for r in A.srp_topk(emb, qvec, k=10, bands=16, predicate=F.col("vec_id") != 11, kernel="blas").collect()]
     expr = [tuple(r) for r in A.srp_topk(emb, qvec, k=10, bands=16, predicate=F.col("vec_id") != 11, kernel="expr").collect()]
     assert blas == expr
+
+
+def test_srp_index_pushdown_and_parity(spark, emb, qvec, tmp_path):
+    path = str(tmp_path / "srp_idx")
+    A.write_srp_index(emb, path)
+    out = A.srp_topk_indexed(spark, path, qvec, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the collide predicate must reach the parquet scan
+    assert "PushedFilters: [Or(" in plan or "PushedFilters: [EqualTo(k0" in plan
+    # same rows as the computed-signature path (self-hit included here)
+    live = A.srp_topk(emb, qvec, k=10, bands=16)
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in live.collect()]
