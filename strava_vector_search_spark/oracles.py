@@ -1100,3 +1100,33 @@ ORDER BY doc_id
 
 # the BLAS batch kernel shares vs_batch_topk's contract and oracle verbatim
 ORACLES["vs_batch_topk_blas"] = ORACLES["vs_batch_topk"]
+
+# -- Q4/Q14-shaped relational twins ------------------------------------------
+
+ORACLES["q4_order_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["q14_promo_revenue"] = """
+WITH j AS (
+  SELECT CASE WHEN p_type = 'PROMO'
+              THEN l_extendedprice::DECIMAL(18,6)
+                   * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6))
+              ELSE 0::DECIMAL(18,6) END AS promo_rev,
+         l_extendedprice::DECIMAL(18,6)
+           * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT ROUND(100.0 * SUM(promo_rev)::DOUBLE / SUM(rev)::DOUBLE, 4) AS promo_pct,
+       ROUND(SUM(rev)::DOUBLE, 2) AS total_revenue
+FROM j
+"""

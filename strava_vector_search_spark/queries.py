@@ -1532,3 +1532,58 @@ def vs_batch_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"vs_batch_topk_blas": vs_batch_topk_blas})
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: date-quarter scan + EXISTS (left-semi join on the
+    fact table) + priority counts — the semi-join pushdown shape (adapted:
+    this lineitem has no commitdate/receiptdate, so the EXISTS condition is
+    a returned-lineitem flag)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share — conditional aggregate over a
+    fact⋈dim join in one month window; ratio of DECIMAL-routed sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)")).alias("promo_rev"),
+            rev.alias("rev"),
+        )
+    )
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum("promo_rev").cast("double")
+            / F.sum("rev").cast("double"),
+            4,
+        ).alias("promo_pct"),
+        F.round(F.sum("rev").cast("double"), 2).alias("total_revenue"),
+    )
+
+
+QUERIES.update(
+    {"q4_order_priority": q4_order_priority, "q14_promo_revenue": q14_promo_revenue}
+)
