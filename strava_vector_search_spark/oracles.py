@@ -1130,3 +1130,15 @@ SELECT ROUND(100.0 * SUM(promo_rev)::DOUBLE / SUM(rev)::DOUBLE, 4) AS promo_pct,
        ROUND(SUM(rev)::DOUBLE, 2) AS total_revenue
 FROM j
 """
+
+# salting must be value-invisible: the oracle is the PLAIN join
+ORACLES["j_salted_skew"] = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_quantity::DECIMAL(18,6))::DOUBLE, 2) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R' AND o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -1587,3 +1587,33 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update(
     {"q4_order_priority": q4_order_priority, "q14_promo_revenue": q14_promo_revenue}
 )
+
+
+def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join demonstrated end-to-end: the fact side is
+    salted, the dim side replicated across salt values, result aggregated —
+    value-identical to the plain join (the oracle IS the plain join), which
+    is exactly the property salting must preserve while spreading one hot
+    key over `salt` reducers."""
+    from strava_vector_search_spark.plans.layout import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    small = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(big, small, "okey", salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES.update({"j_salted_skew": j_salted_skew})
