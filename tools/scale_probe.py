@@ -102,6 +102,32 @@ def main() -> None:
                     "same scan, one Q@V.T matmul per Arrow batch, nq*k rows "
                     "into the global rank instead of nq*|batch|"))
 
+    # ---- reference dimensionality: 768-dim (e5-base-v2) at 200K vectors
+    emb768 = (
+        emb.crossJoin(spark.range(100).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") * 100 + F.col("rep")).alias("vec_id"),
+            F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_768 = emb768.count()
+    qv768 = qv * 12
+    sec, _ = t(lambda: brute_force_topk(
+        emb768, qv768, k=10, id_col="vec_id", assume_normalized=True
+    ).collect())
+    results.append(("brute_force_topk (expr, 768d)", f"{n_768:,} vecs x 768d", sec,
+                    "the reference's e5-base-v2 width — per-row fold cost grows "
+                    "with dim, still scan-shaped"))
+    sec, _ = t(lambda: brute_force_topk_blas(
+        emb768, qv768, k=10, id_col="vec_id"
+    ).collect())
+    results.append(("brute_force_topk (BLAS, 768d)", f"{n_768:,} vecs x 768d", sec,
+                    "matvec cost is one fused pass — dim-768 is where the BLAS "
+                    "kernel earns its keep"))
+    emb768.unpersist()
+
     # ---- near-dup: exact blocked BLAS vs LSH at 30K vectors
     mid_emb = (
         emb.crossJoin(spark.range(15).select(F.col("id").alias("rep")))
