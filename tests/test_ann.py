@@ -175,3 +175,34 @@ def test_srp_index_pushdown_and_parity(spark, emb, qvec, tmp_path):
     # same rows as the computed-signature path (self-hit included here)
     live = A.srp_topk(emb, qvec, k=10, bands=16)
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in live.collect()]
+
+
+def test_srp_kernels_agree_on_adversarial_boundary_vectors(spark):
+    # vectors engineered to put x*127 at .5 rounding boundaries and the
+    # per-bit dots near 0 — the exact places where a half-even/half-up or
+    # last-ulp mismatch between Python, Spark codegen, and numpy would flip
+    # a bit and silently desync the three implementations
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(64):
+        if i % 3 == 0:
+            v = ((rng.integers(-100, 100, 64) + 0.5) / 127.0).tolist()  # q at k+.5
+        elif i % 3 == 1:
+            v = (rng.standard_normal(64) * 1e-3).tolist()  # dots hover near 0
+        else:
+            v = rng.standard_normal(64).tolist()
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    expr = {}
+    for r in A.srp_band_rows(df).collect():
+        expr.setdefault(r["_id"], {})[r["band"]] = r["key"]
+    blas = {}
+    for r in A.srp_band_rows_blas(df).collect():
+        blas.setdefault(r["_id"], {})[r["band"]] = r["key"]
+    assert expr == blas
+    for i, v in rows:
+        py = A.srp_query_keys(v)
+        assert [expr[i][b] for b in range(16)] == py, f"vec {i} desync"
