@@ -390,16 +390,70 @@ def minhash_dedup_verified(
 # SimHash
 
 
-def simhash(
+def simhash_kernel(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """Fused Python kernel for :func:`simhash` — bit-identical fingerprints
+    (same tokenize/md5/threshold pipeline), one ``mapInPandas`` pass instead
+    of explode + groupBy + 2*bits conditional aggregates. Each distinct
+    token's ±1 bit vector is computed once per batch (cached by token), so
+    work scales with vocabulary + token instances, not bits × instances.
+    No shuffle at all (the expression form shuffles on (id, token))."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    jays = np.arange(bits, dtype="int64")
+    weights = (np.int64(1) << jays)
+
+    def _fp(batches):
+        cache: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            out_id, out_fp = [], []
+            for _id, text in zip(pdf["_id"], pdf["_t"]):
+                counts = Counter(
+                    t for t in tok_re.split((text or "").lower()) if t
+                )
+                if not counts:
+                    continue  # parity: explode of an empty token array
+                    # emits no rows, so the expression form drops the doc
+                acc = np.zeros(bits, dtype="int64")
+                for t, w in counts.items():
+                    pm = cache.get(t)
+                    if pm is None:
+                        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        pm = np.where((h >> jays) & 1 == 1, 1, -1).astype("int64")
+                        cache[t] = pm
+                    acc += pm * w
+                out_id.append(_id)
+                out_fp.append(int(((acc > 0).astype("int64") * weights).sum()))
+            yield pd.DataFrame({"_id": out_id, "fp": out_fp})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    return src.mapInPandas(_fp, f"_id {id_type}, fp bigint").select(
+        F.col("_id").alias(id_col), F.col("fp").alias("simhash")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, kernel: str = "pandas"
 ) -> DataFrame:
     """(id, simhash: bigint) — token-frequency-weighted SimHash fingerprint.
 
     Bit j of the fingerprint is 1 iff sum over tokens of
     count(token) * (bit j of md5int(token) ? +1 : -1) > 0. Near-dups have
-    small hamming distance. Pure expressions: explode → groupBy(id, token)
-    count → per-bit conditional sums → bit assembly.
+    small hamming distance. ``kernel='pandas'`` (default) runs the fused
+    shuffle-free kernel; ``'expr'`` is the pure-expression reference the
+    dd_simhash oracle mirrors: explode → groupBy(id, token) count →
+    per-bit conditional sums → bit assembly.
     """
+    if kernel == "pandas":
+        return simhash_kernel(df, id_col, text_col, bits)
     tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t"))
     cnt = tok.groupBy("_id", "t").agg(F.count(F.lit(1)).alias("w"))
     h = md5_int(F.col("t"))

@@ -147,3 +147,22 @@ def test_minhash_band_kernel_matches_expression(spark, sf_dir):
         for r in D.minhash_lsh_pairs(docs, "doc_id", "text", kernel="pandas").collect()
     }
     assert expr == pandas_k
+
+
+def test_simhash_kernel_matches_expression(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # include a token-less doc: both forms must drop it
+    docs = docs.unionByName(
+        spark.createDataFrame([(99999, "!!! ...")], "doc_id long, text string"),
+        allowMissingColumns=True,
+    )
+    expr = {
+        (r["doc_id"], r["simhash"])
+        for r in D.simhash(docs, "doc_id", "text", bits=48, kernel="expr").collect()
+    }
+    pk = {
+        (r["doc_id"], r["simhash"])
+        for r in D.simhash(docs, "doc_id", "text", bits=48, kernel="pandas").collect()
+    }
+    assert expr == pk
+    assert not any(i == 99999 for i, _ in pk)
