@@ -110,9 +110,9 @@ def write_ivf_index(
 # Signed-random-projection (SRP) LSH — the native cosine-LSH banded join.
 #
 # Replaces MLlib's euclidean approxSimilarityJoin for the 1M+ near-dup
-# regime: SCALE.md measured MLlib at 127 s for 30K vectors vs 39.5 s for the
-# exact blocked-BLAS join, i.e. MLlib's constant costs put its crossover far
-# past where an LSH should win. This formulation is pure DataFrame ops:
+# regime: SCALE.md measures this operator at ~2 s for 30K vectors vs ~80 s
+# for MLlib and 15-60 s for the exact blocked-BLAS join — MLlib's constant
+# costs put its crossover far past where an LSH should win. Structure:
 #
 # * signatures are MAP-ONLY — per-row integer dot products against literal
 #   +/-1 hyperplanes (no fit step, no shuffle, no Python);
