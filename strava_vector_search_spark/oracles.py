@@ -313,7 +313,7 @@ def _minhash_sig_ctes(num_hashes: int) -> str:
 _H16 = ", ".join(f"h{i}" for i in range(16))
 ORACLES["dd_minhash_signatures"] = f"""
 WITH {_minhash_sig_ctes(16)}
-SELECT doc_id, [{_H16}] AS sig FROM sigt
+SELECT doc_id, array_to_string([{_H16}], ',') AS sig_csv FROM sigt
 """
 
 
@@ -484,7 +484,11 @@ _CENTROID_CTES = """
 
 ORACLES["ann_centroids"] = f"""
 WITH {_CENTROID_CTES}
-SELECT cluster, centroid FROM cent
+SELECT cluster,
+       array_to_string(
+         list_transform(centroid, x -> (x::DECIMAL(18,6))::VARCHAR),
+         ',') AS centroid_csv
+FROM cent
 """
 
 ORACLES["ann_ivf_topk"] = f"""
@@ -570,10 +574,12 @@ WITH d AS (
 SELECT media_id, i.range::INTEGER AS frame_idx,
        (16 + n % 16)::INTEGER AS width,
        (16 + (n // 4) % 16)::INTEGER AS height,
-       [((ascii(substr(text, 1, 1)) + i.range) % 251)::FLOAT,
-        ((ascii(substr(text, 2, 1)) + i.range) % 251)::FLOAT,
-        ((ascii(substr(text, 3, 1)) + i.range) % 251)::FLOAT,
-        ((ascii(substr(text, 4, 1)) + i.range) % 251)::FLOAT] AS feature
+       array_to_string(
+         [((ascii(substr(text, 1, 1)) + i.range) % 251)::INTEGER,
+          ((ascii(substr(text, 2, 1)) + i.range) % 251)::INTEGER,
+          ((ascii(substr(text, 3, 1)) + i.range) % 251)::INTEGER,
+          ((ascii(substr(text, 4, 1)) + i.range) % 251)::INTEGER],
+         ',') AS feature_csv
 FROM d, range(0, 3) i
 WHERE i.range < greatest(1, least(3, n // 8))
 """

@@ -409,11 +409,20 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-permutation MinHash signatures over 3-gram shingles (md5-based,
-    bit-reproducible across engines)."""
+    bit-reproducible across engines).
+
+    The gate output serializes the signature array to a CSV string so the
+    driver's canonicalizer (pandas sort_values) can hash it — lists are
+    unhashable there. Values are int64, so the serialization is exact.
+    """
     from strava_vector_search_spark.operators.dedup import minhash_signatures
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    return sigs.select(
+        "doc_id",
+        F.array_join(F.col("sig").cast("array<string>"), ",").alias("sig_csv"),
+    )
 
 
 def dd_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,12 +581,25 @@ QUERIES.update(
 
 def ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF build step: per-cluster elementwise-mean centroids (decimal-exact,
-    one partial-agg shuffle)."""
+    one partial-agg shuffle).
+
+    Gate output serializes the centroid array to a CSV of DECIMAL(18,6)
+    strings (values are already rounded to 6 dp, so this is exact) — the
+    driver's canonicalizer can't hash list-typed cells.
+    """
     from strava_vector_search_spark.operators.ann import compute_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return compute_centroids(emb, "label", "embedding").select(
-        F.col("cluster").cast("int").alias("cluster"), "centroid"
+    cents = compute_centroids(emb, "label", "embedding")
+    return cents.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.array_join(
+            F.transform(
+                F.col("centroid"),
+                lambda x: x.cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("centroid_csv"),
     )
 
 
@@ -736,7 +758,21 @@ def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
-    return decode_frames(media)
+    frames = decode_frames(media)
+    # Serialize the float-feature array (integral values < 251) to an exact
+    # int CSV — the driver's canonicalizer can't hash list-typed cells.
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.array_join(
+            F.transform(
+                F.col("feature"), lambda x: x.cast("int").cast("string")
+            ),
+            ",",
+        ).alias("feature_csv"),
+    )
 
 
 QUERIES.update(
