@@ -103,12 +103,15 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact key (hash-groupBy dedup).
 
-    One shuffle on the key columns. At scale prefer hashing wide keys first
-    (`md5_int`) so the shuffle key is 8 bytes, which this does automatically
-    for multi-column keys.
+    One shuffle on the raw key columns. Partitioning on the columns
+    themselves (not a derived digest) is both correct and free: Spark's
+    shuffle routes by an internal hash of the partition expressions, so a
+    precomputed digest would not shrink the shuffle — and a truncated
+    digest as the *correctness* key would merge distinct keys on collision
+    (at billions of rows, 60-bit birthday collisions are expected) and
+    conflate NULL with empty string under separator-joined concat.
     """
-    key = md5_int(F.concat_ws("", *key_cols)) if len(key_cols) > 1 else F.col(key_cols[0])
-    w = Window.partitionBy(key).orderBy(F.asc(id_col))
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(id_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -627,8 +630,13 @@ def connected_components(
     # corpus (they ARE the duplicates); below the threshold a driver-side
     # union-find replaces R rounds of join+aggregate actions — the same
     # size-based switch Catalyst makes for broadcast joins. Identical output.
+    # output schema follows the input id type (long/int/string ids all
+    # work), matching the type-generic distributed path below
+    id_type = pairs.schema[id1].dataType.simpleString()
+    out_schema = f"id {id_type}, comp {id_type}"
+
     if driver_threshold and edges.count() <= driver_threshold:
-        parent: dict[int, int] = {}
+        parent: dict = {}
 
         def find(x: int) -> int:
             while parent[x] != x:
@@ -646,9 +654,7 @@ def connected_components(
                 parent[hi] = lo
         rows = [(n, find(n)) for n in parent]
         spark = pairs.sparkSession
-        if not rows:
-            return spark.createDataFrame([], "id long, comp long")
-        return spark.createDataFrame(rows, "id long, comp long")
+        return spark.createDataFrame(rows, out_schema)
 
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

@@ -27,6 +27,35 @@ EXCELLENT_CUTOFF = 0.80
 GOOD_CUTOFF = 0.70
 
 
+def _local_topk_ties(s, ids, k):
+    """Indices of the local top-k under (score DESC, id ASC).
+
+    argpartition alone breaks ties at the k-th (rounded) score arbitrarily,
+    which can locally drop a row the global id-ascending tie-break would
+    keep. Two phases keep it cheap AND deterministic: O(n) argpartition
+    finds the k-th score, then only the >=k-th candidate set (usually
+    exactly k rows) is sorted by (score DESC, id ASC). Works for numeric
+    and string id dtypes alike (pandas sort on the tiny candidate frame).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = len(s)
+    if n <= k:
+        cand = np.arange(n)
+    else:
+        part = np.argpartition(-s, k - 1)[:k]
+        kth = s[part].min()
+        cand = np.flatnonzero(s >= kth)
+    order = (
+        pd.DataFrame({"_i": cand, "_s": s[cand], "_id": ids[cand]})
+        .sort_values(["_s", "_id"], ascending=[False, True], kind="mergesort")
+        .head(k)["_i"]
+        .to_numpy()
+    )
+    return order
+
+
 def brute_force_topk(
     corpus: DataFrame,
     query_vec: list[float] | Column,
@@ -196,13 +225,23 @@ def batch_topk_blas(
             scores = np.round(qmat @ mat.T, 6)  # nq x nb
             nb = scores.shape[1]
             take = min(k, nb)
-            # per-query local top-k (argpartition row-wise)
-            idx = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            # Per-query local top-k. The local prune must never drop a row
+            # the global (similarity DESC, id ASC) rank would keep, so ties
+            # at the k-th score are resolved by id ascending: argpartition
+            # (O(nb)) finds the k-th score, then only the tied candidate
+            # set (usually exactly k rows) is sorted.
+            out_q, out_i, out_s = [], [], []
+            for qi in range(nq):
+                s = scores[qi]
+                cand = _local_topk_ties(s, ids, take)
+                out_q.append(np.repeat(qids[qi], len(cand)))
+                out_i.append(ids[cand])
+                out_s.append(s[cand])
             yield pd.DataFrame(
                 {
-                    query_id_col: np.repeat(qids, take),
-                    "_id": ids[idx].reshape(-1),
-                    "similarity": np.take_along_axis(scores, idx, axis=1).reshape(-1),
+                    query_id_col: np.concatenate(out_q),
+                    "_id": np.concatenate(out_i),
+                    "similarity": np.concatenate(out_s),
                 }
             )
 
@@ -254,6 +293,8 @@ def brute_force_topk_blas(
     )
     q = None
 
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
     def _score(batches):
         nonlocal q
         for pdf in batches:
@@ -261,17 +302,15 @@ def brute_force_topk_blas(
                 continue
             if q is None:
                 q = np.asarray(query_vec, dtype="float64")
+            ids = pdf["_id"].to_numpy()
             mat = np.stack(pdf["_vec"].to_numpy()).astype("float64")
             s = np.round(mat @ q, 6)
-            if len(s) > k:
-                idx = np.argpartition(-s, k)[:k]
-            else:
-                idx = np.arange(len(s))
-            yield pd.DataFrame(
-                {"_id": pdf["_id"].to_numpy()[idx], similarity_col: s[idx]}
-            )
+            idx = _local_topk_ties(s, ids, k)
+            yield pd.DataFrame({"_id": ids[idx], similarity_col: s[idx]})
 
-    local = narrow.mapInPandas(_score, f"_id long, {similarity_col} double")
+    local = narrow.mapInPandas(
+        _score, f"_id {id_type}, {similarity_col} double"
+    )
     top = local.orderBy(F.desc(similarity_col), F.asc("_id")).limit(k)
     # join back for the full rows (k-row broadcast)
     return (

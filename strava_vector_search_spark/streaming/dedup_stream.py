@@ -10,8 +10,11 @@ wiring :func:`start_dedup_stream`):
 1. MinHash-sign the incoming documents (same signatures as batch dedup);
 2. LSH band join against the persisted signature store — candidates only;
 3. exact shingle-Jaccard verification of candidates (candidate-driven);
-4. ALSO dedup the batch against itself (two dups arriving together);
-5. append survivors to the corpus store + their signatures to the index.
+4. ALSO dedup the batch against itself (two dups arriving together),
+   resolved against admitted refs only (matching a rejected doc rejects
+   nothing);
+5. write survivors + signatures under batch-id-keyed partition dirs with
+   overwrite — idempotent under foreachBatch's at-least-once replay.
 
 State is the signature store (num_hashes longs per admitted doc) — not the
 corpus text — so the check scales like the LSH band join: shuffles 8-byte
@@ -66,28 +69,39 @@ def admit_batch(
     """One admission step. Returns (admitted_docs, admitted_signatures).
 
     A new doc is REJECTED if it verifies as a near-dup (Jaccard >= threshold)
-    of any already-admitted doc, or of an admitted doc earlier in the same
-    batch (lower id wins within a batch — deterministic).
+    of any already-admitted doc, or of an ADMITTED doc earlier in the same
+    batch (lower id wins within a batch — deterministic). Matching only a
+    rejected doc does not reject: if A is rejected and C matches A but not
+    A's surviving twin, C is admitted — resolved transitively in id order.
     """
     sig_new = minhash_signatures(
         new_docs, id_col, text_col, num_hashes, shingle_n
     ).localCheckpoint(eager=False)
     bands_new = _band_rows(sig_new, id_col, num_hashes, bands)
 
-    # candidates vs the store AND vs the batch itself (id-ordered)
+    # candidates vs the store AND vs the batch itself (id-ordered); tag the
+    # origin — in-batch refs need admission-aware resolution below
     cand_parts = []
     if existing_signatures is not None:
         bands_old = _band_rows(existing_signatures, id_col, num_hashes, bands)
         cand_parts.append(
             bands_new.alias("n")
             .join(bands_old.alias("o"), ["band", "bkey"])
-            .select(F.col("n._id").alias("new_id"), F.col("o._id").alias("ref_id"))
+            .select(
+                F.col("n._id").alias("new_id"),
+                F.col("o._id").alias("ref_id"),
+                F.lit(False).alias("ref_in_batch"),
+            )
         )
     cand_parts.append(
         bands_new.alias("a")
         .join(bands_new.alias("b"), ["band", "bkey"])
         .filter(F.col("b._id") < F.col("a._id"))
-        .select(F.col("a._id").alias("new_id"), F.col("b._id").alias("ref_id"))
+        .select(
+            F.col("a._id").alias("new_id"),
+            F.col("b._id").alias("ref_id"),
+            F.lit(True).alias("ref_in_batch"),
+        )
     )
     cands = cand_parts[0]
     for p in cand_parts[1:]:
@@ -124,13 +138,75 @@ def admit_batch(
             ),
         )
     )
-    rejected = est.filter(F.col("est_jaccard") >= threshold).select(
-        F.col("new_id").alias(id_col)
-    ).distinct()
+    # Resolve admission against ADMITTED refs only. A doc whose only match
+    # is itself rejected (so it never entered the corpus) must be admitted —
+    # greedy chain rejection would wrongly drop it. The resolution is
+    # sequential in id order (lowest id wins), so it runs driver-side over
+    # the VERIFIED match pairs only: ids, no payloads, and bounded by the
+    # number of near-dup matches in one micro-batch (they are the rejects —
+    # tiny relative to batch size by construction of a dedup gate).
+    matches = (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "ref_id", "ref_in_batch")
+        .collect()
+    )
+    rejected = {r["new_id"] for r in matches if not r["ref_in_batch"]}
+    in_batch_refs: dict = {}
+    for r in matches:
+        if r["ref_in_batch"]:
+            in_batch_refs.setdefault(r["new_id"], set()).add(r["ref_id"])
+    for i in sorted(in_batch_refs):
+        if i in rejected:
+            continue
+        # refs are always lower ids, so their fate is already decided
+        if any(ref not in rejected for ref in in_batch_refs[i]):
+            rejected.add(i)
 
-    admitted = new_docs.join(rejected, id_col, "left_anti")
-    admitted_sigs = sig_new.join(rejected, id_col, "left_anti")
+    if not rejected:
+        return new_docs, sig_new
+    spark = new_docs.sparkSession
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+    rej_df = F.broadcast(
+        spark.createDataFrame(
+            [(i,) for i in sorted(rejected)], f"{id_col} {id_type}"
+        )
+    )
+    admitted = new_docs.join(rej_df, id_col, "left_anti")
+    admitted_sigs = sig_new.join(rej_df, id_col, "left_anti")
     return admitted, admitted_sigs
+
+
+def process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    signature_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> None:
+    """One idempotent admission micro-batch (the foreachBatch body).
+
+    Reads the signature store EXCLUDING this batch's own partition (so a
+    replay can neither self-reject nor double-admit), runs admission, and
+    overwrites both stores' ``_batch_id=<id>`` partition directories.
+    Admission is deterministic, so a replayed batch rewrites identical
+    content — at-least-once delivery becomes effectively exactly-once.
+    """
+    try:
+        existing = (
+            spark.read.parquet(signature_path)
+            .filter(F.col("_batch_id") != batch_id)
+            .drop("_batch_id")
+        )
+    except Exception:
+        existing = None
+    admitted, sigs = admit_batch(batch_df, existing, id_col, text_col, threshold)
+    # signatures first: if the corpus write fails mid-batch, the replay
+    # still recomputes from a store that excludes this batch's partition
+    sigs.write.mode("overwrite").parquet(f"{signature_path}/_batch_id={batch_id}")
+    admitted.write.mode("overwrite").parquet(f"{corpus_path}/_batch_id={batch_id}")
 
 
 def start_dedup_stream(
@@ -145,18 +221,23 @@ def start_dedup_stream(
     threshold: float = 0.5,
     trigger_seconds: int = 60,
 ):
-    """Wire admission as a Structured Stream over an incoming directory."""
+    """Wire admission as a Structured Stream over an incoming directory.
+
+    IDEMPOTENT under at-least-once foreachBatch replay: both stores are
+    written under batch-id-keyed partition directories with overwrite, so a
+    replayed batch (e.g. after a crash between the two writes or before the
+    checkpoint commit) rewrites its own partitions instead of appending
+    duplicates. The admission check reads the signature store EXCLUDING the
+    current batch's partition, so a half-committed replay can neither
+    self-reject nor double-admit; admission is deterministic, so the
+    rewrite is byte-stable.
+    """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            existing = spark.read.parquet(signature_path)
-        except Exception:
-            existing = None
-        admitted, sigs = admit_batch(
-            batch_df, existing, id_col, text_col, threshold
+        process_batch(
+            spark, batch_df, batch_id, corpus_path, signature_path,
+            id_col, text_col, threshold,
         )
-        admitted.write.mode("append").parquet(corpus_path)
-        sigs.write.mode("append").parquet(signature_path)
 
     stream = spark.readStream.schema(docs_schema).parquet(incoming_path)
     return (

@@ -166,3 +166,20 @@ def test_simhash_kernel_matches_expression(spark, sf_dir):
     }
     assert expr == pk
     assert not any(i == 99999 for i, _ in pk)
+
+
+def test_connected_components_string_ids_driver_and_distributed(spark):
+    """Both the driver union-find path and the distributed path derive the
+    output schema from the input id type (regression: driver path was
+    hardcoded to long)."""
+    from strava_vector_search_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id1 string, id2 string"
+    )
+    for threshold in (100_000, 0):  # driver path, then distributed path
+        comp = {
+            r["id"]: r["comp"]
+            for r in connected_components(pairs, driver_threshold=threshold).collect()
+        }
+        assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from strava_vector_search_spark.streaming.dedup_stream import (
     admit_batch,
+    process_batch,
     start_dedup_stream,
 )
 
@@ -79,6 +80,77 @@ def test_streaming_dedup_end_to_end(spark, tmp_path):
         assert sig_ids == {1, 2, 4}
     finally:
         q.stop()
+
+
+def test_admit_batch_rejected_ref_does_not_chain_reject(spark):
+    """A doc whose ONLY match is a rejected doc must be admitted: doc 10 is
+    rejected against the store, doc 11 matches doc 10 in-batch but not the
+    store — 11's match never entered the corpus, so 11 is admitted."""
+    from strava_vector_search_spark.operators.dedup import minhash_signatures
+    from strava_vector_search_spark.streaming.dedup_stream import _band_rows
+
+    # Construct texts where est_jaccard(A, B) >= thr, est(B, C) >= thr but
+    # est(A, C) < thr (minhash is md5-deterministic, so once the construction
+    # holds it holds forever). A=Q, B=Q+R, C=R: A and C share ZERO shingles
+    # (est(A, C) = 0), while A~B and B~C share half their shingles each.
+    # 64 hashes tighten the estimate; 32 bands of 2 rows make the LSH
+    # candidate surfacing near-certain at J~0.5.
+    Q = " ".join(f"q{i} common{i}" for i in range(14))
+    R = " ".join(f"r{i} linked{i}" for i in range(14))
+    A, B, C = Q, f"{Q} {R}", R
+    NH, NB, thr = 64, 32, 0.35
+
+    store_docs = _docs(spark, [(1, A)])
+    store_sigs = minhash_signatures(store_docs, "doc_id", "text", NH)
+
+    # sanity-pin the construction via the same estimator admit_batch uses
+    sigs3 = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(
+            _docs(spark, [(1, A), (10, B), (11, C)]), "doc_id", "text", NH
+        ).collect()
+    }
+
+    def est(x, y):
+        return sum(a == b for a, b in zip(sigs3[x], sigs3[y])) / NH
+
+    assert est(1, 10) >= thr and est(10, 11) >= thr and est(1, 11) < thr
+
+    # ...and the LSH bands must actually surface both candidate pairs
+    def bset(did, text):
+        return {(r["band"], r["bkey"]) for r in _band_rows(
+            minhash_signatures(_docs(spark, [(did, text)]), "doc_id", "text", NH),
+            "doc_id", NH, NB).collect()}
+
+    assert bset(1, A) & bset(10, B) and bset(10, B) & bset(11, C)
+
+    admitted, _ = admit_batch(
+        _docs(spark, [(10, B), (11, C)]), store_sigs,
+        threshold=thr, num_hashes=NH, bands=NB,
+    )
+    ids = sorted(r["doc_id"] for r in admitted.collect())
+    assert ids == [11]  # 10 rejected vs store; 11 admitted despite ~10
+
+
+def test_process_batch_replay_is_idempotent(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+
+    batch0 = _docs(spark, [(1, BASE), (2, OTHER)])
+    process_batch(spark, batch0, 0, corpus, sigs)
+    # replay the same batch (at-least-once delivery after a crash)
+    process_batch(spark, batch0, 0, corpus, sigs)
+    rows = spark.read.parquet(corpus).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]  # no duplicates
+    sig_rows = spark.read.parquet(sigs).collect()
+    assert sorted(r["doc_id"] for r in sig_rows) == [1, 2]
+
+    # a later batch still dedups against batch 0's store
+    batch1 = _docs(spark, [(3, NEAR), (4, THIRD)])
+    process_batch(spark, batch1, 1, corpus, sigs)
+    process_batch(spark, batch1, 1, corpus, sigs)  # replay batch 1 too
+    have = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert have == [1, 2, 4]  # 3 rejected as near-dup of 1, no dup rows
 
 
 def test_admit_batch_empty_and_degenerate_inputs(spark):

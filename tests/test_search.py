@@ -133,3 +133,64 @@ def test_batch_topk_blas_matches_expression(spark, sf_dir):
         .collect()
     }
     assert expr == blas
+
+
+def test_blas_kernels_accept_string_ids(spark, sf_dir):
+    """Output schemas derive from the input id type — string doc ids must
+    round-trip (regression: the schema was once hardcoded to long)."""
+    from strava_vector_search_spark.operators.search import (
+        batch_topk_blas,
+        brute_force_topk,
+        brute_force_topk_blas,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.selectExpr(
+        "concat('doc-', lpad(vec_id, 6, '0')) AS doc_id", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+
+    blas = brute_force_topk_blas(corpus, qvec, k=5)
+    expr = brute_force_topk(corpus, qvec, k=5, assume_normalized=True).select(
+        "doc_id", F.round("similarity", 6).alias("similarity")
+    )
+    b = [(r["doc_id"], r["similarity"]) for r in
+         blas.select("doc_id", "similarity")
+         .orderBy(F.desc("similarity"), F.asc("doc_id")).collect()]
+    e = [(r["doc_id"], r["similarity"]) for r in
+         expr.orderBy(F.desc("similarity"), F.asc("doc_id")).collect()]
+    assert b == e and isinstance(b[0][0], str)
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.concat(F.lit("q-"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    bt = batch_topk_blas(corpus, queries, k=3)
+    rows = bt.select("query_id", "doc_id", "rank").collect()
+    assert len(rows) == 6
+    assert all(r["doc_id"].startswith("doc-") for r in rows)
+
+
+def test_blas_topk_tie_break_is_id_ascending(spark):
+    """>k rows tying at the k-th score within ONE batch must keep the lowest
+    ids — the global (score DESC, id ASC) contract (regression: argpartition
+    alone broke boundary ties arbitrarily)."""
+    from strava_vector_search_spark.operators.search import (
+        batch_topk_blas,
+        brute_force_topk_blas,
+    )
+
+    # 40 identical vectors (all tie at similarity 1.0) + 10 orthogonal
+    rows = [(i, [1.0, 0.0]) for i in range(40)] + [(100 + i, [0.0, 1.0]) for i in range(10)]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>"
+    ).coalesce(1)  # one partition -> one Arrow batch -> local prune must tie-break
+    out = brute_force_topk_blas(corpus, [1.0, 0.0], k=5)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [0, 1, 2, 3, 4]
+
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    bt = batch_topk_blas(corpus, queries, k=5)
+    assert sorted(r["doc_id"] for r in bt.collect()) == [0, 1, 2, 3, 4]
