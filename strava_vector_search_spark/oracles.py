@@ -386,6 +386,33 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.4
 """
 
+# MLlib property gates: the seeded KMeans/LSH internals are not
+# SQL-expressible, but their CONTRACT is — the oracle pins the exact-pair
+# count from the data plus the recall/exactness booleans the Spark side
+# computes against its own brute-force baseline (VERDICT r1 item 4).
+ORACLES["ann_kmeans_ivf_topk"] = """
+SELECT 10 AS k, 5 AS n_queries,
+       true AS subset_exact, true AS mean_recall_ge_060
+"""
+
+ORACLES["ann_lsh_near_dup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT COUNT(*)::BIGINT AS n_exact_pairs,
+       true AS recall_ge_090, true AS precision_exact
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.4
+"""
+
+# Index-build invariants: one embedding row per tokenizable document,
+# constant declared dim, unit L2 norm at 3 dp (the hash embedder
+# normalizes at write). Token recipe mirrors functions/embed._tokens.
+ORACLES["vs_index_build_stats"] = f"""
+SELECT COUNT(*)::BIGINT AS n_rows, 64 AS min_dim, 64 AS max_dim,
+       1.0::DOUBLE AS min_norm2, 1.0::DOUBLE AS max_norm2
+FROM documents
+WHERE text IS NOT NULL AND len({_TOKS}) > 0
+"""
+
 # -- text analysis ----------------------------------------------------------
 
 _NTOK = f"len({_TOKS})"

@@ -901,32 +901,104 @@ QUERIES.update(
 
 # ---------------------------------------------------------------------------
 # MLlib batch indexing (BASELINE.json: "MLlib for batch indexing").
-# Not ANSI-SQL-expressible (KMeans / random-hyperplane LSH internals), so no
-# oracle entries: the driver records rows-only checks for these two.
+# KMeans / random-hyperplane LSH internals are not ANSI-SQL-expressible, so
+# these gate entries check PROPERTIES instead of values: exactness of the
+# IVF mechanics within the probed clusters, and recall/precision bounds vs
+# the brute-force result — all reduced to oracle-checkable booleans.
 
 
 def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with an MLlib KMeans coarse quantizer (seeded, deterministic):
-    the production build path when no natural cluster column exists."""
-    from strava_vector_search_spark.operators.ann import ivf_topk, kmeans_assign
+    """IVF with an MLlib KMeans coarse quantizer (seeded), as a property
+    gate: (a) the IVF result must EXACTLY equal brute force restricted to
+    the probed clusters (the approximation is cluster pruning, nothing
+    else), and (b) mean recall vs unrestricted brute-force top-10 over 5
+    query vectors must clear 0.6 (measured 0.76-0.92 at sf0.001-0.1 with
+    nprobe=5 of 8 clusters). Probing all 8 clusters doubles as the
+    brute-force baseline so both sides share one scorer."""
+    from strava_vector_search_spark.operators.ann import (
+        compute_centroids,
+        ivf_topk,
+        kmeans_assign,
+    )
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    clustered = kmeans_assign(emb, num_clusters=8, seed=42)
-    qv = _query_vec(spark, sf_dir, 11)
-    out = ivf_topk(clustered, qv, k=10, nprobe=3, cluster_col="cluster", id_col="vec_id")
-    return out.select("vec_id", "similarity")
+    clustered = kmeans_assign(emb, num_clusters=8, seed=42).localCheckpoint(
+        eager=False
+    )
+    cents = compute_centroids(clustered, "cluster").localCheckpoint(eager=False)
+    k, nprobe, qids = 10, 5, (3, 7, 11, 19, 23)
+    hits = 0
+    subset_exact = True
+    for qid in qids:
+        qv = _query_vec(spark, sf_dir, qid)
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+
+        def run(df, cen, probe_n):
+            return [
+                (r["vec_id"], r["similarity"])
+                for r in ivf_topk(
+                    df, qv, k=k, nprobe=probe_n, cluster_col="cluster",
+                    id_col="vec_id", centroids=cen,
+                ).select("vec_id", "similarity").collect()
+            ]
+
+        ivf = run(clustered, cents, nprobe)
+        full = run(clustered, cents, 8)  # all clusters == brute force
+        hits += len({i for i, _ in ivf} & {i for i, _ in full})
+        probed = [
+            r["cluster"]
+            for r in cents.withColumn(
+                "cdist", cosine_similarity_rounded(F.col("centroid"), qcol)
+            )
+            .orderBy(F.desc("cdist"), F.asc("cluster"))
+            .limit(nprobe)
+            .collect()
+        ]
+        sub = run(
+            clustered.filter(F.col("cluster").isin(probed)), cents, nprobe
+        )
+        subset_exact = subset_exact and (ivf == sub)
+    mean_recall = hits / (k * len(qids))
+    return spark.createDataFrame(
+        [(k, len(qids), bool(subset_exact), bool(mean_recall >= 0.6))],
+        "k int, n_queries int, subset_exact boolean, mean_recall_ge_060 boolean",
+    )
 
 
 def ann_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate near-dup pairs via MLlib BucketedRandomProjectionLSH
-    (seeded) — the approxSimilarityJoin scale path."""
+    """MLlib BucketedRandomProjectionLSH approxSimilarityJoin as a property
+    gate: recall >= 0.9 vs the exact all-pairs cosine>=0.4 set (measured
+    0.97-0.98 at sf0.001-0.1) and exact-subset precision (every returned
+    pair is a true pair — both sides threshold the same rounded cosine).
+    n_exact_pairs is DuckDB-computable, anchoring the row to real data."""
     from strava_vector_search_spark.operators.ann import lsh_near_dup_pairs
+    from strava_vector_search_spark.operators.dedup import (
+        embedding_near_dup_blocked,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        lsh_near_dup_pairs(emb, max_distance=1.1, num_hash_tables=4, bucket_length=0.7)
+    exact = {
+        (r["id1"], r["id2"])
+        for r in embedding_near_dup_blocked(emb, threshold=0.4)
+        .select("id1", "id2")
+        .collect()
+    }
+    approx = {
+        (r["id1"], r["id2"])
+        for r in lsh_near_dup_pairs(
+            emb, max_distance=1.1, num_hash_tables=4, bucket_length=0.7
+        )
         .filter(F.col("cosine") >= 0.4)
-        .orderBy("id1", "id2")
+        .select("id1", "id2")
+        .collect()
+    }
+    recall = len(exact & approx) / max(len(exact), 1)
+    return spark.createDataFrame(
+        [(len(exact), bool(recall >= 0.9), bool(approx <= exact))],
+        "n_exact_pairs bigint, recall_ge_090 boolean, precision_exact boolean",
     )
 
 
@@ -1045,8 +1117,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def vs_index_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index build through the service path (S6): hash-embed the documents
-    corpus and report invariants (row parity with the corpus, dimensionality,
-    unit norms). Embedder internals are xxhash64-based -> rows-only check."""
+    corpus and report invariants. The embedder internals are xxhash64-based
+    (not SQL-portable) but the CONTRACT is oracle-checkable: one embedding
+    per tokenizable doc, declared dim on every row, unit L2 norm at 3 dp."""
     from strava_vector_search_spark.functions.embed import hash_embedding_table
     from strava_vector_search_spark.functions.vector import dot_product
 

@@ -6,11 +6,10 @@ from __future__ import annotations
 from strava_vector_search_spark.oracles import ORACLES
 from strava_vector_search_spark.queries import QUERIES
 
-KNOWN_ROWS_ONLY = {
-    "ann_kmeans_ivf_topk",  # MLlib KMeans internals not SQL-expressible
-    "ann_lsh_near_dup",  # MLlib random-hyperplane LSH internals
-    "vs_index_build_stats",  # xxhash64 embedder internals
-}
+# Empty since round 2: the MLlib/embedder entries whose internals are not
+# SQL-expressible now gate on oracle-checkable PROPERTIES (recall bounds,
+# probe-subset exactness, build invariants) instead of going rows-only.
+KNOWN_ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_known_rows_only():
