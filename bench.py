@@ -39,6 +39,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_broadcast_dims",
+    "dd_simhash_pairs",
+    "j_salted_skew",
+    "q4_order_priority",
+    "q14_promo_revenue",
 ]
 
 
@@ -46,7 +50,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    # FATAL (not ERROR): AQE-cancelled stages log benign ERROR-level
+    # DAGScheduler accumulator messages ("Java heartbeat" noise) that would
+    # otherwise clutter the bench tail; failures still surface via rc != 0
+    # and the missing JSON line.
+    spark.sparkContext.setLogLevel("FATAL")
 
     # warm-up: touch every table once (footer reads, JIT, codegen caches)
     from strava_vector_search_spark.io.tables import TABLES, load_table
