@@ -82,33 +82,58 @@ def hash_embed_text(spark, text: str, dim: int = DEFAULT_DIM) -> list[float]:
     return hash_embedding_table(one, "id", "t", dim).collect()[0]["embedding"]
 
 
-def model_embedder(model_name: str = "intfloat/e5-base-v2", dim: int = 768):
-    """Pandas-UDF embedder backed by a real model; deterministic fallback.
+def model_embedder(
+    model_name: str = "intfloat/e5-base-v2",
+    dim: int = 768,
+    model_factory=None,
+):
+    """Pandas-UDF embedder backed by a real model.
 
-    Returns a callable(text_col) -> Column<array<float>>. If
-    sentence-transformers is unavailable (as in this container), raises
-    ImportError — callers choose the hash embedder instead. Kept so the
-    production wiring (Arrow batches, per-executor model reuse) is real.
+    Returns a callable(text_col) -> Column<array<float>>. ``model_factory``
+    is a zero-arg picklable callable returning an object with
+    ``encode(list[str], normalize_embeddings=True) -> 2-D array``; it
+    defaults to loading a sentence-transformers model (raises ImportError
+    when the library is absent, as in this container — callers fall back to
+    the hash embedder). Injecting a factory lets tests pin the Arrow
+    plumbing (batch → fillna('') → encode → one list[float] per row) with
+    a deterministic fake and no network.
+
+    Production wiring: the model is constructed lazily ONCE per Python
+    worker process (cached in the closure's state dict), so executors pay
+    one model load, not one per batch — the standard Arrow-batched
+    inference pattern.
     """
-    try:
-        from sentence_transformers import SentenceTransformer  # noqa: F401
-    except ImportError as e:  # pragma: no cover - lib not in container
-        raise ImportError(
-            "sentence-transformers not installed; use hash_embedding_table "
-            "(deterministic) or install the model library"
-        ) from e
+    if model_factory is None:
+        try:
+            from sentence_transformers import SentenceTransformer  # noqa: F401
+        except ImportError as e:  # pragma: no cover - lib not in container
+            raise ImportError(
+                "sentence-transformers not installed; use hash_embedding_table "
+                "(deterministic), or pass model_factory, or install the library"
+            ) from e
 
-    import pandas as pd  # pragma: no cover
-    from pyspark.sql.pandas.functions import pandas_udf  # pragma: no cover
+        def model_factory():  # pragma: no cover - lib not in container
+            from sentence_transformers import SentenceTransformer
 
-    @pandas_udf("array<float>")  # pragma: no cover
-    def _embed(texts: pd.Series) -> pd.Series:
-        from sentence_transformers import SentenceTransformer
+            return SentenceTransformer(model_name)
 
-        # one model per executor process, cached on the function object
-        if not hasattr(_embed, "_model"):
-            _embed._model = SentenceTransformer(model_name)
-        vecs = _embed._model.encode(texts.fillna("").tolist(), normalize_embeddings=True)
-        return pd.Series([v.tolist() for v in vecs])
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
 
-    return _embed
+    state: dict = {}
+
+    def _embed_fn(texts):
+        import pandas as pd  # local for the worker process
+
+        if "model" not in state:
+            state["model"] = model_factory()
+        vecs = state["model"].encode(
+            texts.fillna("").tolist(), normalize_embeddings=True
+        )
+        return pd.Series([[float(x) for x in v] for v in vecs])
+
+    # `from __future__ import annotations` stringifies hints and Spark
+    # cannot resolve a factory-local `pd.Series` string — attach the real
+    # type objects instead (the pandas-UDF schema-inference contract).
+    _embed_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_embed_fn, "array<float>")
