@@ -1,0 +1,151 @@
+"""Temporal joins the reference lacks but a training-data pipeline needs:
+as-of join (latest right row at-or-before each left row, per key) and
+range join (points into intervals) — both expressed as SHUFFLE-BOUNDED
+compositions of built-in DataFrame ops, never a cross join.
+
+As-of join — the union trick: tag both sides, union, ONE window per key
+ordered by (ts, side) carrying the right side's values forward with
+``last(ignorenulls)``. One shuffle on the key, O((|L|+|R|) log) per key,
+no range predicate anywhere — this is the plan that survives 100 TB,
+unlike the naive ``L join R on key and r.ts <= l.ts`` + row_number, which
+Spark can only execute as a broadcast-nested-loop or a per-key explosion.
+
+Range join — the binning trick: intervals explode to the coarse time
+buckets they cover, points map to exactly ONE bucket, and the join becomes
+an equi-join on (bucket) + a residual between-filter. Each (point,
+interval) pair meets in exactly one bucket (the point's), so no dedupe is
+needed. Choose ``bin_seconds`` near the typical interval length: shorter
+bins explode long intervals into more rows; longer bins put more
+non-matching pairs through the residual filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key (backward-inclusive,
+    pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics).
+
+    Output: every left column, plus each ``value_cols`` entry as
+    ``<col><suffix>`` and ``<right_ts><suffix>`` (the matched timestamp) —
+    all NULL when no right row qualifies (left join semantics). With
+    ``tolerance_seconds``, matches older than the tolerance are nulled.
+
+    If several right rows share (key, ts), the one latest in the
+    DataFrame's deterministic sort order of ``value_cols`` wins; pre-dedupe
+    the right side when that matters.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in set(on) | {right_ts}
+    ]
+    us = F.unix_micros
+
+    lhs = left.select(
+        *left.columns,
+        us(F.col(left_ts)).alias("_us"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).alias(f"_rv_{c}") for c in value_cols],
+    )
+    rhs = right.select(
+        *on,
+        us(F.col(right_ts)).alias("_us"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    # pad the right side with NULLs for left-only columns so unionByName
+    # aligns; left columns not in `on` are unknown on the right
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
+    u = lhs.unionByName(rhs.select(*lhs.columns))
+
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1): inclusive.
+    # Ordering ends with the value columns so equal-(key, ts) right rows
+    # resolve deterministically. The carried payload is ONE struct (non-null
+    # exactly when a right row exists), so a right row whose value columns
+    # are NULL still matches as itself — per-column last(ignorenulls) would
+    # wrongly reach past it to an older row.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_us", "_side", *[f"_rv_{c}" for c in value_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_us").alias("_mus"),
+            *[F.col(f"_rv_{c}").alias(c) for c in value_cols],
+        ),
+    )
+    out = (
+        u.select(
+            *left.columns,
+            "_us",
+            "_side",
+            F.last(payload, ignorenulls=True).over(w).alias("_m"),
+        )
+        .filter(F.col("_side") == 1)
+    )
+
+    in_tol: Column = F.col("_m").isNotNull()
+    if tolerance_seconds is not None:
+        in_tol = in_tol & (
+            F.col("_us") - F.col("_m._mus") <= tolerance_seconds * 1_000_000
+        )
+    keep = [
+        F.when(in_tol, F.col(f"_m.{c}")).alias(f"{c}{suffix}")
+        for c in value_cols
+    ] + [
+        F.when(in_tol, F.timestamp_micros(F.col("_m._mus"))).alias(
+            f"{right_ts}{suffix}"
+        )
+    ]
+    return out.select(*left.columns, *keep)
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "t0",
+    end_col: str = "t1",
+    bin_seconds: int = 1800,
+) -> DataFrame:
+    """Inner-join points into [start, end] intervals (both ends inclusive)
+    via coarse time-bucket equi-join + residual filter.
+
+    Returns one row per qualifying (point, interval) pair with all columns
+    from both inputs. Intervals explode to ceil(len/bin)+1 bucket rows;
+    points stay 1 row each, so the shuffle is |P| + sum(interval spans) —
+    never |P| x |I|.
+    """
+    w_us = bin_seconds * 1_000_000
+    us = F.unix_micros
+
+    pts = points.withColumn("_bkt", (us(F.col(point_ts)) / w_us).cast("long"))
+    ivs = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (us(F.col(start_col)) / w_us).cast("long"),
+                (us(F.col(end_col)) / w_us).cast("long"),
+            )
+        ),
+    )
+    joined = pts.join(ivs, "_bkt").filter(
+        F.col(point_ts).between(F.col(start_col), F.col(end_col))
+    )
+    return joined.drop("_bkt")

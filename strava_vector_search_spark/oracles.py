@@ -1175,3 +1175,41 @@ WHERE l_returnflag = 'R' AND o_orderpriority = '1-URGENT'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# -- temporal joins ----------------------------------------------------------
+
+ORACLES["ev_asof_join"] = """
+WITH v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT p.purchase_id, p.user_id,
+         v.view_id, epoch_us(p.ts) - epoch_us(v.ts) AS diff_us
+  FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+SELECT purchase_id, user_id,
+       CASE WHEN diff_us <= 7200000000 THEN view_id END AS view_id,
+       CASE WHEN diff_us <= 7200000000 THEN diff_us // 1000000 END
+         AS secs_since_view
+FROM m
+"""
+
+ORACLES["ev_range_join"] = """
+WITH inc AS (
+  SELECT event_id AS incident_id,
+         ts - INTERVAL 30 MINUTE AS t0, ts + INTERVAL 30 MINUTE AS t1
+  FROM events WHERE event_type = 'error' AND event_id % 20 = 0
+)
+SELECT incident_id, COUNT(*) AS n_events,
+       ROUND(SUM(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
+FROM inc JOIN events e ON e.ts >= inc.t0 AND e.ts <= inc.t1
+GROUP BY incident_id
+"""

@@ -1726,3 +1726,72 @@ def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"j_salted_skew": j_salted_skew})
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (engine completion: as-of + range join, operators/temporal.py)
+
+
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event attaches the latest view event
+    at-or-before it for the same user, within a 2-hour tolerance — the
+    attribution query every event pipeline needs. One shuffle on user_id
+    (union + window), no range predicate in the plan. Views are pre-deduped
+    per (user, ts) so tie resolution is engine-independent."""
+    from strava_vector_search_spark.operators.temporal import asof_join
+
+    ev = load_events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["view_id"],
+        tolerance_seconds=7200,
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("view_id_right").alias("view_id"),
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right")))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("secs_since_view"),
+    )
+
+
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: count/aggregate all events inside ±30-minute incident
+    windows around a subset of error events — executed as a time-bucket
+    equi-join + residual filter (operators/temporal.range_join_binned),
+    never a cross join; value-identical to the BETWEEN join the oracle runs."""
+    from strava_vector_search_spark.operators.temporal import range_join_binned
+
+    ev = load_events(spark, sf_dir)
+    incidents = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 20 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTE")).alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t1"),
+    )
+    pts = ev.select("event_id", "ts", "value")
+    joined = range_join_binned(pts, incidents, bin_seconds=1800)
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value", 2).alias("sum_value"),
+    )
+
+
+QUERIES.update({"ev_asof_join": ev_asof_join, "ev_range_join": ev_range_join})
