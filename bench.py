@@ -43,6 +43,10 @@ HEADLINE = [
     "j_salted_skew",
     "q4_order_priority",
     "q14_promo_revenue",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q16_supplier_cnt",
+    "q21_waiting_supplier",
 ]
 
 

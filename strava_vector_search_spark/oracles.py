@@ -1213,3 +1213,175 @@ SELECT incident_id, COUNT(*) AS n_events,
 FROM inc JOIN events e ON e.ts >= inc.t0 AND e.ts <= inc.t1
 GROUP BY incident_id
 """
+
+# -- Relational depth: outer joins, disjunctions, subquery shapes, frames ----
+
+ORACLES["q13_customer_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["q19_disjunctive_pushdown"] = """
+SELECT COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice::DECIMAL(18,6)
+                 * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6)))::DOUBLE,
+             2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice::DECIMAL(18,6)
+                   * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6)))::DOUBLE,
+               2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+ORACLES["q17_small_quantity_revenue"] = """
+WITH li_p AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+),
+t AS (
+  SELECT l_partkey AS t_partkey,
+         0.2 * (SUM(l_quantity::DECIMAL(18,6))::DOUBLE / COUNT(*)) AS qty_cut
+  FROM li_p GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l_extendedprice::DECIMAL(18,6))::DOUBLE / 7.0, 2) AS avg_yearly
+FROM li_p JOIN t ON l_partkey = t_partkey
+WHERE l_quantity < qty_cut
+"""
+
+ORACLES["q7_volume_shipping"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::INT AS l_year,
+       ROUND(SUM(l_extendedprice::DECIMAL(18,6)
+                 * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6)))::DOUBLE,
+             2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+ORACLES["q16_supplier_cnt"] = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLES["q21_waiting_supplier"] = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+ORACLES["q22_acctbal_prospects"] = """
+WITH sel AS (
+  SELECT c_custkey, c_acctbal, right(c_name, 2) AS cntrycode
+  FROM customer
+  WHERE right(c_name, 2) IN ('01','12','23','34','45','56','67')
+),
+avg_bal AS (
+  SELECT SUM(c_acctbal::DECIMAL(18,6))::DOUBLE / COUNT(*) AS _avg
+  FROM sel WHERE c_acctbal > 0
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal::DECIMAL(18,6))::DOUBLE, 2) AS totacctbal
+FROM sel, avg_bal
+WHERE c_acctbal > _avg
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+ORACLES["j_outer_full"] = """
+WITH c AS (
+  SELECT c_nationkey AS ck, COUNT(*) AS n_cust
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS sk, COUNT(*) AS n_supp
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+)
+SELECT COALESCE(ck, sk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON ck = sk
+ORDER BY nationkey
+"""
+
+ORACLES["w_lag_lead_frames"] = """
+SELECT user_id, event_id, ts,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000
+         AS secs_since_prev,
+       ROUND(SUM(value::DECIMAL(18,6))
+               OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE,
+             2) AS running_sum,
+       ROUND(SUM(value::DECIMAL(18,6))
+               OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::DOUBLE
+             / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             4) AS moving_avg3
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+"""
+
+ORACLES["a11_approx_distinct_bounds"] = """
+SELECT COUNT(DISTINCT l_partkey) AS exact_distinct, TRUE AS within_5pct
+FROM lineitem
+"""
