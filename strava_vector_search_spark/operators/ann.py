@@ -190,16 +190,19 @@ def srp_band_rows(
     bands: int = 16,
     dim: int = 64,
     quant_scale: int = 127,
+    include_sig: bool = False,
 ) -> DataFrame:
-    """(_id, band, key) — one row per (vector, band); key packs the band's
-    sign bits into an integer. Map-only: quantize → integer dot per
-    hyperplane → sign bit → shift-add per band → explode bands.
+    """(_id, band, key[, sig]) — one row per (vector, band); key packs the
+    band's sign bits into an integer (``sig`` packs ALL bands, shift+OR).
+    Map-only: quantize → integer dot per hyperplane → sign bit → shift-add
+    per band → explode bands.
 
     The quantized vector and its total are materialized in their own
     projection so codegen evaluates them once, not once per referencing bit
     (the expression-recompute gotcha measured 8x on shingles).
     """
     assert bits % bands == 0
+    r = bits // bands
     q = emb.select(
         F.col(id_col).alias("_id"),
         F.transform(
@@ -213,8 +216,16 @@ def srp_band_rows(
     )
     keys = _srp_key_cols(bits, bands, dim, F.col("_q"), F.col("_t"))
     wide = q.select("_id", *keys)
+    extra = []
+    if include_sig:
+        sig_col = F.shiftleft(F.col("k0"), 0)
+        for k in range(1, bands):
+            sig_col = sig_col.bitwiseOR(F.shiftleft(F.col(f"k{k}"), k * r))
+        extra = [sig_col.alias("sig")]
+    wide = wide.select("_id", *[f"k{k}" for k in range(bands)], *extra)
     return wide.select(
         "_id",
+        *(["sig"] if include_sig else []),
         F.explode(
             F.array(
                 *[
@@ -223,7 +234,12 @@ def srp_band_rows(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        "_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+        *(["sig"] if include_sig else []),
+    )
 
 
 def srp_near_dup_pairs(
@@ -253,6 +269,24 @@ def srp_near_dup_pairs(
     millions. Scores round to 6 dp like every similarity in the engine
     (cross-engine-stable at these magnitudes — same contract vs_topk_blas
     pins against the oracle).
+
+    Shuffle economics: the band rows are localCheckpoint'd before the
+    self-join (the Python signature stage would otherwise recompute per
+    join side — same rationale as dedup.simhash_pairs), and the candidate
+    ``distinct()`` is replaced by a first-agreeing-band filter computed
+    from the packed signatures carried in the joined row: a pair that
+    collides on several bands is emitted only where every earlier band's
+    signature slice differs. One narrow shuffle for the join, no wide
+    dedup shuffle. (Under the degenerate-bucket guard this can drop a pair
+    whose first agreeing band sat in an oversized bucket — a bounded
+    recall note, not a correctness one: every emitted pair is still
+    exactly verified.)
+
+    Below ``broadcast_verify_elems`` total vector elements (count x dim,
+    default 8M ≈ 64 MB float64), verification looks vectors up in a
+    broadcast matrix instead of running two id equi-joins — candidate
+    pairs then shuffle as bare id pairs. Above it, the join path keeps the
+    operator shuffle-bound but unbounded in corpus size.
     """
     import numpy as np
     import pandas as pd
@@ -260,18 +294,88 @@ def srp_near_dup_pairs(
     from pyspark.sql import Window
 
     band_rows_fn = srp_band_rows_blas if kernel == "blas" else srp_band_rows
-    rows = band_rows_fn(emb, id_col, vector_col, bits, bands, dim)
+    r = bits // bands
+    mask = (1 << r) - 1
+    rows = band_rows_fn(
+        emb, id_col, vector_col, bits, bands, dim, include_sig=True
+    ).localCheckpoint()
     sized = rows.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
     ).filter(F.col("bucket_n") <= max_bucket_size)
-    a = sized.select("band", "key", F.col("_id").alias("id1"))
-    b = sized.select("band", "key", F.col("_id").alias("id2"))
+    a = sized.select(
+        "band", "key", F.col("_id").alias("id1"), F.col("sig").alias("sig1")
+    )
+    b = sized.select(
+        "band", "key", F.col("_id").alias("id2"), F.col("sig").alias("sig2")
+    )
+    x = F.col("sig1").bitwiseXOR(F.col("sig2"))
+    first_agreeing = F.lit(True)
+    for c in range(bands - 1):
+        first_agreeing = first_agreeing & (
+            (F.col("band") <= c)
+            | (F.shiftright(x, c * r).bitwiseAND(F.lit(mask)) != 0)
+        )
     cands = (
         a.join(b, ["band", "key"])
-        .filter(F.col("id1") < F.col("id2"))
+        .filter((F.col("id1") < F.col("id2")) & first_agreeing)
         .select("id1", "id2")
-        .distinct()
     )
+
+    if not assume_normalized:
+        # full cosine falls back to the expression form (rare path: the
+        # write layer guarantees unit vectors)
+        from strava_vector_search_spark.functions.vector import similarity
+
+        v1 = emb.select(
+            F.col(id_col).alias("id1"),
+            F.col(vector_col).cast("array<double>").alias("v1"),
+        )
+        v2 = emb.select(
+            F.col(id_col).alias("id2"),
+            F.col(vector_col).cast("array<double>").alias("v2"),
+        )
+        paired = cands.join(v1, "id1").join(v2, "id2")
+        return (
+            paired.withColumn("cosine", similarity(F.col("v1"), F.col("v2"), False))
+            .filter(F.col("cosine") >= threshold)
+            .select("id1", "id2", "cosine")
+        )
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    n_vecs = emb.count()  # parquet sources: metadata-only job
+
+    if n_vecs * dim <= 8_000_000:
+        pdf_all = emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vector_col).cast("array<double>").alias("_v"),
+        ).toPandas()
+        vmat = np.stack(pdf_all["_v"].to_numpy()).astype("float64")
+        idx = pd.Series(
+            np.arange(len(pdf_all)), index=pdf_all["_id"].to_numpy()
+        )
+        bc = emb.sparkSession.sparkContext.broadcast((vmat, idx))
+
+        def _verify_bc(batches):
+            m, ix = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m1 = m[ix[pdf["id1"].to_numpy()].to_numpy()]
+                m2 = m[ix[pdf["id2"].to_numpy()].to_numpy()]
+                cos = np.round(np.einsum("ij,ij->i", m1, m2), 6)
+                keep = cos >= threshold
+                yield pd.DataFrame(
+                    {
+                        "id1": pdf["id1"].to_numpy()[keep],
+                        "id2": pdf["id2"].to_numpy()[keep],
+                        "cosine": cos[keep],
+                    }
+                )
+
+        return cands.mapInPandas(
+            _verify_bc, f"id1 {id_type}, id2 {id_type}, cosine double"
+        )
+
     v1 = emb.select(
         F.col(id_col).alias("id1"),
         F.col(vector_col).cast("array<double>").alias("v1"),
@@ -281,18 +385,6 @@ def srp_near_dup_pairs(
         F.col(vector_col).cast("array<double>").alias("v2"),
     )
     paired = cands.join(v1, "id1").join(v2, "id2")
-    if not assume_normalized:
-        # full cosine falls back to the expression form (rare path: the
-        # write layer guarantees unit vectors)
-        from strava_vector_search_spark.functions.vector import similarity
-
-        return (
-            paired.withColumn("cosine", similarity(F.col("v1"), F.col("v2"), False))
-            .filter(F.col("cosine") >= threshold)
-            .select("id1", "id2", "cosine")
-        )
-
-    id_type = emb.schema[id_col].dataType.simpleString()
 
     def _verify(batches):
         for pdf in batches:
@@ -456,6 +548,7 @@ def srp_band_rows_blas(
     bands: int = 16,
     dim: int = 64,
     quant_scale: int = 127,
+    include_sig: bool = False,
 ) -> DataFrame:
     """BLAS kernel for srp_band_rows: one int64 matmul per Arrow batch
     inside mapInPandas. Bit-identical output (integer arithmetic in both
@@ -481,19 +574,31 @@ def srp_band_rows_blas(
             q = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype("int64")
             bits_m = (q @ smat.T >= 0).astype("int64")  # n x bits
             keys = bits_m.reshape(len(ids), bands, r) @ pack  # n x bands
-            yield pd.DataFrame(
-                {
-                    "_id": np.repeat(ids, bands),
-                    "band": np.tile(np.arange(bands, dtype="int32"), len(ids)),
-                    "key": keys.reshape(-1),
-                }
-            )
+            out = {
+                "_id": np.repeat(ids, bands),
+                "band": np.tile(np.arange(bands, dtype="int32"), len(ids)),
+                "key": keys.reshape(-1),
+            }
+            if include_sig:
+                # all band keys packed little-endian into one int64 via
+                # shift+OR (may set the sign bit at r*bands == 64 — bitwise
+                # ops wrap identically everywhere, unlike multiply-add which
+                # would trip ANSI overflow in Spark; downstream slice checks
+                # must mask after shifting, never compare shifted values raw)
+                sig = np.bitwise_or.reduce(
+                    keys << (np.arange(bands, dtype="int64") * r), axis=1
+                )
+                out["sig"] = np.repeat(sig, bands)
+            yield pd.DataFrame(out)
 
     packed = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vector_col).cast("array<double>").alias("_v"),
     )
-    return packed.mapInPandas(_sig, f"_id {packed.schema['_id'].dataType.simpleString()}, band int, key long")
+    schema = f"_id {packed.schema['_id'].dataType.simpleString()}, band int, key long"
+    if include_sig:
+        schema += ", sig long"
+    return packed.mapInPandas(_sig, schema)
 
 
 def write_srp_index(
