@@ -224,3 +224,30 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, t: F.pmod(acc * ROLLING_B + tok_hash(t), F.lit(ROLLING_P)),
     )
+
+
+# PII patterns kept inside the RE2 subset (no lookaround/backrefs) so the
+# DuckDB oracle can run the identical pattern with regexp_replace(…, 'g')
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE = r"\+[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact email addresses and international-format phone numbers with
+    typed placeholders — the minimum-viable PII pass a training corpus
+    needs before anything leaves the curation pipeline.
+
+    Pure codegen expressions (two regexp_replace), map-only at any scale.
+    Email first: phone-shaped digit runs inside an address must be eaten
+    by the email rule, not split by the phone rule.
+    """
+    scrubbed = F.regexp_replace(text, PII_EMAIL, "[EMAIL]")
+    return F.regexp_replace(scrubbed, PII_PHONE, "[PHONE]")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for audit reporting."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))),
+    )

@@ -1,0 +1,176 @@
+"""Deterministic sampling / splitting / mixture / packing operators for
+training-data pipelines.
+
+Everything here is driven by the portable 60-bit md5 hash
+(:func:`~strava_vector_search_spark.operators.dedup.md5_int`), NOT by RNG
+state: the same row lands in the same split/sample/mix on every engine,
+every run, any partitioning, any cluster size. That is the property a
+100 TB pipeline needs — re-running a failed stage or adding executors must
+not reshuffle the train/val membership.
+
+Scale notes:
+- splits/samples/mixes are map-only filters over a hash of the key column —
+  no shuffle at all; they compose with parquet scans so Catalyst keeps
+  pushable predicates in the scan.
+- ``weighted_mix`` needs one tiny aggregate (rows-per-domain: |domains|
+  rows) which is broadcast back — no fact-side shuffle.
+- ``pack_sequences`` is one window shuffle per partition key (the same
+  shuffle the downstream "write one file per bin-range" layout would need
+  anyway) and uses chunked-concat semantics (bin by starting offset), the
+  standard LLM-pretraining packing that needs no sequential state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.operators.dedup import md5_int
+
+# split/sample decisions quantize the hash to this many buckets; 10^4 gives
+# 0.01% rate granularity while staying far under the 60-bit hash space
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from a key column."""
+    return F.pmod(md5_int(key.cast("string")), F.lit(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[tuple[str, float]],
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Assign every row to a named split by hash of its key.
+
+    ``splits`` is an ordered list of (name, weight); weights must sum to 1.
+    The assignment is a pure map-side CASE over the hash bucket — adding a
+    row never moves any other row between splits, and the same key always
+    lands in the same split (the reproducibility contract a train/val/test
+    split must keep across pipeline re-runs).
+    """
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(F.col(key_col), buckets)
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w
+        cond = b < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows.
+
+    ``rates`` maps stratum value → keep fraction in [0, 1]; unlisted strata
+    use ``default_rate``. Map-only: the per-stratum threshold compiles to a
+    CASE, the keep decision to one hash compare — the plan is a single
+    Filter over the scan, so Catalyst still pushes other predicates down.
+    """
+    b = hash_bucket(F.col(key_col), buckets)
+    thresh = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        lim = int(round(rate * buckets))
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    thresh = (
+        F.lit(int(round(default_rate * buckets)))
+        if thresh is None
+        else thresh.otherwise(int(round(default_rate * buckets)))
+    )
+    return df.filter(b < thresh)
+
+
+def weighted_mix(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    target: Mapping[str, float],
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Downsample domains toward a target mixture, keeping as much data as
+    possible.
+
+    Given target proportions p_d (summing to 1 over the listed domains;
+    unlisted domains are dropped), the feasible output size is bounded by
+    the scarcest domain: T = min_d(n_d / p_d). Each domain then keeps
+    ~T * p_d rows via a hash threshold a_d = T * p_d / n_d ∈ (0, 1] — the
+    scarcest domain keeps everything, abundant domains shed rows.
+
+    Plan shape: one |domains|-row aggregate, joined back broadcast; the
+    keep decision is map-side. The mix is hash-binomial (each domain's
+    admitted count concentrates around T * p_d), which is the right
+    trade at scale: exact per-domain quotas would need a global sort or
+    per-domain top-N shuffle for no practical gain.
+
+    Emits ``mix_threshold`` (the admitted domain's acceptance fraction,
+    rounded to 6 dp) alongside the surviving rows.
+    """
+    total = sum(target.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target proportions must sum to 1, got {total}")
+    tgt = F.create_map(
+        *[x for d, p in sorted(target.items()) for x in (F.lit(d), F.lit(p))]
+    )
+    counts = (
+        df.filter(F.col(domain_col).isin(*target.keys()))
+        .groupBy(F.col(domain_col).alias("_dom"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_p", tgt[F.col("_dom")])
+    )
+    feasible = counts.agg(F.min(F.col("_n") / F.col("_p")).alias("_t"))
+    rates = counts.join(F.broadcast(feasible)).select(
+        "_dom",
+        F.round(
+            F.least(F.lit(1.0), F.col("_t") * F.col("_p") / F.col("_n")), 6
+        ).alias("mix_threshold"),
+    )
+    b = hash_bucket(F.col(key_col), buckets)
+    return (
+        df.join(F.broadcast(rates), df[domain_col] == F.col("_dom"))
+        .filter(b < (F.col("mix_threshold") * buckets).cast("bigint"))
+        .drop("_dom")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Assign documents to fixed-token-budget bins (context windows) with
+    chunked-concatenation semantics: docs are laid out in key order and a
+    doc belongs to the bin its FIRST token falls in (``floor(start/budget)``
+    of its running-offset). The standard concat-then-chunk packing used for
+    LLM pretraining — deterministic, one window shuffle, no sequential
+    driver state. A doc may straddle its bin boundary into the next; the
+    reported ``bin_tokens`` is the sum of whole docs assigned to the bin.
+
+    Output: input columns + ``bin`` (0-based within each partition group).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(key_col)
+    start = F.coalesce(
+        F.sum(F.col(token_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return df.withColumn("bin", F.floor(start / F.lit(budget)).cast("bigint"))

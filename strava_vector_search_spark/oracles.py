@@ -1385,3 +1385,93 @@ ORACLES["a11_approx_distinct_bounds"] = """
 SELECT COUNT(DISTINCT l_partkey) AS exact_distinct, TRUE AS within_5pct
 FROM lineitem
 """
+
+
+# -- deterministic splits / sampling / mixture / packing ---------------------
+
+_B = 10_000  # sampling.BUCKETS
+
+
+def _bucket(expr: str) -> str:
+    return f"({_md5i(expr)} % {_B})"
+
+
+ORACLES["smp_hash_split"] = f"""
+SELECT CASE WHEN {_bucket('doc_id::VARCHAR')} < 8000 THEN 'train'
+            WHEN {_bucket('doc_id::VARCHAR')} < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM documents
+GROUP BY split
+ORDER BY split
+"""
+
+ORACLES["smp_stratified_sample"] = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_bucket('doc_id::VARCHAR')} <
+      CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                WHEN 'fr' THEN 1000 ELSE 0 END
+ORDER BY doc_id
+"""
+
+ORACLES["dm_domain_mix"] = f"""
+WITH counts AS (
+  SELECT source AS _dom, COUNT(*) AS _n,
+         CASE source WHEN 'src0' THEN 0.5::DOUBLE WHEN 'src1' THEN 0.3::DOUBLE
+                     WHEN 'src2' THEN 0.2::DOUBLE END AS _p
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+  GROUP BY source
+),
+feas AS (SELECT MIN(_n / _p) AS _t FROM counts),
+rates AS (
+  SELECT _dom, ROUND(LEAST(1.0::DOUBLE, _t * _p / _n), 6) AS mix_threshold
+  FROM counts CROSS JOIN feas
+)
+SELECT d.source, r.mix_threshold, COUNT(*) AS n_admitted
+FROM documents d JOIN rates r ON d.source = r._dom
+WHERE {_bucket('d.doc_id::VARCHAR')} < FLOOR(r.mix_threshold * {_B})::BIGINT
+GROUP BY d.source, r.mix_threshold
+ORDER BY d.source
+"""
+
+ORACLES["pk_sequence_packing"] = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_NTOK}::BIGINT AS n_tok FROM documents
+),
+p AS (
+  SELECT lang, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM d
+)
+SELECT lang, FLOOR(strt / 2048)::BIGINT AS bin,
+       COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS bin_tokens
+FROM p
+GROUP BY lang, bin
+ORDER BY lang, bin
+"""
+
+# -- PII scrubbing (patterns mirror functions.text.PII_EMAIL / PII_PHONE) ----
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_PII_PHONE_SQL = "\\+[0-9][0-9()\\- ]{6,}[0-9]"
+
+ORACLES["tx_pii_scrub"] = f"""
+WITH inj AS (
+  SELECT doc_id,
+         'reach user' || doc_id::VARCHAR || '@mail.example.com tel +44 20 7946 0'
+           || lpad((doc_id % 100)::VARCHAR, 2, '0') || ' ' || text AS dirty
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id,
+       len(regexp_extract_all(dirty, '{_PII_EMAIL_SQL}'))::INT AS n_emails,
+       len(regexp_extract_all(dirty, '{_PII_PHONE_SQL}'))::INT AS n_phones,
+       LEFT(regexp_replace(regexp_replace(dirty, '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+                           '{_PII_PHONE_SQL}', '[PHONE]', 'g'), 60) AS scrubbed_head
+FROM inj
+ORDER BY doc_id
+LIMIT 30
+"""

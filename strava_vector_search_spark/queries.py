@@ -2160,3 +2160,126 @@ QUERIES.update(
         "a11_approx_distinct_bounds": a11_approx_distinct_bounds,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deterministic splits / sampling / mixture / packing
+# (operators/sampling.py) and PII scrubbing (functions/text.py). All hash-
+# driven (no RNG state): identical membership on every engine and re-run.
+
+
+def smp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by hash of doc_id — map-only CASE over
+    the md5 bucket, verified via per-split counts and exact char sums."""
+    from strava_vector_search_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def smp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (en 50%, de 25%, fr 10%, rest
+    dropped) — the per-stratum threshold compiles to one CASE + hash
+    compare, a single map-side Filter."""
+    from strava_vector_search_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.10}
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def dm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample sources toward a 50/30/20 target mixture: the scarcest
+    domain bounds the feasible size, per-domain hash thresholds shed the
+    surplus. Checked via per-source admitted counts + thresholds."""
+    from strava_vector_search_spark.operators.sampling import weighted_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = weighted_mix(
+        docs, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return (
+        mixed.groupBy("source", "mix_threshold")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+        .orderBy("source")
+    )
+
+
+def pk_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: per-language doc streams in
+    doc_id order, 2048-token context bins by running-offset — one window
+    shuffle, no sequential state. Reports per-bin doc count and tokens."""
+    from strava_vector_search_spark.functions import text as T
+    from strava_vector_search_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "n_tok", budget=2048, partition_cols=["lang"]
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus with synthetically injected emails and
+    phone numbers (the testdata is clean, so every 7th doc gets a
+    deterministic contact line prepended): scrub_pii must replace them with
+    typed placeholders; match counts audit the pass. Two regexp_replace
+    expressions — map-only codegen at any scale."""
+    from strava_vector_search_spark.functions.text import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com tel +44 20 7946 0"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("dirty"),
+    )
+    n_em, n_ph = pii_counts(F.col("dirty"))
+    return (
+        injected.select(
+            "doc_id",
+            n_em.alias("n_emails"),
+            n_ph.alias("n_phones"),
+            F.left(scrub_pii(F.col("dirty")), F.lit(60)).alias("scrubbed_head"),
+        )
+        .orderBy("doc_id")
+        .limit(30)
+    )
+
+
+QUERIES.update(
+    {
+        "smp_hash_split": smp_hash_split,
+        "smp_stratified_sample": smp_stratified_sample,
+        "dm_domain_mix": dm_domain_mix,
+        "pk_sequence_packing": pk_sequence_packing,
+        "tx_pii_scrub": tx_pii_scrub,
+    }
+)
