@@ -1475,3 +1475,121 @@ FROM inj
 ORDER BY doc_id
 LIMIT 30
 """
+
+
+# -- relational spine completion: Q2/Q8/Q9/Q11/Q12/Q20 shapes ----------------
+
+_REV = (
+    "l_extendedprice::DECIMAL(18,6) * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6))"
+)
+
+ORACLES["q2_min_cost_supp"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_size = 15 AND p_type = 'STANDARD')
+  GROUP BY l_partkey, l_suppkey
+),
+mn AS (SELECT l_partkey AS mk, MIN(cost) AS min_cost FROM ps GROUP BY l_partkey)
+SELECT s_acctbal, s_name, n_name AS nation, ps.l_partkey AS partkey, cost
+FROM ps
+JOIN mn ON ps.l_partkey = mn.mk AND ps.cost = mn.min_cost
+JOIN supplier ON ps.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_acctbal DESC, s_name, partkey
+LIMIT 20
+"""
+
+ORACLES["q8_market_share"] = f"""
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         {_REV} AS rev,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev
+                      ELSE 0::DECIMAL(18,6) END)::DOUBLE
+             / SUM(rev)::DOUBLE, 6) AS mkt_share,
+       ROUND(SUM(rev)::DOUBLE, 2) AS total_revenue
+FROM j
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+ORACLES["q9_product_profit"] = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       ROUND(SUM({_REV}
+                 - p_retailprice::DECIMAL(18,6) * l_quantity::DECIMAL(18,6)
+            )::DOUBLE, 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+-- group by the source expressions: the alias "nation" would bind to the
+-- nation TABLE here, not the select-list alias
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+ORACLES["q11_important_stock"] = """
+WITH per_part AS (
+  -- DECIMAL(28,6): DuckDB's DECIMAL(18)xDECIMAL(18) multiply stays in
+  -- int64 and overflows; 28 digits forces int128 arithmetic (values are
+  -- identical — Spark widens to DECIMAL(38,12) on its side)
+  SELECT l_partkey,
+         SUM(l_extendedprice::DECIMAL(28,6) * l_quantity::DECIMAL(28,6)) AS v
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey
+),
+tot AS (SELECT SUM(v) AS t FROM per_part)
+SELECT l_partkey AS partkey, ROUND(v::DOUBLE, 2) AS part_value
+FROM per_part CROSS JOIN tot
+WHERE v::DOUBLE > 0.001 * t::DOUBLE
+ORDER BY part_value DESC, partkey
+"""
+
+ORACLES["q12_priority_class"] = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+ORACLES["q20_excess_suppliers"] = """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity::DECIMAL(18,6)) AS spq
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_partkey, l_suppkey
+),
+pa AS (SELECT l_partkey AS pk2, SUM(spq)::DOUBLE / COUNT(*) AS apq
+       FROM pq GROUP BY l_partkey)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM pq JOIN pa ON pq.l_partkey = pa.pk2
+    WHERE spq::DOUBLE > 0.55 * apq)
+ORDER BY s_name
+"""

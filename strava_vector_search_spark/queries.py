@@ -2283,3 +2283,227 @@ QUERIES.update(
         "tx_pii_scrub": tx_pii_scrub,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Relational spine completion: the remaining canonical TPC-H shapes (Q2 min-
+# cost correlated subquery, Q8 market share, Q9 product profit, Q11 HAVING
+# over a scalar subquery, Q12 two-class priority counts, Q20 nested semi-join
+# chain), adapted to this schema (no partsupp/shipmode: the lineitem
+# association stands in for partsupp, cost proxies noted per query).
+
+
+def q2_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: per part, the supplier(s) achieving the minimum
+    cost — the correlated MIN subquery, decorrelated into a per-part
+    aggregate equi-joined back. Adapted: (part, supplier) cost =
+    MIN(l_extendedprice) over the lineitem association. Both the part
+    slice and the per-part minimum table are small → broadcast; the only
+    fact shuffle is the (partkey, suppkey) partial agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pf = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")).select(
+        "p_partkey"
+    )
+    ps = (
+        li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    mn = ps.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        ps.join(
+            F.broadcast(mn),
+            (F.col("l_partkey") == F.col("mk")) & (F.col("cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("partkey"),
+            "cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "partkey")
+        .limit(20)
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: NATION_1 suppliers' share of revenue per order-year
+    among EUROPE-region customers — a ratio of conditional DECIMAL sums per
+    group over a six-table join. Nation/region dims broadcast; the two
+    fact joins (lineitem→orders→customer) shuffle on their keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("n2_key"))
+    rev = _rev_expr()
+    j = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: profit by supplier nation and order year over a
+    name-sliced part set. Adapted: cost = p_retailprice * l_quantity (no
+    ps_supplycost); profit routed through DECIMAL so partial-agg order
+    cannot change the sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pf = part.filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = _rev_expr() - F.col("p_retailprice").cast("decimal(18,6)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: per-part inventory value for one nation's
+    suppliers, keeping parts above a fraction of the TOTAL value — the
+    HAVING-over-scalar-subquery shape: the total is a 1-row aggregate
+    broadcast back, never a single-partition window. Adapted: value =
+    SUM(l_extendedprice * l_quantity) over the lineitem association."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    s3 = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    val = F.col("l_extendedprice").cast("decimal(18,6)") * F.col("l_quantity").cast(
+        "decimal(18,6)"
+    )
+    per_part = (
+        li.join(F.broadcast(s3), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("_v"))
+    )
+    total = per_part.agg(F.sum("_v").alias("_tot"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_v").cast("double") > F.lit(0.001) * F.col("_tot").cast("double"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("_v").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: per line-status counts of critical- vs normal-
+    priority orders in a ship-date year — the SUM(CASE) two-class rollup
+    after a fact-fact equi-join (no shipmode column; l_linestatus is the
+    grouping axis)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers in one nation holding an above-average
+    share of some red part's volume — the nested IN/EXISTS chain compiled
+    to two semi-join hops over narrow aggregates. Per-part average
+    supplier quantity = SUM(dec)/COUNT (exact, engine-independent); the
+    0.55x threshold keeps the probe selective."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    pq = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_spq"))
+    )
+    pa = pq.groupBy(F.col("l_partkey").alias("pk2")).agg(
+        (F.sum("_spq").cast("double") / F.count(F.lit(1))).alias("_apq")
+    )
+    excess = (
+        pq.join(F.broadcast(pa), F.col("l_partkey") == F.col("pk2"))
+        .filter(F.col("_spq").cast("double") > F.lit(0.55) * F.col("_apq"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_2")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+QUERIES.update(
+    {
+        "q2_min_cost_supp": q2_min_cost_supp,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q12_priority_class": q12_priority_class,
+        "q20_excess_suppliers": q20_excess_suppliers,
+    }
+)
