@@ -1593,3 +1593,16 @@ WHERE n_name = 'NATION_2'
     WHERE spq::DOUBLE > 0.55 * apq)
 ORDER BY s_name
 """
+
+
+ORACLES["ev_interval_join"] = """
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_views
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts <= p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+GROUP BY p.event_id
+ORDER BY purchase_id
+"""

@@ -2507,3 +2507,32 @@ QUERIES.update(
         "q20_excess_suppliers": q20_excess_suppliers,
     }
 )
+
+
+def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/stream_join.interval_join): views within the 30 minutes
+    preceding each purchase, per user — counted per purchase. Same code
+    path the live stream runs (watermarks only attach on streaming
+    frames), so the oracle pins the join semantics and the stream test
+    covers state/eviction."""
+    from strava_vector_search_spark.streaming.stream_join import interval_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = interval_join(
+        purchases, views, key="user_id", before_seconds=1800, after_seconds=0
+    )
+    return (
+        out.groupBy(F.col("event_id").alias("purchase_id"))
+        .agg(F.count(F.lit(1)).alias("n_views"))
+        .orderBy("purchase_id")
+    )
+
+
+QUERIES.update({"ev_interval_join": ev_interval_join})
