@@ -47,6 +47,12 @@ HEADLINE = [
     "q13_customer_distribution",
     "q16_supplier_cnt",
     "q21_waiting_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "ev_interval_join",
+    "pk_sequence_packing",
+    "dm_domain_mix",
 ]
 
 
