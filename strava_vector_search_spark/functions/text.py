@@ -251,3 +251,50 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
         F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))),
         F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))),
     )
+
+
+def repetition_stats(tokens_col: Column, n_col: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals over a token array (callers precompute
+    ``tokens_col``/``n_col`` as real columns so each expression evaluates the
+    array once):
+
+    * ``ttr`` — type-token ratio, distinct/total tokens (low = repetitive),
+    * ``adj_dup_frac`` — fraction of adjacent positions where token[i] ==
+      token[i+1] (stutter runs),
+    * ``top_bigram_n`` / ``top_bigram_cover`` — occurrence count of the most
+      frequent bigram and the fraction of tokens it covers (2·n/len).
+
+    All higher-order-function codegen, shuffle-free at any corpus size. The
+    top-bigram mode is O(m^2) in DOC length (distinct x filter) — right for
+    typical web documents (m in the hundreds); for book-length texts use an
+    explode -> groupBy(doc, bigram) twin instead, which trades one shuffle
+    for linear per-doc work.
+
+    Thresholded into a ``keep`` flag downstream, after the Gopher rules
+    (Rae et al. 2021, table A1: duplicate n-gram coverage).
+    """
+    head = F.slice(tokens_col, F.lit(1), n_col - 1)
+    tail = F.slice(tokens_col, F.lit(2), n_col - 1)
+    eq_runs = F.zip_with(head, tail, lambda a, b: (a == b).cast("int"))
+    bigrams = F.zip_with(head, tail, lambda a, b: F.concat_ws(" ", a, b))
+    return {
+        "ttr": F.round(F.size(F.array_distinct(tokens_col)) / n_col, 6),
+        "adj_dup_frac": F.round(
+            F.aggregate(eq_runs, F.lit(0), lambda acc, x: acc + x)
+            / (n_col - 1),
+            6,
+        ),
+        "bigrams": bigrams,
+    }
+
+
+def top_bigram_count(bigrams_col: Column) -> Column:
+    """Occurrence count of the modal bigram: max over distinct bigrams of
+    their frequency. Callers materialize ``bigrams_col`` first (a prior
+    select) so the O(m) array build is not re-evaluated per outer element."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(bigrams_col),
+            lambda x: F.size(F.filter(bigrams_col, lambda y: y == x)),
+        )
+    ).cast("bigint")

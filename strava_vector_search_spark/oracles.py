@@ -1606,3 +1606,35 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 GROUP BY p.event_id
 ORDER BY purchase_id
 """
+
+
+ORACLES["tx_repetition_stats"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1]) AS bg
+  FROM tok WHERE len(t) >= 2
+), scored AS (
+  SELECT doc_id,
+         ROUND(len(list_distinct(t)) / n, 6) AS ttr,
+         ROUND(len(list_filter(generate_series(1, n - 1),
+                               i -> t[i] = t[i + 1])) / (n - 1), 6)
+           AS adj_dup_frac,
+         list_max(list_transform(list_distinct(bg),
+                                 x -> len(list_filter(bg, y -> y = x))))::BIGINT
+           AS top_bigram_n,
+         n
+  FROM st
+)
+SELECT doc_id, ttr, adj_dup_frac, top_bigram_n,
+       ROUND(2.0 * top_bigram_n / n, 6) AS top_bigram_cover,
+       (ttr >= 0.3 AND adj_dup_frac < 0.3
+        AND ROUND(2.0 * top_bigram_n / n, 6) < 0.5) AS keep
+FROM scored
+ORDER BY doc_id
+"""

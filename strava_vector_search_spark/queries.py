@@ -2536,3 +2536,49 @@ def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_interval_join": ev_interval_join})
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality filtering (Gopher-style signals)
+
+
+def tx_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition report + keep/drop decision, the filter pass a
+    pretraining pipeline runs before tokenization (Gopher table A1): type-
+    token ratio, adjacent-duplicate fraction, top-bigram coverage. Pure
+    higher-order-function codegen over one documents scan — map-only, zero
+    shuffles at any corpus size (the ORDER BY is presentation-only)."""
+    from strava_vector_search_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("t")
+    ).withColumn("n", F.size("t")).filter(F.col("n") >= 2)
+    stats = T.repetition_stats(F.col("t"), F.col("n"))
+    staged = tok.select(
+        "doc_id",
+        "n",
+        stats["ttr"].alias("ttr"),
+        stats["adj_dup_frac"].alias("adj_dup_frac"),
+        stats["bigrams"].alias("bg"),
+    )
+    scored = staged.select(
+        "doc_id",
+        "ttr",
+        "adj_dup_frac",
+        T.top_bigram_count(F.col("bg")).alias("top_bigram_n"),
+        F.round(F.lit(2.0) * T.top_bigram_count(F.col("bg")) / F.col("n"), 6).alias(
+            "top_bigram_cover"
+        ),
+    )
+    return scored.select(
+        "*",
+        (
+            (F.col("ttr") >= 0.3)
+            & (F.col("adj_dup_frac") < 0.3)
+            & (F.col("top_bigram_cover") < 0.5)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+QUERIES.update({"tx_repetition_stats": tx_repetition_stats})

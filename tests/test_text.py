@@ -98,3 +98,29 @@ def test_lang_id_table_matches_column_variant(spark, samples):
         for r in samples.select("id", T.lang_id_ngram(F.col("text")).alias("g")).collect()
     }
     assert tri_tbl == ngram_col
+
+
+def test_repetition_stats_pinned_values(spark):
+    # "a a a b": ttr 2/4, adjacent dups at 2 of 3 positions, modal bigram
+    # "a a" occurs twice covering 4/4 tokens
+    df = spark.createDataFrame([(1, "a a a b"), (2, "x y x y z")], ["doc_id", "text"])
+    tok = df.select("doc_id", T.tokens(F.col("text")).alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    stats = T.repetition_stats(F.col("t"), F.col("n"))
+    staged = tok.select(
+        "doc_id", "n", stats["ttr"].alias("ttr"),
+        stats["adj_dup_frac"].alias("adj"), stats["bigrams"].alias("bg"),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in staged.select(
+            "doc_id", "ttr", "adj", T.top_bigram_count(F.col("bg")).alias("tb")
+        ).collect()
+    }
+    assert out[1]["ttr"] == 0.5
+    assert round(out[1]["adj"], 6) == round(2 / 3, 6)
+    assert out[1]["tb"] == 2
+    # "x y x y z": no adjacent dups, "x y" twice
+    assert out[2]["adj"] == 0.0
+    assert out[2]["tb"] == 2
