@@ -1638,3 +1638,13 @@ SELECT doc_id, ttr, adj_dup_frac, top_bigram_n,
 FROM scored
 ORDER BY doc_id
 """
+
+
+# format roundtrips must be lossless: the oracle is the parquet source itself
+ORACLES["s2_jsonl_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+ORACLES["s3_orc_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""

@@ -2582,3 +2582,41 @@ def tx_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_repetition_stats": tx_repetition_stats})
+
+
+# ---------------------------------------------------------------------------
+# Interchange-format sources (io/formats): JSONL and ORC roundtrips
+
+
+def _docs_export_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Shared body: export documents to ``fmt``, re-read schema-first, return
+    the typed rows. The oracle reads the parquet view directly, so the gate
+    asserts LOSSLESS roundtrip (values, types, NULLs) through the format."""
+    from strava_vector_search_spark.io import formats as FMT
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/svs_{fmt}_cache_{token}"
+    if fmt == "jsonl":
+        FMT.write_jsonl(docs, path, compression="gzip")
+        out = FMT.read_jsonl(spark, path, docs.schema, mode="PERMISSIVE")
+        return out.filter(F.col(FMT.CORRUPT_COL).isNull()).drop(FMT.CORRUPT_COL)
+    FMT.write_orc(docs, path)
+    return FMT.read_orc(spark, path)
+
+
+def s2_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink -> schema-first PERMISSIVE source; lossless vs parquet."""
+    return _docs_export_roundtrip(spark, sf_dir, "jsonl")
+
+
+def s3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink -> source (zlib, stride-indexed); lossless vs parquet."""
+    return _docs_export_roundtrip(spark, sf_dir, "orc")
+
+
+QUERIES.update(
+    {"s2_jsonl_roundtrip": s2_jsonl_roundtrip, "s3_orc_roundtrip": s3_orc_roundtrip}
+)
