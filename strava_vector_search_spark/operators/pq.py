@@ -1,0 +1,173 @@
+"""Product quantization (PQ) — compressed-domain ANN, the memory-side scale
+path the reference's "1M+ documents: consider approximate search"
+(``02_method2_manual_vector_embedding.sql:438-442``) implies but never
+builds. Complements IVF/SRP (operators/ann.py), which prune WHICH vectors
+are scored; PQ shrinks WHAT is scored:
+
+* a d-dim float vector (d·4 bytes) becomes ``m`` uint8 codes (m bytes) —
+  64-dim float32 → 8 bytes is a 32× cut, 768-dim → 96 bytes the same. At
+  100 TB of raw embeddings the code table is ~3 TB and fits cluster RAM,
+  so candidate generation never touches the fat table.
+* scoring is asymmetric-distance (ADC, Jégou et al. 2011): per query, one
+  (m × k) lookup table of query-subvector · centroid inner products; a
+  vector's approximate score is m table lookups + adds, no float math on
+  the corpus side.
+
+Spark mapping — every stage is map-only except the final top-k:
+* **train** — driver-side Lloyd's on a BOUNDED id-ordered sample
+  (``sample_rows`` ≤ 4096 rows — same bounded-collect contract as the IVF
+  centroid probe); deterministic: fixed init (evenly spaced rows of the
+  id-sorted sample), fixed iteration count, argmin ties to the lowest
+  centroid index. Codebooks are m·k·(d/m) doubles — a few KB, shipped in
+  the task closure.
+* **encode** — Arrow-batched ``mapInPandas``; one pass, no shuffle; codes
+  stored as an 8-byte BINARY column next to the id.
+* **search** — mapInPandas ADC scan over the code table with the
+  deterministic local-top-k tie rule (operators/search._local_topk_ties),
+  global candidate rank, then EXACT rescoring of the candidate set against
+  the full vectors (refine), so the only approximation is candidate
+  recall — identical in contract to the IVF gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.operators.search import (
+    _local_topk_ties,
+    brute_force_topk,
+)
+
+
+def train_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 4096,
+    iters: int = 15,
+) -> np.ndarray:
+    """(m, k, d/m) float64 codebooks via deterministic per-subspace Lloyd's
+    on the ``sample_rows`` lowest-id vectors. Empty clusters keep their
+    previous centroid (stable under re-runs)."""
+    rows = (
+        emb.select(id_col, F.col(vector_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.empty((m, k, sub), dtype=np.float64)
+    init_idx = np.linspace(0, n - 1, k).astype(int)
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[init_idx].copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                pts = Xj[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books[j] = C
+    return books
+
+
+def encode_pq(
+    emb: DataFrame,
+    books: np.ndarray,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code BINARY) — m uint8 centroid ids packed per vector. Map-only;
+    the fat vector column is dropped before any downstream shuffle."""
+    import pandas as pd
+
+    m, _, sub = books.shape
+    id_type = emb.schema[id_col].dataType.simpleString()
+    B = books
+
+    def _enc(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vector_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.uint8)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d2 = ((Xj[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "code": [c.tobytes() for c in codes]}
+            )
+
+    return emb.select(id_col, vector_col).mapInPandas(
+        _enc, f"{id_col} {id_type}, code binary"
+    )
+
+
+def pq_candidates(
+    codes: DataFrame,
+    books: np.ndarray,
+    query_vec: list[float],
+    n_cand: int = 100,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Global top-``n_cand`` ids by ADC inner-product score. Per Arrow batch:
+    build nothing, look up the precomputed (m × k) table, local top under
+    the deterministic tie rule; only batch-local winners reach the global
+    rank, so the shuffle is n_batches · n_cand tiny rows."""
+    import pandas as pd
+
+    m, _, sub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64).reshape(m, sub)
+    lut = np.einsum("mkd,md->mk", books, q)
+    id_type = codes.schema[id_col].dataType.simpleString()
+
+    def _scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(
+                len(pdf), m
+            )
+            s = lut[np.arange(m)[None, :], C].sum(1).round(6)
+            ids = pdf[id_col].to_numpy()
+            keep = _local_topk_ties(s, ids, n_cand)
+            yield pd.DataFrame({id_col: ids[keep], "adc_score": s[keep]})
+
+    local = codes.mapInPandas(_scan, f"{id_col} {id_type}, adc_score double")
+    return local.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(n_cand)
+
+
+def pq_topk_refined(
+    emb: DataFrame,
+    codes: DataFrame,
+    books: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_cand: int = 100,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC candidate generation over the code table, exact cosine rescoring
+    of the (tiny) candidate set against the full vectors. The candidate-id
+    join is a broadcast semi-join — the 100-row side never shuffles the
+    corpus. Returns (id, similarity), exact values, approximate recall."""
+    cand = pq_candidates(codes, books, query_vec, n_cand, id_col)
+    pruned = emb.join(
+        F.broadcast(cand.select(id_col)), on=id_col, how="left_semi"
+    )
+    return brute_force_topk(
+        pruned,
+        query_vec,
+        k=k,
+        vector_col=vector_col,
+        id_col=id_col,
+        assume_normalized=True,
+    )

@@ -1648,3 +1648,13 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 ORACLES["s3_orc_roundtrip"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
+
+
+# PQ property gate (see ann_kmeans_ivf_topk note): codebook training is not
+# SQL-expressible; the contract is — one 8-byte code per embedding row,
+# recall and exact-rescore booleans computed Spark-side vs brute force.
+ORACLES["ann_pq_topk"] = """
+SELECT COUNT(*)::BIGINT AS n_encoded, 8 AS code_bytes, 10 AS k,
+       true AS mean_recall_ge_080, true AS refined_sims_exact
+FROM embeddings
+"""
