@@ -1658,3 +1658,34 @@ SELECT COUNT(*)::BIGINT AS n_encoded, 8 AS code_bytes, 10 AS k,
        true AS mean_recall_ge_080, true AS refined_sims_exact
 FROM embeddings
 """
+
+
+
+# exact greedy-MMR replay: the recursive CTE carries the picked-id list and
+# re-derives each step's argmax under the same rounding + id tie-break the
+# Spark kernel (operators/rerank.mmr_select) uses
+ORACLES["vs_mmr_rerank"] = f"""
+WITH RECURSIVE cand AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ROUND(list_dot_product(embedding::DOUBLE[], {_qvec(0)}), 6) AS rel
+  FROM embeddings ORDER BY rel DESC, vec_id LIMIT 20
+),
+sel(step, id, rel, mmr, picked) AS (
+  (SELECT 1, vec_id, rel, rel, [vec_id] FROM cand
+   ORDER BY rel DESC, vec_id LIMIT 1)
+  UNION ALL
+  (SELECT s.step + 1, nxt.vec_id, nxt.rel, nxt.mmr,
+          list_append(s.picked, nxt.vec_id)
+   FROM sel s, LATERAL (
+     SELECT c.vec_id, c.rel,
+            ROUND(0.5 * c.rel - 0.5 * (
+              SELECT MAX(ROUND(list_dot_product(c.v, p.v), 6))
+              FROM cand p WHERE list_contains(s.picked, p.vec_id)
+            ), 6) AS mmr
+     FROM cand c WHERE NOT list_contains(s.picked, c.vec_id)
+     ORDER BY mmr DESC, c.vec_id LIMIT 1
+   ) nxt
+   WHERE s.step < 10)
+)
+SELECT step, id AS vec_id, rel, mmr FROM sel ORDER BY step
+"""

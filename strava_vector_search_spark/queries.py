@@ -2676,3 +2676,26 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ann_pq_topk": ann_pq_topk})
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity rerank (operators/rerank): exact oracle via recursive CTE
+
+
+def vs_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-10 from the brute-force top-20 candidate set, lam=0.5.
+    EXACT gate: the DuckDB twin replays the greedy selection with a
+    recursive CTE (same 6-dp rounding, same id tie-break), so every pick,
+    every rel and every running mmr score must match bit-for-bit."""
+    from strava_vector_search_spark.operators.rerank import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    cand = S.brute_force_topk(
+        emb, qv, k=20, id_col="vec_id", assume_normalized=True
+    ).withColumn("query_id", F.lit(0))
+    out = mmr_rerank(cand, k=10, lam=0.5)
+    return out.select("step", "vec_id", "rel", "mmr").orderBy("step")
+
+
+QUERIES.update({"vs_mmr_rerank": vs_mmr_rerank})
