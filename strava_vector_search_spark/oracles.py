@@ -1689,3 +1689,19 @@ sel(step, id, rel, mmr, picked) AS (
 )
 SELECT step, id AS vec_id, rel, mmr FROM sel ORDER BY step
 """
+
+
+# exact interpolated percentiles are engine-portable (verified bit-exact);
+# the sketch bound is Spark-side measured, pinned as a boolean
+ORACLES["a12_approx_quantiles"] = """
+SELECT 0.5::DOUBLE AS q,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact,
+       true AS sketch_within_02pct FROM lineitem
+UNION ALL
+SELECT 0.9::DOUBLE, ROUND(quantile_cont(l_extendedprice, 0.9), 4), true
+FROM lineitem
+UNION ALL
+SELECT 0.99::DOUBLE, ROUND(quantile_cont(l_extendedprice, 0.99), 4), true
+FROM lineitem
+ORDER BY q
+"""
