@@ -737,3 +737,72 @@ def lsh_near_dup_pairs(
         .filter(F.col("id1") < F.col("id2"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance: append-only freshness + small-file compaction
+
+
+def append_to_srp_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    bits: int = 64,
+    bands: int = 16,
+    dim: int = 64,
+    sort_band: int = 0,
+) -> None:
+    """Incremental maintenance of a write_srp_index layout: band-key the NEW
+    rows only (map-only signature kernel over the delta) and append their
+    files. Because the index is plain columns in plain parquet, a query
+    after the append sees old + new rows in one scan with the same pushdown
+    — no rebuild, no read-modify-write of existing data. This is the
+    TARGET_LAG freshness pattern (streaming/refresh.py) applied to the
+    persisted index: cost is O(delta), not O(corpus)."""
+    keys = (
+        srp_band_rows_blas(new_emb, id_col, vector_col, bits, bands, dim)
+        .groupBy("_id")
+        .pivot("band", list(range(bands)))
+        .agg(F.first("key"))
+    )
+    wide = new_emb.join(
+        keys.select(
+            F.col("_id").alias(id_col),
+            *[F.col(str(b)).alias(f"k{b}") for b in range(bands)],
+        ),
+        id_col,
+    )
+    wide.sortWithinPartitions(f"k{sort_band}").write.mode("append").parquet(path)
+
+
+def compact_index(
+    spark,
+    path: str,
+    num_files: int,
+    sort_band: int = 0,
+) -> None:
+    """Rewrite an (append-fragmented) index into ``num_files`` files, each
+    re-sorted by the primary band key so row-group min/max selectivity is
+    restored after many small appends. At 100 TB this is the nightly
+    maintenance job: streaming appends make files, compaction makes them
+    scan-efficient again.
+
+    Local-filesystem swap via rename; on an object store the same op writes
+    a new versioned prefix and flips a manifest pointer instead (documented
+    trade: rename is not atomic on S3)."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "__compacting"
+    (
+        spark.read.parquet(path)
+        .repartition(num_files)
+        .sortWithinPartitions(f"k{sort_band}")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

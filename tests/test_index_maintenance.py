@@ -1,0 +1,73 @@
+"""Append-only SRP-index maintenance: incremental append must be
+query-identical to a full rebuild, and compaction must shrink files while
+preserving results and pushdown."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.io.tables import load_table
+from strava_vector_search_spark.operators.ann import (
+    append_to_srp_index,
+    compact_index,
+    srp_topk_indexed,
+    write_srp_index,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qv(emb):
+    return [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+
+
+def _results(spark, path, qv):
+    return [
+        (r["vec_id"], r["similarity"])
+        for r in srp_topk_indexed(spark, path, qv, k=10).collect()
+    ]
+
+
+def test_incremental_append_equals_rebuild(spark, emb, qv, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("idx") / "incremental")
+    full = str(tmp_path_factory.mktemp("idx") / "rebuild")
+    cut = 400
+    write_srp_index(emb.filter(F.col("vec_id") < cut), base)
+    append_to_srp_index(emb.filter(F.col("vec_id") >= cut), base)
+    write_srp_index(emb, full)
+    assert _results(spark, base, qv) == _results(spark, full, qv)
+
+
+def test_compaction_preserves_results_and_pushdown(
+    spark, emb, qv, tmp_path_factory
+):
+    path = str(tmp_path_factory.mktemp("idx") / "frag")
+    write_srp_index(emb.filter(F.col("vec_id") < 300), path)
+    for lo, hi in ((300, 350), (350, 420), (420, 500)):
+        append_to_srp_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), path
+        )
+    before = _results(spark, path, qv)
+    n_before = len(glob.glob(f"{path}/*.parquet"))
+    compact_index(spark, path, num_files=2)
+    n_after = len(glob.glob(f"{path}/*.parquet"))
+    assert n_after < n_before and n_after == 2
+    assert _results(spark, path, qv) == before
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("k0") == 12345)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "k0" in plan
