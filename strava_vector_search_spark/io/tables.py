@@ -50,8 +50,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan itself throws PARQUET_TYPE_ILLEGAL
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # micros-without-timezone parquet arrives as TIMESTAMP_NTZ; the
+        # session runs in UTC, so this cast preserves wall-clock values and
+        # restores the TIMESTAMP type the epoch functions require
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

@@ -25,6 +25,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _us(col: str) -> Column:
+    # Parquet micros without a timezone arrive as TIMESTAMP_NTZ, which
+    # unix_micros rejects; the cast is applied identically to every side of
+    # a join, so the (session-timezone) offset cancels out of all
+    # comparisons and bucket assignments.
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -51,17 +59,15 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
-    us = F.unix_micros
-
     lhs = left.select(
         *left.columns,
-        us(F.col(left_ts)).alias("_us"),
+        _us(left_ts).alias("_us"),
         F.lit(1).alias("_side"),
         *[F.lit(None).alias(f"_rv_{c}") for c in value_cols],
     )
     rhs = right.select(
         *on,
-        us(F.col(right_ts)).alias("_us"),
+        _us(right_ts).alias("_us"),
         F.lit(0).alias("_side"),
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
     )
@@ -109,9 +115,12 @@ def asof_join(
         F.when(in_tol, F.col(f"_m.{c}")).alias(f"{c}{suffix}")
         for c in value_cols
     ] + [
-        F.when(in_tol, F.timestamp_micros(F.col("_m._mus"))).alias(
-            f"{right_ts}{suffix}"
-        )
+        F.when(
+            in_tol,
+            F.timestamp_micros(F.col("_m._mus")).cast(
+                dict(right.dtypes)[right_ts]
+            ),
+        ).alias(f"{right_ts}{suffix}")
     ]
     return out.select(*left.columns, *keep)
 
@@ -133,15 +142,14 @@ def range_join_binned(
     never |P| x |I|.
     """
     w_us = bin_seconds * 1_000_000
-    us = F.unix_micros
 
-    pts = points.withColumn("_bkt", (us(F.col(point_ts)) / w_us).cast("long"))
+    pts = points.withColumn("_bkt", (_us(point_ts) / w_us).cast("long"))
     ivs = intervals.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                (us(F.col(start_col)) / w_us).cast("long"),
-                (us(F.col(end_col)) / w_us).cast("long"),
+                (_us(start_col) / w_us).cast("long"),
+                (_us(end_col) / w_us).cast("long"),
             )
         ),
     )
