@@ -591,9 +591,13 @@ def srp_band_rows_blas(
                 out["sig"] = np.repeat(sig, bands)
             yield pd.DataFrame(out)
 
-    packed = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(vector_col).cast("array<double>").alias("_v"),
+    from strava_vector_search_spark.operators.util import rebalance_for_kernel
+
+    packed = rebalance_for_kernel(
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vector_col).cast("array<double>").alias("_v"),
+        )
     )
     schema = f"_id {packed.schema['_id'].dataType.simpleString()}, band int, key long"
     if include_sig:

@@ -279,8 +279,12 @@ def minhash_band_rows_kernel(
                     out_key.append(key)
             yield pd.DataFrame({"_id": out_id, "band": out_band, "bkey": out_key})
 
+    from strava_vector_search_spark.operators.util import rebalance_for_kernel
+
     id_type = df.schema[id_col].dataType.simpleString()
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    src = rebalance_for_kernel(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    )
     return src.mapInPandas(_rows, f"_id {id_type}, band int, bkey bigint")
 
 
@@ -436,8 +440,12 @@ def simhash_kernel(
                 out_fp.append(int(((acc > 0).astype("int64") * weights).sum()))
             yield pd.DataFrame({"_id": out_id, "fp": out_fp})
 
+    from strava_vector_search_spark.operators.util import rebalance_for_kernel
+
     id_type = df.schema[id_col].dataType.simpleString()
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    src = rebalance_for_kernel(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    )
     return src.mapInPandas(_fp, f"_id {id_type}, fp bigint").select(
         F.col("_id").alias(id_col), F.col("fp").alias("simhash")
     )

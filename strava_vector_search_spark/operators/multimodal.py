@@ -106,7 +106,11 @@ def decode_frames(
                     out["feature"].append(feat)
             yield pd.DataFrame(out)
 
-    return media.select(id_col, content_col).mapInPandas(_decode, FRAME_SCHEMA)
+    from strava_vector_search_spark.operators.util import rebalance_for_kernel
+
+    return rebalance_for_kernel(media.select(id_col, content_col)).mapInPandas(
+        _decode, FRAME_SCHEMA
+    )
 
 
 def sample_frames(frames: DataFrame, every_n: int = 2) -> DataFrame:

@@ -106,7 +106,9 @@ def encode_pq(
                 {id_col: pdf[id_col], "code": [c.tobytes() for c in codes]}
             )
 
-    return emb.select(id_col, vector_col).mapInPandas(
+    from strava_vector_search_spark.operators.util import rebalance_for_kernel
+
+    return rebalance_for_kernel(emb.select(id_col, vector_col)).mapInPandas(
         _enc, f"{id_col} {id_type}, code binary"
     )
 
@@ -141,7 +143,11 @@ def pq_candidates(
             keep = _local_topk_ties(s, ids, n_cand)
             yield pd.DataFrame({id_col: ids[keep], "adc_score": s[keep]})
 
-    local = codes.mapInPandas(_scan, f"{id_col} {id_type}, adc_score double")
+    from strava_vector_search_spark.operators.util import rebalance_for_kernel
+
+    local = rebalance_for_kernel(codes).mapInPandas(
+        _scan, f"{id_col} {id_type}, adc_score double"
+    )
     return local.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(n_cand)
 
 

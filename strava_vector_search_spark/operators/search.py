@@ -212,8 +212,12 @@ def batch_topk_blas(
     id_type = corpus.schema[id_col].dataType.simpleString()
     qid_type = queries.schema[query_id_col].dataType.simpleString()
 
-    narrow = corpus.filter(F.col(vector_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), F.col(vector_col).alias("_vec")
+    from strava_vector_search_spark.operators.util import rebalance_for_kernel
+
+    narrow = rebalance_for_kernel(
+        corpus.filter(F.col(vector_col).isNotNull()).select(
+            F.col(id_col).alias("_id"), F.col(vector_col).alias("_vec")
+        )
     )
 
     def _score(batches):
@@ -288,8 +292,10 @@ def brute_force_topk_blas(
     if predicate is not None:
         df = df.filter(predicate)
     df = df.filter(F.col(vector_col).isNotNull())
-    narrow = df.select(
-        F.col(id_col).alias("_id"), F.col(vector_col).alias("_vec")
+    from strava_vector_search_spark.operators.util import rebalance_for_kernel
+
+    narrow = rebalance_for_kernel(
+        df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_vec"))
     )
     q = None
 
