@@ -53,6 +53,8 @@ HEADLINE = [
     "ev_interval_join",
     "pk_sequence_packing",
     "dm_domain_mix",
+    "tx_bm25_topk",
+    "vs_hybrid_bm25_topk",
 ]
 
 

@@ -1705,3 +1705,75 @@ SELECT 0.99::DOUBLE, ROUND(quantile_cont(l_extendedprice, 0.99), 4), true
 FROM lineitem
 ORDER BY q
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 (operators/fulltext.py) — expression shapes mirror bm25_score exactly
+# (left-assoc float64, leading 0.0 accumulator, libm ln on both engines)
+
+
+def _bm25_terms_sql(terms) -> tuple[str, str]:
+    """(stats df columns, per-doc score expression) for the term list."""
+    dfs = ",\n         ".join(
+        f"SUM(CASE WHEN list_contains(ts, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    tf = lambda t: f"len(list_filter(t.ts, x -> x = '{t}'))::DOUBLE"
+    norm = "1.2 * (1.0 - 0.75 + 0.75 * len(t.ts)::DOUBLE / s.avgdl)"
+    score = "0.0"
+    for i, t in enumerate(terms):
+        idf = f"ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        score += (
+            f"\n      + {idf} * ({tf(t)} * (1.2 + 1.0))"
+            f" / ({tf(t)} + {norm})"
+        )
+    return dfs, score
+
+
+def _bm25_oracle() -> str:
+    from strava_vector_search_spark.operators.fulltext import BM25_TERMS
+
+    dfs, score = _bm25_terms_sql(BM25_TERMS)
+    return f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS} AS ts FROM documents),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(len(ts))::DOUBLE / COUNT(*) AS avgdl,
+         {dfs}
+  FROM tok),
+scored AS (
+  SELECT t.doc_id, t.lang, ROUND({score}, 6) AS bm25
+  FROM tok t, stats s)
+SELECT doc_id, lang, bm25 FROM scored
+WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def _hybrid_bm25_oracle() -> str:
+    from strava_vector_search_spark.operators.fulltext import BM25_TERMS
+
+    dfs, score = _bm25_terms_sql(BM25_TERMS)
+    return f"""
+WITH {_CORPUS},
+tok AS (SELECT doc_id, lang, emb, {_TOKS} AS ts FROM corpus),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(len(ts))::DOUBLE / COUNT(*) AS avgdl,
+         {dfs}
+  FROM tok),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         ROUND(list_dot_product(t.emb, {_qvec(8)}), 6) AS vector_score,
+         ROUND({score}, 6) AS bm25
+  FROM tok t, stats s
+  WHERE t.doc_id <> 8)
+SELECT doc_id, lang, vector_score, bm25,
+       ROUND(0.6 * vector_score + 0.4 * (bm25 / (bm25 + 1.0)), 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+ORACLES["tx_bm25_topk"] = _bm25_oracle()
+ORACLES["vs_hybrid_bm25_topk"] = _hybrid_bm25_oracle()

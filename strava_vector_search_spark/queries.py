@@ -2741,3 +2741,63 @@ def a12_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"a12_approx_quantiles": a12_approx_quantiles})
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text retrieval (operators/fulltext.py)
+
+
+def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over documents for a 4-term query — the keyword
+    retrieval half of a search engine (two shuffle-free scans: stats
+    aggregate, then map-only score + TakeOrderedAndProject)."""
+    from strava_vector_search_spark.operators.fulltext import (
+        BM25_TERMS,
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=10, payload_cols=("lang",)).select(
+        "doc_id", "lang", "bm25"
+    )
+
+
+def vs_hybrid_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with a real lexical ranker: BM25 (saturated to
+    [0,1) via s/(s+1)) fused 0.4/0.6 with the semantic dot product.
+    Upgrades vs_hybrid_topk's term-overlap score to the standard ranking
+    function; one corpus scan computes both signals."""
+    from strava_vector_search_spark.functions.vector import dot_product
+    from strava_vector_search_spark.operators.fulltext import (
+        BM25_TERMS,
+        bm25_corpus_stats,
+        bm25_score,
+    )
+    from strava_vector_search_spark.functions.text import tokens as _toks
+
+    corpus = corpus_with_vectors(spark, sf_dir)
+    stats = bm25_corpus_stats(corpus, "text", BM25_TERMS)
+    qv = _query_vec(spark, sf_dir, 8)
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    scored = corpus.filter(F.col("doc_id") != 8).select(
+        "doc_id",
+        "lang",
+        F.round(
+            dot_product(F.col("embedding").cast("array<double>"), qcol), 6
+        ).alias("vector_score"),
+        bm25_score(_toks(F.col("text")), stats, BM25_TERMS).alias("bm25"),
+    )
+    out = scored.withColumn(
+        "score",
+        F.round(
+            F.lit(0.6) * F.col("vector_score")
+            + F.lit(0.4) * (F.col("bm25") / (F.col("bm25") + F.lit(1.0))),
+            6,
+        ),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+QUERIES.update(
+    {"tx_bm25_topk": tx_bm25_topk, "vs_hybrid_bm25_topk": vs_hybrid_bm25_topk}
+)
