@@ -1777,3 +1777,61 @@ LIMIT 10
 
 ORACLES["tx_bm25_topk"] = _bm25_oracle()
 ORACLES["vs_hybrid_bm25_topk"] = _hybrid_bm25_oracle()
+
+
+ORACLES["dq_expectations"] = """
+WITH report AS (
+  SELECT 'orders' AS "table", 'unique' AS "check", 'o_orderkey' AS "column",
+         COALESCE((SELECT SUM(n) FROM (
+            SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0) AS violations,
+         (SELECT COUNT(*) FROM orders) AS total
+  UNION ALL
+  SELECT 'orders', 'accepted_values', 'o_orderstatus',
+         (SELECT COUNT(*) FROM orders
+          WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')),
+         (SELECT COUNT(*) FROM orders)
+  UNION ALL
+  SELECT 'orders', 'foreign_key', 'o_custkey',
+         (SELECT COUNT(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+         (SELECT COUNT(*) FROM orders)
+  UNION ALL
+  SELECT 'lineitem', 'foreign_key', 'l_orderkey',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem', 'in_range', 'l_discount',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_discount IS NOT NULL AND l_discount NOT BETWEEN 0.0 AND 0.05),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem', 'not_null', 'l_shipdate',
+         (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'customer', 'not_null', 'c_name',
+         (SELECT COUNT(*) FROM customer WHERE c_name IS NULL),
+         (SELECT COUNT(*) FROM customer)
+  UNION ALL
+  SELECT 'customer', 'matches', 'c_name',
+         (SELECT COUNT(*) FROM customer
+          WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')),
+         (SELECT COUNT(*) FROM customer)
+  UNION ALL
+  SELECT 'customer', 'in_range', 'c_acctbal',
+         (SELECT COUNT(*) FROM customer
+          WHERE c_acctbal IS NOT NULL AND c_acctbal NOT BETWEEN -500.0 AND 10000.0),
+         (SELECT COUNT(*) FROM customer)
+  UNION ALL
+  SELECT 'documents', 'not_null', 'text',
+         (SELECT COUNT(*) FROM documents WHERE text IS NULL),
+         (SELECT COUNT(*) FROM documents)
+)
+SELECT "table", "check", "column", violations, total,
+       violations = 0 AS pass
+FROM report
+ORDER BY "table", "check", "column"
+"""

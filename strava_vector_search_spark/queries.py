@@ -2801,3 +2801,42 @@ def vs_hybrid_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update(
     {"tx_bm25_topk": tx_bm25_topk, "vs_hybrid_bm25_topk": vs_hybrid_bm25_topk}
 )
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectation suite (operators/quality.py)
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-check report over the warehouse: uniqueness, referential
+    integrity, accepted values, ranges, regex shape, null checks — each a
+    SUM(CASE) in one aggregate per table (row-level), a distinct-key
+    groupBy (unique), or a left-anti join (foreign key)."""
+    from strava_vector_search_spark.operators import quality as Q
+
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("orders", "lineitem", "customer", "documents")
+    }
+    suite = {
+        "orders": [
+            Q.unique("o_orderkey"),
+            Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            Q.foreign_key("o_custkey", "customer", "c_custkey"),
+        ],
+        "lineitem": [
+            Q.foreign_key("l_orderkey", "orders", "o_orderkey"),
+            Q.in_range("l_discount", 0.0, 0.05),
+            Q.not_null("l_shipdate"),
+        ],
+        "customer": [
+            Q.not_null("c_name"),
+            Q.matches("c_name", "^Customer#[0-9]+$"),
+            Q.in_range("c_acctbal", -500.0, 10000.0),
+        ],
+        "documents": [Q.not_null("text")],
+    }
+    return Q.expectation_report(tables, suite)
+
+
+QUERIES.update({"dq_expectations": dq_expectations})
