@@ -1,0 +1,69 @@
+"""CDC changelog application — the MERGE INTO / upsert step that keeps a
+warehouse snapshot current from an insert/update/delete feed (the batch
+half of a change-data-capture pipeline; the reference's in-place embedding
+UPDATE, 02_generate_embeddings.sql:1-14, is the single-column special
+case).
+
+Spark-first shape, two operators on the snapshot scan:
+
+1. **latest-per-key** over the change feed: one shuffle on the key,
+   ``row_number`` ordered by (seq DESC, op DESC) — a window whose state is
+   one row per key (WindowGroupLimit prunes eagerly in Spark ≥3.5).
+2. **left-anti join** snapshot → changed keys, union the surviving
+   (non-delete) latest images. A CDC batch is small relative to the
+   snapshot, so Catalyst/AQE broadcasts the change side and the snapshot
+   is never shuffled at all — the property that makes this viable against
+   a 100 TB table.
+
+Idempotent by construction: re-applying the same changelog yields the same
+snapshot (latest-per-key is stable, anti-join removes the same keys).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """One row per key: the change with the highest (seq, op) — op DESC
+    breaks exact seq ties deterministically ('U' > 'I' > 'D')."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(seq_col), F.desc(op_col)
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Merge an I/U/D change feed into a snapshot (SCD type 1: latest image
+    wins, deletes drop the row, inserts add it).
+
+    ``changes`` must carry ``keys + [seq_col, op_col]`` plus every
+    non-key snapshot column (the full new row image for I/U; ignored for
+    D). Untouched snapshot rows pass through unchanged.
+    """
+    keys = list(keys)
+    payload = [c for c in snapshot.columns if c not in keys]
+    latest = latest_changes(changes, keys, seq_col, op_col)
+    survivors = latest.filter(F.col(op_col) != F.lit("D")).select(
+        *keys, *payload
+    )
+    untouched = snapshot.join(latest.select(*keys), keys, "left_anti")
+    return untouched.unionByName(survivors)

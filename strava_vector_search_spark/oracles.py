@@ -1835,3 +1835,43 @@ SELECT "table", "check", "column", violations, total,
 FROM report
 ORDER BY "table", "check", "column"
 """
+
+
+ORACLES["cdc_apply_changelog"] = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice * 100, 0)::BIGINT AS price_cents,
+         o_orderdate, o_orderpriority
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         price_cents * 110 // 100 AS price_cents,
+         o_orderdate, o_orderpriority, 1 AS seq, 'U' AS op
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, price_cents * 120 // 100,
+         o_orderdate, o_orderpriority, 2, 'U'
+  FROM base WHERE o_orderkey % 21 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, price_cents,
+         o_orderdate, o_orderpriority, 3, 'D'
+  FROM base WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, price_cents,
+         o_orderdate, o_orderpriority, 1, 'I'
+  FROM base WHERE o_orderkey % 13 = 0
+),
+latest AS (
+  SELECT * FROM changes
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) = 1
+),
+merged AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.price_cents FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, price_cents FROM latest WHERE op <> 'D'
+)
+SELECT o_orderkey, o_orderstatus, price_cents
+FROM merged ORDER BY o_orderkey
+"""

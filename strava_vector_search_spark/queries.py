@@ -2840,3 +2840,59 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dq_expectations": dq_expectations})
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog application (operators/cdc.py)
+
+
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO equivalent: apply a derived I/U/D change feed to the
+    orders snapshot (latest-per-key window + anti-join union; the change
+    side broadcasts, the snapshot never shuffles). The feed is built
+    deterministically from orders itself so the oracle can replay it:
+    %7 keys get a +10% reprice (seq 1), %21 keys a second +20% reprice
+    (seq 2, must win), %11 keys a delete (seq 3, beats reprices on
+    7∩11 keys), %13 keys re-inserted under key+10_000_000 (seq 1).
+    Prices are integer cents with exact integer division — bit-exact
+    across engines, no double-rounding hazard."""
+    from strava_vector_search_spark.operators.cdc import apply_changelog
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+    def change(filt, seq, op, key=k, cents=F.col("price_cents")):
+        return base.filter(filt).select(
+            key.alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            cents.alias("price_cents"),
+            "o_orderdate",
+            "o_orderpriority",
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    changes = (
+        change(k % 7 == 0, 1, "U", cents=F.expr("price_cents * 110 div 100"))
+        .unionByName(
+            change(k % 21 == 0, 2, "U", cents=F.expr("price_cents * 120 div 100"))
+        )
+        .unionByName(change(k % 11 == 0, 3, "D"))
+        .unionByName(change(k % 13 == 0, 1, "I", key=k + 10_000_000))
+    )
+    merged = apply_changelog(base, changes, keys=["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "o_orderstatus", "price_cents"
+    ).orderBy("o_orderkey")
+
+
+QUERIES.update({"cdc_apply_changelog": cdc_apply_changelog})

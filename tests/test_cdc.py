@@ -1,0 +1,79 @@
+"""Unit tests for operators/cdc.py (changelog application)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.operators.cdc import (
+    apply_changelog,
+    latest_changes,
+)
+
+
+@pytest.fixture()
+def snapshot(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id int, name string, v int",
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "id int, name string, v int, seq int, op string"
+    )
+
+
+def _as_dict(df):
+    return {r["id"]: (r["name"], r["v"]) for r in df.collect()}
+
+
+def test_upsert_delete_insert(spark, snapshot):
+    ch = _changes(
+        spark,
+        [
+            (1, "a2", 11, 1, "U"),   # update
+            (2, None, None, 1, "D"),  # delete
+            (4, "d", 40, 1, "I"),    # insert
+        ],
+    )
+    out = _as_dict(apply_changelog(snapshot, ch, ["id"]))
+    assert out == {1: ("a2", 11), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_latest_seq_wins_and_delete_beats_older_updates(spark, snapshot):
+    ch = _changes(
+        spark,
+        [
+            (1, "a2", 11, 1, "U"),
+            (1, "a3", 12, 2, "U"),   # later seq wins
+            (3, "c2", 31, 1, "U"),
+            (3, None, None, 5, "D"),  # later delete wins
+        ],
+    )
+    out = _as_dict(apply_changelog(snapshot, ch, ["id"]))
+    assert out == {1: ("a3", 12), 2: ("b", 20)}
+
+
+def test_equal_seq_tie_breaks_update_over_delete(spark, snapshot):
+    ch = _changes(spark, [(1, None, None, 1, "D"), (1, "a9", 99, 1, "U")])
+    latest = latest_changes(ch, ["id"]).collect()
+    assert len(latest) == 1 and latest[0]["op"] == "U"  # 'U' > 'D'
+
+
+def test_idempotent_reapply(spark, snapshot):
+    ch = _changes(spark, [(1, "a2", 11, 1, "U"), (2, None, None, 2, "D")])
+    once = apply_changelog(snapshot, ch, ["id"])
+    twice = apply_changelog(once, ch, ["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_snapshot_side_not_shuffled(spark, snapshot):
+    """The anti-join must broadcast the (small) change side — the snapshot
+    scan carries no Exchange in the final adaptive plan."""
+    ch = _changes(spark, [(1, "a2", 11, 1, "U")])
+    out = apply_changelog(snapshot, ch, ["id"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
