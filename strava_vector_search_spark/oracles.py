@@ -1875,3 +1875,29 @@ merged AS (
 SELECT o_orderkey, o_orderstatus, price_cents
 FROM merged ORDER BY o_orderkey
 """
+
+
+ORACLES["tx_vocab_top"] = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+        ORDER BY cnt DESC, token ASC LIMIT 64)
+SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS id, token, cnt
+FROM cnt
+"""
+
+ORACLES["tx_encode_documents"] = f"""
+WITH tokall AS (SELECT unnest({_TOKS}) AS token FROM documents),
+cnt AS (SELECT token, COUNT(*) AS cnt FROM tokall GROUP BY token
+        ORDER BY cnt DESC, token ASC LIMIT 64),
+vocab AS (SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS id, token FROM cnt),
+tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents WHERE doc_id < 30),
+pos AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS pos,
+               unnest(ts) AS token FROM tok),
+enc AS (SELECT p.doc_id, p.pos, COALESCE(v.id, 0) AS tid
+        FROM pos p LEFT JOIN vocab v ON v.token = p.token)
+SELECT t.doc_id, len(t.ts) AS n_tokens,
+       COALESCE((SELECT string_agg(e.tid::VARCHAR, ',' ORDER BY e.pos)
+                 FROM enc e WHERE e.doc_id = t.doc_id), '') AS ids_csv
+FROM tok t
+ORDER BY t.doc_id
+"""

@@ -2896,3 +2896,40 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"cdc_apply_changelog": cdc_apply_changelog})
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build + corpus encoding (operators/vocab.py)
+
+
+def tx_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-64 token vocabulary (cnt DESC, token ASC; id = rank). Map-side
+    combined count + TakeOrderedAndProject."""
+    from strava_vector_search_spark.operators.vocab import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", vocab_size=64)
+
+
+def tx_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer encode: docs -> integer id arrays through the broadcast
+    top-64 vocab (OOV -> 0), map-only Arrow kernel, no shuffle. Array
+    serialized to CSV for the driver canonicalizer."""
+    from strava_vector_search_spark.operators.vocab import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", vocab_size=64)
+    out = encode_documents(docs.filter(F.col("doc_id") < 30), vocab)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.col("ids").cast("array<string>"), ",").alias("ids_csv"),
+    ).orderBy("doc_id")
+
+
+QUERIES.update(
+    {"tx_vocab_top": tx_vocab_top, "tx_encode_documents": tx_encode_documents}
+)
