@@ -67,3 +67,32 @@ def apply_changelog(
     )
     untouched = snapshot.join(latest.select(*keys), keys, "left_anti")
     return untouched.unionByName(survivors)
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """SCD type 2: turn an I/U/D change feed into versioned history rows
+    with validity intervals.
+
+    Every I/U change opens a version at its ``seq``; the version closes at
+    the NEXT change's seq (``valid_to_seq``, NULL while current). A delete
+    closes the preceding version and opens nothing, so a deleted key has
+    no current row. One window (= one shuffle on the key) computes every
+    interval; there is no self-join.
+
+    Output: the change columns with ``seq`` renamed ``valid_from_seq``,
+    plus ``valid_to_seq`` and ``is_current``.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.asc(seq_col), F.asc(op_col))
+    return (
+        changes.withColumn("valid_to_seq", F.lead(seq_col).over(w))
+        .filter(F.col(op_col) != F.lit("D"))
+        .withColumnRenamed(seq_col, "valid_from_seq")
+        .withColumn("is_current", F.col("valid_to_seq").isNull())
+        .drop(op_col)
+    )

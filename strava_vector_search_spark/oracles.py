@@ -1901,3 +1901,27 @@ SELECT t.doc_id, len(t.ts) AS n_tokens,
 FROM tok t
 ORDER BY t.doc_id
 """
+
+
+ORACLES["cdc_scd2_history"] = """
+WITH base AS (
+  SELECT o_orderkey, ROUND(o_totalprice * 100, 0)::BIGINT AS price_cents
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, price_cents, 1 AS seq, 'I' AS op FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, price_cents * 110 // 100, 2, 'U' FROM base WHERE o_orderkey % 15 = 0
+  UNION ALL
+  SELECT o_orderkey, price_cents, 3, 'D' FROM base WHERE o_orderkey % 45 = 0
+),
+vers AS (
+  SELECT o_orderkey, seq AS valid_from_seq, op, price_cents,
+         LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq ASC, op ASC) AS valid_to_seq
+  FROM changes
+)
+SELECT o_orderkey, valid_from_seq, valid_to_seq, price_cents,
+       valid_to_seq IS NULL AS is_current
+FROM vers WHERE op <> 'D'
+ORDER BY o_orderkey, valid_from_seq
+"""

@@ -2933,3 +2933,39 @@ def tx_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update(
     {"tx_vocab_top": tx_vocab_top, "tx_encode_documents": tx_encode_documents}
 )
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioned history from a deterministic order changelog:
+    %5 keys inserted (seq 1), %15 repriced +10% (seq 2), %45 deleted
+    (seq 3). One window computes every validity interval; deleted keys
+    end with no current version."""
+    from strava_vector_search_spark.operators.cdc import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+
+    def change(filt, seq, op, cents=F.col("price_cents")):
+        return base.filter(filt).select(
+            "o_orderkey",
+            cents.alias("price_cents"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    changes = (
+        change(k % 5 == 0, 1, "I")
+        .unionByName(change(k % 15 == 0, 2, "U", cents=F.expr("price_cents * 110 div 100")))
+        .unionByName(change(k % 45 == 0, 3, "D"))
+    )
+    out = scd2_history(changes, keys=["o_orderkey"])
+    return out.select(
+        "o_orderkey", "valid_from_seq", "valid_to_seq", "price_cents", "is_current"
+    ).orderBy("o_orderkey", "valid_from_seq")
+
+
+QUERIES.update({"cdc_scd2_history": cdc_scd2_history})

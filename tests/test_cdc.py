@@ -77,3 +77,28 @@ def test_snapshot_side_not_shuffled(spark, snapshot):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_scd2_intervals(spark):
+    from strava_vector_search_spark.operators.cdc import scd2_history
+
+    ch = spark.createDataFrame(
+        [
+            (1, 100, 1, "I"),
+            (1, 110, 5, "U"),
+            (2, 200, 1, "I"),
+            (2, None, 3, "D"),
+            (3, 300, 2, "I"),
+        ],
+        "id int, v int, seq int, op string",
+    )
+    rows = {
+        (r["id"], r["valid_from_seq"]): (r["valid_to_seq"], r["v"], r["is_current"])
+        for r in scd2_history(ch, ["id"]).collect()
+    }
+    assert rows[(1, 1)] == (5, 100, False)
+    assert rows[(1, 5)] == (None, 110, True)
+    assert rows[(2, 1)] == (3, 200, False)  # closed by the delete
+    assert (2, 3) not in rows               # delete opens nothing
+    assert rows[(3, 2)] == (None, 300, True)
+    assert len(rows) == 4
