@@ -1925,3 +1925,44 @@ SELECT o_orderkey, valid_from_seq, valid_to_seq, price_cents,
 FROM vers WHERE op <> 'D'
 ORDER BY o_orderkey, valid_from_seq
 """
+
+
+ORACLES["a8_pivot"] = """
+SELECT o_orderpriority,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS o_n,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice::DECIMAL(18,6) END)::DOUBLE, 2) AS o_rev,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS f_n,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice::DECIMAL(18,6) END)::DOUBLE, 2) AS f_rev,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS p_n,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice::DECIMAL(18,6) END)::DOUBLE, 2) AS p_rev
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["a9_unpivot"] = """
+WITH melted AS (
+  SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure,
+         l_extendedprice AS value FROM lineitem WHERE l_orderkey < 200
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_orderkey < 200
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+  FROM lineitem WHERE l_orderkey < 200
+)
+SELECT measure, COUNT(*) AS n,
+       ROUND(SUM(value::DECIMAL(18,6))::DOUBLE, 4) AS total
+FROM melted GROUP BY measure ORDER BY measure
+"""
+
+
+# full recompute — must equal the Spark side's base+delta state merge
+ORACLES["agg_incremental_merge"] = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice::DECIMAL(18,6))::DOUBLE, 4) AS revenue,
+       ROUND(SUM(o_totalprice::DECIMAL(18,6))::DOUBLE / COUNT(*), 4) AS avg_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""

@@ -2969,3 +2969,102 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"cdc_scd2_history": cdc_scd2_history})
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot (relational surface completion)
+
+
+def a8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts and decimal-summed revenue per priority,
+    one column pair per status (engine completion; Spark groupBy().pivot()
+    with explicit values so the plan is a single aggregate, no
+    distinct-values pre-scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return out.select(
+        "o_orderpriority",
+        *[
+            F.round(F.col(f"{s}_{m}"), 2).alias(f"{s.lower()}_{m}")
+            if m == "rev"
+            else F.coalesce(F.col(f"{s}_{m}"), F.lit(0)).alias(f"{s.lower()}_{m}")
+            for s in ("O", "F", "P")
+            for m in ("n", "rev")
+        ],
+    )
+
+
+def a9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): lineitem charge components to (measure, value) rows
+    via the native unpivot operator — map-only, no shuffle before the
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    melted = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["extendedprice", "discount", "tax"],
+        "measure",
+        "value",
+    )
+    return (
+        melted.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total"),
+        )
+        .orderBy("measure")
+    )
+
+
+QUERIES.update({"a8_pivot": a8_pivot, "a9_unpivot": a9_unpivot})
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (operators/incremental.py)
+
+
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate refresh: the orders revenue report split into
+    a base state (orderdate < 1997-01-01) and a late-arriving delta batch,
+    merged state-to-state. count/sum are monoids over DECIMAL(18,6), so
+    the merge equals the full recompute BIT-EXACTLY -- which is what the
+    oracle computes."""
+    from strava_vector_search_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_agg_state,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1997-01-01").cast("date")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    base = agg_state(orders.filter(split), keys, ["o_totalprice"])
+    delta = agg_state(orders.filter(~split), keys, ["o_totalprice"])
+    merged = finalize(merge_agg_state(base, delta, keys))
+    return merged.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "cnt",
+        F.col("sum_o_totalprice").alias("revenue"),
+        F.col("avg_o_totalprice").alias("avg_price"),
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+QUERIES.update({"agg_incremental_merge": agg_incremental_merge})
