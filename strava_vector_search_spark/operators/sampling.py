@@ -174,3 +174,39 @@ def pack_sequences(
         F.lit(0),
     )
     return df.withColumn("bin", F.floor(start / F.lit(budget)).cast("bigint"))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column | str,
+    k: int,
+    seed: str = "ws",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    each row draws a deterministic uniform u from a salted hash of its key
+    and competes with sort key u^(1/w); the top-k sort keys ARE the sample,
+    with inclusion probability proportional to weight.
+
+    Spark-first shape: the draw and the power are map-only expressions,
+    the selection is a global top-k (``TakeOrderedAndProject`` — no full
+    sort, no shuffle of losers). Deterministic: same key + seed → same
+    sample on any engine, any partitioning, any cluster size — the
+    property that makes a 100 TB sample reproducible after a stage retry.
+
+    Rows with weight <= 0 or NULL never qualify. Adds ``ws_key`` (rounded
+    to 12 dp so float formatting can't leak engine differences).
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    wc = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    # u in (0, 1]: (h + 1) / 2^60 over the 60-bit hash space
+    u = (md5_int(F.concat(F.lit(seed), F.lit(":"), kc.cast("string"))) + 1) / F.lit(
+        float(1 << 60)
+    )
+    ws = F.round(F.pow(u, F.lit(1.0) / wc), 12)
+    return (
+        df.filter(wc > 0)
+        .withColumn("ws_key", ws)
+        .orderBy(F.desc("ws_key"), kc.asc())
+        .limit(k)
+    )

@@ -1966,3 +1966,17 @@ FROM orders
 GROUP BY o_orderstatus, o_orderpriority
 ORDER BY o_orderstatus, o_orderpriority
 """
+
+
+ORACLES["smp_weighted_sample"] = f"""
+WITH drawn AS (
+  SELECT doc_id, n_chars,
+         ROUND(POW(({_md5i("'ws:' || doc_id::VARCHAR")} + 1) / 1152921504606846976.0,
+                   1.0 / n_chars::DOUBLE), 12) AS ws_key
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, ws_key FROM drawn
+ORDER BY ws_key DESC, doc_id ASC
+LIMIT 50
+"""

@@ -3068,3 +3068,19 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"agg_incremental_merge": agg_incremental_merge})
+
+
+def smp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (Efraimidis-Spirakis A-Res) of 50
+    documents with weight = n_chars: hash-derived uniforms, u^(1/w) sort
+    keys, global top-k -- reproducible on any engine or partitioning."""
+    from strava_vector_search_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample_topk(docs, "doc_id", "n_chars", k=50)
+    return out.select("doc_id", "n_chars", "ws_key")
+
+
+QUERIES.update({"smp_weighted_sample": smp_weighted_sample})

@@ -160,3 +160,46 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert rows[3]["clean"] == "no pii here, just 12345 and words"
     assert rows[3]["ne"] == 0 and rows[3]["np"] == 0
     assert "[EMAIL]" in rows[4]["clean"] and "[PHONE]" in rows[4]["clean"]
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from strava_vector_search_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 90 else 1000.0) for i in range(100)]
+        + [(200, 0.0), (201, None)],
+        "id int, w double",
+    )
+    s1 = [r["id"] for r in weighted_sample_topk(df, "id", "w", k=10).collect()]
+    s2 = [r["id"] for r in weighted_sample_topk(df, "id", "w", k=10).collect()]
+    assert s1 == s2  # deterministic, ordered identically
+    # zero/NULL weights can never be sampled
+    assert 200 not in s1 and 201 not in s1
+    # the ten 1000x-weight rows should dominate a k=10 sample
+    heavy = [i for i in s1 if i >= 90]
+    assert len(heavy) >= 8
+    # different seed -> different sample (same membership unlikely)
+    s3 = [
+        r["id"]
+        for r in weighted_sample_topk(df, "id", "w", k=10, seed="other").collect()
+    ]
+    assert s1 != s3
+
+
+def test_weighted_sample_plan_is_topk(spark):
+    from strava_vector_search_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").cast("int").alias("id"), F.lit(2.0).alias("w")
+    )
+    plan = (
+        weighted_sample_topk(df, "id", "w", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
