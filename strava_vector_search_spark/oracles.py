@@ -1980,3 +1980,41 @@ SELECT doc_id, n_chars, ws_key FROM drawn
 ORDER BY ws_key DESC, doc_id ASC
 LIMIT 50
 """
+
+
+ORACLES["ev_funnel"] = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase,
+       ROUND((SELECT COUNT(*) FROM c)::DOUBLE / (SELECT COUNT(*) FROM v), 4) AS conv_click,
+       ROUND((SELECT COUNT(*) FROM p)::DOUBLE / (SELECT COUNT(*) FROM c), 4) AS conv_purchase
+"""
+
+ORACLES["ev_retention_cohorts"] = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts))::DATE AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       datediff('day', f.cohort_week, date_trunc('week', e.ts)::DATE) // 7 AS week_offset,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

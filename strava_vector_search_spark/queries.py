@@ -3084,3 +3084,78 @@ def smp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"smp_weighted_sample": smp_weighted_sample})
+
+
+# ---------------------------------------------------------------------------
+# event analytics: funnel + retention cohorts
+
+
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: each stage is a
+    per-user conditional min-timestamp aggregate joined to the previous
+    stage (strictly-after semantics). Three user-keyed shuffles of
+    already-aggregated per-user rows -- the canonical distributed funnel."""
+    ev = load_events(spark, sf_dir)
+    u = "user_id"
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(u)
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, u)
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy(u)
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, u)
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy(u)
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") / F.col("n_view"), 4).alias("conv_click"),
+            F.round(F.col("n_purchase") / F.col("n_click"), 4).alias(
+                "conv_purchase"
+            ),
+        )
+    )
+
+
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = ISO week of the user's first
+    event; cell = distinct users from that cohort active N weeks later.
+    One per-user first-event aggregate broadcast back onto the events
+    scan, then a (cohort, offset) distinct-count."""
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    cells = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "datediff(cast(date_trunc('week', ts) as date), cohort_week) div 7"
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+    return cells.orderBy("cohort_week", "week_offset")
+
+
+QUERIES.update(
+    {"ev_funnel": ev_funnel, "ev_retention_cohorts": ev_retention_cohorts}
+)
