@@ -55,6 +55,16 @@ HEADLINE = [
     "dm_domain_mix",
     "tx_bm25_topk",
     "vs_hybrid_bm25_topk",
+    "dq_expectations",
+    "cdc_apply_changelog",
+    "cdc_scd2_history",
+    "agg_incremental_merge",
+    "smp_weighted_sample",
+    "tx_vocab_top",
+    "tx_encode_documents",
+    "ev_funnel",
+    "ev_retention_cohorts",
+    "a8_pivot",
 ]
 
 

@@ -118,6 +118,53 @@ EXPECTATIONS: dict[str, dict] = {
         "pushed_filter": r"PushedFilters: \[.*EqualTo\(lang,es",
         "top_k_no_sort": "TakeOrderedAndProject",
     },
+    "tx_bm25_topk": {
+        # two-scan BM25: the returned scored scan must be map-only + top-k
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_join": "!Join",
+        "map_only": "!Exchange",
+    },
+    "vs_hybrid_bm25_topk": {
+        "broadcast_join": "BroadcastHashJoin",
+        "top_k_no_sort": "TakeOrderedAndProject",
+    },
+    "tx_vocab_top": {
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "partial_agg": "partial_count",
+    },
+    "tx_encode_documents": {
+        # vocab is collected + broadcast, NOT joined; encode is one Arrow pass
+        "no_join": "!Join",
+        "python_kernel": "ArrowEvalPython|MapInPandas",
+    },
+    "dq_expectations": {
+        "anti_join": "LeftAnti",
+        "partial_agg": "partial_",
+    },
+    "cdc_apply_changelog": {
+        "anti_join": "LeftAnti",
+        "window": "Window",
+    },
+    "cdc_scd2_history": {"window": "Window"},
+    "smp_weighted_sample": {
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_join": "!Join",
+        "no_agg": "!HashAggregate",
+    },
+    "agg_incremental_merge": {"partial_agg": "partial_"},
+    "a8_pivot": {"partial_agg": "partial_"},
+    "a9_unpivot": {"melt": "Expand", "partial_agg": "partial_"},
+    "ev_funnel": {"partial_agg": "partial_min"},
+    "ev_retention_cohorts": {"partial_agg": "partial_"},
+    "ev_asof_join": {
+        "window": "Window",
+        "no_nested_loop": "!BroadcastNestedLoopJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "ev_range_join": {
+        "interval_explode": "Generate",
+        "no_nested_loop": "!NestedLoop",
+    },
 }
 
 
