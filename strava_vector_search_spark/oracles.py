@@ -2018,3 +2018,26 @@ FROM events e JOIN firsts f ON e.user_id = f.user_id
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+ORACLES["w_time_range_frame"] = """
+SELECT user_id, event_id, ts,
+       COUNT(*) OVER w AS n_trailing_1h,
+       ROUND(SUM(value::DECIMAL(18,6)) OVER w::DOUBLE, 4) AS sum_trailing_1h
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+"""
+
+ORACLES["a13_grouping_sets"] = """
+SELECT o_orderstatus, o_orderpriority,
+       (GROUPING(o_orderstatus) > 0)::INT AS g_status,
+       (GROUPING(o_orderpriority) > 0)::INT AS g_priority,
+       COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice::DECIMAL(18,6))::DOUBLE, 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""

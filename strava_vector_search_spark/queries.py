@@ -3159,3 +3159,58 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update(
     {"ev_funnel": ev_funnel, "ev_retention_cohorts": ev_retention_cohorts}
 )
+
+
+# ---------------------------------------------------------------------------
+# time-RANGE window frames + grouping sets (relational surface completion)
+
+
+def w_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user event aggregate via a RANGE window frame
+    over epoch seconds (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) --
+    the time-window analytic ROWS frames can't express when event spacing
+    is irregular. One shuffle on user_id."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    out = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"),
+            4,
+        ).alias("sum_trailing_1h"),
+    )
+    return out.orderBy("user_id", "ts", "event_id")
+
+
+def a13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status, priority), (status), ()) with grouping_id to
+    label subtotal levels -- one Expand + one aggregate, not three scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               COUNT(*) AS cnt,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+QUERIES.update(
+    {
+        "w_time_range_frame": w_time_range_frame,
+        "a13_grouping_sets": a13_grouping_sets,
+    }
+)
