@@ -2041,3 +2041,29 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
 """
+
+
+ORACLES["j_null_safe"] = """
+WITH a AS (
+  SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer
+),
+dims AS (
+  SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+         COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS seg_label
+  FROM customer
+)
+SELECT d.seg_label, COUNT(*) AS n_customers
+FROM a JOIN dims d ON a.seg IS NOT DISTINCT FROM d.seg
+GROUP BY d.seg_label
+ORDER BY d.seg_label
+"""
+
+ORACLES["dd_fuzzy_name_pairs"] = """
+SELECT a.p_brand AS brand, a.p_partkey AS k1, b.p_partkey AS k2,
+       a.p_name AS n1, b.p_name AS n2,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY brand, k1, k2
+"""

@@ -3214,3 +3214,60 @@ QUERIES.update(
         "a13_grouping_sets": a13_grouping_sets,
     }
 )
+
+
+def j_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — the semantics dimension-matching
+    pipelines need for 'unknown' buckets. NULLs derived via NULLIF so the
+    oracle replays them."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    dims = (
+        cust.select(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+        )
+        .distinct()
+        .withColumn("seg_label", F.coalesce(F.col("seg"), F.lit("UNKNOWN")))
+    )
+    out = (
+        a.join(dims, a["seg"].eqNullSafe(dims["seg"]), "inner")
+        .groupBy("seg_label")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return out.orderBy("seg_label")
+
+
+def dd_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match: part-name pairs within the same brand at
+    Levenshtein distance <= 3. The brand block key bounds the candidate
+    explosion (the fuzzy-join pattern: domain blocking key + exact edit
+    distance on survivors); never an all-pairs cross join."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("k1"),
+        F.col("p_name").alias("n1"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("k2"),
+        F.col("p_name").alias("n2"),
+    )
+    pairs = (
+        a.join(b, "brand")
+        .filter(F.col("k1") < F.col("k2"))
+        .withColumn("dist", F.levenshtein(F.col("n1"), F.col("n2")))
+        .filter(F.col("dist") <= 3)
+    )
+    return pairs.select("brand", "k1", "k2", "n1", "n2", "dist").orderBy(
+        "brand", "k1", "k2"
+    )
+
+
+QUERIES.update(
+    {"j_null_safe": j_null_safe, "dd_fuzzy_name_pairs": dd_fuzzy_name_pairs}
+)

@@ -172,6 +172,59 @@ def main() -> None:
     results.append(("simhash fingerprints", f"{n_docs:,} docs", sec,
                     "one explode + one groupBy; linear"))
 
+    # ---- BM25 + vocab encode at ~50K docs (text is ~10x the corpus)
+    from strava_vector_search_spark.operators.fulltext import (
+        BM25_TERMS, bm25_corpus_stats, bm25_topk,
+    )
+
+    stats = bm25_corpus_stats(big_docs, "text", BM25_TERMS)
+    sec, _ = t(lambda: bm25_topk(
+        big_docs, BM25_TERMS, k=10, stats=stats
+    ).count())
+    results.append(("bm25_topk (stats reused)", f"{n_docs:,} docs", sec,
+                    "map-only scored scan + TakeOrderedAndProject; stats pass "
+                    "amortizes across queries"))
+
+    from strava_vector_search_spark.operators.vocab import (
+        build_vocab, encode_documents,
+    )
+
+    vocab = build_vocab(big_docs, "text", vocab_size=1024)
+    sec, _ = t(lambda: encode_documents(big_docs, vocab).count())
+    results.append(("encode_documents V=1024", f"{n_docs:,} docs", sec,
+                    "broadcast dict + one Arrow pass; no token-occurrence "
+                    "shuffle at any corpus size"))
+
+    # ---- CDC merge against a 3M-row snapshot, ~430K-row change feed
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    snap = (
+        orders.crossJoin(spark.range(20).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("o_orderkey") * 20 + F.col("rep")).alias("k"),
+            F.col("o_totalprice").alias("v"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_snap = snap.count()
+    from strava_vector_search_spark.operators.cdc import apply_changelog
+
+    feed = snap.filter(F.col("k") % 7 == 0).select(
+        "k", (F.col("v") * 1.1).alias("v"),
+        F.lit(1).alias("seq"), F.lit("U").alias("op"),
+    )
+    sec, n = t(lambda: apply_changelog(snap, feed, keys=["k"]).count())
+    results.append(("cdc apply_changelog", f"{n_snap:,}-row snapshot, {n_snap//7:,}-row feed", sec,
+                    "change side broadcasts; the snapshot is scanned once and "
+                    "never shuffled"))
+
+    sec, n = t(lambda: __import__(
+        "strava_vector_search_spark.operators.sampling", fromlist=["weighted_sample_topk"]
+    ).weighted_sample_topk(snap, "k", "v", k=100).count())
+    results.append(("weighted_sample_topk", f"{n_snap:,} rows", sec,
+                    "map-only hash draw + u^(1/w) + top-k; no shuffle, no agg"))
+    snap.unpersist()
+
     # ---- write SCALE.md
     lines = [
         "# SCALE — measured behavior on amplified data (local[32])",
