@@ -258,6 +258,15 @@ def main() -> None:
         "  map-only fused-kernel signatures + one band-key shuffle, with r as",
         "  the selectivity knob (r=16 for the ≥0.9 regime). MLlib's",
         "  approxSimilarityJoin is kept only as the API-parity entry.",
+        "- **CDC merge** broadcasts the change feed: a 3M-row snapshot merges a",
+        "  428K-row feed in ~3 s with the snapshot scanned once and never",
+        "  shuffled — the property that holds when the snapshot is 100 TB and",
+        "  the feed is a few GB.",
+        "- **BM25 / vocab encode** are one-scan text ops: corpus stats and the",
+        "  vocabulary are driver-side constants (broadcast), scoring/encoding",
+        "  is map-only, top-k never sorts globally.",
+        "- **Weighted sampling** is a hash draw + top-k: 3M rows in 0.3 s,",
+        "  zero shuffle, bit-reproducible under retries and repartitioning.",
         "- **Shuffle-bearing ops** (groupBy, dedup, sessionize) all aggregate",
         "  partially map-side and shuffle hashed 8-byte keys, not payloads;",
         "  AQE re-plans partition counts and splits skewed keys at runtime.",
