@@ -2067,3 +2067,21 @@ FROM part a JOIN part b
 WHERE levenshtein(a.p_name, b.p_name) <= 3
 ORDER BY brand, k1, k2
 """
+
+
+ORACLES["a14_stats_moments"] = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         SUM(l_extendedprice::DECIMAL(19,6))::DOUBLE AS sx,
+         SUM(l_quantity::DECIMAL(19,6))::DOUBLE AS sy,
+         SUM((l_extendedprice::DECIMAL(19,6) * l_quantity::DECIMAL(19,6))::DECIMAL(38,12))::DOUBLE AS sxy,
+         SUM((l_extendedprice::DECIMAL(19,6) * l_extendedprice::DECIMAL(19,6))::DECIMAL(38,12))::DOUBLE AS sxx,
+         SUM((l_quantity::DECIMAL(19,6) * l_quantity::DECIMAL(19,6))::DECIMAL(38,12))::DOUBLE AS syy
+  FROM lineitem
+)
+SELECT n,
+       ROUND((sxy - sx * sy / n::DOUBLE) / (n::DOUBLE - 1.0), 4) AS covar_price_qty,
+       ROUND((n::DOUBLE * sxy - sx * sy)
+             / (SQRT(n::DOUBLE * sxx - sx * sx) * SQRT(n::DOUBLE * syy - sy * sy)), 6) AS corr_price_qty
+FROM m
+"""

@@ -3294,3 +3294,46 @@ def dd_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update(
     {"j_null_safe": j_null_safe, "dd_fuzzy_name_pairs": dd_fuzzy_name_pairs}
 )
+
+
+def a14_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Pearson correlation + covariance of lineitem price vs
+    quantity from EXACT decimal moment sums (n, Σx, Σy, Σxy, Σx², Σy²) --
+    the order-insensitive formulation; built-in corr()/covar_samp()
+    accumulate doubles whose partial order differs per engine. One
+    map-side-combined aggregate, moments -> doubles -> one IEEE evaluation
+    per statistic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # the 19-digit width pushes both engines onto the 128-bit decimal path
+    # for the products (DuckDB's 12,6 x 12,6 multiply overflows int64)
+    x = F.col("l_extendedprice").cast("decimal(19,6)")
+    y = F.col("l_quantity").cast("decimal(19,6)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).alias("syy"),
+    ).select(
+        F.col("n"),
+        F.col("sx").cast("double").alias("sx"),
+        F.col("sy").cast("double").alias("sy"),
+        F.col("sxy").cast("double").alias("sxy"),
+        F.col("sxx").cast("double").alias("sxx"),
+        F.col("syy").cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - F.lit(1.0))
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "n",
+        F.round(cov, 4).alias("covar_price_qty"),
+        F.round(corr, 6).alias("corr_price_qty"),
+    )
+
+
+QUERIES.update({"a14_stats_moments": a14_stats_moments})
