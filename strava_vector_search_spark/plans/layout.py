@@ -17,7 +17,7 @@ explicit, testable operations:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -126,3 +126,66 @@ def compact(
     shutil.move(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of up to 4 numeric columns.
+
+    Each column is min-max-free rank-quantized by the CALLER (pass already
+    normalized ints in [0, 2^bits)); this function just interleaves bits.
+    Sorting by the result clusters rows so parquet row-group min/max
+    statistics become selective on EVERY participating column at once —
+    multi-dimensional data skipping without an index.
+    """
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(
+                F.lit(1)
+            )
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * n + i).cast("long")
+            )
+    return key
+
+
+def quantize_minmax(c: Column, lo: float, hi: float, bits: int = 16) -> Column:
+    """Map a numeric column into [0, 2^bits) for z-ordering (caller supplies
+    the min/max — one tiny agg, or known domain bounds)."""
+    span = hi - lo
+    q = ((c.cast("double") - F.lit(float(lo))) / F.lit(float(span))) * F.lit(
+        float((1 << bits) - 1)
+    )
+    return F.least(
+        F.greatest(F.round(q, 0).cast("long"), F.lit(0)),
+        F.lit((1 << bits) - 1),
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bounds: dict[str, tuple[float, float]],
+    num_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write parquet clustered by the Morton key of ``cols``.
+
+    ``repartitionByRange`` on the key splits the curve into contiguous
+    chunks (one shuffle), ``sortWithinPartitions`` orders inside each file,
+    so every row group covers a small hyper-rectangle of the key space and
+    min/max pruning works on all ``cols`` simultaneously.
+    """
+    quant = [
+        quantize_minmax(F.col(c), *bounds[c], bits=bits) for c in cols
+    ]
+    keyed = df.withColumn("_zkey", zorder_key(quant, bits=bits))
+    (
+        keyed.repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

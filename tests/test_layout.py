@@ -77,3 +77,46 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert after < before
     # data intact
     assert spark.read.parquet(path).count() == 120
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered row groups must be selective on BOTH columns at once —
+    the property single-column sorting cannot give the second column."""
+    import pyarrow.parquet as pq
+    from strava_vector_search_spark.plans.layout import write_zordered
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).cast("double").alias("x"),
+        (F.pmod(F.col("id") * 2_654_435_761, F.lit(1_000_000)) % 1000)
+        .cast("double")
+        .alias("y"),
+    )
+    zpath = str(tmp_path / "z")
+    write_zordered(
+        df, zpath, ["x", "y"], {"x": (0, 999), "y": (0, 999)}, num_files=8
+    )
+
+    import glob
+
+    def mean_span(path, col):
+        spans, total = [], 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                for ci in range(meta.num_columns):
+                    c = meta.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        spans.append(c.statistics.max - c.statistics.min)
+                        total += 1
+        return sum(spans) / len(spans)
+
+    # both dimensions cluster: average row-group span far below the global
+    # 0..999 span (a random layout would be ~999 on both)
+    assert mean_span(zpath, "x") < 600
+    assert mean_span(zpath, "y") < 600
+
+    # and the data itself is intact
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    assert back.agg(F.sum("x")).head()[0] == df.agg(F.sum("x")).head()[0]
