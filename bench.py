@@ -65,6 +65,10 @@ HEADLINE = [
     "ev_funnel",
     "ev_retention_cohorts",
     "a8_pivot",
+    "a13_grouping_sets",
+    "a14_stats_moments",
+    "w_time_range_frame",
+    "dd_fuzzy_name_pairs",
 ]
 
 

@@ -165,6 +165,16 @@ EXPECTATIONS: dict[str, dict] = {
         "interval_explode": "Generate",
         "no_nested_loop": "!NestedLoop",
     },
+    "j_null_safe": {"partial_agg": "partial_count"},
+    "dd_fuzzy_name_pairs": {
+        # blocked fuzzy join: equi-join on the block key, never a
+        # nested-loop over the edit-distance predicate
+        "no_nested_loop": "!NestedLoop",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "a13_grouping_sets": {"expand": "Expand", "partial_agg": "partial_"},
+    "a14_stats_moments": {"partial_agg": "partial_sum", "single_scan": "!Union"},
+    "w_time_range_frame": {"window": "Window"},
 }
 
 
