@@ -2085,3 +2085,31 @@ SELECT n,
              / (SQRT(n::DOUBLE * sxx - sx * sx) * SQRT(n::DOUBLE * syy - sy * sy)), 6) AS corr_price_qty
 FROM m
 """
+
+
+ORACLES["ev_session_paths"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+with_id AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM flagged
+),
+paths AS (
+  SELECT lag(event_type) OVER ws AS from_type, event_type AS to_type
+  FROM with_id
+  WINDOW ws AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+)
+SELECT from_type, to_type, COUNT(*) AS n_transitions
+FROM paths WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY n_transitions DESC, from_type, to_type
+LIMIT 15
+"""

@@ -3337,3 +3337,39 @@ def a14_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"a14_stats_moments": a14_stats_moments})
+
+
+def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: top event-type transitions (bigrams) WITHIN
+    sessions -- sessionize (lag + running sum, one user-keyed shuffle),
+    lag the event type inside each session, count transitions. The
+    navigation-flow query of product analytics."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    with_id = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    paths = with_id.withColumn(
+        "prev_type", F.lag("event_type").over(ws)
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        paths.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), "from_type", "to_type")
+        .limit(15)
+    )
+
+
+QUERIES.update({"ev_session_paths": ev_session_paths})
