@@ -69,6 +69,10 @@ HEADLINE = [
     "a14_stats_moments",
     "w_time_range_frame",
     "dd_fuzzy_name_pairs",
+    "dd_paragraph_dedup",
+    "dd_decontaminate",
+    "dd_cluster_keep_best",
+    "tx_tfidf_top_terms",
 ]
 
 

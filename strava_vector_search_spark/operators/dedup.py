@@ -738,3 +738,169 @@ def dedup_by_near_dup_groups(
     return df.join(cc, df[id_col] == cc["id"], "left").select(
         df["*"], F.coalesce(F.col("comp"), df[id_col]).alias("comp")
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality: Column,
+) -> DataFrame:
+    """Duplicate-cluster resolution keeping the BEST member per cluster
+    (not the first): near-dup pairs → connected components → per-component
+    ``max_by(id, quality)``.
+
+    This is the policy real training pipelines use — when several near-dup
+    documents survive crawl, keep the longest / highest-quality one, not the
+    one with the smallest id. ``quality`` must be a deterministic,
+    duplicate-free ordering expression (embed a unique-id tiebreak in it).
+
+    Returns one row per component: (comp, keep_id, n_members, best_quality).
+    Scale: components add one small join on the pair-derived label table
+    (duplicates are a tiny fraction of the corpus), then a single map-side
+    combinable aggregate over the labeled corpus.
+    """
+    labeled = dedup_by_near_dup_groups(df, pairs, id_col).withColumn(
+        "__q", quality
+    )
+    return labeled.groupBy("comp").agg(
+        F.expr(f"max_by({id_col}, __q)").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("__q").alias("best_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level (span) exact dedup — C4-style
+
+
+def span_chunks(text: Column, span_tokens: int = 10) -> Column:
+    """Consecutive non-overlapping ``span_tokens``-token chunks of a text
+    column — the unit of C4-style span-level dedup (the public C4 pipeline
+    dedups exact three-sentence spans across the whole corpus; synthetic
+    fixtures have no sentence marks, so the span is a fixed token window)."""
+    toks = tokens(text)
+    n = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * span_tokens + 1, span_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-global exact span dedup: every span of every document is kept
+    only at its FIRST occurrence (ordered by (id, span position)); documents
+    are rebuilt from their surviving spans.
+
+    Returns (id, n_spans, n_kept, clean_text) — one row per input document,
+    ``clean_text = ''`` when every span was a repeat.
+
+    Scale shape (100 TB): one shuffle partitioned by the raw span text for
+    the global keep-first window — the span string itself is the correctness
+    key (no hash-collision risk), and partition skew concentrates exactly on
+    heavily-repeated boilerplate spans, which is the data the operator
+    exists to delete; then one group-back shuffle on the document id.
+    ``collect_list`` order is restored with ``array_sort`` on (idx, span)
+    structs, so the rebuild is deterministic under any partitioning.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        span_chunks(F.col(text_col), span_tokens).alias("_spans"),
+    ).select(
+        "_id",
+        F.size("_spans").cast("bigint").alias("n_spans"),
+        F.posexplode_outer("_spans").alias("idx", "span"),
+    )
+    w = Window.partitionBy("span").orderBy("_id", "idx")
+    kept = ex.withColumn(
+        "keep", F.col("span").isNotNull() & (F.row_number().over(w) == 1)
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.max("n_spans").alias("n_spans"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("idx", "span"))
+                        )
+                    ),
+                    lambda x: x["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination — n-gram overlap against an eval set
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Flag training documents that overlap a benchmark/eval set — the
+    standard pre-training decontamination pass (n-gram collision against
+    held-out test sets).
+
+    Per corpus document: the number of its distinct n-token shingles that
+    also occur anywhere in ``eval_df``, the contaminated fraction, and a
+    boolean flag at ``threshold``.
+
+    Scale shape (100 TB corpus, bounded eval set): eval shingles are
+    distinct-ed and BROADCAST (benchmarks are at most a few million
+    n-grams), so the corpus side is a single map-only scan — shingle,
+    broadcast-hash probe, partial-aggregate per document. No corpus
+    shuffle other than the map-side-combined per-doc count.
+    """
+    sh = corpus.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), n).alias("_sh"),
+    ).select(
+        "_id",
+        F.size("_sh").cast("bigint").alias("n_sh"),
+        F.explode("_sh").alias("s"),
+    )
+    eval_sh = (
+        shingle_rows(eval_df, id_col, text_col, n=n)
+        .select("s")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    agg = (
+        sh.join(F.broadcast(eval_sh), "s", "left")
+        .groupBy("_id")
+        .agg(
+            F.max("n_sh").alias("n_sh"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+    )
+    frac = F.round(F.col("n_hit") / F.col("n_sh"), 6)
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_sh",
+        "n_hit",
+        frac.alias("contaminated_frac"),
+        (frac >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -146,3 +146,46 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF
+    (tf · ln(N/df), rounded to 6 dp; ties broken by term ASC).
+
+    The keyword-extraction / corpus-profiling primitive: two map-side
+    combinable aggregates (term frequency per (doc, term); document
+    frequency per term — df counts come from the already-unique tf rows, so
+    no DISTINCT pass), one join that AQE broadcasts when the vocabulary is
+    small, and one per-document ranking window. N is a single scalar count
+    collected driver-side (bounded, like the BM25 stats pass).
+
+    Returns (id, term, tf, df, tfidf, rank) with rank ≤ k.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col), "term", "tf", "df", "tfidf", "rank"
+        )
+    )

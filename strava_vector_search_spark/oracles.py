@@ -874,7 +874,7 @@ FROM documents GROUP BY lang ORDER BY lang
 
 # -- connected components over verified near-dup pairs ------------------------
 
-ORACLES["dd_connected_components"] = f"""
+_CC_CTES = f"""
 WITH RECURSIVE {_minhash_sig_ctes(16)},
 bands AS (
   {_BANDS_SQL}
@@ -911,10 +911,26 @@ reach(id, comp) AS (
   UNION
   SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
 ),
-cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)"""
+
+ORACLES["dd_connected_components"] = _CC_CTES + """
 SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS comp
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
 ORDER BY d.doc_id
+"""
+
+# keep-BEST cluster resolution over the same components: per-cluster argmax
+# on (n_chars, -doc_id) — quality key identical to the Spark side
+ORACLES["dd_cluster_keep_best"] = _CC_CTES + """,
+labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(cc.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+)
+SELECT comp,
+       arg_max(doc_id, n_chars::BIGINT * 1000000 - doc_id) AS keep_id,
+       COUNT(*) AS n_members,
+       CAST(MAX(n_chars) AS BIGINT) AS best_chars
+FROM labeled GROUP BY comp ORDER BY comp
 """
 
 # -- rolling fingerprint -----------------------------------------------------
@@ -2112,4 +2128,87 @@ FROM paths WHERE from_type IS NOT NULL
 GROUP BY from_type, to_type
 ORDER BY n_transitions DESC, from_type, to_type
 LIMIT 15
+"""
+
+# -- paragraph-level (span) exact dedup ---------------------------------------
+
+ORACLES["dd_paragraph_dedup"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+spn AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) > 0
+              THEN [{{'idx': i, 'span': array_to_string(ts[(i-1)*10+1:i*10], ' ')}}
+                    FOR i IN range(1, CAST(ceil(len(ts) / 10.0) AS BIGINT) + 1)]
+              ELSE CAST([] AS STRUCT(idx BIGINT, span VARCHAR)[]) END AS chunks
+  FROM toks),
+ex AS (SELECT doc_id, unnest(chunks, recursive := true) FROM spn),
+kept AS (
+  SELECT doc_id, idx, span FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+    FROM ex)
+  WHERE rn = 1),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         array_to_string(list(span ORDER BY idx), ' ') AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CASE WHEN len(ts) > 0 THEN CAST(ceil(len(ts) / 10.0) AS BIGINT)
+            ELSE 0 END AS n_spans,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+# -- benchmark decontamination ------------------------------------------------
+
+ORACLES["dd_decontaminate"] = f"""
+WITH {_SHINGLE_CTES},
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 41 = 0),
+agg AS (
+  SELECT a.doc_id, MAX(z.n_sh) AS n_sh,
+         CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit
+  FROM sh a JOIN sz z USING (doc_id)
+  LEFT JOIN ev e ON a.s = e.s
+  WHERE a.doc_id % 41 <> 0
+  GROUP BY a.doc_id)
+SELECT doc_id, n_sh, n_hit,
+       ROUND(n_hit / n_sh, 6) AS contaminated_frac,
+       (ROUND(n_hit / n_sh, 6) >= 0.1) AS contaminated
+FROM agg ORDER BY doc_id
+"""
+
+# -- per-document TF-IDF top terms --------------------------------------------
+
+ORACLES["tx_tfidf_top_terms"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+           AS rank
+  FROM scored)
+WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+# -- distribution windows: ntile / percent_rank / cume_dist -------------------
+
+ORACLES["w_ntile_quartiles"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal, quartile, pct_rank, cume FROM (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         NTILE(4) OVER w AS quartile,
+         ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+         ROUND(CUME_DIST() OVER w, 6) AS cume
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC))
+WHERE c_custkey % 50 = 0
+ORDER BY c_custkey
 """

@@ -3373,3 +3373,95 @@ def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_session_paths": ev_session_paths})
+
+
+def dd_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level exact dedup: every 10-token span kept only at its
+    first corpus-global occurrence, documents rebuilt from surviving spans.
+    One window shuffle keyed by the raw span text + one group-back."""
+    from strava_vector_search_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, "doc_id", "text", span_tokens=10).orderBy(
+        "doc_id"
+    )
+
+
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 3-gram overlap of each training
+    doc against a held-out eval set (doc_id % 41 == 0), broadcast eval-side
+    probe, flag at 10% contaminated fraction."""
+    from strava_vector_search_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    return decontaminate(
+        corpus, eval_df, "doc_id", "text", n=3, threshold=0.1
+    ).orderBy("doc_id")
+
+
+def dd_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution keeping the BEST member: MinHash-LSH
+    verified pairs -> connected components -> per-cluster argmax on
+    (n_chars, -doc_id) — the keep-longest policy of real training
+    pipelines, vs the keep-first policy of dd_exact_dedup_keep_first."""
+    from strava_vector_search_spark.operators.dedup import (
+        dedup_keep_best,
+        minhash_dedup_verified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_verified(docs, "doc_id", "text", threshold=0.5)
+    quality = F.col("n_chars").cast("bigint") * 1_000_000 - F.col("doc_id")
+    out = dedup_keep_best(docs, pairs, "doc_id", quality)
+    return out.select(
+        "comp",
+        "keep_id",
+        "n_members",
+        (
+            (F.col("best_quality") + F.col("keep_id")) / 1_000_000
+        ).cast("bigint").alias("best_chars"),
+    ).orderBy("comp")
+
+
+def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: two map-side-combined aggregates,
+    one AQE-broadcast vocabulary join, one ranking window."""
+    from strava_vector_search_spark.operators.fulltext import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: NTILE(4) quartile, PERCENT_RANK and CUME_DIST
+    of customer balances within each market segment (deterministic
+    (acctbal, custkey) ordering), sampled to every 50th customer AFTER the
+    window so the full-partition semantics are exercised."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    out = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return out.filter(F.col("c_custkey") % 50 == 0).orderBy("c_custkey")
+
+
+QUERIES.update(
+    {
+        "dd_paragraph_dedup": dd_paragraph_dedup,
+        "dd_decontaminate": dd_decontaminate,
+        "dd_cluster_keep_best": dd_cluster_keep_best,
+        "tx_tfidf_top_terms": tx_tfidf_top_terms,
+        "w_ntile_quartiles": w_ntile_quartiles,
+    }
+)

@@ -183,3 +183,73 @@ def test_connected_components_string_ids_driver_and_distributed(spark):
             for r in connected_components(pairs, driver_threshold=threshold).collect()
         }
         assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_paragraph_dedup_removes_repeated_span(spark):
+    # doc 1 and doc 2 share their first 10-token span; doc 2 keeps only its
+    # distinct second span; doc 3 is entirely a repeat -> empty clean_text
+    span_a = " ".join(f"w{i}" for i in range(10))
+    span_b = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, span_a),
+            (2, span_a + " " + span_b),
+            (3, span_a),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.paragraph_dedup(df, "doc_id", "text", 10).collect()
+    }
+    assert out[1]["n_kept"] == 1 and out[1]["clean_text"] == span_a
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == span_b
+    assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
+
+
+def test_paragraph_dedup_rebuild_preserves_span_order(spark):
+    spans = [" ".join(f"s{j}t{i}" for i in range(10)) for j in range(4)]
+    df = spark.createDataFrame(
+        [(7, " ".join(spans))], "doc_id int, text string"
+    )
+    row = D.paragraph_dedup(df, "doc_id", "text", 10).head()
+    assert row["clean_text"] == " ".join(spans)
+    assert row["n_spans"] == 4 and row["n_kept"] == 4
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id int, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta zeta"),  # shares 2 of 3 shingles
+            (2, "totally unrelated words here now"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.decontaminate(
+            corpus, eval_df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert out[1]["n_hit"] == 2 and out[1]["contaminated"]
+    assert out[2]["n_hit"] == 0 and not out[2]["contaminated"]
+
+
+def test_dedup_keep_best_picks_highest_quality(spark, dup_docs):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id1 int, id2 int"
+    )
+    docs = dup_docs.withColumn("n_chars", F.length("text"))
+    quality = F.col("n_chars").cast("bigint") * 1_000_000 - F.col("doc_id")
+    out = {
+        r["comp"]: r
+        for r in D.dedup_keep_best(docs, pairs, "doc_id", quality).collect()
+    }
+    # cluster {1,2,3}: doc 3 is longest ("tomorrow" vs "today")
+    assert out[1]["keep_id"] == 3 and out[1]["n_members"] == 3
+    # singleton keeps itself
+    assert out[4]["keep_id"] == 4 and out[4]["n_members"] == 1

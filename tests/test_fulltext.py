@@ -74,3 +74,27 @@ def test_plan_is_topk_not_full_sort(docs):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    from strava_vector_search_spark.operators.fulltext import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare1"),
+            (2, "common common rare2"),
+            (3, "common common common"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # the doc-unique term beats the corpus-wide one despite lower tf
+    assert by_doc[1][0]["term"] == "rare1"
+    assert by_doc[2][0]["term"] == "rare2"
+    # 'common' appears in every doc -> idf = ln(1) = 0
+    assert all(r["tfidf"] == 0.0 for r in by_doc[3])
+    # ranks are 1..k, deterministic
+    assert [r["rank"] for r in by_doc[1]] == [1, 2]
