@@ -73,6 +73,9 @@ HEADLINE = [
     "dd_decontaminate",
     "dd_cluster_keep_best",
     "tx_tfidf_top_terms",
+    "sql_recursive_series",
+    "a15_hll_union",
+    "tx_clean_markup",
 ]
 
 

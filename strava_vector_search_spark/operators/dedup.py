@@ -774,19 +774,25 @@ def dedup_keep_best(
 # paragraph-level (span) exact dedup — C4-style
 
 
-def span_chunks(text: Column, span_tokens: int = 10) -> Column:
-    """Consecutive non-overlapping ``span_tokens``-token chunks of a text
-    column — the unit of C4-style span-level dedup (the public C4 pipeline
-    dedups exact three-sentence spans across the whole corpus; synthetic
-    fixtures have no sentence marks, so the span is a fixed token window)."""
-    toks = tokens(text)
-    n = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+def _span_chunks_over(ts: Column, span_tokens: int) -> Column:
+    """Consecutive non-overlapping ``span_tokens``-token chunks over an
+    ALREADY-MATERIALIZED token-array column — the unit of C4-style
+    span-level dedup (the public C4 pipeline dedups exact three-sentence
+    spans across the whole corpus; synthetic fixtures have no sentence
+    marks, so the span is a fixed token window).
+
+    Takes a materialized column, not raw text, for the same reason as
+    ``shingle_rows``: ``slice(toks, …)`` inside the transform lambda is
+    evaluated per span index, so an inline tokenization expression would
+    re-run the regex split once per span (measured ~8× on the shingle
+    variant)."""
+    n = F.ceil(F.size(ts) / F.lit(span_tokens)).cast("int")
     return F.when(
-        F.size(toks) > 0,
+        F.size(ts) > 0,
         F.transform(
             F.sequence(F.lit(0), n - 1),
             lambda i: F.array_join(
-                F.slice(toks, i * span_tokens + 1, span_tokens), " "
+                F.slice(ts, i * span_tokens + 1, span_tokens), " "
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -813,9 +819,11 @@ def paragraph_dedup(
     ``collect_list`` order is restored with ``array_sort`` on (idx, span)
     structs, so the rebuild is deterministic under any partitioning.
     """
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        span_chunks(F.col(text_col), span_tokens).alias("_spans"),
+    tok = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_ts")
+    )
+    ex = tok.select(
+        "_id", _span_chunks_over(F.col("_ts"), span_tokens).alias("_spans")
     ).select(
         "_id",
         F.size("_spans").cast("bigint").alias("n_spans"),
@@ -872,13 +880,32 @@ def decontaminate(
     broadcast-hash probe, partial-aggregate per document. No corpus
     shuffle other than the map-side-combined per-doc count.
     """
-    sh = corpus.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), n).alias("_sh"),
-    ).select(
+    # three-stage staging (tokens → shingle array → size+explode): each
+    # non-cheap expression lands in its own projection so codegen computes
+    # it once per row — inlining the tokenizer into the transform lambda
+    # would re-run the regex split once per shingle (see shingle_rows)
+    tok = corpus.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_ts")
+    )
+    ts = F.col("_ts")
+    sh_arr = F.array_distinct(
+        F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ts) - n),
+                lambda i: F.array_join(F.slice(ts, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(ts, " ")))
+    )
+    # explode_OUTER, deliberately: the shingle array is never empty (the
+    # <n-token fallback is ['']), and an inner explode over a materialized
+    # array column triggers InferFiltersFromGenerate, whose size>0 filter
+    # gets pushed to the scan with the whole shingle expression inlined —
+    # re-tokenizing per shingle index in the filter (measured 10x slower)
+    sh = tok.select("_id", sh_arr.alias("_sh")).select(
         "_id",
         F.size("_sh").cast("bigint").alias("n_sh"),
-        F.explode("_sh").alias("s"),
+        F.explode_outer("_sh").alias("s"),
     )
     eval_sh = (
         shingle_rows(eval_df, id_col, text_col, n=n)

@@ -2075,13 +2075,18 @@ ORDER BY d.seg_label
 """
 
 ORACLES["dd_fuzzy_name_pairs"] = """
-SELECT a.p_brand AS brand, a.p_partkey AS k1, b.p_partkey AS k2,
-       a.p_name AS n1, b.p_name AS n2,
-       levenshtein(a.p_name, b.p_name) AS dist
-FROM part a JOIN part b
-  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 3
-ORDER BY brand, k1, k2
+WITH pairs AS (
+  SELECT a.p_brand AS brand, levenshtein(a.p_name, b.p_name) AS dist
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+   AND abs(length(a.p_name) - length(b.p_name)) <= 3
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+)
+SELECT brand, COUNT(*) AS n_pairs, MIN(dist) AS min_dist,
+       ROUND(AVG(dist), 6) AS avg_dist,
+       CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_identical
+FROM pairs GROUP BY brand ORDER BY brand
 """
 
 
@@ -2211,4 +2216,59 @@ SELECT c_custkey, c_mktsegment, c_acctbal, quartile, pct_rank, cume FROM (
   WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC))
 WHERE c_custkey % 50 = 0
 ORDER BY c_custkey
+"""
+
+# -- recursive CTE month series ----------------------------------------------
+
+ORACLES["sql_recursive_series"] = """
+WITH RECURSIVE m(month, maxm) AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+  FROM orders
+  UNION ALL
+  SELECT CAST(month + INTERVAL 1 MONTH AS DATE), maxm
+  FROM m WHERE month < maxm
+)
+SELECT m.month,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+            AS DECIMAL(18,2)) AS revenue
+FROM m LEFT JOIN orders o
+  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.month
+GROUP BY m.month
+ORDER BY m.month
+"""
+
+# -- mergeable HLL sketch union (property oracle: estimate within 5%) ---------
+
+ORACLES["a15_hll_union"] = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+# -- markup cleaning roundtrip ------------------------------------------------
+
+ORACLES["tx_clean_markup"] = """
+WITH marked AS (
+  SELECT doc_id, text,
+         '<html><body><p>' ||
+         regexp_replace(text, ' the ', ' </p><p>the ', 'g') ||
+         '</p><!-- generated --></body></html>' AS m
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(m, '<!--.*?-->', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS c
+  FROM marked
+)
+SELECT doc_id,
+       CAST(length(c) AS BIGINT) AS clean_chars,
+       (c = trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS roundtrip_ok
+FROM cleaned ORDER BY doc_id
 """

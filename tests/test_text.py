@@ -124,3 +124,38 @@ def test_repetition_stats_pinned_values(spark):
     # "x y x y z": no adjacent dups, "x y" twice
     assert out[2]["adj"] == 0.0
     assert out[2]["tb"] == 2
+
+
+def test_hll_union_matches_direct_sketch(spark):
+    # merging per-partition sketches must equal sketching the whole column
+    df = spark.range(0, 5000).selectExpr("id % 7 AS g", "id % 900 AS u")
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("est")
+    ).head()["est"]
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("u").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .head()["est"]
+    )
+    assert direct == merged
+    assert abs(direct - 900) / 900 <= 0.05
+
+
+def test_clean_markup_strips_tags_comments_entities(spark):
+    df = spark.createDataFrame(
+        [(1, "<div class='x'>hello <b>world</b><!-- hidden --> </div>")],
+        "id int, raw string",
+    )
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("raw"), "<!--.*?-->", " "),
+                "<[^>]+>",
+                " ",
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    assert df.select(cleaned.alias("c")).head()["c"] == "hello world"

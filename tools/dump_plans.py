@@ -175,6 +175,37 @@ EXPECTATIONS: dict[str, dict] = {
     "a13_grouping_sets": {"expand": "Expand", "partial_agg": "partial_"},
     "a14_stats_moments": {"partial_agg": "partial_sum", "single_scan": "!Union"},
     "w_time_range_frame": {"window": "Window"},
+    "dd_paragraph_dedup": {
+        # global keep-first over spans + ordered group-back; no joins at all
+        "window": "Window",
+        "no_join": "!Join",
+        "partial_agg": "partial_",
+    },
+    "dd_decontaminate": {
+        # the eval shingle set broadcasts; the corpus side is one scan into
+        # a map-side-combined per-doc aggregate
+        "broadcast_join": "BroadcastHashJoin",
+        "no_sortmerge": "!SortMergeJoin",
+        "partial_agg": "partial_",
+    },
+    "dd_cluster_keep_best": {"partial_agg": "partial_"},
+    "tx_tfidf_top_terms": {
+        "window": "Window",
+        "partial_agg": "partial_count",
+        "no_nested_loop": "!NestedLoop",
+    },
+    "w_ntile_quartiles": {"window": "Window", "no_join": "!Join"},
+    "sql_recursive_series": {
+        # the ~80-row month series broadcasts against the orders scan
+        "broadcast_join": "BroadcastHashJoin",
+        "partial_agg": "partial_",
+    },
+    "a15_hll_union": {
+        # sketch partials merge map-side like any other aggregate buffer
+        "partial_agg": "partial_hll_sketch_agg|partial_",
+        "no_nested_loop": "!NestedLoop",
+    },
+    "tx_clean_markup": {"no_join": "!Join", "no_agg": "!HashAggregate"},
 }
 
 
