@@ -76,6 +76,8 @@ HEADLINE = [
     "sql_recursive_series",
     "a15_hll_union",
     "tx_clean_markup",
+    "tx_stopword_filter",
+    "f_map_funcs",
 ]
 
 

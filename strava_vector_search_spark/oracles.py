@@ -2272,3 +2272,32 @@ SELECT doc_id,
        (c = trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS roundtrip_ok
 FROM cleaned ORDER BY doc_id
 """
+
+# -- stopword filtering -------------------------------------------------------
+
+ORACLES["tx_stopword_filter"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+f AS (
+  SELECT doc_id, ts,
+         list_filter(ts, x -> NOT list_contains(
+           ['the','a','an','and','or','of','to','in','is','it'], x)) AS ct
+  FROM toks)
+SELECT doc_id,
+       len(ts) AS n_tokens,
+       len(ct) AS n_content,
+       ROUND((len(ts) - len(ct)) / len(ts), 6) AS stop_frac,
+       array_to_string(ct[1:5], ' ') AS content_preview
+FROM f ORDER BY doc_id
+"""
+
+# -- map-typed analytics (oracle computes the same scalars without maps) ------
+
+ORACLES["f_map_funcs"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents)
+SELECT doc_id,
+       len(list_distinct(ts)) AS n_distinct_tokens,
+       NULLIF(len(list_filter(ts, x -> x = 'value')), 0) AS cnt_value,
+       NULLIF(len(list_filter(ts, x -> x = 'table')), 0) AS cnt_table,
+       list_contains(ts, 'spark') AS has_spark
+FROM toks ORDER BY doc_id
+"""

@@ -3583,3 +3583,81 @@ QUERIES.update(
         "tx_clean_markup": tx_clean_markup,
     }
 )
+
+
+def tx_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal as pure array expressions: filter the token array
+    against a literal stopword set (map-only, codegen; the list rides in
+    the expression tree — no join, no UDF), emit content-token counts, the
+    stopword fraction, and a 5-token content preview. Token array and
+    filtered array are each materialized in their own projection so the
+    regex tokenization runs once per row."""
+    from strava_vector_search_spark.operators.dedup import tokens
+
+    stop = F.array(
+        *[
+            F.lit(w)
+            for w in (
+                "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+            )
+        ]
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("_ts"))
+    staged = tok.select(
+        "doc_id",
+        F.size("_ts").cast("bigint").alias("n_tokens"),
+        F.filter(
+            F.col("_ts"), lambda t: ~F.array_contains(stop, t)
+        ).alias("_ct"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        F.size("_ct").cast("bigint").alias("n_content"),
+        F.round(
+            (F.col("n_tokens") - F.size("_ct")) / F.col("n_tokens"), 6
+        ).alias("stop_frac"),
+        F.array_join(F.slice("_ct", 1, 5), " ").alias("content_preview"),
+    ).orderBy("doc_id")
+
+
+def f_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed analytics: per-document token-frequency map built with
+    map_from_entries over the distinct tokens, probed with element_at
+    (missing key → NULL) and map_keys — the map-column surface of the
+    engine. The map is materialized in its own projection so it is built
+    once per row, not once per output column."""
+    from strava_vector_search_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("_ts"))
+    ts = F.col("_ts")
+    freq_map = F.map_from_entries(
+        F.transform(
+            F.array_distinct(ts),
+            lambda t: F.struct(
+                t.alias("k"),
+                F.size(F.filter(ts, lambda x: x == t))
+                .cast("bigint")
+                .alias("v"),
+            ),
+        )
+    )
+    staged = tok.select("doc_id", freq_map.alias("_m"))
+    m = F.col("_m")
+    return staged.select(
+        "doc_id",
+        F.size(F.map_keys(m)).cast("bigint").alias("n_distinct_tokens"),
+        F.element_at(m, "value").alias("cnt_value"),
+        F.element_at(m, "table").alias("cnt_table"),
+        F.array_contains(F.map_keys(m), "spark").alias("has_spark"),
+    ).orderBy("doc_id")
+
+
+QUERIES.update(
+    {
+        "tx_stopword_filter": tx_stopword_filter,
+        "f_map_funcs": f_map_funcs,
+    }
+)

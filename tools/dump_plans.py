@@ -206,6 +206,8 @@ EXPECTATIONS: dict[str, dict] = {
         "no_nested_loop": "!NestedLoop",
     },
     "tx_clean_markup": {"no_join": "!Join", "no_agg": "!HashAggregate"},
+    "tx_stopword_filter": {"no_join": "!Join", "no_agg": "!HashAggregate"},
+    "f_map_funcs": {"no_join": "!Join", "no_agg": "!HashAggregate"},
 }
 
 

@@ -171,6 +171,19 @@ def main() -> None:
     sec, n = t(lambda: D.simhash(big_docs, "doc_id", "text", bits=48).count())
     results.append(("simhash fingerprints", f"{n_docs:,} docs", sec,
                     "one explode + one groupBy; linear"))
+    sec, n = t(lambda: D.paragraph_dedup(
+        big_docs, "doc_id", "text", span_tokens=10
+    ).count())
+    results.append(("paragraph_dedup spans=10", f"{n_docs:,} docs", sec,
+                    "span-keyed keep-first window + ordered group-back; "
+                    "two shuffles of (span|id)-keyed rows"))
+    eval_docs = docs.filter(F.col("doc_id") % 41 == 0)
+    sec, n = t(lambda: D.decontaminate(
+        big_docs, eval_docs, "doc_id", "text", n=3, threshold=0.1
+    ).count())
+    results.append(("decontaminate 3-gram", f"{n_docs:,} docs", sec,
+                    "broadcast eval shingles; corpus side map-only scan + "
+                    "partial-agg, no corpus shuffle"))
 
     # ---- BM25 + vocab encode at ~50K docs (text is ~10x the corpus)
     from strava_vector_search_spark.operators.fulltext import (
