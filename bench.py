@@ -78,6 +78,8 @@ HEADLINE = [
     "tx_clean_markup",
     "tx_stopword_filter",
     "f_map_funcs",
+    "ev_session_window_native",
+    "ev_sliding_window",
 ]
 
 

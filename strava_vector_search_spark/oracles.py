@@ -2301,3 +2301,64 @@ SELECT doc_id,
        list_contains(ts, 'spark') AS has_spark
 FROM toks ORDER BY doc_id
 """
+
+# -- native session windows (strict-overlap merge: gap == 30:00 splits) -------
+
+ORACLES["ev_session_window_native"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+with_id AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end_padded,
+       COUNT(*) AS n_events,
+       MAX(ts) AS last_event
+FROM with_id
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
+
+# -- sliding event-time windows ----------------------------------------------
+
+ORACLES["ev_sliding_window"] = """
+WITH expanded AS (
+  SELECT event_type, value,
+         unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart
+  FROM events
+)
+SELECT event_type, wstart, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS sum_value
+FROM expanded
+GROUP BY event_type, wstart
+ORDER BY event_type, wstart
+"""
+
+# -- first/last/nth value frames ----------------------------------------------
+
+ORACLES["w_first_last_nth"] = """
+SELECT o_custkey, first_date, last_price, second_key FROM (
+  SELECT o_custkey,
+         FIRST_VALUE(o_orderdate) OVER w AS first_date,
+         LAST_VALUE(o_totalprice) OVER w AS last_price,
+         NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+         ROW_NUMBER() OVER wn AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+         wn AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+WHERE rn = 1 AND o_custkey % 100 = 0
+ORDER BY o_custkey
+"""

@@ -3661,3 +3661,90 @@ QUERIES.update(
         "f_map_funcs": f_map_funcs,
     }
 )
+
+
+def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, the same operator the
+    streaming engine uses): 30-minute-gap sessions per user in ONE
+    groupBy — no lag/running-sum window pair. Note the boundary semantics
+    differ from ev_sessionize's lag formulation: a gap of exactly 30:00
+    starts a NEW session here (windows merge only on strict overlap)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_event"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end_padded"),
+            "n_events",
+            "last_event",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2 h window, 1 h slide): every event lands
+    in two overlapping windows — the moving-aggregate view streaming and
+    batch share. One Expand (2 rows per event) + one partial-combined
+    aggregate."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type", F.window("ts", "2 hours", "1 hour").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("wstart"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "wstart")
+    )
+
+
+def w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over full-partition frames:
+    per customer (every 100th), the first order date, the price of the
+    latest order (unbounded-following frame — the part naive LAST_VALUE
+    gets wrong), and the 2nd order's key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wn = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    out = orders.select(
+        "o_custkey",
+        F.first_value("o_orderdate").over(w).alias("first_date"),
+        F.last_value("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.row_number().over(wn).alias("_rn"),
+    )
+    return (
+        out.filter((F.col("_rn") == 1) & (F.col("o_custkey") % 100 == 0))
+        .drop("_rn")
+        .orderBy("o_custkey")
+    )
+
+
+QUERIES.update(
+    {
+        "ev_session_window_native": ev_session_window_native,
+        "ev_sliding_window": ev_sliding_window,
+        "w_first_last_nth": w_first_last_nth,
+    }
+)

@@ -208,6 +208,13 @@ EXPECTATIONS: dict[str, dict] = {
     "tx_clean_markup": {"no_join": "!Join", "no_agg": "!HashAggregate"},
     "tx_stopword_filter": {"no_join": "!Join", "no_agg": "!HashAggregate"},
     "f_map_funcs": {"no_join": "!Join", "no_agg": "!HashAggregate"},
+    "ev_session_window_native": {
+        # one native session-window aggregate: no lag/running-sum pair
+        "session_agg": "MergingSessions",
+        "partial_agg": "partial_",
+    },
+    "ev_sliding_window": {"expand": "Expand", "partial_agg": "partial_"},
+    "w_first_last_nth": {"window": "Window", "no_join": "!Join"},
 }
 
 
