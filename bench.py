@@ -80,6 +80,9 @@ HEADLINE = [
     "f_map_funcs",
     "ev_session_window_native",
     "ev_sliding_window",
+    "tx_chunk_documents",
+    "tx_quality_outliers",
+    "a16_corpus_profile",
 ]
 
 

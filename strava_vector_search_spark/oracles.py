@@ -2362,3 +2362,56 @@ SELECT o_custkey, first_date, last_price, second_key FROM (
 WHERE rn = 1 AND o_custkey % 100 = 0
 ORDER BY o_custkey
 """
+
+# -- RAG chunking: overlapping 30-token windows, stride 20 --------------------
+
+ORACLES["tx_chunk_documents"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+spn AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) > 0
+              THEN [{{'chunk_idx': i - 1,
+                      'arr': ts[(i-1)*20+1:(i-1)*20+30]}}
+                    FOR i IN range(1, CAST(ceil(len(ts) / 20.0) AS BIGINT) + 1)]
+              ELSE CAST([] AS STRUCT(chunk_idx BIGINT, arr VARCHAR[])[])
+              END AS chunks
+  FROM toks),
+ex AS (SELECT doc_id, unnest(chunks, recursive := true) FROM spn)
+SELECT doc_id, chunk_idx,
+       len(arr) AS n_chunk_tokens,
+       array_to_string(arr, ' ') AS chunk_text
+FROM ex ORDER BY doc_id, chunk_idx
+"""
+
+# -- robust outliers: per-lang median + MAD -----------------------------------
+
+ORACLES["tx_quality_outliers"] = """
+WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang),
+mad AS (
+  SELECT d.lang, quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+  FROM documents d JOIN med m USING (lang) GROUP BY d.lang)
+SELECT d.doc_id, d.lang, d.n_chars, m.med, a.mad
+FROM documents d JOIN med m USING (lang) JOIN mad a ON d.lang = a.lang
+WHERE abs(d.n_chars - m.med) > 1.5 * a.mad
+ORDER BY d.doc_id
+"""
+
+# -- one-row corpus profile with language entropy -----------------------------
+
+ORACLES["a16_corpus_profile"] = """
+WITH tot AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT source) AS n_sources,
+         ROUND(AVG(n_chars), 4) AS avg_chars
+  FROM documents),
+lc AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+ent AS (
+  SELECT ROUND(-SUM((c / t.n_docs) * ln(c / t.n_docs)), 6) AS lang_entropy
+  FROM lc CROSS JOIN tot t)
+SELECT tot.n_docs, tot.n_langs, tot.n_sources, tot.avg_chars,
+       ent.lang_entropy
+FROM tot CROSS JOIN ent
+"""

@@ -3748,3 +3748,96 @@ QUERIES.update(
         "w_first_last_nth": w_first_last_nth,
     }
 )
+
+
+def tx_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: overlapping 30-token windows at stride 20 (10
+    tokens of overlap), one row per chunk with its position and text — the
+    inverse of pk_sequence_packing. Map-only: tokens and the chunk array
+    each materialize in their own projection, the per-chunk text/size are
+    computed on the exploded (small) array column."""
+    from strava_vector_search_spark.operators.dedup import tokens
+
+    window, stride = 30, 20
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("_ts"))
+    ts = F.col("_ts")
+    n_chunks = F.ceil(F.size(ts) / F.lit(stride)).cast("int")
+    chunks = F.when(
+        F.size(ts) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(ts, i * stride + 1, window),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    ex = tok.select("doc_id", chunks.alias("_chunks")).select(
+        "doc_id", F.posexplode_outer("_chunks").alias("chunk_idx", "arr")
+    )
+    return (
+        ex.filter(F.col("arr").isNotNull())
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size("arr").cast("bigint").alias("n_chunk_tokens"),
+            F.array_join("arr", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def tx_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection for curation: per-language median + MAD
+    (median absolute deviation) of document length, flag |x − med| >
+    1.5·MAD (the synthetic length distribution is tight; 1.5 keeps the
+    flag exercised at every scale factor). Exact interpolated percentiles (bit-equal to quantile_cont);
+    the per-language stats are a handful of rows and broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med")
+    )
+    with_med = docs.join(F.broadcast(med), "lang")
+    mad = with_med.groupBy("lang").agg(
+        F.percentile(F.abs(F.col("n_chars") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    flagged = with_med.join(F.broadcast(mad), "lang").filter(
+        F.abs(F.col("n_chars") - F.col("med")) > 1.5 * F.col("mad")
+    )
+    return flagged.select("doc_id", "lang", "n_chars", "med", "mad").orderBy(
+        "doc_id"
+    )
+
+
+def a16_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus profile: doc/lang/source counts, mean length, and the
+    language-distribution entropy (−Σ p·ln p) — the balance diagnostic of a
+    multilingual training mix. Two tiny aggregates (per-lang counts, then
+    the entropy fold) plus one global aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    lc = docs.groupBy("lang").count()
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    ent = lc.crossJoin(tot.select("n_docs")).agg(
+        F.round(
+            -F.sum(
+                (F.col("count") / F.col("n_docs"))
+                * F.log(F.col("count") / F.col("n_docs"))
+            ),
+            6,
+        ).alias("lang_entropy")
+    )
+    return tot.crossJoin(ent)
+
+
+QUERIES.update(
+    {
+        "tx_chunk_documents": tx_chunk_documents,
+        "tx_quality_outliers": tx_quality_outliers,
+        "a16_corpus_profile": a16_corpus_profile,
+    }
+)

@@ -215,6 +215,13 @@ EXPECTATIONS: dict[str, dict] = {
     },
     "ev_sliding_window": {"expand": "Expand", "partial_agg": "partial_"},
     "w_first_last_nth": {"window": "Window", "no_join": "!Join"},
+    "tx_chunk_documents": {"no_join": "!Join", "no_agg": "!HashAggregate"},
+    "tx_quality_outliers": {
+        # both stats joins broadcast the handful of per-lang rows
+        "broadcast_join": "BroadcastHashJoin",
+        "no_sortmerge": "!SortMergeJoin",
+    },
+    "a16_corpus_profile": {"partial_agg": "partial_"},
 }
 
 
