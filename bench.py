@@ -83,6 +83,7 @@ HEADLINE = [
     "tx_chunk_documents",
     "tx_quality_outliers",
     "a16_corpus_profile",
+    "j_dpp_partition_pruned",
 ]
 
 

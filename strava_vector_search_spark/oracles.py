@@ -2415,3 +2415,24 @@ SELECT tot.n_docs, tot.n_langs, tot.n_sources, tot.avg_chars,
        ent.lang_entropy
 FROM tot CROSS JOIN ent
 """
+
+# -- schema evolution on read -------------------------------------------------
+
+ORACLES["s4_schema_evolution"] = """
+SELECT doc_id, lang, source,
+       CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+# -- dynamic partition pruning ------------------------------------------------
+
+ORACLES["j_dpp_partition_pruned"] = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         AS revenue
+FROM orders
+WHERE substring(o_orderpriority, 1, 1) = '1'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -3841,3 +3841,65 @@ QUERIES.update(
         "a16_corpus_profile": a16_corpus_profile,
     }
 )
+
+
+def s4_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 1 files lack the n_chars
+    column, generation 2 adds it; mergeSchema unions the footers and
+    backfills NULL for the old files — the append-only lakehouse pattern
+    for adding columns without rewriting history."""
+    docs = load_table(spark, sf_dir, "documents")
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/svs_evo_{token}"
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "source"
+    ).write.mode("overwrite").parquet(path)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source", "n_chars"
+    ).write.mode("append").parquet(path)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def j_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is directory-partitioned
+    on o_orderpriority; the dim side's filter is only known at run time
+    (broadcast result), and Spark injects it as a partition filter on the
+    fact scan (dynamicpruningexpression in the plan — asserted by the plan
+    audit), so 4 of 5 partitions are never read. The 100 TB pattern for
+    star-schema date/dimension filters."""
+    orders = load_table(spark, sf_dir, "orders")
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/svs_dpp_{token}"
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        path
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn("cls", F.substring("o_orderpriority", 1, 1))
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("cls") == "1")), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES.update(
+    {
+        "s4_schema_evolution": s4_schema_evolution,
+        "j_dpp_partition_pruned": j_dpp_partition_pruned,
+    }
+)

@@ -222,6 +222,11 @@ EXPECTATIONS: dict[str, dict] = {
         "no_sortmerge": "!SortMergeJoin",
     },
     "a16_corpus_profile": {"partial_agg": "partial_"},
+    "j_dpp_partition_pruned": {
+        # runtime partition filter injected from the broadcast dim side
+        "dpp": "dynamicpruning",
+        "broadcast_join": "BroadcastHashJoin",
+    },
 }
 
 
