@@ -84,6 +84,8 @@ HEADLINE = [
     "tx_quality_outliers",
     "a16_corpus_profile",
     "j_dpp_partition_pruned",
+    "dd_repeated_spans",
+    "smp_negative_pairs",
 ]
 
 

@@ -2436,3 +2436,35 @@ WHERE substring(o_orderpriority, 1, 1) = '1'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+# -- repeated-span mining (exact-substring dedup diagnostic) ------------------
+
+ORACLES["dd_repeated_spans"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh_arr AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 10
+              THEN list_distinct([array_to_string(ts[i:i+9], ' ')
+                                  FOR i IN range(1, len(ts) - 8)])
+              ELSE [array_to_string(ts, ' ')] END AS shingles
+  FROM toks),
+sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh_arr)
+SELECT s, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM sh GROUP BY s HAVING COUNT(*) > 1
+ORDER BY n_docs DESC, s LIMIT 50
+"""
+
+# -- deterministic negative-pair mining ---------------------------------------
+
+ORACLES["smp_negative_pairs"] = f"""
+WITH ks AS (SELECT unnest([0, 1]) AS k),
+drawn AS (
+  SELECT d.doc_id, ks.k,
+         {_md5i("'neg:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(ks.k AS VARCHAR)")}
+           % (SELECT COUNT(*) FROM documents) AS neg_id
+  FROM documents d CROSS JOIN ks)
+SELECT p.doc_id, p.k, p.neg_id, d2.source AS neg_source
+FROM drawn p JOIN documents d2 ON d2.doc_id = p.neg_id
+WHERE p.neg_id <> p.doc_id
+ORDER BY p.doc_id, p.k
+"""

@@ -3903,3 +3903,77 @@ QUERIES.update(
         "j_dpp_partition_pruned": j_dpp_partition_pruned,
     }
 )
+
+
+def dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring mining (the diagnostic behind exact-substring
+    dedup, Lee et al.): 10-token shingles at stride 1 occurring in MORE
+    THAN ONE document, ranked by document frequency. Per-doc-distinct
+    shingles → one map-side-combined count, top-50 via
+    TakeOrderedAndProject; the inverted-index shape of the n-gram dedup
+    family, never all-pairs."""
+    from strava_vector_search_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "doc_id", "text", n=10)
+    return (
+        sh.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.asc("s"))
+        .limit(50)
+    )
+
+
+def smp_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative mining: each anchor document draws
+    K=2 pseudo-random negatives via the portable md5 hash (deterministic
+    across engines, partitionings, and retries — no RNG), joined back for
+    the negative's payload. Map-only draw + one equi-join; self-pairs
+    filtered."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    drawn = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("k")
+    ).withColumn(
+        "neg_id",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg:"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(n),
+        ),
+    )
+    neg = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return (
+        drawn.join(neg, "neg_id")
+        .filter(F.col("neg_id") != F.col("doc_id"))
+        .select("doc_id", "k", "neg_id", "neg_source")
+        .orderBy("doc_id", "k")
+    )
+
+
+QUERIES.update(
+    {
+        "dd_repeated_spans": dd_repeated_spans,
+        "smp_negative_pairs": smp_negative_pairs,
+    }
+)

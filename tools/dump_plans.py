@@ -227,6 +227,11 @@ EXPECTATIONS: dict[str, dict] = {
         "dpp": "dynamicpruning",
         "broadcast_join": "BroadcastHashJoin",
     },
+    "dd_repeated_spans": {
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "partial_agg": "partial_count",
+    },
+    "smp_negative_pairs": {"broadcast_join": "BroadcastHashJoin"},
 }
 
 
