@@ -86,6 +86,7 @@ HEADLINE = [
     "j_dpp_partition_pruned",
     "dd_repeated_spans",
     "smp_negative_pairs",
+    "j_lateral_topn",
 ]
 
 

@@ -2468,3 +2468,23 @@ FROM drawn p JOIN documents d2 ON d2.doc_id = p.neg_id
 WHERE p.neg_id <> p.doc_id
 ORDER BY p.doc_id, p.k
 """
+
+# -- correlated LATERAL top-N -------------------------------------------------
+
+ORACLES["j_lateral_topn"] = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+# -- LIMIT/OFFSET pagination --------------------------------------------------
+
+ORACLES["t_offset_page"] = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 20 OFFSET 40
+"""

@@ -3977,3 +3977,44 @@ QUERIES.update(
         "smp_negative_pairs": smp_negative_pairs,
     }
 )
+
+
+def j_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per-nation top-2 customers by balance,
+    expressed as the SQL-standard lateral join (the per-group-top-N shape
+    w_rank_per_group writes with window functions). Catalyst decorrelates
+    it into a ranked window, so there is no nested re-execution per outer
+    row."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lat n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+        """
+    )
+
+
+def t_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless pagination: global ORDER BY + LIMIT/OFFSET (page 3 of 20).
+    OFFSET after a global sort is inherently driver-side skip — fine for
+    UI pages, wrong for data export (use keyset pagination on the sort key
+    instead); kept as the SQL-surface parity entry."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .offset(40)
+        .limit(20)
+    )
+
+
+QUERIES.update(
+    {"j_lateral_topn": j_lateral_topn, "t_offset_page": t_offset_page}
+)

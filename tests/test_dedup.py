@@ -253,3 +253,30 @@ def test_dedup_keep_best_picks_highest_quality(spark, dup_docs):
     assert out[1]["keep_id"] == 3 and out[1]["n_members"] == 3
     # singleton keeps itself
     assert out[4]["keep_id"] == 4 and out[4]["n_members"] == 1
+
+
+def test_paragraph_dedup_idempotent(spark):
+    # dedup of already-deduped text keeps everything: no span repeats twice
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 35))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    once = D.paragraph_dedup(df, "doc_id", "text", 10)
+    again = D.paragraph_dedup(
+        once.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id",
+        "text",
+        10,
+    )
+    merged = {
+        r["doc_id"]: r
+        for r in again.collect()
+    }
+    for r in once.collect():
+        # every span kept the first time survives the second pass intact
+        assert merged[r["doc_id"]]["n_kept"] == merged[r["doc_id"]]["n_spans"]

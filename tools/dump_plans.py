@@ -232,6 +232,12 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_count",
     },
     "smp_negative_pairs": {"broadcast_join": "BroadcastHashJoin"},
+    "j_lateral_topn": {
+        # Catalyst decorrelates the LATERAL LIMIT into a ranked window —
+        # no nested re-execution per outer row
+        "window_limit": "WindowGroupLimit|Window",
+        "no_cartesian": "!CartesianProduct",
+    },
 }
 
 
