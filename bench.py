@@ -87,6 +87,7 @@ HEADLINE = [
     "dd_repeated_spans",
     "smp_negative_pairs",
     "j_lateral_topn",
+    "ann_ivf_topk_filtered",
 ]
 
 

@@ -2488,3 +2488,23 @@ FROM customer
 ORDER BY c_acctbal DESC, c_custkey
 LIMIT 20 OFFSET 40
 """
+
+
+# -- filtered IVF search ------------------------------------------------------
+
+ORACLES["ann_ivf_topk_filtered"] = f"""
+WITH {_CENTROID_CTES},
+probe AS (
+  SELECT cluster FROM cent
+  ORDER BY ROUND(list_cosine_similarity(centroid, {_qvec(11)}), 6) DESC,
+           cluster ASC
+  LIMIT 3
+)
+SELECT e.vec_id, d.lang,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], {_qvec(11)}), 6)
+         AS similarity
+FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+WHERE e.label IN (SELECT cluster FROM probe) AND d.lang = 'en'
+ORDER BY similarity DESC, e.vec_id ASC
+LIMIT 10
+"""

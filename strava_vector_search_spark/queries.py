@@ -4018,3 +4018,31 @@ def t_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update(
     {"j_lateral_topn": j_lateral_topn, "t_offset_page": t_offset_page}
 )
+
+
+def ann_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED approximate search — the production vector-search shape
+    (metadata predicate + ANN): centroids from the FULL corpus rank the
+    probe clusters, then the candidate scan applies BOTH the cluster
+    semi-join and the metadata filter before exact scoring. On the
+    cluster-partitioned + lang-bucketed layout both predicates prune at
+    the parquet reader. Exact oracle (IVF here is deterministic)."""
+    from strava_vector_search_spark.operators.ann import (
+        compute_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = compute_centroids(emb, "label", "embedding")
+    corpus = emb.join(
+        docs.select("doc_id", "lang"),
+        emb["vec_id"] == F.col("doc_id"),
+        "inner",
+    ).filter(F.col("lang") == "en")
+    qv = _query_vec(spark, sf_dir, 11)
+    out = ivf_topk(corpus, qv, k=10, nprobe=3, centroids=cents)
+    return out.select("vec_id", "lang", "similarity")
+
+
+QUERIES.update({"ann_ivf_topk_filtered": ann_ivf_topk_filtered})

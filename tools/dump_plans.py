@@ -238,6 +238,11 @@ EXPECTATIONS: dict[str, dict] = {
         "window_limit": "WindowGroupLimit|Window",
         "no_cartesian": "!CartesianProduct",
     },
+    "ann_ivf_topk_filtered": {
+        "broadcast_join": "BroadcastHashJoin",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_sortmerge": "!SortMergeJoin",
+    },
 }
 
 
