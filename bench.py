@@ -88,6 +88,7 @@ HEADLINE = [
     "smp_negative_pairs",
     "j_lateral_topn",
     "ann_ivf_topk_filtered",
+    "tx_unigram_perplexity",
 ]
 
 

@@ -2508,3 +2508,22 @@ WHERE e.label IN (SELECT cluster FROM probe) AND d.lang = 'en'
 ORDER BY similarity DESC, e.vec_id ASC
 LIMIT 10
 """
+
+# -- unigram-LM perplexity scoring --------------------------------------------
+
+ORACLES["tx_unigram_perplexity"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+cnt AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+tt AS (SELECT SUM(cnt) AS total FROM cnt),
+terms AS (
+  SELECT doc_id,
+         ln(CAST((SELECT total FROM tt) AS DOUBLE) / cnt) AS nll
+  FROM tok JOIN cnt USING (t)),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_nll
+  FROM terms GROUP BY doc_id)
+SELECT doc_id, n_tokens, avg_nll, ROUND(exp(avg_nll), 4) AS ppl
+FROM agg ORDER BY doc_id
+"""

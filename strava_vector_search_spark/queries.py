@@ -4046,3 +4046,41 @@ def ann_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ann_ivf_topk_filtered": ann_ivf_topk_filtered})
+
+
+def tx_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring (the SQL-expressible stand-in for
+    CCNet/KenLM perplexity filtering): a unigram LM trained on the corpus
+    itself — per-token -ln p(t), per-document mean NLL and perplexity.
+    One vocab aggregate (map-side combined), one AQE-broadcast join of the
+    vocab, one per-doc aggregate; NLL sums route through DECIMAL(28,12) so
+    partial-aggregation order cannot move the result."""
+    from strava_vector_search_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("_ts")).select(
+        "doc_id", F.explode_outer("_ts").alias("t")
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = int(cnt.agg(F.sum("cnt")).head()[0])
+    terms = tok.join(cnt, "t").select(
+        "doc_id",
+        F.log(F.lit(float(total)) / F.col("cnt")).alias("nll"),
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("nll").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_nll"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll",
+        F.round(F.exp(F.col("avg_nll")), 4).alias("ppl"),
+    ).orderBy("doc_id")
+
+
+QUERIES.update({"tx_unigram_perplexity": tx_unigram_perplexity})

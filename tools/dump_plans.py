@@ -243,6 +243,11 @@ EXPECTATIONS: dict[str, dict] = {
         "top_k_no_sort": "TakeOrderedAndProject",
         "no_sortmerge": "!SortMergeJoin",
     },
+    "tx_unigram_perplexity": {
+        "broadcast_join": "BroadcastHashJoin",
+        "partial_agg": "partial_",
+        "no_sortmerge": "!SortMergeJoin",
+    },
 }
 
 

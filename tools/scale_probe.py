@@ -84,6 +84,44 @@ def main() -> None:
                     "scores ~1/8 of the corpus; with cluster-partitioned "
                     "parquet the skipped 7/8 are never read"))
 
+    # nprobe recall/latency tradeoff on a REAL IVF layout (KMeans-assigned
+    # clusters — the synthetic `label` column is arbitrary, so it measures
+    # cost but not recall)
+    t0 = time.time()
+    big_ivf = (
+        A.kmeans_assign(big_emb, num_clusters=16)
+        .select("vec_id", "embedding", F.col("cluster").alias("label"))
+        .cache()
+    )
+    big_ivf.count()
+    build_sec = time.time() - t0
+    results.append(("ivf build (KMeans k=16)", f"{n_vec:,} vecs",
+                    round(build_sec, 1),
+                    "one-off batch index build (MLlib); amortized across "
+                    "every query"))
+    ivf_cents = A.compute_centroids(big_ivf, "label").cache()
+    ivf_cents.count()
+    exact_ids = {
+        r["vec_id"]
+        for r in brute_force_topk(big_emb, qv, k=10, id_col="vec_id").collect()
+    }
+    for nprobe in (1, 2, 4):
+        sec, _ = t(lambda np=nprobe: A.ivf_topk(
+            big_ivf, qv, k=10, nprobe=np, id_col="vec_id",
+            centroids=ivf_cents,
+        ).collect())
+        got = {
+            r["vec_id"]
+            for r in A.ivf_topk(
+                big_ivf, qv, k=10, nprobe=nprobe, id_col="vec_id",
+                centroids=ivf_cents,
+            ).collect()
+        }
+        rec = len(got & exact_ids) / 10
+        results.append((f"ivf nprobe={nprobe} recall", f"{n_vec:,} vecs", sec,
+                        f"recall@10 = {rec:.2f} vs exact; scans ~nprobe/16 "
+                        "of the corpus"))
+
     queries = emb.limit(32).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
