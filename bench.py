@@ -89,6 +89,7 @@ HEADLINE = [
     "j_lateral_topn",
     "ann_ivf_topk_filtered",
     "tx_unigram_perplexity",
+    "ev_rolling_wau",
 ]
 
 

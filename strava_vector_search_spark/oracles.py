@@ -2527,3 +2527,32 @@ agg AS (
 SELECT doc_id, n_tokens, avg_nll, ROUND(exp(avg_nll), 4) AS ppl
 FROM agg ORDER BY doc_id
 """
+
+# -- rolling 7-day active users ----------------------------------------------
+
+ORACLES["ev_rolling_wau"] = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+contrib AS (
+  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS wday
+  FROM ud CROSS JOIN range(0, 7) AS r(i)),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT c.wday, COUNT(*) AS wau
+FROM contrib c JOIN days d ON c.wday = d.day
+GROUP BY c.wday
+ORDER BY c.wday
+"""
+
+# -- URL parsing --------------------------------------------------------------
+
+ORACLES["f_url_funcs"] = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || lang ||
+         '?id=' || CAST(doc_id AS VARCHAR) || '&v=1' AS url
+  FROM documents)
+SELECT doc_id,
+       regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]id=([^&]*)', 1) AS id_param
+FROM u ORDER BY doc_id
+"""

@@ -4084,3 +4084,61 @@ def tx_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_unigram_perplexity": tx_unigram_perplexity})
+
+
+def ev_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the rolling-DISTINCT pattern
+    window frames can't express (a user active on 3 days must count once):
+    distinct (user, day) → each activity day contributes to itself and the
+    next 6 days (one sequence explode) → distinct again → count per day.
+    Days without a full trailing week are naturally included. Two
+    distinct-shuffles of 16-byte pairs, never raw events."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6), F.expr("interval 1 day")
+            )
+        ).alias("wday"),
+    ).distinct()
+    # clip to days that actually have activity so the tail is comparable
+    days = ud.select("day").distinct()
+    return (
+        contrib.join(days, contrib["wday"] == days["day"], "inner")
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .orderBy("wday")
+    )
+
+
+def f_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (crawl metadata normalization): synthesize a URL
+    from row fields, extract host / path / one query parameter with
+    parse_url — map-only codegen; oracle uses the equivalent anchored
+    regexes (RE2-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&v=1"),
+    )
+    staged = docs.select("doc_id", url.alias("_u"))
+    return staged.select(
+        "doc_id",
+        F.parse_url("_u", F.lit("HOST")).alias("host"),
+        F.parse_url("_u", F.lit("PATH")).alias("path"),
+        F.parse_url("_u", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    ).orderBy("doc_id")
+
+
+QUERIES.update(
+    {"ev_rolling_wau": ev_rolling_wau, "f_url_funcs": f_url_funcs}
+)

@@ -248,6 +248,12 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_sortmerge": "!SortMergeJoin",
     },
+    "ev_rolling_wau": {
+        "explode": "Generate",
+        "partial_agg": "partial_",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "f_url_funcs": {"no_join": "!Join", "no_agg": "!HashAggregate"},
 }
 
 
