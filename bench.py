@@ -90,6 +90,7 @@ HEADLINE = [
     "ann_ivf_topk_filtered",
     "tx_unigram_perplexity",
     "ev_rolling_wau",
+    "ev_value_zscore",
 ]
 
 

@@ -2556,3 +2556,37 @@ SELECT doc_id,
        regexp_extract(url, '[?&]id=([^&]*)', 1) AS id_param
 FROM u ORDER BY doc_id
 """
+
+# -- per-type z-score anomaly counts ------------------------------------------
+
+ORACLES["ev_value_zscore"] = """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS s1d,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))
+                        AS DECIMAL(38,12))) AS DOUBLE) AS s2d
+  FROM events GROUP BY event_type),
+m AS (
+  SELECT event_type, n, s1d / n AS mean,
+         sqrt(s2d / n - (s1d / n) * (s1d / n)) AS sd
+  FROM stats)
+SELECT e.event_type,
+       MAX(m.n) AS n_events,
+       ROUND(MAX(m.mean), 6) AS mean_value,
+       ROUND(MAX(m.sd), 6) AS sd_value,
+       CAST(SUM(CASE WHEN abs(e.value - m.mean) > 3 * m.sd THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+# -- dynamic partition overwrite ----------------------------------------------
+
+ORACLES["s5_dynamic_partition_overwrite"] = """
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS text_chars,
+       (CASE WHEN lang = 'en' THEN TRUE
+             ELSE (text = upper(text)) END) AS is_upper
+FROM documents ORDER BY doc_id
+"""

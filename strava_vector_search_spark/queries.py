@@ -4142,3 +4142,84 @@ def f_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update(
     {"ev_rolling_wau": ev_rolling_wau, "f_url_funcs": f_url_funcs}
 )
+
+
+def ev_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type anomaly counts via exact z-scores: mean/stddev from
+    DECIMAL moment sums (order-insensitive, the a14_stats_moments
+    machinery), broadcast back, count |z| > 3 per event type. The
+    monitoring query that pairs with the streaming running totals."""
+    ev = load_events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(19,6)")).alias("s1"),
+        F.sum(
+            (
+                F.col("value").cast("decimal(19,6)")
+                * F.col("value").cast("decimal(19,6)")
+            ).cast("decimal(38,12)")
+        ).alias("s2"),
+    )
+    stats = stats.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2").cast("double") / F.col("n"))
+            - (F.col("s1").cast("double") / F.col("n"))
+            * (F.col("s1").cast("double") / F.col("n"))
+        ).alias("sd"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.round(F.max("mean"), 6).alias("mean_value"),
+            F.round(F.max("sd"), 6).alias("sd_value"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean")) > 3 * F.col("sd"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def s5_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite: rewrite ONLY the partitions present in
+    the incoming batch ('en' gets an uppercased text), other partitions'
+    files untouched — partition-granular CDC, the lakehouse idiom for
+    backfills that must not rewrite the world."""
+    docs = load_table(spark, sf_dir, "documents")
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/svs_dpo_{token}"
+    docs.select("doc_id", "text", "n_chars", "lang").write.mode(
+        "overwrite"
+    ).partitionBy("lang").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        docs.filter(F.col("lang") == "en").select(
+            "doc_id", F.upper("text").alias("text"), "n_chars", "lang"
+        ).write.mode("overwrite").partitionBy("lang").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    out = spark.read.parquet(path)
+    return out.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("text_chars"),
+        (F.col("text") == F.upper("text")).alias("is_upper"),
+    ).orderBy("doc_id")
+
+
+QUERIES.update(
+    {
+        "ev_value_zscore": ev_value_zscore,
+        "s5_dynamic_partition_overwrite": s5_dynamic_partition_overwrite,
+    }
+)

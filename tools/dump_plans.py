@@ -254,6 +254,11 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
     },
     "f_url_funcs": {"no_join": "!Join", "no_agg": "!HashAggregate"},
+    "ev_value_zscore": {
+        "broadcast_join": "BroadcastHashJoin",
+        "partial_agg": "partial_",
+        "no_sortmerge": "!SortMergeJoin",
+    },
 }
 
 
