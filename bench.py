@@ -91,6 +91,10 @@ HEADLINE = [
     "tx_unigram_perplexity",
     "ev_rolling_wau",
     "ev_value_zscore",
+    "dm_temperature_mix",
+    "pk_length_buckets",
+    "dd_containment_pairs",
+    "w_cume_dist",
 ]
 
 

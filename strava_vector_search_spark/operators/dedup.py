@@ -178,6 +178,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs with shingle CONTAINMENT ≥ threshold — the asymmetric
+    near-dup measure C = |A∩B| / min(|A|,|B|) that catches a short document
+    embedded inside a long one, which symmetric Jaccard structurally misses
+    (a 50-shingle doc fully contained in a 5000-shingle doc has J ≈ 0.01
+    but C = 1.0). The standard screen for quote/excerpt/boilerplate
+    duplication in pretraining corpora.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (shuffle on the
+    8-byte-ish shingle key, never the documents): candidate pairs are only
+    those sharing ≥1 shingle, so cost is bounded by shared-shingle mass,
+    not |docs|². Emits ``contained_id`` — the smaller-shingle-set side
+    (lower id on ties), i.e. the row a keep-longest dedup policy drops.
+    """
+    sh = shingle_rows(df, id_col, text_col, n)
+    size = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("_id").alias("id1"), "s")
+    b = sh.select(F.col("_id").alias("id2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz1 = size.select(F.col("_id").alias("id1"), F.col("n_sh").alias("n1"))
+    sz2 = size.select(F.col("_id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(sz1, "id1")
+        .join(sz2, "id2")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least("n1", "n2"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .withColumn(
+            "contained_id",
+            F.when(F.col("n1") <= F.col("n2"), F.col("id1")).otherwise(
+                F.col("id2")
+            ),
+        )
+        .select("id1", "id2", "inter", "n1", "n2", "containment", "contained_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (approximate near-dup, the scale path)
 

@@ -149,6 +149,91 @@ def weighted_mix(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    alpha: float,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Resample domains toward temperature-smoothed proportions
+    q_d ∝ n_d^alpha (alpha in (0, 1]; alpha=1 keeps the natural mix,
+    alpha→0 approaches uniform) — the standard low-resource upweighting
+    used for multilingual / multi-domain LLM pretraining mixtures.
+
+    Downsampling-only: the feasible output size is bounded by the domain
+    whose natural share falls shortest of its smoothed share,
+    T = min_d(n_d / q_d); each domain keeps rate r_d = min(1, T·q_d/n_d)
+    via the deterministic hash threshold. With alpha < 1 the scarcest
+    domain keeps everything and abundant domains shed rows.
+
+    Plan shape: one |domains|-row aggregate broadcast back onto the fact
+    side; the keep decision is map-only, so the only fact-side work is the
+    scan + filter no matter the corpus size. Emits ``mix_threshold``
+    (rounded to 6 dp) like :func:`weighted_mix`.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # q_d = n_d^alpha / sum(n^alpha); the N^alpha normalizer cancels in
+    # n_d / q_d so feasibility only needs the smoothed weights
+    smoothed = counts.withColumn(
+        "_q", F.pow(F.col("_n").cast("double"), F.lit(alpha))
+    )
+    denom = smoothed.agg(F.sum("_q").alias("_z"))
+    shares = smoothed.join(F.broadcast(denom)).withColumn(
+        "_p", F.col("_q") / F.col("_z")
+    )
+    feasible = shares.agg(F.min(F.col("_n") / F.col("_p")).alias("_t"))
+    rates = shares.join(F.broadcast(feasible)).select(
+        "_dom",
+        F.round(
+            F.least(F.lit(1.0), F.col("_t") * F.col("_p") / F.col("_n")), 6
+        ).alias("mix_threshold"),
+    )
+    b = hash_bucket(F.col(key_col), buckets)
+    return (
+        df.join(F.broadcast(rates), df[domain_col] == F.col("_dom"))
+        .filter(b < (F.col("mix_threshold") * buckets).cast("bigint"))
+        .drop("_dom")
+    )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    batch_size: int,
+) -> DataFrame:
+    """Group documents into power-of-two length buckets and fixed-size
+    batches within each bucket — the bucketed-batching layout that keeps
+    padding waste bounded (≤2× within a bucket) when forming training
+    batches from variable-length sequences.
+
+    ``bucket`` = floor(log2(tokens)), computed via the binary-digit count
+    (``length(bin(n)) - 1``) so the boundary at exact powers of two cannot
+    drift with platform log() rounding. ``batch`` = 0-based index within
+    the bucket in ``key_col`` order. One window shuffle on the bucket key;
+    rows with tokens < 1 are dropped (nothing to batch).
+    """
+    src = df.filter(F.col(token_col) >= 1)
+    bucket = (
+        (F.length(F.bin(F.col(token_col).cast("bigint"))) - 1)
+        .cast("bigint")
+        .alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy(key_col)
+    return (
+        src.select("*", bucket)
+        .withColumn(
+            "batch",
+            F.floor((F.row_number().over(w) - 1) / F.lit(batch_size)).cast("bigint"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str,

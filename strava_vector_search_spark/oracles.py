@@ -2590,3 +2590,96 @@ SELECT doc_id, lang,
              ELSE (text = upper(text)) END) AS is_upper
 FROM documents ORDER BY doc_id
 """
+
+ORACLES["dm_temperature_mix"] = """
+WITH counts AS (SELECT source AS _dom, COUNT(*) AS _n FROM documents GROUP BY source),
+sm AS (SELECT _dom, _n, POW(_n::DOUBLE, 0.6) AS _q FROM counts),
+z AS (SELECT SUM(_q) AS _z FROM sm),
+rates AS (
+  SELECT _dom,
+         ROUND(LEAST(1.0::DOUBLE, _t * _p / _n), 6) AS mix_threshold
+  FROM (SELECT _dom, _n, _q / _z AS _p,
+               MIN(_n / (_q / _z)) OVER () AS _t
+        FROM sm CROSS JOIN z)
+)
+SELECT d.source, r.mix_threshold, COUNT(*) AS n_admitted
+FROM documents d JOIN rates r ON d.source = r._dom
+WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000)
+      < FLOOR(r.mix_threshold * 10000)::BIGINT
+GROUP BY d.source, r.mix_threshold
+ORDER BY d.source
+"""
+
+ORACLES["pk_length_buckets"] = """
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))::BIGINT AS n_tok
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_tok, (length(bin(n_tok)) - 1)::BIGINT AS bucket
+  FROM d WHERE n_tok >= 1
+),
+r AS (
+  SELECT bucket, n_tok,
+         FLOOR((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+               / 32)::BIGINT AS batch
+  FROM f
+)
+SELECT bucket, batch, COUNT(*) AS n_docs,
+       MAX(n_tok) AS batch_max_tok,
+       SUM(n_tok)::BIGINT AS batch_tokens,
+       (COUNT(*) * MAX(n_tok) - SUM(n_tok))::BIGINT AS padding_waste
+FROM r GROUP BY bucket, batch ORDER BY bucket, batch
+"""
+
+ORACLES["dd_containment_pairs"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         substr(text, 1, CAST(floor(length(text) * 0.4) AS INT))
+  FROM documents WHERE doc_id % 11 = 0
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM corpus),
+sh_arr AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                  FOR i IN range(1, len(ts) - 1)])
+              ELSE [array_to_string(ts, ' ')] END AS shingles
+  FROM toks),
+sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh_arr),
+sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_arr),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, inter, z1.n_sh AS n1, z2.n_sh AS n2,
+       ROUND(inter / LEAST(z1.n_sh, z2.n_sh), 6) AS containment,
+       CASE WHEN z1.n_sh <= z2.n_sh THEN id1 ELSE id2 END AS contained_id
+FROM inter
+JOIN sz z1 ON z1.doc_id = id1
+JOIN sz z2 ON z2.doc_id = id2
+WHERE ROUND(inter / LEAST(z1.n_sh, z2.n_sh), 6) >= 0.8
+ORDER BY id1, id2
+"""
+
+ORACLES["w_cume_dist"] = """
+WITH r AS (
+  SELECT event_id, event_type,
+         ROUND(value, 6) AS value,
+         ROUND(PERCENT_RANK() OVER
+               (PARTITION BY event_type ORDER BY value, event_id), 6) AS pct_rank,
+         ROUND(CUME_DIST() OVER
+               (PARTITION BY event_type ORDER BY value, event_id), 6) AS cume
+  FROM events
+)
+SELECT * FROM r WHERE event_id % 97 = 0 ORDER BY event_id
+"""

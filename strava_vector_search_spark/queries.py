@@ -4223,3 +4223,103 @@ QUERIES.update(
         "s5_dynamic_partition_overwrite": s5_dynamic_partition_overwrite,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture + batching completion: temperature resampling, bucketed
+# batching, containment dedup, cumulative-distribution windows.
+
+
+def dm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed domain mixture (q_d ∝ n_d^0.6): the scarcest
+    source keeps everything, abundant ones shed toward the smoothed share —
+    the multilingual-pretraining upweighting recipe. Map-only admission
+    over a broadcast 3-row rate table; audited per-source."""
+    from strava_vector_search_spark.operators.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = temperature_resample(docs, "doc_id", "source", alpha=0.6)
+    return (
+        mixed.groupBy("source", "mix_threshold")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+        .orderBy("source")
+    )
+
+
+def pk_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length-bucketed batching (batch_size=32): per (bucket,
+    batch) doc count, max length, and padding waste — the layout that
+    bounds pad overhead to <2x when batching variable-length sequences.
+    Bucket id via binary digit count so platform log() rounding can't move
+    the power-of-two boundaries. One window shuffle on the bucket key."""
+    from strava_vector_search_spark.functions import text as T
+    from strava_vector_search_spark.operators.sampling import (
+        length_bucketed_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    batched = length_bucketed_batches(docs, "doc_id", "n_tok", batch_size=32)
+    return (
+        batched.groupBy("bucket", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tok").alias("batch_max_tok"),
+            F.sum("n_tok").alias("batch_tokens"),
+            (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok")).alias(
+                "padding_waste"
+            ),
+        )
+        .orderBy("bucket", "batch")
+    )
+
+
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: excerpts (first ~40% of every 11th
+    doc, id+100000) are planted in the corpus; containment |A∩B|/min(|A|,
+    |B|) ≥ 0.8 must recover them even though their Jaccard vs the parent is
+    far below any symmetric threshold. Inverted-index join — shuffles
+    shingle keys, never documents."""
+    from strava_vector_search_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, (F.length("text") * 0.4).cast("int")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    return containment_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.8
+    ).orderBy("id1", "id2")
+
+
+def w_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distribution windows: percent_rank and cume_dist of event
+    values within each event type, sampled at every 97th event — the
+    rank-normalization primitive for per-group score calibration."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("event_id") % 97 == 0)
+        .orderBy("event_id")
+    )
+
+
+QUERIES.update(
+    {
+        "dm_temperature_mix": dm_temperature_mix,
+        "pk_length_buckets": pk_length_buckets,
+        "dd_containment_pairs": dd_containment_pairs,
+        "w_cume_dist": w_cume_dist,
+    }
+)

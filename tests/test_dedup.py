@@ -280,3 +280,37 @@ def test_paragraph_dedup_idempotent(spark):
     for r in once.collect():
         # every span kept the first time survives the second pass intact
         assert merged[r["doc_id"]]["n_kept"] == merged[r["doc_id"]]["n_spans"]
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from strava_vector_search_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = " ".join(f"w{i}" for i in range(400))
+    excerpt = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, words), (2, excerpt), (3, "totally different text here")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row["id1"], row["id2"]) == (1, 2)
+    assert row["containment"] == 1.0
+    assert row["contained_id"] == 2  # the smaller side is the excerpt
+    # symmetric Jaccard misses the same pair at any usable threshold
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_ties_pick_lower_id(spark):
+    from strava_vector_search_spark.operators.dedup import containment_pairs
+
+    same = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(7, same), (9, same)], "doc_id long, text string"
+    )
+    row = containment_pairs(df, "doc_id", "text", threshold=0.8).first()
+    assert row["containment"] == 1.0 and row["contained_id"] == 7

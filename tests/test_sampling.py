@@ -203,3 +203,86 @@ def test_weighted_sample_plan_is_topk(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_resample_upweights_scarce_domains(spark):
+    from strava_vector_search_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, "doc_id", "source", alpha=0.5)
+    rates = {
+        r["source"]: r["thr"]
+        for r in out.groupBy("source")
+        .agg(F.max("mix_threshold").alias("thr"))
+        .collect()
+    }
+    # the scarce domain keeps everything; the abundant one sheds
+    assert rates["small"] == 1.0
+    assert rates["big"] < 1.0
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["small"] == 100
+    # post-mix shares move toward the alpha-smoothed target: sqrt(900):sqrt(100)
+    # = 3:1, so big should land near 300 (hash-binomial around the threshold)
+    assert 240 <= counts["big"] <= 360
+
+
+def test_temperature_resample_alpha_one_is_identity(spark):
+    from strava_vector_search_spark.operators.sampling import temperature_resample
+
+    rows = [(i, ["a", "b"][i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, "doc_id", "source", alpha=1.0)
+    # alpha=1 -> smoothed shares equal natural shares -> every rate is 1
+    assert out.count() == 200
+    assert out.agg(F.min("mix_threshold")).first()[0] == 1.0
+
+
+def test_temperature_resample_rejects_bad_alpha(spark):
+    from strava_vector_search_spark.operators.sampling import temperature_resample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        temperature_resample(df, "doc_id", "source", alpha=0.0)
+    with pytest.raises(ValueError):
+        temperature_resample(df, "doc_id", "source", alpha=1.5)
+
+
+def test_length_bucketed_batches_bounds_padding(spark):
+    from strava_vector_search_spark.operators.sampling import (
+        length_bucketed_batches,
+    )
+
+    rows = [(i, 1 + (i * 13) % 1000) for i in range(500)] + [(9999, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = length_bucketed_batches(df, "doc_id", "n_tok", batch_size=16)
+    got = out.collect()
+    assert len(got) == 500  # the zero-token row is dropped
+    for r in got:
+        # bucket invariant: 2^bucket <= n_tok < 2^(bucket+1)
+        assert (1 << r["bucket"]) <= r["n_tok"] < (1 << (r["bucket"] + 1))
+    # within any (bucket, batch), max/min < 2 -> padding waste bounded
+    stats = (
+        out.groupBy("bucket", "batch")
+        .agg(F.max("n_tok").alias("mx"), F.min("n_tok").alias("mn"),
+             F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["mx"] / r["mn"] < 2.0 for r in stats)
+    assert all(r["n"] <= 16 for r in stats)
+
+
+def test_length_bucketed_batches_power_of_two_boundary(spark):
+    from strava_vector_search_spark.operators.sampling import (
+        length_bucketed_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1023), (2, 1024), (3, 1025)], "doc_id long, n_tok long"
+    )
+    got = {r["doc_id"]: r["bucket"] for r in
+           length_bucketed_batches(df, "doc_id", "n_tok", 4).collect()}
+    assert got == {1: 9, 2: 10, 3: 10}
