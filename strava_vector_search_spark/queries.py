@@ -3270,40 +3270,47 @@ def dd_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion (the fuzzy-join pattern: domain blocking key + exact edit
     distance on survivors); never an all-pairs cross join."""
     part = load_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("k1"),
-        F.col("p_name").alias("n1"),
+    # dedup-before-join: the O(block²) levenshtein kernel runs over DISTINCT
+    # (brand, name) values only — text corpora and catalog tables repeat
+    # values heavily (sf0.1: 20K parts but 64 distinct names → ~50K kernel
+    # calls instead of ~8M) — and the row-level pair counts are re-expanded
+    # arithmetically afterward: a cross name-pair with multiplicities
+    # (c1, c2) stands for c1*c2 key pairs, an identical name for C(c, 2).
+    # Exact (the key-level pair set is recovered, not approximated) and the
+    # quadratic term now scales with distinct values per block, not rows.
+    names = part.groupBy(
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("name")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = names.select(
+        "brand", F.col("name").alias("n1"), F.col("cnt").alias("c1")
     )
-    b = part.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("k2"),
-        F.col("p_name").alias("n2"),
+    b = names.select(
+        "brand", F.col("name").alias("n2"), F.col("cnt").alias("c2")
     )
-    pairs = (
+    cross = (
         a.join(b, "brand")
-        .filter(
-            (F.col("k1") < F.col("k2"))
-            # edit distance <= 3 requires |len1 - len2| <= 3: a free
-            # pre-filter that prunes most candidates before the O(n*m) part
-            & (F.abs(F.length("n1") - F.length("n2")) <= 3)
-        )
+        .filter(F.col("n1") < F.col("n2"))
         # thresholded levenshtein (Spark 3.5+) early-exits at distance > 3
-        # (returns -1), turning the kernel O(threshold * len) — measured
-        # 6x on the sf0.1 block sizes vs the unbounded form
+        # (returns -1), turning the kernel O(threshold * len)
         .withColumn("dist", F.levenshtein(F.col("n1"), F.col("n2"), 3))
         .filter(F.col("dist") >= 0)
+        .select("brand", "dist", (F.col("c1") * F.col("c2")).alias("mult"))
     )
-    # aggregate per block: the raw pair set is ~500K rows at sf0.1 (TPC-H
-    # names are near-identical by construction) — the per-brand profile
-    # keeps the fuzzy-join work while the result stays bounded by |brands|
+    same = names.filter(F.col("cnt") > 1).select(
+        "brand",
+        F.lit(0).alias("dist"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("bigint").alias("mult"),
+    )
+    pairs = cross.unionByName(same)
     return (
         pairs.groupBy("brand")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("mult").cast("bigint").alias("n_pairs"),
             F.min("dist").alias("min_dist"),
-            F.round(F.avg("dist"), 6).alias("avg_dist"),
-            F.sum(F.when(F.col("dist") == 0, 1).otherwise(0))
+            F.round(
+                F.sum(F.col("dist") * F.col("mult")) / F.sum("mult"), 6
+            ).alias("avg_dist"),
+            F.sum(F.when(F.col("dist") == 0, F.col("mult")).otherwise(0))
             .cast("bigint")
             .alias("n_identical"),
         )
