@@ -95,6 +95,8 @@ HEADLINE = [
     "pk_length_buckets",
     "dd_containment_pairs",
     "w_cume_dist",
+    "vs_matryoshka_topk",
+    "mm_patch_grid",
 ]
 
 

@@ -154,3 +154,45 @@ def resize_frames(
             yield pd.DataFrame(out)
 
     return frames.mapInPandas(_resize, FRAME_SCHEMA)
+
+
+def patch_grid(frames: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch grid over decoded frames: each (width × height)
+    frame fans out to its non-overlapping ``patch × patch`` tiles with
+    pixel offsets — the tokenization step of an image-encoder pipeline.
+
+    Pure expressions (sequence + explode), map-only 1→N fan-out: no
+    Python, no shuffle, so it composes with the decode kernel inside one
+    stage at any corpus size. Remainder pixels beyond the last full patch
+    are cropped (floor semantics), the standard ViT preprocessing choice;
+    frames smaller than one patch are dropped.
+    """
+    nx = F.floor(F.col("width") / patch).cast("int")
+    ny = F.floor(F.col("height") / patch).cast("int")
+    return (
+        frames.withColumn("nx", nx)
+        .withColumn("ny", ny)
+        .filter((F.col("nx") >= 1) & (F.col("ny") >= 1))
+        .select(
+            "media_id",
+            "frame_idx",
+            F.explode(
+                F.sequence(F.lit(0), F.col("nx") * F.col("ny") - 1)
+            ).alias("patch_idx"),
+            "nx",
+            "ny",
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            "patch_idx",
+            ((F.col("patch_idx") % F.col("nx")) * patch)
+            .cast("int")
+            .alias("x0"),
+            (F.floor(F.col("patch_idx") / F.col("nx")) * patch)
+            .cast("int")
+            .alias("y0"),
+            "nx",
+            "ny",
+        )
+    )

@@ -374,3 +374,74 @@ def hybrid_topk(
         ),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    query_vec: list[float] | Column,
+    prefix_dims: int,
+    candidates: int,
+    k: int = 5,
+    vector_col: str = "embedding",
+    id_col: str = "doc_id",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Coarse-to-fine retrieval over nested (matryoshka) embedding
+    prefixes: rank by the RENORMALIZED first ``prefix_dims`` dimensions,
+    keep ``candidates`` survivors, rerank them exactly with the full
+    vector. With an MRL-trained embedder the prefix preserves ranking
+    quality at a fraction of the arithmetic; with any embedder this is the
+    standard two-stage funnel (cheap score → exact rerank).
+
+    Scale shape: the full-corpus pass touches only ``prefix_dims`` floats
+    per row (at 768-dim vectors and a 32-dim prefix, 24× less arithmetic
+    and — with the prefix materialized as its own narrow column/table —
+    24× less I/O); both stages are ``TakeOrderedAndProject`` (per-partition
+    heap, no shuffle of losers), and the exact rerank reads full vectors
+    for ``candidates`` rows only. The prefix must be renormalized (a
+    prefix of a unit vector is not unit); the full-vector rerank relies on
+    the write-time L2 normalization, so fine score = dot.
+
+    Approximate by design: a true top-k row whose prefix score falls
+    outside the top ``candidates`` is lost — the recall/cost dial every
+    multi-stage retriever exposes.
+    """
+    if isinstance(query_vec, list):
+        qf = [float(x) for x in query_vec]
+        q_full = F.array(*[F.lit(x) for x in qf])
+        q_pref = F.array(*[F.lit(x) for x in qf[:prefix_dims]])
+    else:
+        q_full = query_vec
+        q_pref = F.slice(query_vec, 1, prefix_dims)
+    df = corpus
+    if predicate is not None:
+        df = df.filter(predicate)
+    df = df.filter(F.col(vector_col).isNotNull())
+    from strava_vector_search_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+    )
+
+    pref = F.slice(F.col(vector_col).cast("array<double>"), 1, prefix_dims)
+    qp = q_pref.cast("array<double>")
+    # zero-norm guard: a truncated vector CAN be all-zero even when the
+    # full vector is unit (mass outside the prefix) — score it NULL, which
+    # sorts last under DESC in both engines, instead of tripping ANSI
+    # divide-by-zero
+    norms = l2_norm(pref) * l2_norm(qp)
+    coarse = F.round(
+        F.when(norms > 0, dot_product(pref, qp) / norms), 6
+    )
+    cand = (
+        df.withColumn("coarse", coarse)
+        .orderBy(F.desc("coarse"), F.asc(id_col))
+        .limit(candidates)
+    )
+    return (
+        cand.withColumn(
+            "similarity",
+            similarity(F.col(vector_col), q_full, assume_normalized=True),
+        )
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2683,3 +2683,47 @@ WITH r AS (
 )
 SELECT * FROM r WHERE event_id % 97 = 0 ORDER BY event_id
 """
+
+ORACLES["vs_matryoshka_topk"] = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id <> 3
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 3),
+cand AS (
+  SELECT vec_id, label, emb,
+         ROUND(list_dot_product(emb[1:16], qe[1:16]) /
+               (sqrt(list_dot_product(emb[1:16], emb[1:16])) *
+                sqrt(list_dot_product(qe[1:16], qe[1:16]))), 6) AS coarse
+  FROM e, q
+  ORDER BY coarse DESC, vec_id ASC
+  LIMIT 50
+)
+SELECT vec_id, label, coarse,
+       ROUND(list_dot_product(emb, qe), 6) AS similarity
+FROM cand, q
+ORDER BY similarity DESC, vec_id ASC
+LIMIT 10
+"""
+
+ORACLES["mm_patch_grid"] = """
+WITH d AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 40
+),
+f AS (
+  SELECT media_id, i.range::INTEGER AS frame_idx,
+         (16 + n % 16)::INTEGER AS width,
+         (16 + (n // 4) % 16)::INTEGER AS height
+  FROM d, range(0, 3) i
+  WHERE i.range < greatest(1, least(3, n // 8))
+)
+SELECT media_id, frame_idx, p.range::INTEGER AS patch_idx,
+       ((p.range % (width // 8)) * 8)::INTEGER AS x0,
+       ((p.range // (width // 8)) * 8)::INTEGER AS y0,
+       (width // 8)::INTEGER AS nx,
+       (height // 8)::INTEGER AS ny
+FROM f, range(0, 16) p
+WHERE p.range < (width // 8) * (height // 8)
+ORDER BY media_id, frame_idx, patch_idx
+"""

@@ -4330,3 +4330,51 @@ QUERIES.update(
         "w_cume_dist": w_cume_dist,
     }
 )
+
+
+def vs_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine (matryoshka) retrieval: renormalized 16-dim prefix
+    scores the whole corpus (24x less arithmetic at 768 dims), top-50
+    survivors reranked exactly with the full vector. Both stages are
+    TakeOrderedAndProject — no shuffle of losers."""
+    from strava_vector_search_spark.operators.search import matryoshka_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 3)
+    out = matryoshka_topk(
+        emb,
+        qv,
+        prefix_dims=16,
+        candidates=50,
+        k=10,
+        id_col="vec_id",
+        predicate=F.col("vec_id") != 3,
+    )
+    return out.select("vec_id", "label", "coarse", "similarity")
+
+
+def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch tokenization over decoded frames: 8x8 tiles with
+    pixel offsets via sequence+explode — decode kernel and patch fan-out
+    compose in one stage, no Python past the codec."""
+    from strava_vector_search_spark.operators.multimodal import (
+        decode_frames,
+        patch_grid,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return patch_grid(decode_frames(media), patch=8).orderBy(
+        "media_id", "frame_idx", "patch_idx"
+    )
+
+
+QUERIES.update(
+    {
+        "vs_matryoshka_topk": vs_matryoshka_topk,
+        "mm_patch_grid": mm_patch_grid,
+    }
+)

@@ -90,3 +90,42 @@ def test_rolling_fingerprint_order_sensitive(spark):
     fp = {r["id"]: r["f"] for r in df.select("id", rolling_fingerprint(F.col("text")).alias("f")).collect()}
     assert fp[1] == fp[3]
     assert fp[1] != fp[2]  # order matters — unlike the set-style md5 fingerprint
+
+
+def test_patch_grid_covers_frame_exactly(spark):
+    from strava_vector_search_spark.operators.multimodal import patch_grid
+
+    frames = spark.createDataFrame(
+        [(1, 0, 24, 16), (1, 1, 17, 31), (2, 0, 7, 20)],
+        "media_id long, frame_idx int, width int, height int",
+    )
+    got = patch_grid(frames, patch=8).collect()
+    # frame (24, 16): 3x2=6 patches; (17, 31): 2x3=6 (remainder cropped);
+    # (7, 20): narrower than one patch -> dropped entirely
+    by_frame = {}
+    for r in got:
+        by_frame.setdefault((r["media_id"], r["frame_idx"]), []).append(r)
+    assert set(by_frame) == {(1, 0), (1, 1)}
+    assert len(by_frame[(1, 0)]) == 6 and len(by_frame[(1, 1)]) == 6
+    f0 = sorted(by_frame[(1, 0)], key=lambda r: r["patch_idx"])
+    assert [(r["x0"], r["y0"]) for r in f0] == [
+        (0, 0), (8, 0), (16, 0), (0, 8), (8, 8), (16, 8)
+    ]
+    for r in f0:
+        assert r["x0"] + 8 <= 24 and r["y0"] + 8 <= 16  # tiles stay in-frame
+
+
+def test_patch_grid_is_map_only(spark):
+    """No shuffle: the fan-out must not introduce an Exchange."""
+    from strava_vector_search_spark.operators.multimodal import patch_grid
+
+    frames = spark.createDataFrame(
+        [(1, 0, 32, 32)], "media_id long, frame_idx int, width int, height int"
+    )
+    plan = (
+        patch_grid(frames, patch=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -194,3 +194,59 @@ def test_blas_topk_tie_break_is_id_ascending(spark):
     )
     bt = batch_topk_blas(corpus, queries, k=5)
     assert sorted(r["doc_id"] for r in bt.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_matryoshka_equals_brute_force_when_candidates_cover(spark):
+    """With candidates >= corpus size the funnel is exact: the final top-k
+    must equal full-vector brute force."""
+    from strava_vector_search_spark.operators.search import (
+        brute_force_topk,
+        matryoshka_topk,
+    )
+
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        (i, unit([(i * 7 + j * 3) % 11 - 5.0 for j in range(8)]))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    q = rows[5][1]
+    exact = brute_force_topk(df, q, k=5, assume_normalized=True).select(
+        "doc_id", "similarity"
+    ).collect()
+    mat = matryoshka_topk(df, q, prefix_dims=4, candidates=40, k=5).select(
+        "doc_id", "similarity"
+    ).collect()
+    assert [(r["doc_id"], r["similarity"]) for r in mat] == [
+        (r["doc_id"], r["similarity"]) for r in exact
+    ]
+
+
+def test_matryoshka_coarse_stage_prunes(spark):
+    """A doc whose PREFIX is orthogonal to the query must be dropped by the
+    coarse stage even though its full vector matches well — the documented
+    recall/cost trade of the funnel."""
+    from strava_vector_search_spark.operators.search import matryoshka_topk
+
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    q = unit([1.0, 1.0, 0.0, 0.0])
+    good_prefix = unit([1.0, 0.9, 0.1, 0.0])
+    decoy = unit([0.0, 0.0, 1.0, 1.0])  # prefix-orthogonal in dims 1-2
+    filler = [unit([0.5, -0.5, (i % 3) * 0.3 + 0.1, 0.2]) for i in range(8)]
+    rows = [(1, good_prefix), (2, decoy)] + [
+        (10 + i, v) for i, v in enumerate(filler)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    got = matryoshka_topk(df, q, prefix_dims=2, candidates=3, k=3).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 1 in ids and 2 not in ids
