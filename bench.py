@@ -97,6 +97,7 @@ HEADLINE = [
     "w_cume_dist",
     "vs_matryoshka_topk",
     "mm_patch_grid",
+    "dd_url_dedup",
 ]
 
 

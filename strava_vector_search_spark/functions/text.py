@@ -298,3 +298,44 @@ def top_bigram_count(bigrams_col: Column) -> Column:
             lambda x: F.size(F.filter(bigrams_col, lambda y: y == x)),
         )
     ).cast("bigint")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for crawl-frontier / corpus dedup: lowercase
+    scheme and host, strip a leading ``www.``, drop default ports (:80,
+    :443), strip the fragment, drop ``utm_*`` tracking parameters, and
+    remove trailing path slashes. Two URLs that differ only in these
+    cosmetic ways collapse to one canonical form — the screen that runs
+    before URL-level dedup in every crawl pipeline.
+
+    Pure regexp_extract/replace chain (RE2-portable, no lookaround): one
+    map-only codegen'd projection, so canonicalization composes with the
+    scan at any frontier size. Not covered on purpose: query-parameter
+    re-ordering (needs a sort of the param list; rare in practice because
+    crawlers emit params in a stable order) and IDN/percent-encoding
+    normalization.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r"^www\.", ""), r":(80|443)$", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    query = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(url, r"\?([^#]*)", 1), r"(^|&)utm_[^&]*", ""
+        ),
+        r"^&",
+        "",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )

@@ -385,6 +385,7 @@ def matryoshka_topk(
     vector_col: str = "embedding",
     id_col: str = "doc_id",
     predicate: Column | None = None,
+    prefix_col: str | None = None,
 ) -> DataFrame:
     """Coarse-to-fine retrieval over nested (matryoshka) embedding
     prefixes: rank by the RENORMALIZED first ``prefix_dims`` dimensions,
@@ -392,6 +393,13 @@ def matryoshka_topk(
     vector. With an MRL-trained embedder the prefix preserves ranking
     quality at a fraction of the arithmetic; with any embedder this is the
     standard two-stage funnel (cheap score → exact rerank).
+
+    Pass ``prefix_col`` (a pre-materialized ``array<double>`` prefix
+    column, written at index-build time) to skip the per-row slice: the
+    coarse scan then reads and folds ONLY the narrow column — this is the
+    configuration where the funnel beats brute force (see SCALE.md); the
+    slice-at-query-time fallback exists for ad-hoc use but pays an array
+    copy per row.
 
     Scale shape: the full-corpus pass touches only ``prefix_dims`` floats
     per row (at 768-dim vectors and a 32-dim prefix, 24× less arithmetic
@@ -406,10 +414,22 @@ def matryoshka_topk(
     outside the top ``candidates`` is lost — the recall/cost dial every
     multi-stage retriever exposes.
     """
+    from strava_vector_search_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+    )
+
+    qp_norm_lit = None
     if isinstance(query_vec, list):
         qf = [float(x) for x in query_vec]
         q_full = F.array(*[F.lit(x) for x in qf])
         q_pref = F.array(*[F.lit(x) for x in qf[:prefix_dims]])
+        # fold the query-prefix norm on the driver: a literal, not a
+        # per-row aggregate expression (Catalyst does not constant-fold
+        # the higher-order fold)
+        import math
+
+        qp_norm_lit = math.sqrt(sum(x * x for x in qf[:prefix_dims]))
     else:
         q_full = query_vec
         q_pref = F.slice(query_vec, 1, prefix_dims)
@@ -417,18 +437,17 @@ def matryoshka_topk(
     if predicate is not None:
         df = df.filter(predicate)
     df = df.filter(F.col(vector_col).isNotNull())
-    from strava_vector_search_spark.functions.vector import (
-        dot_product,
-        l2_norm,
-    )
-
-    pref = F.slice(F.col(vector_col).cast("array<double>"), 1, prefix_dims)
+    if prefix_col is not None:
+        pref = F.col(prefix_col).cast("array<double>")
+    else:
+        pref = F.slice(F.col(vector_col).cast("array<double>"), 1, prefix_dims)
     qp = q_pref.cast("array<double>")
+    qn = F.lit(qp_norm_lit) if qp_norm_lit is not None else l2_norm(qp)
     # zero-norm guard: a truncated vector CAN be all-zero even when the
     # full vector is unit (mass outside the prefix) — score it NULL, which
     # sorts last under DESC in both engines, instead of tripping ANSI
     # divide-by-zero
-    norms = l2_norm(pref) * l2_norm(qp)
+    norms = l2_norm(pref) * qn
     coarse = F.round(
         F.when(norms > 0, dot_product(pref, qp) / norms), 6
     )

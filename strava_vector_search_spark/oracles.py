@@ -2727,3 +2727,45 @@ FROM f, range(0, 16) p
 WHERE p.range < (width // 8) * (height // 8)
 ORDER BY media_id, frame_idx, patch_idx
 """
+
+ORACLES["dd_url_dedup"] = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://' || source || '.example.com/a/doc' || (doc_id % 50)
+           WHEN 1 THEN upper('https://www.' || source || '.example.com:443')
+                       || '/a/doc' || (doc_id % 50)
+           WHEN 2 THEN 'https://' || source || '.example.com/a/doc' || (doc_id % 50)
+                       || '/?utm_source=feed'
+           ELSE 'https://' || source || '.example.com/a/doc' || (doc_id % 50)
+                       || '#frag'
+         END AS raw_url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, raw_url,
+         lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+         || '://'
+         || regexp_replace(regexp_replace(
+              lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+              '^www\\.', ''), ':(80|443)$', '')
+         || regexp_replace(
+              regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+              '/+$', '')
+         || CASE WHEN regexp_replace(regexp_replace(
+                        regexp_extract(raw_url, '\\?([^#]*)', 1),
+                        '(^|&)utm_[^&]*', '', 'g'), '^&', '') <> ''
+                 THEN '?' || regexp_replace(regexp_replace(
+                        regexp_extract(raw_url, '\\?([^#]*)', 1),
+                        '(^|&)utm_[^&]*', '', 'g'), '^&', '')
+                 ELSE '' END
+         AS curl
+  FROM raw
+)
+SELECT curl AS canonical_url, COUNT(*) AS n_urls,
+       COUNT(DISTINCT raw_url) AS n_variants,
+       MIN(doc_id) AS keep_doc_id
+FROM canon
+GROUP BY curl
+ORDER BY curl
+"""

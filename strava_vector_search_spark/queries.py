@@ -4378,3 +4378,56 @@ QUERIES.update(
         "mm_patch_grid": mm_patch_grid,
     }
 )
+
+
+def dd_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (the crawl-frontier screen): four messy
+    variants per logical page (case, www + default port, trailing slash +
+    utm tracking, fragment) must collapse to one canonical form; keep-first
+    per canonical URL with variant counts. Map-only regexp chain + one
+    hash aggregate on the canonical key."""
+    from strava_vector_search_spark.functions.text import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = (F.col("doc_id") % 50).cast("string")
+    base_host = F.concat(F.col("source"), F.lit(".example.com"))
+    base_path = F.concat(F.lit("/a/doc"), b)
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), base_host, base_path))
+        .when(
+            v == 1,
+            F.concat(
+                F.upper(
+                    F.concat(F.lit("https://www."), base_host, F.lit(":443"))
+                ),
+                base_path,
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://"), base_host, base_path,
+                F.lit("/?utm_source=feed"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), base_host, base_path, F.lit("#frag"))
+        )
+    )
+    staged = docs.select("doc_id", url.alias("raw_url"))
+    canon = staged.select(
+        "doc_id", "raw_url", canonical_url(F.col("raw_url")).alias("curl")
+    )
+    return (
+        canon.groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("raw_url").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+QUERIES.update({"dd_url_dedup": dd_url_dedup})

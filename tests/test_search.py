@@ -250,3 +250,30 @@ def test_matryoshka_coarse_stage_prunes(spark):
     got = matryoshka_topk(df, q, prefix_dims=2, candidates=3, k=3).collect()
     ids = [r["doc_id"] for r in got]
     assert 1 in ids and 2 not in ids
+
+
+def test_matryoshka_prefix_col_matches_slice_path(spark):
+    """The materialized-prefix fast path must return exactly what the
+    slice-at-query-time path returns."""
+    from strava_vector_search_spark.operators.search import matryoshka_topk
+
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        (i, unit([(i * 5 + j * 7) % 13 - 6.0 for j in range(8)]))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    pre = df.withColumn("p4", F.slice(F.col("embedding"), 1, 4))
+    q = rows[9][1]
+    a = matryoshka_topk(df, q, prefix_dims=4, candidates=10, k=5).select(
+        "doc_id", "coarse", "similarity"
+    ).collect()
+    b = matryoshka_topk(
+        pre, q, prefix_dims=4, candidates=10, k=5, prefix_col="p4"
+    ).select("doc_id", "coarse", "similarity").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

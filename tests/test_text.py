@@ -159,3 +159,42 @@ def test_clean_markup_strips_tags_comments_entities(spark):
         )
     )
     assert df.select(cleaned.alias("c")).head()["c"] == "hello world"
+
+
+def test_canonical_url_collapses_cosmetic_variants(spark):
+    from strava_vector_search_spark.functions.text import canonical_url
+
+    variants = [
+        (1, "https://site.example.com/a/doc7"),
+        (2, "HTTPS://WWW.SITE.EXAMPLE.COM:443/a/doc7"),
+        (3, "https://site.example.com/a/doc7/?utm_source=feed"),
+        (4, "https://site.example.com/a/doc7#frag"),
+        (5, "http://site.example.com:80/a/doc7"),
+    ]
+    df = spark.createDataFrame(variants, "id long, url string")
+    got = {r["id"]: r["c"] for r in
+           df.select("id", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got[1] == "https://site.example.com/a/doc7"
+    assert got[2] == got[1]  # case + www + default port
+    assert got[3] == got[1]  # trailing slash + utm param
+    assert got[4] == got[1]  # fragment
+    assert got[5] == "http://site.example.com/a/doc7"  # :80 stripped, scheme kept
+
+
+def test_canonical_url_keeps_meaningful_parts(spark):
+    from strava_vector_search_spark.functions.text import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://site.example.com/a?id=3&utm_campaign=x&page=2"),
+            (2, "https://site.example.com:8080/a"),
+            (3, "https://other.example.com/a"),
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r["c"] for r in
+           df.select("id", canonical_url(F.col("url")).alias("c")).collect()}
+    # non-utm params survive (utm dropped from the middle leaves id&page)
+    assert got[1] == "https://site.example.com/a?id=3&page=2"
+    assert got[2] == "https://site.example.com:8080/a"  # non-default port kept
+    assert got[3] == "https://other.example.com/a"

@@ -259,6 +259,36 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_sortmerge": "!SortMergeJoin",
     },
+    "dm_temperature_mix": {
+        # rate table is |domains| rows: admission must be a broadcast join
+        # + map-side filter, never a fact-side shuffle
+        "broadcast_join": "BroadcastHashJoin",
+        "no_sortmerge": "!SortMergeJoin",
+    },
+    "pk_length_buckets": {
+        "window": "Window",
+        "no_join": "!Join",
+        "partial_agg": "partial_",
+    },
+    "dd_containment_pairs": {
+        # inverted-index join on the shingle key — never a nested loop
+        "no_nested_loop": "!NestedLoop",
+        "no_cartesian": "!CartesianProduct",
+        "partial_agg": "partial_count",
+    },
+    "w_cume_dist": {"window": "Window", "no_join": "!Join"},
+    "vs_matryoshka_topk": {
+        # both funnel stages are per-partition heaps, no full sort
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_join": "!Join",
+    },
+    "mm_patch_grid": {
+        # decode kernel + patch fan-out compose in one stage: the explode
+        # (Generate) must appear with no Exchange between it and the kernel
+        "python_kernel": "MapInPandas",
+        "explode": "Generate",
+        "no_agg": "!HashAggregate",
+    },
 }
 
 
