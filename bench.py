@@ -98,6 +98,7 @@ HEADLINE = [
     "vs_matryoshka_topk",
     "mm_patch_grid",
     "dd_url_dedup",
+    "j_runtime_bloom",
 ]
 
 

@@ -2769,3 +2769,14 @@ FROM canon
 GROUP BY curl
 ORDER BY curl
 """
+
+ORACLES["j_runtime_bloom"] = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity::DECIMAL(18,6))::DOUBLE, 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice::DECIMAL(18,6))::DOUBLE, 2) AS sum_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -4431,3 +4431,61 @@ def dd_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dd_url_dedup": dd_url_dedup})
+
+
+def j_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: the selective dimension side
+    (urgent orders) builds a bloom filter at runtime that is pushed into
+    the fact-side scan as a might_contain predicate — rows that cannot
+    join are dropped BEFORE the shuffle. At 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~20% that
+    survives; semantically invisible (the oracle is the plain join).
+
+    Thresholds are scoped to this query and restored after the physical
+    plan is forced (a Dataset's QueryExecution is planned once), so the
+    session keeps its defaults; broadcast is disabled here because the
+    bloom path targets shuffle joins — the regime where the dim side is
+    too big to broadcast but its key set still fits a few MB of bloom bits.
+    PLANS.md asserts might_contain + bloom_filter_agg in the plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        urgent = orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        out = (
+            li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                _dsum("l_quantity").alias("sum_qty"),
+                _dsum("l_extendedprice").alias("sum_price"),
+            )
+            .orderBy("l_returnflag")
+        )
+        # force physical planning NOW, while the scoped confs are active —
+        # the cached QueryExecution keeps the bloom plan after restore
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+QUERIES.update({"j_runtime_bloom": j_runtime_bloom})

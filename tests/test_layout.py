@@ -120,3 +120,33 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     back = spark.read.parquet(zpath)
     assert back.count() == n
     assert back.agg(F.sum("x")).head()[0] == df.agg(F.sum("x")).head()[0]
+
+
+def test_runtime_bloom_plan_and_conf_restore(spark, sf_dir):
+    """j_runtime_bloom must plan a bloom-filter runtime filter on the fact
+    scan AND leave the session confs exactly as it found them."""
+    from strava_vector_search_spark.queries import QUERIES
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+
+    def snapshot():
+        out = {}
+        for k in keys:
+            try:
+                out[k] = spark.conf.get(k)
+            except Exception:
+                out[k] = None
+        return out
+
+    before = snapshot()
+    df = QUERIES["j_runtime_bloom"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    assert snapshot() == before  # scoped confs restored
+    rows = df.collect()  # executes the bloom plan
+    assert len(rows) >= 1 and all(r["n_items"] > 0 for r in rows)

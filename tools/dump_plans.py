@@ -282,6 +282,15 @@ EXPECTATIONS: dict[str, dict] = {
         "top_k_no_sort": "TakeOrderedAndProject",
         "no_join": "!Join",
     },
+    "j_runtime_bloom": {
+        # the runtime filter must reach the fact side as a might_contain
+        # predicate fed by a bloom_filter_agg subquery on the dim side
+        # (AQE may still convert the shuffle join to broadcast at this
+        # tiny SF after the scoped thresholds are restored — the bloom
+        # filter is what we assert, not the join strategy)
+        "bloom_push": "might_contain",
+        "bloom_build": "bloom_filter_agg",
+    },
     "mm_patch_grid": {
         # decode kernel + patch fan-out compose in one stage: the explode
         # (Generate) must appear with no Exchange between it and the kernel
