@@ -99,6 +99,7 @@ HEADLINE = [
     "mm_patch_grid",
     "dd_url_dedup",
     "j_runtime_bloom",
+    "tx_bigram_perplexity",
 ]
 
 

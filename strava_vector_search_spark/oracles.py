@@ -2780,3 +2780,42 @@ WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+ORACLES["tx_bigram_perplexity"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+uni AS (
+  SELECT t, COUNT(*) AS cnt
+  FROM (SELECT unnest(ts) AS t FROM toks)
+  GROUP BY t
+),
+tot AS (SELECT SUM(cnt)::DOUBLE AS total FROM uni),
+bg AS (
+  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2
+  FROM (
+    SELECT doc_id,
+           unnest([{'w1': ts[i], 'w2': ts[i+1]} FOR i IN range(1, len(ts))]) AS p
+    FROM toks WHERE len(ts) >= 2
+  )
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+terms AS (
+  SELECT bg.doc_id,
+         -LN(0.7 * (bc.c12 / u1.cnt) + 0.3 * (u2.cnt / tot.total)) AS nll
+  FROM bg
+  JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+  JOIN uni u1 ON bg.w1 = u1.t
+  JOIN uni u2 ON bg.w2 = u2.t
+  CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_transitions,
+       ROUND(SUM(nll::DECIMAL(28,12))::DOUBLE / COUNT(*), 6) AS avg_nll,
+       ROUND(EXP(ROUND(SUM(nll::DECIMAL(28,12))::DOUBLE / COUNT(*), 6)), 4) AS ppl
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+"""

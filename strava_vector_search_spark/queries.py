@@ -4489,3 +4489,70 @@ def j_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"j_runtime_bloom": j_runtime_bloom})
+
+
+def tx_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity (one step closer to CCNet/KenLM
+    than tx_unigram_perplexity): p(w2|w1) = 0.7·c12/c1 + 0.3·c2/N, trained
+    on the corpus itself. Bigram extraction is a map-only index transform
+    over the token array (no positional self-join); two vocab-sized
+    aggregates (bigram + unigram counts) come back via AQE-broadcast
+    joins; NLL sums route through DECIMAL(28,12). Context count c1 is the
+    unigram count (counts doc-final tokens as context mass — a mild,
+    deterministic smoothing; documented, mirrored in the oracle)."""
+    from strava_vector_search_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("_ts"))
+    uni = (
+        tok.select(F.explode("_ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = int(uni.agg(F.sum("cnt")).head()[0])
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_ts") - 1),
+        lambda i: F.struct(
+            F.element_at("_ts", i).alias("w1"),
+            F.element_at("_ts", i + 1).alias("w2"),
+        ),
+    )
+    big = (
+        tok.filter(F.size("_ts") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    u1 = uni.select(F.col("t").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("cnt").alias("c2"))
+    terms = (
+        big.join(bc, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    F.lit(0.7) * (F.col("c12") / F.col("c1"))
+                    + F.lit(0.3) * (F.col("c2") / F.lit(float(total)))
+                )
+            ).alias("nll"),
+        )
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(
+            F.sum(F.col("nll").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_nll"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_transitions",
+        "avg_nll",
+        F.round(F.exp(F.col("avg_nll")), 4).alias("ppl"),
+    ).orderBy("doc_id")
+
+
+QUERIES.update({"tx_bigram_perplexity": tx_bigram_perplexity})

@@ -198,3 +198,31 @@ def test_canonical_url_keeps_meaningful_parts(spark):
     assert got[1] == "https://site.example.com/a?id=3&page=2"
     assert got[2] == "https://site.example.com:8080/a"  # non-default port kept
     assert got[3] == "https://other.example.com/a"
+
+
+def test_bigram_perplexity_rewards_repetitive_transitions(spark, sf_dir, tmp_path):
+    """A document cycling one bigram must score far lower perplexity than a
+    document whose transitions are all corpus-unique."""
+    import shutil, os
+    from strava_vector_search_spark.queries import QUERIES
+
+    src = spark.createDataFrame(
+        [
+            (0, "a b " * 30, "en", "src0", 60),
+            (1, "c d " * 30, "en", "src0", 60),
+            # frequent context 'a' (60+ occurrences) but each a->X
+            # transition here is corpus-unique: c12/c1 is tiny
+            (2, "a q a w a e a r a t a y", "en", "src0", 24),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "bigram")
+    os.makedirs(d, exist_ok=True)
+    src.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           QUERIES["tx_bigram_perplexity"](spark, d).collect()}
+    assert out[0]["n_transitions"] == 59  # n_tokens - 1
+    assert out[2]["n_transitions"] == 11
+    # cycling doc: a->b seen ~30x out of ~66 'a' contexts -> low ppl;
+    # surprise doc: each a->X seen once out of ~66 -> ppl an order higher
+    assert out[0]["ppl"] * 3 < out[2]["ppl"]
