@@ -2819,3 +2819,38 @@ FROM terms
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# -- binary (sign-bit) quantized retrieval -----------------------------------
+
+
+def _pack32(arr: str, w: int) -> str:
+    """DuckDB twin of operators.search.binary_sign_words for one 32-bit
+    word: bit i of word w set iff arr[w*32 + i] > 0 (1-indexed lists)."""
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"[CASE WHEN {arr}[{w * 32} + i] > 0 THEN (1::BIGINT << (i-1)) "
+        "ELSE 0 END FOR i IN range(1, 33)]), (a,b) -> a + b)"
+    )
+
+
+ORACLES["vs_binary_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 21),
+qs AS (SELECT {_pack32('qv', 0)} AS q0, {_pack32('qv', 1)} AS q1 FROM q),
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id <> 21 AND embedding IS NOT NULL
+),
+h AS (
+  SELECT c.vec_id, c.v,
+         (bit_count(xor({_pack32('c.v', 0)}, qs.q0))
+          + bit_count(xor({_pack32('c.v', 1)}, qs.q1)))::INT AS hamming
+  FROM c CROSS JOIN qs
+),
+cand AS (SELECT * FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 50)
+SELECT cand.vec_id, cand.hamming,
+       ROUND(list_cosine_similarity(cand.v, q.qv), 6) AS similarity
+FROM cand CROSS JOIN q
+ORDER BY similarity DESC, vec_id ASC
+LIMIT 10
+"""

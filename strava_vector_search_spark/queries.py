@@ -4556,3 +4556,25 @@ def tx_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_bigram_perplexity": tx_bigram_perplexity})
+
+
+def vs_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval: sign-bit signatures (1 bit/dim, 32x
+    less scan than float32 once materialized), popcount(xor) Hamming
+    candidate scan, exact cosine rerank of the top-50 — both stages
+    TakeOrderedAndProject, candidates broadcast back for the rerank."""
+    from strava_vector_search_spark.operators.search import binary_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 21)
+    return binary_topk(
+        emb,
+        qv,
+        candidates=50,
+        k=10,
+        id_col="vec_id",
+        predicate=F.col("vec_id") != 21,
+    )
+
+
+QUERIES.update({"vs_binary_topk": vs_binary_topk})

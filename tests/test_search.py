@@ -277,3 +277,55 @@ def test_matryoshka_prefix_col_matches_slice_path(spark):
         pre, q, prefix_dims=4, candidates=10, k=5, prefix_col="p4"
     ).select("doc_id", "coarse", "similarity").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_binary_pack_sign_words_known_pattern(spark):
+    # dims 0 and 33 positive -> bit 0 of word 0, bit 1 of word 1
+    vec = [0.0] * 64
+    vec[0] = 0.5
+    vec[33] = 0.1
+    vec[2] = -0.7  # negative: bit stays 0 (strict x > 0 rule)
+    assert S.pack_sign_words(vec) == [1, 2]
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    w = df.select(
+        *[c.alias(f"w{i}") for i, c in enumerate(S.binary_sign_words(F.col("v"), 64))]
+    ).head()
+    assert [w["w0"], w["w1"]] == [1, 2]
+
+
+def test_binary_topk_matches_brute_force_when_candidates_cover(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).head()["embedding"]]
+    exact = S.brute_force_topk(
+        emb, qv, k=10, id_col="vec_id", predicate=F.col("vec_id") != 5
+    ).select("vec_id").collect()
+    # candidates = whole corpus -> the Hamming stage prunes nothing and the
+    # exact rerank must reproduce brute force
+    approx = S.binary_topk(
+        emb, qv, candidates=n, k=10, id_col="vec_id",
+        predicate=F.col("vec_id") != 5,
+    ).select("vec_id").collect()
+    assert [r["vec_id"] for r in approx] == [r["vec_id"] for r in exact]
+
+
+def test_binary_topk_recall_at_50(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).head()["embedding"]]
+    exact = {
+        r["vec_id"]
+        for r in S.brute_force_topk(
+            emb, qv, k=10, id_col="vec_id", predicate=F.col("vec_id") != 5
+        ).select("vec_id").collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in S.binary_topk(
+            emb, qv, candidates=150, k=10, id_col="vec_id",
+            predicate=F.col("vec_id") != 5,
+        ).collect()
+    }
+    # 1-bit signatures at dim 64 are coarse (each bit flips with prob
+    # ~angle/pi): Hamming top-150-of-500 keeps 0.9 of the true top-10
+    # (measured across 4 query ids: 0.9-1.0); assert with margin
+    assert len(exact & got) / 10 >= 0.7
