@@ -790,6 +790,55 @@ def dedup_by_near_dup_groups(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    cluster_col: str,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.3,
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cosine near-dup pairs are
+    computed ONLY within a cluster, pair components collapse to one
+    surviving representative (min id), and every row comes back labeled
+    ``(comp, keep)``.
+
+    This is the published recipe for semantic dedup at web scale (cluster
+    the embeddings — here any precomputed coarse assignment: k-means via
+    ``ann.kmeans_assign``, IVF lists, or a domain/topic column — then pay
+    the quadratic cosine cost only inside clusters). The pair join is an
+    equi-join on the cluster key, so the shuffle moves each vector once
+    and the quadratic term is bounded by the largest cluster, not the
+    corpus: with C balanced clusters the work drops by ~C× vs all-pairs.
+    Skewed clusters are the operational risk — cap them upstream (split
+    oversized k-means cells) exactly as LSH buckets are capped.
+    """
+    from strava_vector_search_spark.functions.vector import similarity
+
+    base = emb.filter(F.col(vector_col).isNotNull())
+    a = base.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("id1"),
+        F.col(vector_col).alias("v1"),
+    )
+    b = base.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("id2"),
+        F.col(vector_col).alias("v2"),
+    )
+    pairs = (
+        a.join(b, "_c")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cosine", similarity(F.col("v1"), F.col("v2"), assume_normalized)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+    labeled = dedup_by_near_dup_groups(base, pairs, id_col)
+    return labeled.withColumn("keep", F.col("comp") == F.col(id_col))
+
+
 def dedup_keep_best(
     df: DataFrame,
     pairs: DataFrame,

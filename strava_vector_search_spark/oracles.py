@@ -2854,3 +2854,33 @@ FROM cand CROSS JOIN q
 ORDER BY similarity DESC, vec_id ASC
 LIMIT 10
 """
+
+
+# -- SemDeDup (within-cluster semantic dedup) --------------------------------
+
+ORACLES["dd_semantic_dedup"] = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, label::INT AS label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+),
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+),
+cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+SELECT e.vec_id, e.label, COALESCE(cc.comp, e.vec_id) AS comp,
+       (COALESCE(cc.comp, e.vec_id) = e.vec_id) AS keep
+FROM e LEFT JOIN cc ON e.vec_id = cc.id
+ORDER BY e.vec_id
+"""

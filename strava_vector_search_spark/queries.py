@@ -4578,3 +4578,22 @@ def vs_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"vs_binary_topk": vs_binary_topk})
+
+
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within-cluster cosine pairs (cluster = the label column,
+    standing in for a k-means assignment) -> connected components -> one
+    surviving representative per semantic group. Quadratic cost bounded by
+    the largest cluster, not the corpus."""
+    from strava_vector_search_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, cluster_col="label", id_col="vec_id", threshold=0.3
+    )
+    return out.select(
+        "vec_id", F.col("label").cast("int").alias("label"), "comp", "keep"
+    ).orderBy("vec_id")
+
+
+QUERIES.update({"dd_semantic_dedup": dd_semantic_dedup})

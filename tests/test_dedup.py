@@ -314,3 +314,46 @@ def test_containment_ties_pick_lower_id(spark):
     )
     row = containment_pairs(df, "doc_id", "text", threshold=0.8).first()
     assert row["containment"] == 1.0 and row["contained_id"] == 7
+
+
+def test_semantic_dedup_groups_within_cluster_only(spark):
+    from strava_vector_search_spark.operators.dedup import semantic_dedup
+
+    # ids 1,2 identical vectors in cluster A -> one survivor; id 3 has the
+    # SAME vector but in cluster B -> untouched (SemDeDup never compares
+    # across clusters); id 4 orthogonal singleton
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [1.0, 0.0]),
+        (3, "b", [1.0, 0.0]),
+        (4, "a", [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, c string, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["comp"], r["keep"])
+        for r in semantic_dedup(
+            emb, cluster_col="c", id_col="vec_id", threshold=0.9
+        ).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)   # merged into 1 (same cluster)
+    assert out[3] == (3, True)    # identical vector, different cluster
+    assert out[4] == (4, True)    # below threshold
+
+def test_semantic_dedup_transitive_chain(spark):
+    from strava_vector_search_spark.operators.dedup import semantic_dedup
+    import math
+
+    # chain: v1~v2 and v2~v3 above threshold but v1~v3 below -> one
+    # component of all three via transitivity (connected components, not
+    # pairwise-only pruning)
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [(1, unit(0.0)), (2, unit(0.5)), (3, unit(1.0))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb = emb.withColumn("c", F.lit("x"))
+    out = semantic_dedup(emb, cluster_col="c", id_col="vec_id", threshold=0.85)
+    comps = {r["vec_id"]: r["comp"] for r in out.collect()}
+    # cos(0.5)=0.878 >= 0.85, cos(1.0)=0.540 < 0.85 -> transitive merge
+    assert comps == {1: 1, 2: 1, 3: 1}
