@@ -790,6 +790,105 @@ def dedup_by_near_dup_groups(
     )
 
 
+def cdc_chunk_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (Rabin/FastCDC family, token granularity):
+    a chunk boundary falls AFTER token i whenever the hash of the
+    ``window``-token context ending at i is ≡ 0 mod ``divisor`` — so
+    boundaries are a function of CONTENT, not position, and an insertion
+    early in a document shifts at most one chunk instead of re-aligning
+    every fixed-stride span (the failure mode of positional span dedup).
+
+    Emits (_id, chunk_idx, chunk, n_tokens) — one row per chunk, expected
+    chunk length ≈ ``divisor`` tokens. Entirely map-only: tokenize →
+    boundary scan → slice, all array expressions inside one projection; the
+    only shuffle is whatever the caller aggregates next. The boundary hash
+    routes through the portable md5→60-bit-int kernel, so chunking is
+    bit-reproducible across engines.
+    """
+    w, d = window, divisor
+    tok = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_ts")
+    )
+    ts = F.col("_ts")
+    # boundary AFTER position i (1-indexed) where the w-token window ending
+    # at i hashes to 0 mod d; the last token never needs a boundary test
+    bpos = F.filter(
+        F.sequence(F.lit(w), F.greatest(F.size(ts), F.lit(w))),
+        lambda i: (i < F.size(ts))
+        & (
+            F.pmod(
+                md5_int(F.array_join(F.slice(ts, i - w + 1, w), " ")),
+                F.lit(d),
+            )
+            == 0
+        ),
+    )
+    starts = F.concat(F.array(F.lit(0)), bpos)
+    ends = F.concat(bpos, F.array(F.size(ts)))
+    spans = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        lambda sp: sp["e"] > sp["s"],
+    )
+    chunks = F.transform(
+        spans,
+        lambda sp, j: F.struct(
+            j.alias("chunk_idx"),
+            F.array_join(
+                F.slice(ts, sp["s"] + 1, sp["e"] - sp["s"]), " "
+            ).alias("chunk"),
+            (sp["e"] - sp["s"]).alias("n_tokens"),
+        ),
+    )
+    return (
+        tok.filter(F.size(ts) > 0)
+        .select("_id", F.explode(chunks).alias("c"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk").alias("chunk"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def cdc_repeated_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    divisor: int = 16,
+    top: int = 30,
+) -> DataFrame:
+    """Cross-document repeated content via CDC chunks: chunks appearing in
+    more than one document, ranked by document frequency. Grouping is on
+    the 60-bit chunk hash (8-byte shuffle keys, not chunk payloads — the
+    text rides along as a MIN aggregate); top-N ends in
+    TakeOrderedAndProject."""
+    ch = cdc_chunk_rows(df, id_col, text_col, window, divisor)
+    return (
+        ch.groupBy(md5_int(F.col("chunk")).alias("chunk_hash"))
+        .agg(
+            F.min("chunk").alias("chunk"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_total"), F.asc("chunk_hash")
+        )
+        .limit(top)
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     cluster_col: str,

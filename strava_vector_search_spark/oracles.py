@@ -2884,3 +2884,35 @@ SELECT e.vec_id, e.label, COALESCE(cc.comp, e.vec_id) AS comp,
 FROM e LEFT JOIN cc ON e.vec_id = cc.id
 ORDER BY e.vec_id
 """
+
+
+# -- content-defined chunking (CDC) dedup ------------------------------------
+
+ORACLES["tx_cdc_chunks"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+nz AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
+b AS (
+  SELECT doc_id, ts,
+    [i FOR i IN range(4, greatest(len(ts), 4) + 1)
+     IF i < len(ts)
+        AND {_md5i("array_to_string(ts[i-3:i], ' ')")} % 16 = 0] AS bp
+  FROM nz
+),
+sp AS (
+  SELECT doc_id, ts, list_prepend(0, bp) AS starts,
+         list_append(bp, len(ts)) AS ends
+  FROM b
+),
+ch AS (
+  SELECT doc_id,
+    unnest([array_to_string(ts[starts[j] + 1 : ends[j]], ' ')
+            FOR j IN range(1, len(starts) + 1) IF ends[j] > starts[j]]) AS chunk
+  FROM sp
+)
+SELECT {_md5i('chunk')} AS chunk_hash, MIN(chunk) AS chunk,
+       COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_total,
+       MIN(doc_id) AS first_doc
+FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY n_docs DESC, n_total DESC, chunk_hash ASC
+LIMIT 30
+"""

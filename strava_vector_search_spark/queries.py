@@ -4597,3 +4597,19 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dd_semantic_dedup": dd_semantic_dedup})
+
+
+def tx_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: rolling-hash boundaries (boundary
+    after token i when the 4-token context hash % 16 == 0 -- robust to
+    insertions, unlike fixed-stride spans), cross-document repeated chunks
+    ranked by document frequency."""
+    from strava_vector_search_spark.operators.dedup import cdc_repeated_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_repeated_chunks(
+        docs, "doc_id", "text", window=4, divisor=16, top=30
+    )
+
+
+QUERIES.update({"tx_cdc_chunks": tx_cdc_chunks})

@@ -357,3 +357,46 @@ def test_semantic_dedup_transitive_chain(spark):
     comps = {r["vec_id"]: r["comp"] for r in out.collect()}
     # cos(0.5)=0.878 >= 0.85, cos(1.0)=0.540 < 0.85 -> transitive merge
     assert comps == {1: 1, 2: 1, 3: 1}
+
+
+def test_cdc_chunks_cover_and_are_shift_robust(spark):
+    from strava_vector_search_spark.operators.dedup import cdc_chunk_rows
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    shifted = "inserted " + base  # one token prepended
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    ch = cdc_chunk_rows(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # chunks tile the document exactly (coverage, order, no overlap)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        rebuilt = " ".join(r["chunk"] for r in rows)
+        want = base if d == 1 else shifted
+        assert rebuilt == " ".join(want.lower().split())
+    # content-defined boundaries: the insertion perturbs only the prefix —
+    # the chunk multisets agree on all but O(1) chunks
+    c1 = {r["chunk"] for r in by_doc[1]}
+    c2 = {r["chunk"] for r in by_doc[2]}
+    assert len(c1 & c2) >= len(c1) - 2
+
+
+def test_cdc_repeated_chunks_flags_shared_content(spark):
+    from strava_vector_search_spark.operators.dedup import cdc_repeated_chunks
+
+    shared = " ".join(f"common{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared),
+            (2, shared + " gamma delta"),
+            (3, "unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = cdc_repeated_chunks(df, "doc_id", "text", top=10).collect()
+    assert rep, "shared run must produce repeated chunks"
+    assert all(r["n_docs"] == 2 for r in rep)
+    assert all("common" in r["chunk"] for r in rep)
