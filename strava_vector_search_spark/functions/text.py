@@ -339,3 +339,37 @@ def canonical_url(url: Column) -> Column:
         path,
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
+
+
+def hashed_linear_score(text: Column, buckets: int = 1024) -> Column:
+    """fastText-style hashed linear classifier score: each token hashes
+    into one of ``buckets`` weight slots, the document logit is the MEAN
+    slot weight, and the score is its sigmoid.
+
+    The weight table is not stored anywhere — slot j's weight is derived
+    on the fly as ``(md5('w'||j) % 2001 - 1000)/1000`` (a deterministic
+    stand-in for trained weights in [-1, 1]; swap the weight expression
+    for a broadcast-joined real table to serve a trained model). The whole
+    classifier is ONE codegen'd fold per row — no vocabulary join, no UDF,
+    no shuffle: the shape that scores a 100 TB corpus at scan speed, which
+    is exactly why the hashing trick (and fastText) exists.
+
+    Fold order is the token order in both engines, so the double
+    accumulation is bit-reproducible against the DuckDB oracle.
+    """
+    from strava_vector_search_spark.operators.dedup import md5_int
+
+    ts = tokens(text)
+
+    def w(t: Column) -> Column:
+        slot = F.pmod(md5_int(t), F.lit(buckets))
+        return (
+            F.pmod(md5_int(F.concat(F.lit("w"), slot.cast("string"))), F.lit(2001))
+            - 1000
+        ) / 1000.0
+
+    logit = F.when(
+        F.size(ts) > 0,
+        F.aggregate(ts, F.lit(0.0), lambda acc, t: acc + w(t)) / F.size(ts),
+    ).otherwise(F.lit(0.0))
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)

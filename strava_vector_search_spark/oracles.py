@@ -2916,3 +2916,27 @@ FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
 ORDER BY n_docs DESC, n_total DESC, chunk_hash ASC
 LIMIT 30
 """
+
+
+# -- hashed linear classifier (fastText hashing trick) -----------------------
+
+_HASH_W = (
+    "((" + _md5i("'w' || ((" + _md5i("t") + ") % 1024)::VARCHAR")
+    + ") % 2001 - 1000) / 1000.0"
+)
+
+ORACLES["tx_hash_classifier"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+s AS (
+  SELECT doc_id, len(ts) AS n_tokens,
+    CASE WHEN len(ts) > 0 THEN
+      list_reduce(list_prepend(0.0, [{_HASH_W} FOR t IN ts]),
+                  (a, b) -> a + b) / len(ts)
+    ELSE 0.0 END AS logit
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       ROUND(1.0 / (1.0 + EXP(-logit)), 6) AS score,
+       (ROUND(1.0 / (1.0 + EXP(-logit)), 6) >= 0.5) AS keep
+FROM s ORDER BY doc_id
+"""

@@ -4613,3 +4613,23 @@ def tx_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_cdc_chunks": tx_cdc_chunks})
+
+
+def tx_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear text classifier (the fastText hashing trick): token ->
+    weight-slot hash -> mean-weight logit -> sigmoid, all in one codegen
+    fold per row. No vocab join, no UDF -- classifier at scan speed."""
+    from strava_vector_search_spark.functions.text import (
+        hashed_linear_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        hashed_linear_score(F.col("text")).alias("score"),
+    ).withColumn("keep", F.col("score") >= 0.5).orderBy("doc_id")
+
+
+QUERIES.update({"tx_hash_classifier": tx_hash_classifier})

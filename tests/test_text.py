@@ -226,3 +226,17 @@ def test_bigram_perplexity_rewards_repetitive_transitions(spark, sf_dir, tmp_pat
     # cycling doc: a->b seen ~30x out of ~66 'a' contexts -> low ppl;
     # surprise doc: each a->X seen once out of ~66 -> ppl an order higher
     assert out[0]["ppl"] * 3 < out[2]["ppl"]
+
+
+def test_hashed_linear_score_deterministic_and_bounded(spark):
+    from strava_vector_search_spark.functions.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, ""), (4, "zzz unique words here")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["s"] for r in df.select("id", hashed_linear_score(F.col("text")).alias("s")).collect()}
+    assert rows[1] == rows[2]          # pure function of text
+    assert rows[3] == 0.5              # empty -> logit 0 -> sigmoid 0.5
+    assert all(0.0 < s < 1.0 for s in rows.values())
+    assert rows[1] != rows[4]          # different text, different slots
