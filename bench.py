@@ -100,6 +100,10 @@ HEADLINE = [
     "dd_url_dedup",
     "j_runtime_bloom",
     "tx_bigram_perplexity",
+    "vs_binary_topk",
+    "dd_semantic_dedup",
+    "tx_cdc_chunks",
+    "tx_hash_classifier",
 ]
 
 

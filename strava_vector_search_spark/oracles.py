@@ -2940,3 +2940,52 @@ SELECT doc_id, n_tokens,
        (ROUND(1.0 / (1.0 + EXP(-logit)), 6) >= 0.5) AS keep
 FROM s ORDER BY doc_id
 """
+
+
+# -- entity resolution golden record -----------------------------------------
+
+ORACLES["er_golden_record"] = """
+WITH RECURSIVE contacts AS (
+  SELECT p_partkey AS rec_id, p_brand AS block, p_name AS name,
+         p_retailprice AS quality
+  FROM part
+  UNION ALL
+  SELECT p_partkey + 10000000, p_brand, substr(p_name, 2),
+         p_retailprice - 0.01
+  FROM part WHERE p_partkey % 5 = 0
+),
+reps AS (
+  SELECT block, name, MIN(rec_id) AS rep FROM contacts GROUP BY 1, 2
+),
+wr AS (
+  SELECT c.rec_id, r.rep
+  FROM contacts c JOIN reps r ON c.block = r.block AND c.name = r.name
+),
+star AS (SELECT rep AS a, rec_id AS b FROM wr WHERE rec_id <> rep),
+fz AS (
+  SELECT x.rep AS a, y.rep AS b
+  FROM reps x JOIN reps y ON x.block = y.block AND x.name < y.name
+  WHERE levenshtein(x.name, y.name) <= 2
+),
+sym AS (
+  SELECT a, b FROM star UNION ALL SELECT b, a FROM star
+  UNION ALL
+  SELECT a, b FROM fz UNION ALL SELECT b, a FROM fz
+),
+reach(id, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+),
+cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+lab AS (
+  SELECT c.rec_id, COALESCE(cc.comp, c.rec_id) AS comp, c.quality
+  FROM contacts c LEFT JOIN cc ON c.rec_id = cc.id
+)
+SELECT comp,
+       arg_max(rec_id,
+               ROUND(quality * 100)::BIGINT * 100000000 - rec_id) AS keep_id,
+       COUNT(*) AS n_members,
+       ROUND(MAX(quality), 2) AS best_price
+FROM lab GROUP BY comp ORDER BY comp
+"""

@@ -4633,3 +4633,46 @@ def tx_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_hash_classifier": tx_hash_classifier})
+
+
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: a deterministic dirty-duplicate layer
+    (every 5th part re-entered with its name's first char dropped and a
+    1-cent-lower price) is planted over the part catalog, then blocking
+    (brand) + fuzzy match (levenshtein <= 2 over distinct names) +
+    connected components + survivorship must reconstruct one golden record
+    per entity -- the argmax-(price, -id) member."""
+    from strava_vector_search_spark.operators.er import er_resolve
+
+    part = load_table(spark, sf_dir, "part")
+    base = part.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.col("p_brand").alias("block"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").alias("quality"),
+    )
+    dirty = part.filter(F.col("p_partkey") % 5 == 0).select(
+        (F.col("p_partkey") + 10_000_000).alias("rec_id"),
+        F.col("p_brand").alias("block"),
+        F.expr("substr(p_name, 2)").alias("name"),
+        (F.col("p_retailprice") - 0.01).alias("quality"),
+    )
+    contacts = base.unionByName(dirty)
+    resolved = er_resolve(contacts, "rec_id", "block", "name", max_dist=2)
+    qkey = (
+        F.round(F.col("quality") * 100).cast("bigint") * 100_000_000
+        - F.col("rec_id")
+    )
+    return (
+        resolved.withColumn("__q", qkey)
+        .groupBy("comp")
+        .agg(
+            F.expr("max_by(rec_id, __q)").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.max("quality"), 2).alias("best_price"),
+        )
+        .orderBy("comp")
+    )
+
+
+QUERIES.update({"er_golden_record": er_golden_record})
