@@ -2989,3 +2989,28 @@ SELECT comp,
        ROUND(MAX(quality), 2) AS best_price
 FROM lab GROUP BY comp ORDER BY comp
 """
+
+
+# -- gaps and islands: longest consecutive-day streak ------------------------
+
+ORACLES["ev_streaks"] = """
+WITH days AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+isl AS (
+  SELECT user_id, d,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)::INT AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, MIN(d) AS streak_start, MAX(d) AS streak_end,
+         COUNT(*) AS streak_days
+  FROM isl GROUP BY user_id, grp
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY streak_days DESC, streak_start ASC
+  ) AS rk
+  FROM streaks
+)
+SELECT user_id, streak_start, streak_end, streak_days
+FROM ranked WHERE rk = 1 ORDER BY user_id
+"""

@@ -4676,3 +4676,37 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"er_golden_record": er_golden_record})
+
+
+def ev_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST consecutive-active-day streak
+    (ties -> earliest). Island id = day - row_number() day-arithmetic; one
+    user-keyed shuffle shared by the distinct, both windows, and the
+    island aggregate."""
+    from strava_vector_search_spark.io.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    )
+    rank_w = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+        .orderBy("user_id")
+    )
+
+
+QUERIES.update({"ev_streaks": ev_streaks})
