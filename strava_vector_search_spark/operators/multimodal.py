@@ -196,3 +196,90 @@ def patch_grid(frames: DataFrame, patch: int = 8) -> DataFrame:
             "ny",
         )
     )
+
+
+AUDIO_SCHEMA = "media_id bigint, n_samples int, samples array<int>"
+
+
+def fake_pcm_decoder(payload: bytes) -> list[int]:
+    """Deterministic stand-in for an audio codec: the payload bytes read as
+    signed 8-bit PCM (sample = byte - 128). Real hook: torchaudio/ffmpeg
+    via the decoder= parameter, exactly like ``decode_frames``."""
+    return [b - 128 for b in payload]
+
+
+def decode_pcm(
+    media: DataFrame,
+    decoder: Callable[[bytes], list[int]] = fake_pcm_decoder,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """payload → sample array via mapInPandas — the audio twin of
+    ``decode_frames``. Python touches bytes ONLY here; every downstream
+    feature (windowing, energy, peak) is JVM expressions over the decoded
+    array."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "n_samples": [], "samples": []}
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(payload) if payload is not None else b""
+                samples = decoder(blob)
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(samples))
+                out["samples"].append(samples)
+            yield pd.DataFrame(out)
+
+    from strava_vector_search_spark.operators.util import rebalance_for_kernel
+
+    return rebalance_for_kernel(media.select(id_col, content_col)).mapInPandas(
+        _decode, AUDIO_SCHEMA
+    )
+
+
+def audio_windows(
+    decoded: DataFrame, win: int = 32, hop: int = 16
+) -> DataFrame:
+    """Overlapping analysis windows over decoded samples with per-window
+    energy/peak features — the spectrogram-prep shape (frame → feature),
+    minus the FFT the container can't host.
+
+    All window math is codegen'd array expressions (slice + integer
+    fold): the squared-sample sum accumulates in LONG (exact, order-free),
+    so the RMS energy is bit-reproducible against the SQL oracle. Clips
+    shorter than one window emit a single truncated window; otherwise
+    full windows at ``hop`` stride (sequence + explode fan-out, no
+    Python)."""
+    n = F.col("n_samples")
+    starts = F.when(
+        n >= win, F.sequence(F.lit(0), n - win, F.lit(hop))
+    ).otherwise(F.array(F.lit(0)))
+    sm = F.col("samples")
+    wins = F.transform(
+        starts,
+        lambda s, j: F.struct(
+            j.alias("win_idx"),
+            F.least(F.lit(win), n - s).alias("n_win"),
+            F.slice(sm, s + 1, F.least(F.lit(win), n - s)).alias("w"),
+        ),
+    )
+    sq_sum = lambda w: F.aggregate(  # noqa: E731
+        w, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long") * x
+    )
+    return (
+        decoded.filter(n > 0)
+        .select("media_id", F.explode(wins).alias("wn"))
+        .select(
+            "media_id",
+            F.col("wn.win_idx").alias("win_idx"),
+            F.col("wn.n_win").alias("n_win"),
+            F.round(
+                F.sqrt(
+                    sq_sum(F.col("wn.w")).cast("double")
+                    / F.col("wn.n_win")
+                ),
+                6,
+            ).alias("energy"),
+            F.array_max(F.transform(F.col("wn.w"), F.abs)).alias("peak"),
+        )
+    )

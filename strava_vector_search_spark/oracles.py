@@ -3014,3 +3014,37 @@ ranked AS (
 SELECT user_id, streak_start, streak_end, streak_days
 FROM ranked WHERE rk = 1 ORDER BY user_id
 """
+
+
+# -- audio windows (PCM decode twin) -----------------------------------------
+
+ORACLES["mm_audio_windows"] = """
+WITH d AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents WHERE doc_id < 30 AND length(text) > 0
+),
+s AS (
+  SELECT media_id, n,
+         [ascii(substr(text, i, 1)) - 128 FOR i IN range(1, n + 1)] AS sm
+  FROM d
+),
+st AS (
+  SELECT media_id, n, sm,
+         CASE WHEN n >= 32 THEN range(0, n - 32 + 1, 16) ELSE [0] END AS starts
+  FROM s
+),
+w AS (
+  SELECT media_id,
+         j - 1 AS win_idx,
+         least(32, n - starts[j]) AS n_win,
+         sm[starts[j] + 1 : starts[j] + least(32, n - starts[j])] AS wv
+  FROM st, unnest(range(1, len(starts) + 1)) AS t(j)
+)
+SELECT media_id, win_idx::INT AS win_idx, n_win::INT AS n_win,
+       ROUND(SQRT(list_reduce(list_prepend(0::BIGINT,
+               [x::BIGINT * x FOR x IN wv]), (a, b) -> a + b)::DOUBLE
+             / n_win), 6) AS energy,
+       list_max([abs(x) FOR x IN wv])::INT AS peak
+FROM w
+ORDER BY media_id, win_idx
+"""

@@ -4710,3 +4710,24 @@ def ev_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_streaks": ev_streaks})
+
+
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality plumbing: PCM decode stub (mapInPandas, Python only
+    at the codec boundary) -> overlapping 32-sample windows at hop 16 with
+    exact integer-accumulated RMS energy + peak, all JVM array
+    expressions."""
+    from strava_vector_search_spark.operators.multimodal import (
+        audio_windows,
+        decode_pcm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return audio_windows(decode_pcm(media)).orderBy("media_id", "win_idx")
+
+
+QUERIES.update({"mm_audio_windows": mm_audio_windows})

@@ -129,3 +129,36 @@ def test_patch_grid_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_decode_pcm_and_audio_windows(spark):
+    from strava_vector_search_spark.operators.multimodal import (
+        audio_windows,
+        decode_pcm,
+    )
+
+    payload = bytes(range(100, 180))  # 80 samples
+    short = b"\x80\x84"               # 2 samples: 0, 4
+    media = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(short))],
+        "media_id long, content binary",
+    )
+    decoded = decode_pcm(media)
+    d = {r["media_id"]: r for r in decoded.collect()}
+    assert d[1]["n_samples"] == 80
+    assert d[1]["samples"][:3] == [100 - 128, 101 - 128, 102 - 128]
+
+    wins = audio_windows(decoded, win=32, hop=16).collect()
+    by_media = {}
+    for r in wins:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # 80 samples, win 32 hop 16 -> starts 0,16,32,48 (48+32=80) -> 4 windows
+    w1 = sorted(by_media[1], key=lambda r: r["win_idx"])
+    assert [r["win_idx"] for r in w1] == [0, 1, 2, 3]
+    assert all(r["n_win"] == 32 for r in w1)
+    # short clip -> single truncated window
+    w2 = by_media[2]
+    assert len(w2) == 1 and w2[0]["n_win"] == 2
+    import math
+    assert w2[0]["energy"] == round(math.sqrt((0 + 16) / 2), 6)
+    assert w2[0]["peak"] == 4
