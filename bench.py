@@ -104,6 +104,9 @@ HEADLINE = [
     "dd_semantic_dedup",
     "tx_cdc_chunks",
     "tx_hash_classifier",
+    "er_golden_record",
+    "ev_streaks",
+    "mm_audio_windows",
 ]
 
 

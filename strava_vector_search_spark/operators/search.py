@@ -564,3 +564,59 @@ def binary_topk(
         .limit(k)
         .select(id_col, "hamming", "similarity")
     )
+
+
+def write_binary_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> None:
+    """Materialize sign-bit signature words (bw0..bwN, one BIGINT per 32
+    dims) next to the vectors. The Hamming candidate scan over this layout
+    reads ONLY (id, words) — at 768 dims that is 24 bytes/row instead of
+    3 KB/row of float32, a 128× scan-volume cut (column pruning does the
+    work; verify with .explain ReadSchema). One-off build cost, map-only."""
+    words = binary_sign_words(F.col(vector_col), dim=dim)
+    wide = emb.select(
+        "*", *[w.alias(f"bw{i}") for i, w in enumerate(words)]
+    )
+    wide.write.mode("overwrite").parquet(path)
+
+
+def binary_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    candidates: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """binary_topk over a write_binary_index layout: the candidate stage
+    projects only the stored signature words (narrow columnar scan, no
+    signature computation at query time), then the exact rerank joins the
+    broadcast candidate set back and decodes full vectors for those rows
+    only."""
+    qf = [float(x) for x in query_vec]
+    qwords = pack_sign_words(qf)
+    df = spark.read.parquet(path)
+    wcols = [F.col(f"bw{i}") for i in range(len(qwords))]
+    h = None
+    for wcol, qw in zip(wcols, qwords):
+        t = F.bit_count(wcol.bitwiseXOR(F.lit(int(qw)).cast("long")))
+        h = t if h is None else h + t
+    cand = (
+        df.select(F.col(id_col), h.cast("int").alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(candidates)
+    )
+    q_full = F.array(*[F.lit(x) for x in qf])
+    return (
+        df.join(F.broadcast(cand), id_col)
+        .withColumn("similarity", similarity(F.col(vector_col), q_full))
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "hamming", "similarity")
+    )

@@ -329,3 +329,29 @@ def test_binary_topk_recall_at_50(spark, sf_dir):
     # ~angle/pi): Hamming top-150-of-500 keeps 0.9 of the true top-10
     # (measured across 4 query ids: 0.9-1.0); assert with margin
     assert len(exact & got) / 10 >= 0.7
+
+
+def test_binary_index_roundtrip_matches_inline(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    path = str(tmp_path / "bidx")
+    S.write_binary_index(emb, path, dim=len(qv), id_col="vec_id")
+    inline = S.binary_topk(emb, qv, candidates=60, k=10, id_col="vec_id").collect()
+    indexed = S.binary_topk_indexed(
+        spark, path, qv, candidates=60, k=10, id_col="vec_id"
+    ).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in inline]
+    # the candidate scan over the index must read only (id, words) — the
+    # narrow-scan contract that makes the layout worth writing
+    df = spark.read.parquet(path)
+    wcols = [c for c in df.columns if c.startswith("bw")]
+    h = None
+    for c in wcols:
+        t = F.bit_count(F.col(c).bitwiseXOR(F.lit(0).cast("long")))
+        h = t if h is None else h + t
+    plan = (
+        df.select("vec_id", h.alias("hamming"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    readschema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert readschema and "embedding" not in readschema[0]
