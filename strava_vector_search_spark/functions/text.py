@@ -357,19 +357,45 @@ def hashed_linear_score(text: Column, buckets: int = 1024) -> Column:
     Fold order is the token order in both engines, so the double
     accumulation is bit-reproducible against the DuckDB oracle.
     """
+    return hashed_linear_score_tokens(tokens(text), buckets)
+
+
+def hashed_linear_score_tokens(ts: Column, buckets: int = 1024) -> Column:
+    """:func:`hashed_linear_score` over a pre-tokenized array column.
+
+    Prefer this form when scoring alongside other token-derived columns:
+    materialize ``tokens(text)`` into a column once and reference it —
+    otherwise CollapseProject inlines the tokenizer into every reference
+    (the fold + two size() checks + any sibling column) and the regex
+    split runs 4× per row (same pitfall as ``shingle_rows``; measured
+    there at 8×).
+    """
     from strava_vector_search_spark.operators.dedup import md5_int
 
-    ts = tokens(text)
+    wtab = F.array(*[F.lit(w) for w in hashed_weight_table(buckets)])
 
     def w(t: Column) -> Column:
         slot = F.pmod(md5_int(t), F.lit(buckets))
-        return (
-            F.pmod(md5_int(F.concat(F.lit("w"), slot.cast("string"))), F.lit(2001))
-            - 1000
-        ) / 1000.0
+        return F.element_at(wtab, slot.cast("int") + 1)
 
     logit = F.when(
         F.size(ts) > 0,
         F.aggregate(ts, F.lit(0.0), lambda acc, t: acc + w(t)) / F.size(ts),
     ).otherwise(F.lit(0.0))
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+
+
+def hashed_weight_table(buckets: int = 1024) -> list[float]:
+    """The classifier's weight vector, materialized driver-side: slot j's
+    weight is ``(md5('w'||j) % 2001 - 1000)/1000`` ∈ [-1, 1] — a
+    deterministic stand-in with the exact shape of trained weights. It
+    ships to executors as ONE literal array (constant, no per-row hash of
+    the slot id — halves the md5 work per token vs deriving the weight
+    inline), and a trained model drops in by replacing this list."""
+    import hashlib
+
+    out = []
+    for j in range(buckets):
+        h = int(hashlib.md5(f"w{j}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out

@@ -2920,10 +2920,15 @@ LIMIT 30
 
 # -- hashed linear classifier (fastText hashing trick) -----------------------
 
-_HASH_W = (
-    "((" + _md5i("'w' || ((" + _md5i("t") + ") % 1024)::VARCHAR")
-    + ") % 2001 - 1000) / 1000.0"
+from strava_vector_search_spark.functions.text import hashed_weight_table
+
+# the same driver-side weight table the Spark classifier ships as a literal
+# array — embedded here as a DuckDB list literal, indexed by the token's
+# slot hash (1-based)
+_HASH_WTAB = (
+    "([" + ", ".join(repr(w) for w in hashed_weight_table(1024)) + "]::DOUBLE[])"
 )
+_HASH_W = f"({_HASH_WTAB})[(({_md5i('t')}) % 1024)::INT + 1]"
 
 ORACLES["tx_hash_classifier"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),

@@ -4620,16 +4620,23 @@ def tx_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight-slot hash -> mean-weight logit -> sigmoid, all in one codegen
     fold per row. No vocab join, no UDF -- classifier at scan speed."""
     from strava_vector_search_spark.functions.text import (
-        hashed_linear_score,
-        token_count,
+        hashed_linear_score_tokens,
+        tokens,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        hashed_linear_score(F.col("text")).alias("score"),
-    ).withColumn("keep", F.col("score") >= 0.5).orderBy("doc_id")
+    # tokenize ONCE into a column: three sibling references (count, fold,
+    # size guard) would otherwise each inline the regex split
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("_ts"))
+    return (
+        tok.select(
+            "doc_id",
+            F.size("_ts").alias("n_tokens"),
+            hashed_linear_score_tokens(F.col("_ts")).alias("score"),
+        )
+        .withColumn("keep", F.col("score") >= 0.5)
+        .orderBy("doc_id")
+    )
 
 
 QUERIES.update({"tx_hash_classifier": tx_hash_classifier})

@@ -298,6 +298,44 @@ EXPECTATIONS: dict[str, dict] = {
         "explode": "Generate",
         "no_agg": "!HashAggregate",
     },
+    "vs_binary_topk": {
+        # both the Hamming candidate stage and the exact rerank are
+        # per-partition heaps; the k-row candidate side broadcasts back
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "broadcast_join": "BroadcastHashJoin",
+    },
+    "dd_semantic_dedup": {
+        # the gate-plan pair set is below the driver-CC threshold, so the
+        # BLAS kernel runs in the earlier edge job; the final labeled plan
+        # must broadcast the (tiny) component labels and never cross-join
+        "broadcast_join": "BroadcastHashJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "tx_cdc_chunks": {
+        # boundary scan + chunk slicing are map-only (Generate fan-out);
+        # the only aggregate is the chunk-hash groupBy, partially combined
+        "explode": "Generate",
+        "partial_agg": "partial_",
+    },
+    "tx_hash_classifier": {
+        # the whole classifier is one projection over the scan — no join,
+        # no aggregate; the only exchange is the final ORDER BY's range
+        # partitioning. The tokenizer must appear ONCE in the projection
+        # (materialized token column), not inlined per reference.
+        "no_join": "!Join",
+        "no_agg": "!HashAggregate",
+    },
+    "ev_streaks": {
+        # distinct + both windows + island aggregate share ONE user-keyed
+        # shuffle; no join anywhere
+        "window": "Window",
+        "no_join": "!Join",
+    },
+    "mm_audio_windows": {
+        # PCM decode kernel then JVM-side window fan-out, one stage
+        "python_kernel": "MapInPandas",
+        "explode": "Generate",
+    },
 }
 
 

@@ -333,6 +333,60 @@ def main() -> None:
                     "re-expanded arithmetically — 10x rows, same kernel cost"))
     big_part.unpersist()
 
+    # ---- binary sign-bit retrieval: inline vs materialized narrow index
+    from strava_vector_search_spark.operators.search import (
+        binary_topk,
+        binary_topk_indexed,
+        write_binary_index,
+    )
+
+    sec, _ = t(lambda: binary_topk(
+        big_emb, qv, candidates=200, k=10, id_col="vec_id"
+    ).collect())
+    results.append(("binary_topk (inline)", f"{n_vec:,} vecs", sec,
+                    "sign-bit pack + popcount(xor) per row, top-200 Hamming "
+                    "candidates, exact rerank of survivors"))
+    import tempfile
+
+    bidx = tempfile.mkdtemp(prefix="svs_bidx_") + "/idx"
+    t0 = time.time()
+    write_binary_index(big_emb, bidx, dim=64, id_col="vec_id")
+    build_sec = time.time() - t0
+    results.append(("binary index build", f"{n_vec:,} vecs",
+                    round(build_sec, 1),
+                    "one-off map-only signature materialization (8 B/vec at "
+                    "64d; 24 B/vec at 768d vs 3 KB float32 = 128x)"))
+    sec, _ = t(lambda: binary_topk_indexed(
+        spark, bidx, qv, candidates=200, k=10, id_col="vec_id"
+    ).collect())
+    results.append(("binary_topk (indexed)", f"{n_vec:,} vecs", sec,
+                    "candidate scan reads ONLY (id, words) columns — column "
+                    "pruning cuts scan bytes; rerank decodes survivors only"))
+
+    # ---- SemDeDup at 1M vectors, 16 clusters
+    sec, n = t(lambda: D.semantic_dedup(
+        big_ivf, cluster_col="label", id_col="vec_id", threshold=0.9
+    ).count())
+    results.append(("semantic_dedup 16 clusters", f"{n_vec:,} vecs", sec,
+                    "within-cluster BLAS block pairs + components; quadratic "
+                    "term bounded by the largest cluster, never the corpus"))
+
+    # ---- CDC chunking + hashed classifier at 50K docs (map-only scans)
+    sec, n = t(lambda: D.cdc_repeated_chunks(
+        big_docs, "doc_id", "text"
+    ).count())
+    results.append(("cdc_repeated_chunks", f"{n_docs:,} docs", sec,
+                    "rolling-hash boundary scan map-only; one 8-byte "
+                    "chunk-hash shuffle for the doc-frequency aggregate"))
+    from strava_vector_search_spark.functions.text import hashed_linear_score
+
+    sec, n = t(lambda: big_docs.select(
+        "doc_id", hashed_linear_score(F.col("text")).alias("s")
+    ).count())
+    results.append(("hashed_linear_classifier", f"{n_docs:,} docs", sec,
+                    "one codegen fold per row, no vocab join — classifier "
+                    "at scan speed (the fastText hashing trick)"))
+
     # ---- write SCALE.md
     lines = [
         "# SCALE — measured behavior on amplified data (local[32])",
