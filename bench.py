@@ -107,6 +107,8 @@ HEADLINE = [
     "er_golden_record",
     "ev_streaks",
     "mm_audio_windows",
+    "s6_binaryfile_scan",
+    "j_bucketed_join",
 ]
 
 

@@ -69,3 +69,21 @@ def write_orc(
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, pattern: str | None = None
+) -> DataFrame:
+    """Media landing-zone scan via Spark's ``binaryFile`` source: one row
+    per file with (path, modificationTime, length, content) — the ingest
+    edge for image/audio/video payloads feeding the multimodal kernels
+    (operators/multimodal).
+
+    Scale: the source splits by FILE (a blob is never split), so
+    parallelism = number of files; ``spark.sql.files.maxPartitionBytes``
+    packs small files into shared tasks, and the ``pathGlobFilter``
+    option prunes non-matching files before any read."""
+    reader = spark.read.format("binaryFile")
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    return reader.load(path)

@@ -3053,3 +3053,26 @@ SELECT media_id, win_idx::INT AS win_idx, n_win::INT AS n_win,
 FROM w
 ORDER BY media_id, win_idx
 """
+
+
+# -- binaryFile media landing-zone scan --------------------------------------
+
+ORACLES["s6_binaryfile_scan"] = """
+SELECT 'doc_' || lpad(doc_id::VARCHAR, 4, '0') || '.bin' AS fname,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 20
+ORDER BY fname
+"""
+
+
+# -- bucketed co-located join (bucketing must be value-invisible) ------------
+
+ORACLES["j_bucketed_join"] = """
+SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+       SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+ORDER BY c_custkey
+LIMIT 50
+"""

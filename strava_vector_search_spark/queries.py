@@ -4738,3 +4738,104 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"mm_audio_windows": mm_audio_windows})
+
+
+def s6_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media landing-zone ingest end-to-end: 20 payload files (bytes
+    derived from the documents table) land on disk, the binaryFile source
+    scans them -- one row per file, never split -- and the typed output
+    (name, byte length, content md5) must reproduce the table they came
+    from. Oracle computes the same profile from the table directly."""
+    import os
+    import tempfile
+
+    from strava_vector_search_spark.io.formats import read_binary_files
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"svs_blobs_{abs(hash(sf_dir)) % 10**8}",
+    )
+    os.makedirs(d, exist_ok=True)
+    for r in docs:
+        with open(os.path.join(d, f"doc_{r['doc_id']:04d}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    out = read_binary_files(spark, d, pattern="*.bin")
+    return (
+        out.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("fname")
+    )
+
+
+QUERIES.update({"s6_binaryfile_scan": s6_binaryfile_scan})
+
+
+def j_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written bucketBy(custkey) so
+    the join AND the follow-on per-custkey aggregate run with ZERO hash
+    exchanges (bucket distribution satisfies both) -- the layout that
+    turns the hottest recurring join at 100 TB into a scan-only plan.
+    Broadcast is disabled for the probe (at real scale neither side
+    broadcasts -- exactly when bucketing pays). Oracle is the PLAIN join:
+    bucketing must be value-invisible."""
+    from strava_vector_search_spark.plans.layout import write_bucketed
+
+    tag = abs(hash(sf_dir)) % 10**8
+    to_name, tc_name = f"svs_bkt_orders_{tag}", f"svs_bkt_customer_{tag}"
+    if not spark.catalog.tableExists(to_name):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"), to_name,
+            ["o_custkey"], num_buckets=8,
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "customer"), tc_name,
+            ["c_custkey"], num_buckets=8,
+        )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for key, v in confs.items():
+        try:
+            prev[key] = spark.conf.get(key)
+        except Exception:
+            prev[key] = None
+        spark.conf.set(key, v)
+    try:
+        o = spark.table(to_name)
+        c = spark.table(tc_name)
+        out = (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_spend"),
+            )
+            .orderBy("c_custkey")
+            .limit(50)
+        )
+        # force physical planning NOW, while the scoped confs are active —
+        # the cached QueryExecution keeps the bucket-join plan after restore
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for key, v in prev.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+    return out
+
+
+QUERIES.update({"j_bucketed_join": j_bucketed_join})

@@ -69,3 +69,16 @@ def test_orc_pushdown_reaches_scan(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "bucket" in plan
+
+
+def test_read_binary_files_roundtrip(spark, tmp_path):
+    from strava_vector_search_spark.io.formats import read_binary_files
+
+    payloads = {"x.bin": b"\x00\x01hello", "y.bin": b"world" * 10, "skip.txt": b"no"}
+    for name, b in payloads.items():
+        (tmp_path / name).write_bytes(b)
+    out = read_binary_files(spark, str(tmp_path), pattern="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in out.collect()}
+    assert set(rows) == {"x.bin", "y.bin"}          # glob filter applied
+    assert bytes(rows["x.bin"]["content"]) == payloads["x.bin"]
+    assert rows["y.bin"]["length"] == 50

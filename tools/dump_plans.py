@@ -336,6 +336,14 @@ EXPECTATIONS: dict[str, dict] = {
         "python_kernel": "MapInPandas",
         "explode": "Generate",
     },
+    "j_bucketed_join": {
+        # bucketBy(custkey) on both sides: the join AND the per-custkey
+        # aggregate run with ZERO hash exchanges (the scan's bucket
+        # distribution satisfies both); only the final ORDER BY ranges
+        "no_hash_exchange": "!Exchange hashpartitioning",
+        "merge_join": "SortMergeJoin",
+        "bucket_scan": "SelectedBucketsCount",
+    },
 }
 
 
