@@ -3076,3 +3076,36 @@ GROUP BY c_custkey, c_mktsegment
 ORDER BY c_custkey
 LIMIT 50
 """
+
+
+# -- time-weighted average + last-touch attribution --------------------------
+
+ORACLES["ev_time_weighted_avg"] = """
+WITH seg AS (
+  SELECT user_id,
+         epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS dt_us,
+         (value + LEAD(value) OVER w) / 2.0 AS mid
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, COUNT(*) AS n_segments,
+       ROUND(SUM((mid * dt_us)::DECIMAL(28,6))::DOUBLE / SUM(dt_us), 6)
+         AS twavg
+FROM seg WHERE dt_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLES["ev_attribution_last_touch"] = """
+WITH touched AS (
+  SELECT user_id, event_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_touch
+  FROM events
+)
+SELECT last_touch, COUNT(*) AS n_purchases
+FROM touched WHERE event_type = 'purchase'
+GROUP BY last_touch ORDER BY last_touch NULLS FIRST
+"""

@@ -4839,3 +4839,79 @@ def j_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"j_bucketed_join": j_bucketed_join})
+
+
+def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over irregular samples
+    (trapezoidal: each interval weighted by its duration) -- the correct
+    mean for unevenly-sampled telemetry, where the row-mean over-weights
+    bursts. One user-keyed window (lead) + one aggregate."""
+    from strava_vector_search_spark.io.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.select("user_id", "event_id", "ts", "value")
+        .withColumn("nxt_ts", F.lead("ts").over(w))
+        .withColumn("nxt_v", F.lead("value").over(w))
+        .filter(F.col("nxt_ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.unix_micros(F.col("nxt_ts")) - F.unix_micros(F.col("ts"))
+            ).alias("dt_us"),
+            ((F.col("value") + F.col("nxt_v")) / 2.0).alias("mid"),
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.round(
+                F.sum(
+                    (F.col("mid") * F.col("dt_us")).cast("decimal(28,6)")
+                ).cast("double")
+                / F.sum(F.col("dt_us")),
+                6,
+            ).alias("twavg"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the most
+    recent PRECEDING non-purchase event type for that user (NULL when the
+    purchase is the user's first event) -- one user-keyed window pass
+    (last_value over preceding frame), then a small credit rollup."""
+    from strava_vector_search_spark.io.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "last_touch",
+        F.last_value(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignoreNulls=True,
+        ).over(w),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy("last_touch")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy(F.asc_nulls_first("last_touch"))
+    )
+
+
+QUERIES.update(
+    {
+        "ev_time_weighted_avg": ev_time_weighted_avg,
+        "ev_attribution_last_touch": ev_attribution_last_touch,
+    }
+)
