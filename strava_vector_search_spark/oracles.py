@@ -3109,3 +3109,47 @@ SELECT last_touch, COUNT(*) AS n_purchases
 FROM touched WHERE event_type = 'purchase'
 GROUP BY last_touch ORDER BY last_touch NULLS FIRST
 """
+
+
+# -- reciprocal-rank fusion --------------------------------------------------
+
+
+def _rrf_oracle() -> str:
+    from strava_vector_search_spark.operators.fulltext import BM25_TERMS
+
+    dfs, score = _bm25_terms_sql(BM25_TERMS)
+    return f"""
+WITH {_CORPUS},
+tok AS (SELECT doc_id, emb, {_TOKS} AS ts FROM corpus),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(len(ts))::DOUBLE / COUNT(*) AS avgdl,
+         {dfs}
+  FROM tok),
+base AS (
+  SELECT t.doc_id,
+         ROUND(list_dot_product(t.emb, {_qvec(9)}), 6) AS vscore,
+         ROUND({score}, 6) AS bm25
+  FROM tok t, stats s
+  WHERE t.doc_id <> 9),
+v AS (
+  SELECT doc_id, vrank FROM (
+    SELECT doc_id, vscore,
+           ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id ASC) AS vrank
+    FROM base)
+  WHERE vrank <= 50),
+l AS (
+  SELECT doc_id, lrank FROM (
+    SELECT doc_id, bm25,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lrank
+    FROM base WHERE bm25 > 0)
+  WHERE lrank <= 50)
+SELECT COALESCE(v.doc_id, l.doc_id) AS doc_id, v.vrank, l.lrank,
+       ROUND(COALESCE(1.0 / (60 + v.vrank), 0.0)
+             + COALESCE(1.0 / (60 + l.lrank), 0.0), 6) AS rrf
+FROM v FULL JOIN l ON v.doc_id = l.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+ORACLES["vs_rrf_fusion"] = _rrf_oracle()

@@ -4915,3 +4915,65 @@ QUERIES.update(
         "ev_attribution_last_touch": ev_attribution_last_touch,
     }
 )
+
+
+def vs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion -- the standard hybrid-search merge: vector
+    top-50 and BM25 top-50 are ranked independently (each a
+    TakeOrderedAndProject scan), then fused by sum of 1/(60+rank) over a
+    full-outer join of the two 50-row candidate lists. Rank windows run
+    over the candidate lists only, never the corpus."""
+    from strava_vector_search_spark.functions.vector import dot_product
+    from strava_vector_search_spark.operators.fulltext import (
+        BM25_TERMS,
+        bm25_score,
+    )
+    from strava_vector_search_spark.functions.text import tokens as _toks
+
+    corpus = corpus_with_vectors(spark, sf_dir)
+    stats = _bm25_stats(spark, sf_dir, "corpus")
+    qv = _query_vec(spark, sf_dir, 9)
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    base = corpus.filter(F.col("doc_id") != 9).select(
+        "doc_id",
+        F.round(
+            dot_product(F.col("embedding").cast("array<double>"), qcol), 6
+        ).alias("vscore"),
+        bm25_score(_toks(F.col("text")), stats, BM25_TERMS).alias("bm25"),
+    )
+    vec_top = base.select("doc_id", "vscore").orderBy(
+        F.desc("vscore"), F.asc("doc_id")
+    ).limit(50)
+    lex_top = (
+        base.select("doc_id", "bm25")
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
+    )
+    wv = Window.orderBy(F.desc("vscore"), F.asc("doc_id"))
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    v = vec_top.withColumn("vrank", F.row_number().over(wv).cast("bigint")).select(
+        "doc_id", "vrank"
+    )
+    lx = lex_top.withColumn("lrank", F.row_number().over(wl).cast("bigint")).select(
+        F.col("doc_id").alias("l_doc_id"), "lrank"
+    )
+    fused = (
+        v.join(lx, v["doc_id"] == lx["l_doc_id"], "full_outer")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("l_doc_id")).alias("doc_id"),
+            "vrank",
+            "lrank",
+            F.round(
+                F.coalesce(1.0 / (F.lit(60) + F.col("vrank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("lrank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+    return fused
+
+
+QUERIES.update({"vs_rrf_fusion": vs_rrf_fusion})
