@@ -109,6 +109,11 @@ HEADLINE = [
     "mm_audio_windows",
     "s6_binaryfile_scan",
     "j_bucketed_join",
+    "vs_rrf_fusion",
+    "ev_time_weighted_avg",
+    "ev_attribution_last_touch",
+    "cdc_diff_snapshots",
+    "dq_table_checksum",
 ]
 
 

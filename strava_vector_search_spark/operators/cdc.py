@@ -96,3 +96,47 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to_seq").isNull())
         .drop(op_col)
     )
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """The inverse of :func:`apply_changelog`: derive the I/U/D change feed
+    that turns ``old`` into ``new`` — snapshot diffing for replication,
+    audit, and backfill-vs-recompute validation.
+
+    One full-outer join on the keys; each side projects only
+    ``keys + compare_cols``, so the shuffle carries the compared payload
+    once per side. Emits ``op`` ∈ {I, U, D}: key only in new → I, only in
+    old → D, in both with any compared column differing (null-safely) → U.
+    Unchanged rows are dropped BEFORE the result materializes.
+    """
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *compare_cols)
+    cond = None
+    for k in keys:
+        c = o[k].eqNullSafe(n[k])
+        cond = c if cond is None else cond & c
+    j = o.alias("o").join(n.alias("n"), cond, "full_outer")
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        d = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        changed = d if changed is None else changed | d
+    op = (
+        F.when(in_old & ~in_new, F.lit("D"))
+        .when(~in_old & in_new, F.lit("I"))
+        .when(changed, F.lit("U"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+    ] + [F.col(f"n.{c}").alias(c) for c in compare_cols]
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select("op", *out_cols)
+    )

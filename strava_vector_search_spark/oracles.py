@@ -3153,3 +3153,59 @@ LIMIT 10
 
 
 ORACLES["vs_rrf_fusion"] = _rrf_oracle()
+
+
+# -- snapshot diff + table checksums -----------------------------------------
+
+ORACLES["cdc_diff_snapshots"] = """
+WITH old AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice * 100)::BIGINT AS cents
+  FROM orders
+),
+new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM old WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, cents
+  FROM old WHERE o_orderkey % 83 = 0
+),
+j AS (
+  SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+         o.o_custkey AS oc, n.o_custkey AS nc,
+         o.o_orderstatus AS os, n.o_orderstatus AS ns,
+         o.cents AS ocents, n.cents AS ncents
+  FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT CASE WHEN ok IS NOT NULL AND nk IS NULL THEN 'D'
+            WHEN ok IS NULL AND nk IS NOT NULL THEN 'I'
+            WHEN oc IS DISTINCT FROM nc OR os IS DISTINCT FROM ns
+                 OR ocents IS DISTINCT FROM ncents THEN 'U' END AS op,
+       COALESCE(nk, ok) AS o_orderkey,
+       nc AS o_custkey, ns AS o_orderstatus, ncents AS cents
+FROM j
+WHERE CASE WHEN ok IS NOT NULL AND nk IS NULL THEN 'D'
+           WHEN ok IS NULL AND nk IS NOT NULL THEN 'I'
+           WHEN oc IS DISTINCT FROM nc OR os IS DISTINCT FROM ns
+                OR ocents IS DISTINCT FROM ncents THEN 'U' END IS NOT NULL
+ORDER BY op, o_orderkey
+"""
+
+_CKS = lambda expr: f"SUM(({_md5i(expr)})::DECIMAL(38,0))"  # noqa: E731
+
+ORACLES["dq_table_checksum"] = f"""
+SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+       {_CKS("concat_ws('|', c_custkey, c_name, c_mktsegment)")} AS checksum
+FROM customer
+UNION ALL
+SELECT 'documents', COUNT(*),
+       {_CKS("concat_ws('|', doc_id, lang, text)")}
+FROM documents
+UNION ALL
+SELECT 'orders', COUNT(*),
+       {_CKS("concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+             "ROUND(o_totalprice * 100)::BIGINT, strftime(o_orderdate, '%Y-%m-%d'))")}
+FROM orders
+ORDER BY tbl
+"""

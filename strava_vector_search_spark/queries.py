@@ -4977,3 +4977,84 @@ def vs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"vs_rrf_fusion": vs_rrf_fusion})
+
+
+def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the inverse of apply_changelog): derive the I/U/D
+    feed that turns the orders snapshot into a deterministically-perturbed
+    successor (every 97th key deleted, every 89th repriced, every 83rd
+    re-inserted under key+10M). One full-outer join on the key; unchanged
+    rows never materialize."""
+    from strava_vector_search_spark.operators.cdc import diff_snapshots
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("cents") + 100
+            ).otherwise(F.col("cents")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 83 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey", "o_orderstatus", "cents",
+            )
+        )
+    )
+    return diff_snapshots(
+        old, new, keys=["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus", "cents"],
+    ).orderBy("op", "o_orderkey")
+
+
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprints: SUM over rows of the 60-bit
+    md5 of a canonical row serialization (ints/cents/ISO dates only — no
+    float formatting ambiguity). One map-side-combined aggregate per
+    table; replicas/engines compare one number per table instead of
+    shipping rows -- the anti-entropy check for replicated corpora."""
+    from strava_vector_search_spark.operators.dedup import md5_int
+
+    def cks(df, cols, name):
+        row = F.concat_ws("|", *[c.cast("string") for c in cols])
+        return df.select(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(md5_int(row).cast("decimal(38,0)")).alias("checksum"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    o = cks(
+        orders,
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ],
+        "orders",
+    )
+    c = cks(
+        cust,
+        [F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment")],
+        "customer",
+    )
+    d = cks(docs, [F.col("doc_id"), F.col("lang"), F.col("text")], "documents")
+    return o.unionByName(c).unionByName(d).orderBy("tbl")
+
+
+QUERIES.update(
+    {
+        "cdc_diff_snapshots": cdc_diff_snapshots,
+        "dq_table_checksum": dq_table_checksum,
+    }
+)

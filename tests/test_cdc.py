@@ -102,3 +102,39 @@ def test_scd2_intervals(spark):
     assert (2, 3) not in rows               # delete opens nothing
     assert rows[(3, 2)] == (None, 300, True)
     assert len(rows) == 4
+
+
+def test_diff_snapshots_roundtrip_with_apply_changelog(spark):
+    """apply_changelog(old, diff_snapshots(old, new)) must equal new —
+    the diff and the merge are exact inverses."""
+    from strava_vector_search_spark.operators.cdc import (
+        apply_changelog,
+        diff_snapshots,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 41), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    diff = diff_snapshots(old, new, keys=["k"], compare_cols=["s", "v"])
+    ops = {r["k"]: r["op"] for r in diff.collect()}
+    assert ops == {2: "U", 3: "D", 4: "U", 5: "I"}
+    feed = diff.withColumn("seq", F.lit(1))
+    merged = apply_changelog(old, feed, keys=["k"])
+    assert sorted(map(tuple, merged.select("k", "s", "v").collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_diff_snapshots_null_safe_compare(spark):
+    from strava_vector_search_spark.operators.cdc import diff_snapshots
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k long, s string")
+    new = spark.createDataFrame([(1, None), (2, None)], "k long, s string")
+    diff = diff_snapshots(old, new, keys=["k"], compare_cols=["s"])
+    rows = {r["k"]: r["op"] for r in diff.collect()}
+    assert rows == {2: "U"}  # NULL == NULL is unchanged; x -> NULL is U

@@ -363,13 +363,25 @@ def main() -> None:
                     "candidate scan reads ONLY (id, words) columns — column "
                     "pruning cuts scan bytes; rerank decodes survivors only"))
 
-    # ---- SemDeDup at 1M vectors, 16 clusters
-    sec, n = t(lambda: D.semantic_dedup(
-        big_ivf, cluster_col="label", id_col="vec_id", threshold=0.9
+    # ---- SemDeDup pair kernel: 200K vectors in 128 hash clusters
+    # (real SemDeDup runs ~100K k-means cells over web corpora — cluster
+    # population, not corpus size, bounds the quadratic term; the probe
+    # uses hash cells of ~1.6K vectors so one BLAS tile covers a cell.
+    # Replicated test vectors make component SIZES degenerate, so the
+    # probe measures the pair KERNEL; CC scaling is dd_connected_components'
+    # own probe.)
+    sem = big_emb.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", "embedding",
+        F.pmod(F.hash("vec_id"), F.lit(128)).alias("cell"),
+    )
+    n_sem = sem.count()
+    sec, n = t(lambda: D.semantic_pairs_blas(
+        sem, "cell", "vec_id", "embedding", threshold=0.95
     ).count())
-    results.append(("semantic_dedup 16 clusters", f"{n_vec:,} vecs", sec,
-                    "within-cluster BLAS block pairs + components; quadratic "
-                    "term bounded by the largest cluster, never the corpus"))
+    results.append(("semantic_dedup pair kernel", f"{n_sem:,} vecs / 128 cells",
+                    sec,
+                    "within-cell BLAS tiles; quadratic term bounded by the "
+                    "largest cell (~1.6K here), never the corpus"))
 
     # ---- CDC chunking + hashed classifier at 50K docs (map-only scans)
     sec, n = t(lambda: D.cdc_repeated_chunks(
