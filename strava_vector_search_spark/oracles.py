@@ -3209,3 +3209,15 @@ SELECT 'orders', COUNT(*),
 FROM orders
 ORDER BY tbl
 """
+
+
+# -- leakage-safe split over near-dup components -----------------------------
+
+ORACLES["smp_leakage_safe_split"] = _CC_CTES + f"""
+SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS comp,
+       ({_md5i("COALESCE(cc.comp, d.doc_id)::VARCHAR")}) % 100 AS bucket,
+       CASE WHEN ({_md5i("COALESCE(cc.comp, d.doc_id)::VARCHAR")}) % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+ORDER BY d.doc_id
+"""

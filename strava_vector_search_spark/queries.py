@@ -5058,3 +5058,33 @@ QUERIES.update(
         "dq_table_checksum": dq_table_checksum,
     }
 )
+
+
+def smp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the hash split is taken on the
+    near-dup COMPONENT id, not the document id, so every near-duplicate
+    lands whole on one side -- the split that prevents eval contamination
+    from paraphrase pairs. Components from the MinHash-LSH pipeline; the
+    split stays hash-deterministic and insert-stable."""
+    from strava_vector_search_spark.operators.dedup import (
+        dedup_by_near_dup_groups,
+        md5_int,
+        minhash_dedup_verified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_verified(docs, "doc_id", "text", threshold=0.5)
+    labeled = dedup_by_near_dup_groups(docs, pairs, "doc_id")
+    bucket = F.pmod(md5_int(F.col("comp").cast("string")), F.lit(100))
+    return (
+        labeled.select(
+            "doc_id",
+            "comp",
+            bucket.alias("bucket"),
+            F.when(bucket < 80, "train").otherwise("test").alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"smp_leakage_safe_split": smp_leakage_safe_split})

@@ -286,3 +286,21 @@ def test_length_bucketed_batches_power_of_two_boundary(spark):
     got = {r["doc_id"]: r["bucket"] for r in
            length_bucketed_batches(df, "doc_id", "n_tok", 4).collect()}
     assert got == {1: 9, 2: 10, 3: 10}
+
+
+def test_leakage_safe_split_keeps_components_together(spark, sf_dir):
+    from strava_vector_search_spark.queries import smp_leakage_safe_split
+    from pyspark.sql import functions as F
+
+    out = smp_leakage_safe_split(spark, sf_dir)
+    # every component maps to exactly one split
+    mixed = (
+        out.groupBy("comp")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert mixed == 0
+    # and the split is roughly 80/20 over components (hash uniformity)
+    frac = out.filter(F.col("split") == "train").count() / out.count()
+    assert 0.6 < frac < 0.95
