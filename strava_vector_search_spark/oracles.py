@@ -3221,3 +3221,84 @@ SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS comp,
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
 ORDER BY d.doc_id
 """
+
+
+# -- retrieval eval (binary retriever vs exact truth) ------------------------
+
+
+def _binary_ranked_sql(qid: int) -> str:
+    """Ranked binary-retriever results for one query (the vs_binary_topk
+    two-stage pipeline), as (query_id, vec_id, rank)."""
+    return f"""
+  SELECT {qid} AS query_id, vec_id,
+         ROW_NUMBER() OVER (ORDER BY similarity DESC, vec_id ASC) AS rank
+  FROM (
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {qid}),
+    qs AS (SELECT {_pack32('qv', 0)} AS q0, {_pack32('qv', 1)} AS q1 FROM q),
+    c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id <> {qid} AND embedding IS NOT NULL
+    ),
+    h AS (
+      SELECT c.vec_id, c.v,
+             (bit_count(xor({_pack32('c.v', 0)}, qs.q0))
+              + bit_count(xor({_pack32('c.v', 1)}, qs.q1)))::INT AS hamming
+      FROM c CROSS JOIN qs
+    ),
+    cand AS (SELECT * FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 50)
+    SELECT cand.vec_id,
+           ROUND(list_cosine_similarity(cand.v, q.qv), 6) AS similarity
+    FROM cand CROSS JOIN q
+    ORDER BY similarity DESC, vec_id ASC
+    LIMIT 10
+  )
+"""
+
+
+def _truth_sql(qid: int) -> str:
+    return f"""
+  SELECT {qid} AS query_id, vec_id FROM (
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(embedding::DOUBLE[], {_qvec(qid)}), 6)
+             AS s
+    FROM embeddings WHERE vec_id <> {qid} AND embedding IS NOT NULL
+    ORDER BY s DESC, vec_id ASC LIMIT 10
+  )
+"""
+
+
+def _retrieval_eval_oracle() -> str:
+    qids = (3, 11, 21)
+    res = " UNION ALL ".join(_binary_ranked_sql(q) for q in qids)
+    tru = " UNION ALL ".join(_truth_sql(q) for q in qids)
+    return f"""
+WITH res AS ({res}),
+tru AS ({tru}),
+nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM tru GROUP BY query_id),
+j AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM res r LEFT JOIN tru t
+    ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+  WHERE r.rank <= 10
+),
+perq AS (
+  SELECT query_id, SUM(rel)::BIGINT AS hits,
+         MAX(CASE WHEN rel = 1 THEN 1.0 / rank ELSE 0.0 END) AS mrr,
+         SUM(CASE WHEN rel = 1 THEN 1.0 / (LN(rank + 1.0) / LN(2.0))
+                  ELSE 0.0 END) AS dcg
+  FROM j GROUP BY query_id
+)
+SELECT p.query_id, n.n_rel, p.hits,
+       ROUND(p.hits / least(n.n_rel, 10), 6) AS recall,
+       ROUND(p.mrr, 6) AS mrr,
+       ROUND(p.dcg / list_reduce(list_prepend(0.0,
+             [1.0 / (LN(i + 1.0) / LN(2.0))
+              FOR i IN range(1, least(n.n_rel, 10) + 1)]),
+             (a, b) -> a + b), 6) AS ndcg
+FROM perq p JOIN nrel n ON p.query_id = n.query_id
+ORDER BY p.query_id
+"""
+
+
+ORACLES["vs_retrieval_eval"] = _retrieval_eval_oracle()

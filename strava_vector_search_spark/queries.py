@@ -5088,3 +5088,47 @@ def smp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"smp_leakage_safe_split": smp_leakage_safe_split})
+
+
+def vs_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement loop for approximate retrieval: recall@10 / MRR@10
+    / NDCG@10 of the binary sign-bit retriever (50 candidates) against
+    exact brute-force truth, per query. Eval cost is O(k * queries) -- it
+    never rescans the corpus beyond the two retrievers themselves."""
+    from strava_vector_search_spark.operators.evalmetrics import rank_metrics
+    from strava_vector_search_spark.operators.search import (
+        binary_topk,
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res_frames, tru_frames = [], []
+    for qid in (3, 11, 21):
+        qv = _query_vec(spark, sf_dir, qid)
+        pred = F.col("vec_id") != qid
+        res_frames.append(
+            binary_topk(
+                emb, qv, candidates=50, k=10, id_col="vec_id", predicate=pred
+            ).select(F.lit(qid).alias("query_id"), "vec_id", "similarity")
+        )
+        tru_frames.append(
+            brute_force_topk(
+                emb, qv, k=10, id_col="vec_id", predicate=pred
+            ).select(F.lit(qid).alias("query_id"), "vec_id")
+        )
+    res = res_frames[0]
+    for fr in res_frames[1:]:
+        res = res.unionByName(fr)
+    tru = tru_frames[0]
+    for fr in tru_frames[1:]:
+        tru = tru.unionByName(fr)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("similarity"), F.asc("vec_id")
+    )
+    ranked = res.withColumn("rank", F.row_number().over(w))
+    return rank_metrics(
+        ranked, tru, query_id_col="query_id", id_col="vec_id", k=10
+    ).orderBy("query_id")
+
+
+QUERIES.update({"vs_retrieval_eval": vs_retrieval_eval})
