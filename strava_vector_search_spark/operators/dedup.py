@@ -943,10 +943,19 @@ def semantic_pairs_blas(
     import pandas as pd
 
     id_type = emb.schema[id_col].dataType.simpleString()
+    # DENSE within-cluster blocks via a rank, NOT floor(id/block_size):
+    # ids are arbitrary within a cluster, and sparse id-range blocks
+    # shatter a cluster into thousands of near-empty blocks whose
+    # quadratic block-pair count dominates everything (measured 200×
+    # slower at 200K vectors / 128 hash cells before this fix). The rank
+    # window shares the cluster-key shuffle the packing needs anyway.
+    wn = Window.partitionBy(F.col(cluster_col)).orderBy(F.col(id_col))
     packed = (
         emb.select(
             F.col(cluster_col).cast("string").alias("_c"),
-            F.floor(F.col(id_col) / block_size).cast("long").alias("blk"),
+            F.floor((F.row_number().over(wn) - 1) / block_size)
+            .cast("long")
+            .alias("blk"),
             F.struct(
                 F.col(id_col).alias("i"),
                 F.col(vector_col).cast("array<double>").alias("v"),
