@@ -3308,3 +3308,19 @@ ORDER BY p.query_id
 
 
 ORACLES["vs_retrieval_eval"] = _retrieval_eval_oracle()
+
+
+# -- curriculum ordering -----------------------------------------------------
+
+ORACLES["dm_curriculum_order"] = f"""
+WITH banded AS (
+  SELECT doc_id, n_chars,
+         NTILE(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS band,
+         ({_md5i('doc_id::VARCHAR')}) % 1000003 AS draw
+  FROM documents
+)
+SELECT doc_id, band, draw,
+       ROW_NUMBER() OVER (ORDER BY band ASC, draw ASC, doc_id ASC) AS pos
+FROM banded
+ORDER BY pos
+"""

@@ -5132,3 +5132,31 @@ def vs_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"vs_retrieval_eval": vs_retrieval_eval})
+
+
+def dm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: documents ranked easy-to-hard in
+    4 length bands (NTILE over n_chars), DETERMINISTICALLY shuffled within
+    each band by a hash draw -- reproducible global sample order with no
+    RNG state, the thing epoch shuffling needs at 100 TB (a total order a
+    writer can range-partition on). One window pass per step."""
+    from strava_vector_search_spark.operators.dedup import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    wb = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    banded = docs.select(
+        "doc_id", "n_chars", F.ntile(4).over(wb).alias("band")
+    )
+    draw = F.pmod(md5_int(F.col("doc_id").cast("string")), F.lit(1_000_003))
+    wp = Window.orderBy(
+        F.asc("band"), F.asc(draw), F.asc("doc_id")
+    )
+    return banded.select(
+        "doc_id",
+        "band",
+        draw.alias("draw"),
+        F.row_number().over(wp).cast("bigint").alias("pos"),
+    ).orderBy("pos")
+
+
+QUERIES.update({"dm_curriculum_order": dm_curriculum_order})
