@@ -114,6 +114,9 @@ HEADLINE = [
     "ev_attribution_last_touch",
     "cdc_diff_snapshots",
     "dq_table_checksum",
+    "smp_leakage_safe_split",
+    "vs_retrieval_eval",
+    "dm_curriculum_order",
 ]
 
 
