@@ -3324,3 +3324,61 @@ SELECT doc_id, band, draw,
 FROM banded
 ORDER BY pos
 """
+
+
+ORACLES["vs_binary_topk_filtered"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 14),
+qs AS (SELECT {_pack32('qv', 0)} AS q0, {_pack32('qv', 1)} AS q1 FROM q),
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings
+  WHERE vec_id <> 14 AND label IN (1, 3, 5) AND embedding IS NOT NULL
+),
+h AS (
+  SELECT c.vec_id, c.v,
+         (bit_count(xor({_pack32('c.v', 0)}, qs.q0))
+          + bit_count(xor({_pack32('c.v', 1)}, qs.q1)))::INT AS hamming
+  FROM c CROSS JOIN qs
+),
+cand AS (SELECT * FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 50)
+SELECT cand.vec_id, cand.hamming,
+       ROUND(list_cosine_similarity(cand.v, q.qv), 6) AS similarity
+FROM cand CROSS JOIN q
+ORDER BY similarity DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# -- curation funnel ---------------------------------------------------------
+
+ORACLES["tx_curation_funnel"] = f"""
+WITH flagged AS (
+  SELECT doc_id, lang, text,
+         (ROW_NUMBER() OVER (PARTITION BY lang, text ORDER BY doc_id ASC) = 1)
+           AS keep_dedup,
+         len({_TOKS}) AS n_tok,
+         CASE WHEN len({_TOKS}) > 0 THEN
+           length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+             / len({_TOKS})
+         ELSE 0.0 END AS mean_wl
+  FROM documents
+),
+agg AS (
+  SELECT COUNT(*) AS raw,
+         SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS after_dedup,
+         SUM(CASE WHEN keep_dedup AND lang IN ('en','fr','de')
+                  THEN 1 ELSE 0 END) AS after_lang,
+         SUM(CASE WHEN keep_dedup AND lang IN ('en','fr','de')
+                       AND n_tok >= 10 THEN 1 ELSE 0 END) AS after_minlen,
+         SUM(CASE WHEN keep_dedup AND lang IN ('en','fr','de')
+                       AND n_tok >= 10 AND mean_wl <= 12.0
+                  THEN 1 ELSE 0 END) AS after_shape
+  FROM flagged
+)
+SELECT 1 AS stage, 'raw' AS name, raw AS n_surviving FROM agg
+UNION ALL SELECT 2, 'exact_dedup', after_dedup FROM agg
+UNION ALL SELECT 3, 'lang_en_fr_de', after_lang FROM agg
+UNION ALL SELECT 4, 'min_10_tokens', after_minlen FROM agg
+UNION ALL SELECT 5, 'word_shape', after_shape FROM agg
+ORDER BY stage
+"""

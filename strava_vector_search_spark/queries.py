@@ -5160,3 +5160,73 @@ def dm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dm_curriculum_order": dm_curriculum_order})
+
+
+def vs_binary_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered binary retrieval: the metadata predicate (label IN (1,3,5))
+    applies INSIDE the Hamming candidate scan -- pre-filtering, so all 50
+    candidates satisfy the predicate (post-filtering an unfiltered top-50
+    would return fewer than k eligible survivors). Same two-stage shape as
+    vs_binary_topk."""
+    from strava_vector_search_spark.operators.search import binary_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 14)
+    return binary_topk(
+        emb,
+        qv,
+        candidates=50,
+        k=10,
+        id_col="vec_id",
+        predicate=(F.col("vec_id") != 14) & F.col("label").isin(1, 3, 5),
+    )
+
+
+QUERIES.update({"vs_binary_topk_filtered": vs_binary_topk_filtered})
+
+
+def tx_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as ONE plan: exact dedup -> language filter ->
+    min-length -> word-shape screen, reported as a survivor funnel (one
+    row per stage). Single corpus pass: one keep-first window + per-row
+    stage flags folded into one aggregate -- the shape that audits a
+    100 TB curation run without re-scanning per stage."""
+    from strava_vector_search_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "text").orderBy(F.asc("doc_id"))
+    flagged = (
+        docs.select("doc_id", "lang", "text")
+        .withColumn("keep_dedup", F.row_number().over(w) == 1)
+        .withColumn("_ts", tokens(F.col("text")))
+        .withColumn("n_tok", F.size("_ts"))
+        .withColumn(
+            "mean_wl",
+            F.when(
+                F.col("n_tok") > 0,
+                F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""))
+                / F.col("n_tok"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    s1 = F.col("keep_dedup")
+    s2 = s1 & F.col("lang").isin("en", "fr", "de")
+    s3 = s2 & (F.col("n_tok") >= 10)
+    s4 = s3 & (F.col("mean_wl") <= 12.0)
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(s1.cast("long")).alias("after_dedup"),
+        F.sum(s2.cast("long")).alias("after_lang"),
+        F.sum(s3.cast("long")).alias("after_minlen"),
+        F.sum(s4.cast("long")).alias("after_shape"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 1, 'raw', raw, 2, 'exact_dedup', after_dedup, "
+            "3, 'lang_en_fr_de', after_lang, 4, 'min_10_tokens', after_minlen, "
+            "5, 'word_shape', after_shape) AS (stage, name, n_surviving)"
+        )
+    ).orderBy("stage")
+
+
+QUERIES.update({"tx_curation_funnel": tx_curation_funnel})
