@@ -620,3 +620,21 @@ def binary_topk_indexed(
         .limit(k)
         .select(id_col, "hamming", "similarity")
     )
+
+
+def append_to_binary_index(
+    new_emb: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of a write_binary_index layout: sign-pack
+    the NEW rows only (map-only) and append their files — O(delta), no
+    rebuild, the same freshness pattern as ``append_to_srp_index``. A
+    query after the append sees old + new rows in one scan."""
+    words = binary_sign_words(F.col(vector_col), dim=dim)
+    wide = new_emb.select(
+        "*", *[w.alias(f"bw{i}") for i, w in enumerate(words)]
+    )
+    wide.write.mode("append").parquet(path)

@@ -71,3 +71,29 @@ def test_compaction_preserves_results_and_pushdown(
         .toString()
     )
     assert "PushedFilters" in plan and "k0" in plan
+
+
+def test_binary_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from strava_vector_search_spark.operators.search import (
+        append_to_binary_index,
+        binary_topk_indexed,
+        write_binary_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 2).head()["embedding"]]
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+
+    inc = str(tmp_path / "inc")
+    write_binary_index(old, inc, dim=64, id_col="vec_id")
+    append_to_binary_index(new, inc, dim=64, id_col="vec_id")
+
+    full = str(tmp_path / "full")
+    write_binary_index(emb, full, dim=64, id_col="vec_id")
+
+    a = binary_topk_indexed(spark, inc, qv, candidates=60, k=10, id_col="vec_id").collect()
+    b = binary_topk_indexed(spark, full, qv, candidates=60, k=10, id_col="vec_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
