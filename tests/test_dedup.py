@@ -400,3 +400,33 @@ def test_cdc_repeated_chunks_flags_shared_content(spark):
     assert rep, "shared run must produce repeated chunks"
     assert all(r["n_docs"] == 2 for r in rep)
     assert all("common" in r["chunk"] for r in rep)
+
+
+def test_cdc_chunks_tile_random_texts(spark):
+    """Random token streams (fixed seed): CDC chunks must always tile the
+    token stream exactly — full coverage, order preserved, no overlap —
+    for every length including < window."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 60))))
+        for i in range(40)
+    ]
+    from strava_vector_search_spark.operators.dedup import cdc_chunk_rows
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ch = cdc_chunk_rows(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            assert i not in by_doc
+            continue
+        got = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert " ".join(r["chunk"] for r in got) == " ".join(toks)
+        assert [r["chunk_idx"] for r in got] == list(range(len(got)))
+        assert all(r["n_tokens"] >= 1 for r in got)

@@ -355,3 +355,27 @@ def test_binary_index_roundtrip_matches_inline(spark, sf_dir, tmp_path):
     )
     readschema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert readschema and "embedding" not in readschema[0]
+
+
+def test_binary_pack_randomized_parity_spark_vs_python(spark):
+    """50 pseudo-random vectors (fixed seed): the Spark sign-pack
+    expression must equal the driver-side twin bit-for-bit, including
+    zeros (strict x > 0), negatives, and partial last words (dim 70)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(50):
+        dim = 70  # exercises a 6-bit partial third word
+        v = [rng.choice([-1.0, 0.0, 0.5, 1e-12, -1e-12]) for _ in range(dim)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "i long, v array<double>")
+    words = S.binary_sign_words(F.col("v"), dim=70)
+    got = {
+        r["i"]: [r[f"w{j}"] for j in range(3)]
+        for r in df.select(
+            "i", *[c.alias(f"w{j}") for j, c in enumerate(words)]
+        ).collect()
+    }
+    for i, v in rows:
+        assert got[i] == S.pack_sign_words(v), f"row {i}"
