@@ -97,3 +97,65 @@ def test_binary_index_append_equals_rebuild(spark, sf_dir, tmp_path):
     a = binary_topk_indexed(spark, inc, qv, candidates=60, k=10, id_col="vec_id").collect()
     b = binary_topk_indexed(spark, full, qv, candidates=60, k=10, id_col="vec_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_streaming_binary_index_refresh(spark, sf_dir, tmp_path):
+    """Live freshness for the binary signature index: a file stream of new
+    embedding rows lands via foreachBatch(append_to_binary_index); the
+    indexed search sees them without a rebuild — TARGET_LAG applied to
+    the binary layout."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from strava_vector_search_spark.operators.search import (
+        append_to_binary_index,
+        binary_topk_indexed,
+        write_binary_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 2).head()["embedding"]]
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+
+    feed = str(tmp_path / "feed")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    old.limit(0).write.parquet(feed)  # schema-establishing empty dir
+    write_binary_index(old, idx, dim=64, id_col="vec_id")
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .parquet(feed)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: append_to_binary_index(
+                bdf, idx, dim=64, id_col="vec_id"
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        new.write.mode("append").parquet(feed)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.read.parquet(idx).count()
+            if n == emb.count():
+                break
+            time.sleep(1)
+        assert spark.read.parquet(idx).count() == emb.count()
+        got = binary_topk_indexed(
+            spark, idx, qv, candidates=60, k=10, id_col="vec_id"
+        ).collect()
+        full = str(tmp_path / "full")
+        write_binary_index(emb, full, dim=64, id_col="vec_id")
+        want = binary_topk_indexed(
+            spark, full, qv, candidates=60, k=10, id_col="vec_id"
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    finally:
+        q.stop()
