@@ -3382,3 +3382,23 @@ UNION ALL SELECT 4, 'min_10_tokens', after_minlen FROM agg
 UNION ALL SELECT 5, 'word_shape', after_shape FROM agg
 ORDER BY stage
 """
+
+
+# -- greedy token-budget selection -------------------------------------------
+
+ORACLES["dm_budget_select"] = f"""
+WITH docs AS (
+  SELECT doc_id, {_QS} AS quality, {_NTOK} AS n_tok FROM documents
+),
+ranked AS (
+  SELECT doc_id, quality, n_tok,
+         ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id ASC) AS rk,
+         SUM(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM docs
+)
+SELECT doc_id, quality, n_tok, rk, cum_tok
+FROM ranked WHERE cum_tok <= 20000
+ORDER BY rk
+"""

@@ -5230,3 +5230,38 @@ def tx_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_curation_funnel": tx_curation_funnel})
+
+
+def dm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy selection under a global token budget: rank documents by
+    quality (ties by id), admit in rank order while the RUNNING token
+    total stays within budget -- how a fixed-size high-quality training
+    mix is actually cut from a larger pool. One global rank window + one
+    running-sum frame; at scale the same two windows range-partition."""
+    from strava_vector_search_spark.functions import text as T
+
+    budget = 20_000
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.token_count(F.col("text")).alias("n_tok"),
+    )
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = docs.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    ).withColumn(
+        "cum_tok",
+        F.sum("n_tok").over(
+            Window.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("cum_tok") <= budget)
+        .select("doc_id", "quality", "n_tok", "rk", "cum_tok")
+        .orderBy("rk")
+    )
+
+
+QUERIES.update({"dm_budget_select": dm_budget_select})

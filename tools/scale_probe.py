@@ -190,6 +190,30 @@ def main() -> None:
                     "vectors. Slice-at-query-time instead of a prefix column "
                     "loses the win (array copy per row) — materialize at "
                     "index build"))
+    # binary signatures at 768d: 96 B/row signature vs 3 KB float32 — the
+    # regime the 1-bit index exists for; recall vs exact reported inline
+    from strava_vector_search_spark.operators.search import (
+        binary_topk as _btk,
+        binary_topk_indexed as _btki,
+        write_binary_index as _wbi,
+    )
+    import tempfile as _tf
+
+    sec, rows = t(lambda: _btk(
+        emb768, qv768, candidates=200, k=10, id_col="vec_id"
+    ).collect())
+    bin_rec = len({r["vec_id"] for r in rows} & exact768) / 10
+    results.append(("binary_topk (inline, 768d)", f"{n_768:,} vecs x 768d", sec,
+                    f"recall@10 = {bin_rec:.2f} vs exact; 768 sign bits "
+                    "pack to 24 BIGINT words, popcount scan + exact rerank"))
+    b768 = _tf.mkdtemp(prefix="svs_bidx768_") + "/idx"
+    _wbi(emb768, b768, dim=768, id_col="vec_id")
+    sec, _ = t(lambda: _btki(
+        spark, b768, qv768, candidates=200, k=10, id_col="vec_id"
+    ).collect())
+    results.append(("binary_topk (indexed, 768d)", f"{n_768:,} vecs x 768d", sec,
+                    "candidate scan reads 192 B/row (id + 24 words) instead "
+                    "of 3 KB float32 — 16x scan-volume cut at this width"))
     pre768.unpersist()
     emb768.unpersist()
 
