@@ -3402,3 +3402,17 @@ SELECT doc_id, quality, n_tok, rk, cum_tok
 FROM ranked WHERE cum_tok <= 20000
 ORDER BY rk
 """
+
+
+# -- dedup component-size audit ----------------------------------------------
+
+ORACLES["dd_component_stats"] = _CC_CTES + """,
+labeled AS (
+  SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+),
+sizes AS (SELECT comp, COUNT(*) AS size FROM labeled GROUP BY comp)
+SELECT size, COUNT(*) AS n_components,
+       COUNT(*) * (size - 1) AS docs_removed
+FROM sizes GROUP BY size ORDER BY size
+"""

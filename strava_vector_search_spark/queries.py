@@ -5265,3 +5265,30 @@ def dm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dm_budget_select": dm_budget_select})
+
+
+def dd_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit: the size distribution of near-dup components (size ->
+    how many components, plus how many docs that bucket removes). The
+    number a curation run reports before committing a dedup pass; rides
+    the same MinHash pipeline as the other dd_* gates."""
+    from strava_vector_search_spark.operators.dedup import (
+        dedup_by_near_dup_groups,
+        minhash_dedup_verified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_verified(docs, "doc_id", "text", threshold=0.5)
+    labeled = dedup_by_near_dup_groups(docs, pairs, "doc_id")
+    sizes = labeled.groupBy("comp").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            (F.count(F.lit(1)) * (F.col("size") - 1)).alias("docs_removed"),
+        )
+        .orderBy("size")
+    )
+
+
+QUERIES.update({"dd_component_stats": dd_component_stats})
