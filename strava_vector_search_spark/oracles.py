@@ -3416,3 +3416,72 @@ SELECT size, COUNT(*) AS n_components,
        COUNT(*) * (size - 1) AS docs_removed
 FROM sizes GROUP BY size ORDER BY size
 """
+
+
+# -- code detection + boilerplate lines --------------------------------------
+
+ORACLES["tx_code_detection"] = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(regexp_replace(text, '[^{}()\\[\\];=<>]', '', 'g')) AS sym,
+         string_split(text, chr(10)) AS lines,
+         string_split_regex(lower(text), '[^a-z0-9_]+') AS rtoks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN n > 0 THEN sym / n ELSE 0.0 END AS sym_d,
+         CASE WHEN len(lines) > 0 THEN
+           len(list_filter(lines, l -> regexp_matches(l, '^(    |\\t)')))
+             / len(lines)
+         ELSE 0.0 END AS ind_f,
+         CASE WHEN len(list_filter(rtoks, t -> t <> '')) > 0 THEN
+           len(list_filter(rtoks, t -> t IN ('def','return','import','class',
+               'void','int','function','var','const','public','if','else')))
+             / len(list_filter(rtoks, t -> t <> ''))
+         ELSE 0.0 END AS kw_f
+  FROM d
+)
+SELECT doc_id,
+       ROUND(sym_d, 6) AS symbol_density,
+       ROUND(ind_f, 6) AS indent_fraction,
+       ROUND(kw_f, 6) AS keyword_fraction,
+       ROUND(least(1.0, 4.0 * sym_d + 1.5 * ind_f + 2.0 * kw_f), 6)
+         AS code_score,
+       (ROUND(least(1.0, 4.0 * sym_d + 1.5 * ind_f + 2.0 * kw_f), 6) >= 0.25)
+         AS looks_like_code
+FROM m ORDER BY doc_id
+"""
+
+ORACLES["tx_boilerplate_lines"] = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+tot AS (
+  SELECT greatest(2, CAST(floor(COUNT(*) * 0.05) AS INT)) AS thresh FROM d
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM d
+),
+lh AS (SELECT doc_id, pos, line, {_md5i('line')} AS h FROM lines),
+dfc AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM lh GROUP BY h),
+keep AS (
+  SELECT lh.doc_id, lh.pos, lh.line
+  FROM lh JOIN dfc ON lh.h = dfc.h CROSS JOIN tot
+  WHERE dfc.df < tot.thresh
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_lines_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+       len(string_split(d.text, chr(10))) - COALESCE(r.n_lines_kept, 0)
+         AS n_removed,
+       md5(COALESCE(r.clean_text, '')) AS clean_md5
+FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+ORDER BY d.doc_id
+"""

@@ -5292,3 +5292,107 @@ def dd_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dd_component_stats": dd_component_stats})
+
+
+def tx_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose screen (the pretraining code-filter heuristic):
+    symbol density, indented-line fraction, and programming-keyword hits
+    fold into a [0,1] code score -- pure map-only expressions, thresholded
+    keep flag. Tuned for recall on obvious code; the model-based filter
+    runs downstream on the survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n = F.length(text)
+    sym = F.length(F.regexp_replace(text, "[^{}()\\[\\];=<>]", ""))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    indented = F.size(F.filter(lines, lambda l: l.rlike("^(    |\\t)")))
+    kw = F.size(
+        F.filter(
+            F.split(F.lower(text), "[^a-z0-9_]+"),
+            lambda t: t.isin(
+                "def", "return", "import", "class", "void", "int",
+                "function", "var", "const", "public", "if", "else",
+            ),
+        )
+    )
+    ntok = F.size(F.filter(F.split(F.lower(text), "[^a-z0-9_]+"), lambda t: t != ""))
+    sym_d = F.when(n > 0, sym / n).otherwise(0.0)
+    ind_f = F.when(n_lines > 0, indented / n_lines).otherwise(0.0)
+    kw_f = F.when(ntok > 0, kw / ntok).otherwise(0.0)
+    score = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(4.0) * sym_d + F.lit(1.5) * ind_f + F.lit(2.0) * kw_f,
+        ),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.round(sym_d, 6).alias("symbol_density"),
+        F.round(ind_f, 6).alias("indent_fraction"),
+        F.round(kw_f, 6).alias("keyword_fraction"),
+        score.alias("code_score"),
+        (score >= 0.25).alias("looks_like_code"),
+    ).orderBy("doc_id")
+
+
+def tx_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal (crawl cleaning): lines repeated across
+    >= 5% of documents are headers/footers/nav chrome; rebuild every
+    document from its surviving lines in order. One line-level explode
+    with positions, one doc-frequency aggregate on the 8-byte line hash,
+    one group-back -- the C4 recipe at line granularity."""
+    from strava_vector_search_spark.operators.dedup import md5_int
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    total = docs.count()
+    thresh = max(2, int(total * 0.05))
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    ).withColumn("lh", md5_int(F.col("line")))
+    df_counts = lines.groupBy("lh").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    keep = lines.join(
+        df_counts.filter(F.col("df") >= thresh).select("lh").withColumn(
+            "_drop", F.lit(True)
+        ),
+        "lh",
+        "left",
+    ).filter(F.col("_drop").isNull())
+    rebuilt = (
+        keep.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )
+    return (
+        docs.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+            (F.size(F.split(F.col("text"), "\n"))
+             - F.coalesce(F.col("n_lines_kept"), F.lit(0))).alias("n_removed"),
+            F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update(
+    {
+        "tx_code_detection": tx_code_detection,
+        "tx_boilerplate_lines": tx_boilerplate_lines,
+    }
+)
