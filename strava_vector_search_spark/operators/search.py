@@ -475,20 +475,29 @@ def binary_sign_words(
 
     32-bit words in a 64-bit lane keep every value non-negative, so the
     packing is identical across engines regardless of signed-shift
-    semantics. The whole expression is a static unrolled sum of literal
-    masks — pure codegen, no fold, no UDF.
+    semantics. Each word is ONE fold over its bit positions against a
+    literal mask table — not an unrolled sum of 32 CASE terms per word,
+    which at 768 dims (24 words × 32 whens) overflows the JVM's 64 KB
+    method limit and silently drops whole-stage codegen to the
+    interpreter. The fold keeps generated code size constant in ``dim``.
     """
     v = vec.cast("array<double>")
-    words = []
-    for w in range(0, dim, word_bits):
-        bits = None
-        for i in range(min(word_bits, dim - w)):
-            b = F.when(
-                F.element_at(v, w + i + 1) > 0, F.lit(1 << i).cast("long")
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(word_bits)])
+
+    def word_fold(w: int) -> Column:
+        def step(acc, i):
+            return acc + F.when(
+                F.element_at(v, i + w + 1) > 0, F.element_at(masks, i + 1)
             ).otherwise(F.lit(0).cast("long"))
-            bits = b if bits is None else bits + b
-        words.append(bits)
-    return words
+
+        n_bits = min(word_bits, dim - w)
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            F.lit(0).cast("long"),
+            step,
+        )
+
+    return [word_fold(w) for w in range(0, dim, word_bits)]
 
 
 def binary_hamming(words: list[Column], query_words: list[int]) -> Column:
