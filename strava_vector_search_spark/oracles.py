@@ -3485,3 +3485,38 @@ SELECT d.doc_id,
 FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 ORDER BY d.doc_id
 """
+
+
+# -- behavioral bot screen ---------------------------------------------------
+
+ORACLES["ev_bot_detection"] = """
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(LAG(ts) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0
+           AS gap_s
+  FROM events
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         SUM(gap_s::DECIMAL(28,6)) AS s1,
+         SUM((gap_s * gap_s)::DECIMAL(28,6)) AS s2
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+),
+m AS (
+  SELECT user_id, n_gaps,
+         s1::DOUBLE / n_gaps AS mean,
+         SQRT(greatest(s2::DOUBLE / n_gaps
+                       - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps),
+                       0.0)) AS sd
+  FROM agg
+)
+SELECT user_id, n_gaps,
+       ROUND(mean, 6) AS mean_gap_s,
+       ROUND(sd, 6) AS sd_gap_s,
+       ROUND(CASE WHEN mean > 0 THEN sd / mean ELSE 0.0 END, 6) AS cv,
+       (ROUND(mean, 6) < 30.0
+        OR (ROUND(CASE WHEN mean > 0 THEN sd / mean ELSE 0.0 END, 6) < 0.3
+            AND n_gaps >= 20)) AS bot_suspect
+FROM m ORDER BY user_id
+"""

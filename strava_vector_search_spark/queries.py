@@ -5396,3 +5396,54 @@ QUERIES.update(
         "tx_boilerplate_lines": tx_boilerplate_lines,
     }
 )
+
+
+def ev_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot screen: per-user event rate and inter-arrival
+    regularity (population stddev of gaps from exact DECIMAL moment sums,
+    so partial-aggregation order cannot move the result). Flags users
+    whose cadence is too fast or too metronomic -- one lag window + one
+    aggregate over the same user-keyed shuffle."""
+    from strava_vector_search_spark.io.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")))
+                / 1_000_000.0
+            ).alias("gap_s"),
+        )
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap_s").cast("decimal(28,6)")).alias("_s1"),
+        F.sum(
+            (F.col("gap_s") * F.col("gap_s")).cast("decimal(28,6)")
+        ).alias("_s2"),
+    )
+    mean = F.col("_s1").cast("double") / F.col("n_gaps")
+    var = F.col("_s2").cast("double") / F.col("n_gaps") - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    out = agg.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(sd, 6).alias("sd_gap_s"),
+        F.round(
+            F.when(mean > 0, sd / mean).otherwise(F.lit(0.0)), 6
+        ).alias("cv"),
+    )
+    return out.withColumn(
+        "bot_suspect",
+        (F.col("mean_gap_s") < 30.0)
+        | ((F.col("cv") < 0.3) & (F.col("n_gaps") >= 20)),
+    ).orderBy("user_id")
+
+
+QUERIES.update({"ev_bot_detection": ev_bot_detection})
