@@ -3520,3 +3520,38 @@ SELECT user_id, n_gaps,
             AND n_gaps >= 20)) AS bot_suspect
 FROM m ORDER BY user_id
 """
+
+
+# -- month-over-month growth + mixture interleave ----------------------------
+
+ORACLES["a17_mom_growth"] = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, revenue,
+       ROUND(revenue - LAG(revenue) OVER (ORDER BY month), 2) AS mom_abs,
+       ROUND(CASE WHEN LAG(revenue) OVER (ORDER BY month) > 0 THEN
+         (revenue - LAG(revenue) OVER (ORDER BY month))
+           / LAG(revenue) OVER (ORDER BY month) * 100.0 END, 4) AS mom_pct
+FROM monthly ORDER BY month
+"""
+
+ORACLES["dm_interleave_sources"] = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ({_md5i('doc_id::VARCHAR')}) % 1000003 ASC, doc_id ASC
+         ) AS src_rank
+  FROM documents
+)
+SELECT doc_id, source, src_rank,
+       ROW_NUMBER() OVER (ORDER BY src_rank ASC, source ASC, doc_id ASC)
+         AS pos
+FROM ranked
+QUALIFY pos <= 100
+ORDER BY pos
+"""

@@ -5447,3 +5447,68 @@ def ev_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_bot_detection": ev_bot_detection})
+
+
+def a17_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: monthly order revenue with
+    month-over-month absolute and percent change (lag window over the
+    monthly rollup; DECIMAL-routed sums)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            ).cast("double").alias("revenue"),
+        )
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_rev", F.lag("revenue").over(w))
+        .select(
+            "month",
+            "n_orders",
+            "revenue",
+            F.round(F.col("revenue") - F.col("prev_rev"), 2).alias("mom_abs"),
+            F.round(
+                F.when(
+                    F.col("prev_rev") > 0,
+                    (F.col("revenue") - F.col("prev_rev"))
+                    / F.col("prev_rev") * 100.0,
+                ),
+                4,
+            ).alias("mom_pct"),
+        )
+        .orderBy("month")
+    )
+
+
+def dm_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture schedule: round-robin interleave across
+    sources (rank docs within source by hash draw, then emit in (rank,
+    source) order) -- the order a trainer streams a multi-source mix so no
+    source clumps. Two windows on one source-keyed shuffle + one global
+    rank."""
+    from strava_vector_search_spark.operators.dedup import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    draw = F.pmod(md5_int(F.col("doc_id").cast("string")), F.lit(1_000_003))
+    ws = Window.partitionBy("source").orderBy(draw.asc(), F.asc("doc_id"))
+    ranked = docs.select("doc_id", "source").withColumn(
+        "src_rank", F.row_number().over(ws).cast("bigint")
+    )
+    wg = Window.orderBy(F.asc("src_rank"), F.asc("source"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("pos", F.row_number().over(wg).cast("bigint"))
+        .filter(F.col("pos") <= 100)
+        .orderBy("pos")
+    )
+
+
+QUERIES.update(
+    {
+        "a17_mom_growth": a17_mom_growth,
+        "dm_interleave_sources": dm_interleave_sources,
+    }
+)
