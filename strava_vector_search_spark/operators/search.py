@@ -556,14 +556,24 @@ def binary_topk(
     if predicate is not None:
         df = df.filter(predicate)
     df = df.filter(F.col(vector_col).isNotNull())
-    words = binary_sign_words(F.col(vector_col), dim=len(qf))
-    cand = (
-        df.select(
-            F.col(id_col),
-            binary_hamming(words, qwords).alias("hamming"),
+    if len(qf) < 128:
+        # narrow dims: pure-expression pack, stays in codegen
+        words = binary_sign_words(F.col(vector_col), dim=len(qf))
+        scored = df.select(
+            F.col(id_col), binary_hamming(words, qwords).alias("hamming")
         )
-        .orderBy(F.asc("hamming"), F.asc(id_col))
-        .limit(candidates)
+    else:
+        # wide dims: Arrow BLAS pack (expression fold measured ~750 µs/row
+        # at 768d), Hamming still a codegen'd popcount over the words
+        packed = binary_sign_table_blas(
+            df.select(id_col, vector_col), dim=len(qf), vector_col=vector_col
+        )
+        wcols = [F.col(f"bw{i}") for i in range(len(qwords))]
+        scored = packed.select(
+            F.col(id_col), binary_hamming(wcols, qwords).alias("hamming")
+        )
+    cand = (
+        scored.orderBy(F.asc("hamming"), F.asc(id_col)).limit(candidates)
     )
     q_full = F.array(*[F.lit(x) for x in qf])
     return (
@@ -586,12 +596,20 @@ def write_binary_index(
     dims) next to the vectors. The Hamming candidate scan over this layout
     reads ONLY (id, words) — at 768 dims that is 24 bytes/row instead of
     3 KB/row of float32, a 128× scan-volume cut (column pruning does the
-    work; verify with .explain ReadSchema). One-off build cost, map-only."""
-    words = binary_sign_words(F.col(vector_col), dim=dim)
-    wide = emb.select(
-        "*", *[w.alias(f"bw{i}") for i, w in enumerate(words)]
-    )
-    wide.write.mode("overwrite").parquet(path)
+    work; verify with .explain ReadSchema). One-off build cost, map-only.
+    NULL-vector rows are dropped (unsearchable). Wide dims pack via the
+    Arrow BLAS kernel, narrow dims via codegen expressions."""
+    _sign_wide(emb, dim, vector_col).write.mode("overwrite").parquet(path)
+
+
+def _sign_wide(emb: DataFrame, dim: int, vector_col: str) -> DataFrame:
+    base = emb.filter(F.col(vector_col).isNotNull())
+    if dim < 128:
+        words = binary_sign_words(F.col(vector_col), dim=dim)
+        return base.select(
+            "*", *[w.alias(f"bw{i}") for i, w in enumerate(words)]
+        )
+    return binary_sign_table_blas(base, dim=dim, vector_col=vector_col)
 
 
 def binary_topk_indexed(
@@ -642,8 +660,49 @@ def append_to_binary_index(
     the NEW rows only (map-only) and append their files — O(delta), no
     rebuild, the same freshness pattern as ``append_to_srp_index``. A
     query after the append sees old + new rows in one scan."""
-    words = binary_sign_words(F.col(vector_col), dim=dim)
-    wide = new_emb.select(
-        "*", *[w.alias(f"bw{i}") for i, w in enumerate(words)]
+    _sign_wide(new_emb, dim, vector_col).write.mode("append").parquet(path)
+
+
+def binary_sign_table_blas(
+    df: DataFrame,
+    dim: int,
+    vector_col: str = "embedding",
+    word_bits: int = 32,
+) -> DataFrame:
+    """All input columns + sign-bit words (bw0..bwN) via a vectorized
+    Arrow kernel: one ``(batch × dim) > 0`` compare and one matvec against
+    the bit-weight vector per word — the wide-dim packing path.
+
+    The expression fold (``binary_sign_words``) is the right shape at
+    narrow dims, but ArrayAggregate pays per-step interpreter overhead:
+    at 768 dims that is ~750 µs/row (measured), vs microseconds here.
+    Same bit semantics (strictly ``x > 0``), so kernels interchange
+    freely with the expression form and the SQL oracle. Rows with a NULL
+    vector must be filtered upstream (they are unsearchable anyway).
+    """
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n_words = (dim + word_bits - 1) // word_bits
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"bw{i}", LongType(), True) for i in range(n_words)]
     )
-    wide.write.mode("append").parquet(path)
+
+    def _pack(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                for w in range(n_words):
+                    pdf[f"bw{w}"] = []
+                yield pdf
+                continue
+            m = np.stack(pdf[vector_col].to_numpy())
+            bits = m > 0
+            for w in range(n_words):
+                seg = bits[:, w * word_bits : (w + 1) * word_bits]
+                weights = 1 << np.arange(seg.shape[1], dtype=np.int64)
+                pdf[f"bw{w}"] = seg.astype(np.int64) @ weights
+            yield pdf
+
+    return df.mapInPandas(_pack, out_schema)
