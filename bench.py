@@ -117,6 +117,15 @@ HEADLINE = [
     "smp_leakage_safe_split",
     "vs_retrieval_eval",
     "dm_curriculum_order",
+    "vs_binary_topk_filtered",
+    "tx_curation_funnel",
+    "dd_component_stats",
+    "tx_code_detection",
+    "tx_boilerplate_lines",
+    "dm_budget_select",
+    "ev_bot_detection",
+    "a17_mom_growth",
+    "dm_interleave_sources",
 ]
 
 
