@@ -3555,3 +3555,40 @@ FROM ranked
 QUALIFY pos <= 100
 ORDER BY pos
 """
+
+
+# -- batch LLM-cache hit/miss report -----------------------------------------
+
+ORACLES["svc_cache_hit_report"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 17 = 0
+),
+c AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND vec_id NOT IN (SELECT query_id FROM q)
+),
+scored AS (
+  SELECT q.query_id, c.doc_id,
+         ROUND(list_dot_product(c.v, q.qv), 6) AS similarity,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY ROUND(list_dot_product(c.v, q.qv), 6) DESC, c.doc_id ASC
+         ) AS rn
+  FROM q CROSS JOIN c
+),
+top1 AS (SELECT * FROM scored WHERE rn = 1),
+decided AS (
+  SELECT query_id, similarity,
+         CASE WHEN similarity > 0.80 THEN 'CACHE HIT - Excellent Match'
+              WHEN similarity > 0.70 THEN 'CACHE HIT - Good Match'
+              ELSE 'CACHE MISS - Generate New' END AS decision
+  FROM top1
+)
+SELECT decision, COUNT(*) AS n_queries,
+       ROUND(MIN(similarity), 6) AS min_sim,
+       ROUND(MAX(similarity), 6) AS max_sim
+FROM decided GROUP BY decision ORDER BY decision
+"""

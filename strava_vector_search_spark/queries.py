@@ -5512,3 +5512,43 @@ QUERIES.update(
         "dm_interleave_sources": dm_interleave_sources,
     }
 )
+
+
+def svc_cache_hit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's raison d'etre as ONE batch job: for a batch of
+    incoming queries, find each query's best cache hit (top-1 cosine),
+    apply the 0.80/0.70 decision rubric (02:309-315), and report the
+    hit/miss mix with similarity stats per decision -- the cache-economics
+    dashboard row. One corpus scan serves the whole batch (broadcast query
+    table + per-query rank window)."""
+    from strava_vector_search_spark.operators.search import batch_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding").join(
+        queries.select(F.col("query_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    top1 = batch_topk(
+        corpus, queries, k=1, id_col="doc_id", assume_normalized=True
+    ).select("query_id", F.col("doc_id").alias("hit_id"), "similarity")
+    decided = top1.withColumn(
+        "decision",
+        F.when(F.col("similarity") > 0.80, "CACHE HIT - Excellent Match")
+        .when(F.col("similarity") > 0.70, "CACHE HIT - Good Match")
+        .otherwise("CACHE MISS - Generate New"),
+    )
+    return (
+        decided.groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.min("similarity"), 6).alias("min_sim"),
+            F.round(F.max("similarity"), 6).alias("max_sim"),
+        )
+        .orderBy("decision")
+    )
+
+
+QUERIES.update({"svc_cache_hit_report": svc_cache_hit_report})
