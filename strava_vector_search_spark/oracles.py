@@ -3592,3 +3592,18 @@ SELECT decision, COUNT(*) AS n_queries,
        ROUND(MAX(similarity), 6) AS max_sim
 FROM decided GROUP BY decision ORDER BY decision
 """
+
+
+# -- shuffle-skew diagnosis --------------------------------------------------
+
+ORACLES["diag_key_skew"] = """
+WITH counts AS (
+  SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_orderkey
+),
+stats AS (SELECT COUNT(*) AS n_keys, SUM(n_rows) AS n_total FROM counts)
+SELECT l_orderkey, n_rows,
+       ROUND(n_rows / (n_total::DOUBLE / n_keys), 4) AS x_mean
+FROM counts CROSS JOIN stats
+ORDER BY n_rows DESC, l_orderkey ASC
+LIMIT 10
+"""

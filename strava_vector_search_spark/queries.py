@@ -5552,3 +5552,31 @@ def svc_cache_hit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"svc_cache_hit_report": svc_cache_hit_report})
+
+
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis: per-key row counts for the hottest join key
+    (lineitem.l_orderkey), reported as the top-10 heaviest keys plus each
+    key's multiple of the mean -- the report that decides whether a join
+    needs salting (plans/layout.salted_join) or AQE skew splitting before
+    it runs at 100 TB. One partial-combined count + TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("n_rows").alias("n_total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "n_rows",
+            F.round(
+                F.col("n_rows") / (F.col("n_total") / F.col("n_keys")), 4
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+QUERIES.update({"diag_key_skew": diag_key_skew})
