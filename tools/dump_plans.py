@@ -336,6 +336,31 @@ EXPECTATIONS: dict[str, dict] = {
         "python_kernel": "MapInPandas",
         "explode": "Generate",
     },
+    "svc_cache_hit_report": {
+        # one corpus scan serves the whole query batch: query table
+        # broadcasts, per-query rank is a window group-limit, no cartesian
+        "broadcast_join": "Broadcast",
+        "window_limit": "WindowGroupLimit",
+    },
+    "cdc_diff_snapshots": {
+        # one full-outer join on the key, no cartesian, no extra agg
+        "outer_join": "FullOuter",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "dq_table_checksum": {
+        # per-table fingerprints are map-side-combined aggregates
+        "partial_agg": "partial_",
+        "no_join": "!Join",
+    },
+    "diag_key_skew": {
+        "partial_agg": "partial_count",
+        "top_k_no_sort": "TakeOrderedAndProject",
+    },
+    "dm_budget_select": {
+        # two windows over one global range order, no join
+        "window": "Window",
+        "no_join": "!Join",
+    },
     "j_bucketed_join": {
         # bucketBy(custkey) on both sides: the join AND the per-custkey
         # aggregate run with ZERO hash exchanges (the scan's bucket
