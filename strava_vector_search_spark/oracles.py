@@ -3607,3 +3607,28 @@ FROM counts CROSS JOIN stats
 ORDER BY n_rows DESC, l_orderkey ASC
 LIMIT 10
 """
+
+
+# -- SFT chat formatting -----------------------------------------------------
+
+ORACLES["tx_sft_format"] = f"""
+WITH r AS (
+  SELECT doc_id,
+         'Summarize: ' || substr(text, 1, 120) AS u,
+         substr(text, 1, 60) AS a,
+         '<|system|>' || chr(10) || 'You are a helpful assistant.'
+           || chr(10) || '<|user|>' || chr(10) || 'Summarize: '
+           || substr(text, 1, 120)
+           || chr(10) || '<|assistant|>' || chr(10) || substr(text, 1, 60)
+           || '<|end|>' AS rendered
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(u), '[^a-z0-9]+'),
+                       x -> x <> '')) AS user_tokens,
+       len(list_filter(string_split_regex(lower(a), '[^a-z0-9]+'),
+                       x -> x <> '')) AS assistant_tokens,
+       length(rendered) AS n_chars,
+       md5(rendered) AS rendered_md5
+FROM r ORDER BY doc_id
+"""

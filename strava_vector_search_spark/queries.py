@@ -5580,3 +5580,32 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"diag_key_skew": diag_key_skew})
+
+
+def tx_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT/chat formatting: render (system, user, assistant) turns into
+    the training string with role sentinels, and account tokens per
+    segment -- the last hop before tokenization in an instruction-tuning
+    pipeline. Pure map-only string assembly; the rendered text is md5'd
+    for the oracle so the gate pins exact bytes."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    system = F.lit("You are a helpful assistant.")
+    user = F.concat(F.lit("Summarize: "), F.substring(F.col("text"), 1, 120))
+    assistant = F.substring(F.col("text"), 1, 60)
+    rendered = F.concat(
+        F.lit("<|system|>\n"), system,
+        F.lit("\n<|user|>\n"), user,
+        F.lit("\n<|assistant|>\n"), assistant, F.lit("<|end|>"),
+    )
+    from strava_vector_search_spark.functions.text import token_count
+
+    return docs.select(
+        "doc_id",
+        token_count(user).alias("user_tokens"),
+        token_count(assistant).alias("assistant_tokens"),
+        F.length(rendered).alias("n_chars"),
+        F.md5(rendered).alias("rendered_md5"),
+    ).orderBy("doc_id")
+
+
+QUERIES.update({"tx_sft_format": tx_sft_format})
