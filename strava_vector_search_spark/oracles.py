@@ -3632,3 +3632,28 @@ SELECT doc_id,
        md5(rendered) AS rendered_md5
 FROM r ORDER BY doc_id
 """
+
+
+# -- packing manifest --------------------------------------------------------
+
+ORACLES["pk_packing_manifest"] = f"""
+WITH docs AS (
+  SELECT doc_id, lang, len({_TOKS})::BIGINT AS n_tok FROM documents
+),
+laid AS (
+  SELECT doc_id, lang, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM docs
+),
+b AS (
+  SELECT doc_id, lang, n_tok, start,
+         (start // 2048)::BIGINT AS bin
+  FROM laid
+)
+SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens,
+       string_agg(doc_id::VARCHAR || ':' || (start - bin * 2048)::VARCHAR
+                  || ':' || n_tok::VARCHAR, ' ' ORDER BY doc_id) AS manifest
+FROM b GROUP BY lang, bin ORDER BY lang, bin
+"""

@@ -5609,3 +5609,56 @@ def tx_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_sft_format": tx_sft_format})
+
+
+def pk_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing manifest: per context bin, the ordered member spans
+    ("doc:offset:len") a loader needs to build attention masks that stop
+    cross-document attention -- the artifact concat-then-chunk packing
+    must ship with. Same single window shuffle as pk_sequence_packing,
+    plus one ordered group-back."""
+    from strava_vector_search_spark.functions import text as T
+
+    budget = 2048
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        T.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    laid = docs.withColumn(
+        "start",
+        F.coalesce(
+            F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("bin", F.floor(F.col("start") / budget).cast("bigint"))
+    spans = laid.withColumn(
+        "span",
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            (F.col("start") - F.col("bin") * budget).cast("string"),
+            F.col("n_tok").cast("string"),
+        ),
+    )
+    return (
+        spans.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "span"))
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("manifest"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+QUERIES.update({"pk_packing_manifest": pk_packing_manifest})
