@@ -3657,3 +3657,45 @@ SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens,
                   || ':' || n_tok::VARCHAR, ' ' ORDER BY doc_id) AS manifest
 FROM b GROUP BY lang, bin ORDER BY lang, bin
 """
+
+
+# -- contrastive media-text pairs --------------------------------------------
+
+ORACLES["mm_contrastive_pairs"] = f"""
+WITH pool AS (
+  SELECT doc_id, text, n_chars, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 40
+),
+f0 AS (
+  SELECT doc_id AS media_id,
+         array_to_string(
+           [(ascii(substr(text, 1, 1)) % 251)::INTEGER,
+            (ascii(substr(text, 2, 1)) % 251)::INTEGER,
+            (ascii(substr(text, 3, 1)) % 251)::INTEGER,
+            (ascii(substr(text, 4, 1)) % 251)::INTEGER], ',') AS feature_csv
+  FROM pool
+),
+pos AS (SELECT media_id, media_id AS text_doc_id, 1 AS label FROM f0),
+negs AS (
+  SELECT media_id,
+         ({_md5i("media_id::VARCHAR || '#neg0'")}) % 40 AS text_doc_id,
+         0 AS label
+  FROM f0
+  UNION ALL
+  SELECT media_id,
+         ({_md5i("media_id::VARCHAR || '#neg1'")}) % 40 AS text_doc_id,
+         0 AS label
+  FROM f0
+),
+pairs AS (
+  SELECT * FROM pos
+  UNION ALL
+  SELECT * FROM negs WHERE text_doc_id <> media_id
+)
+SELECT p.media_id, p.text_doc_id, p.label, f.feature_csv,
+       c.n_chars AS caption_chars
+FROM pairs p
+JOIN f0 f ON p.media_id = f.media_id
+JOIN pool c ON p.text_doc_id = c.doc_id
+ORDER BY p.media_id, p.label, p.text_doc_id
+"""

@@ -5662,3 +5662,70 @@ def pk_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"pk_packing_manifest": pk_packing_manifest})
+
+
+def mm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (CLIP-style) training-pair construction: each decoded
+    media item pairs with its own caption (label 1) and 2 deterministic
+    hash-drawn negative captions (label 0), carrying the frame-0 feature
+    from the decode kernel and the caption length -- the joined
+    media-text table a contrastive trainer consumes. Decode runs once;
+    negatives are md5 draws (no RNG), self-draws dropped."""
+    from strava_vector_search_spark.operators.dedup import md5_int
+    from strava_vector_search_spark.operators.multimodal import decode_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    pool = docs.filter(F.col("doc_id") < 40)
+    media = pool.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    f0 = (
+        decode_frames(media)
+        .filter(F.col("frame_idx") == 0)
+        .select(
+            "media_id",
+            F.array_join(
+                F.transform(
+                    F.col("feature"), lambda x: x.cast("int").cast("string")
+                ),
+                ",",
+            ).alias("feature_csv"),
+        )
+    )
+    pos = f0.select(
+        "media_id", F.col("media_id").alias("text_doc_id"), F.lit(1).alias("label")
+    )
+    negs = None
+    for j in (0, 1):
+        n = f0.select(
+            "media_id",
+            F.pmod(
+                md5_int(
+                    F.concat(
+                        F.col("media_id").cast("string"), F.lit(f"#neg{j}")
+                    )
+                ),
+                F.lit(40),
+            ).alias("text_doc_id"),
+            F.lit(0).alias("label"),
+        )
+        negs = n if negs is None else negs.unionByName(n)
+    pairs = pos.unionByName(negs).filter(
+        (F.col("label") == 1) | (F.col("text_doc_id") != F.col("media_id"))
+    )
+    cap = pool.select(
+        F.col("doc_id").alias("text_doc_id"),
+        F.col("n_chars").alias("caption_chars"),
+    )
+    return (
+        pairs.join(f0, "media_id")
+        .join(cap, "text_doc_id")
+        .select(
+            "media_id", "text_doc_id", "label", "feature_csv", "caption_chars"
+        )
+        .orderBy("media_id", "label", "text_doc_id")
+    )
+
+
+QUERIES.update({"mm_contrastive_pairs": mm_contrastive_pairs})
