@@ -3699,3 +3699,22 @@ JOIN f0 f ON p.media_id = f.media_id
 JOIN pool c ON p.text_doc_id = c.doc_id
 ORDER BY p.media_id, p.label, p.text_doc_id
 """
+
+
+# -- late-interaction MaxSim -------------------------------------------------
+
+ORACLES["vs_maxsim_topk"] = f"""
+WITH scored AS (
+  SELECT label::INT AS label,
+         ROUND(list_dot_product(embedding::DOUBLE[], {_qvec(1)}), 6) AS c0,
+         ROUND(list_dot_product(embedding::DOUBLE[], {_qvec(2)}), 6) AS c1,
+         ROUND(list_dot_product(embedding::DOUBLE[], {_qvec(4)}), 6) AS c2
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+agg AS (
+  SELECT label, MAX(c0) AS m0, MAX(c1) AS m1, MAX(c2) AS m2
+  FROM scored GROUP BY label
+)
+SELECT label, m0, m1, m2, ROUND(m0 + m1 + m2, 6) AS maxsim
+FROM agg ORDER BY maxsim DESC, label ASC
+"""

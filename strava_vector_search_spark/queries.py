@@ -5729,3 +5729,45 @@ def mm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"mm_contrastive_pairs": mm_contrastive_pairs})
+
+
+def vs_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval over multi-vector
+    documents: each label group is a document represented by ALL its
+    member vectors; score = sum over the 3 query vectors of the maximum
+    member cosine. One corpus scan computes every (query, member) cosine;
+    one partial-combined aggregate takes the per-query max per document --
+    no per-pair shuffle, the group key carries everything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = (1, 2, 4)
+    qcols = []
+    for qid in qids:
+        qv = _query_vec(spark, sf_dir, qid)
+        qcols.append(F.array(*[F.lit(float(x)) for x in qv]))
+    from strava_vector_search_spark.functions.vector import dot_product
+
+    scored = emb.filter(F.col("embedding").isNotNull()).select(
+        F.col("label").cast("int").alias("label"),
+        *[
+            F.round(
+                dot_product(F.col("embedding").cast("array<double>"), qc), 6
+            ).alias(f"c{i}")
+            for i, qc in enumerate(qcols)
+        ],
+    )
+    agg = scored.groupBy("label").agg(
+        *[F.max(f"c{i}").alias(f"m{i}") for i in range(len(qids))]
+    )
+    return (
+        agg.select(
+            "label",
+            *[F.col(f"m{i}") for i in range(len(qids))],
+            F.round(
+                F.col("m0") + F.col("m1") + F.col("m2"), 6
+            ).alias("maxsim"),
+        )
+        .orderBy(F.desc("maxsim"), F.asc("label"))
+    )
+
+
+QUERIES.update({"vs_maxsim_topk": vs_maxsim_topk})
