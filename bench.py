@@ -126,6 +126,12 @@ HEADLINE = [
     "ev_bot_detection",
     "a17_mom_growth",
     "dm_interleave_sources",
+    "svc_cache_hit_report",
+    "tx_sft_format",
+    "pk_packing_manifest",
+    "mm_contrastive_pairs",
+    "vs_maxsim_topk",
+    "diag_key_skew",
 ]
 
 
