@@ -113,6 +113,11 @@ def diff_snapshots(
     once per side. Emits ``op`` ∈ {I, U, D}: key only in new → I, only in
     old → D, in both with any compared column differing (null-safely) → U.
     Unchanged rows are dropped BEFORE the result materializes.
+
+    Key columns must be non-null (presence on a side is detected via the
+    first key's null-ness after the outer join — a legitimate NULL key
+    would read as absence). Value columns may be NULL freely; comparison
+    is null-safe.
     """
     o = old.select(*keys, *compare_cols)
     n = new.select(*keys, *compare_cols)

@@ -41,7 +41,9 @@ def er_resolve(
     Two records are the same entity iff they connect through a chain of
     (same block) ∧ (same name ∨ Levenshtein ≤ ``max_dist``) links —
     blocking is a hard wall (cross-block records never merge), matching is
-    transitively closed, ids are never compared across blocks.
+    transitively closed, ids are never compared across blocks. Records
+    with a NULL block or name never match anything (null keys drop out of
+    the equi-joins) and come back as singletons.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
