@@ -3718,3 +3718,39 @@ agg AS (
 SELECT label, m0, m1, m2, ROUND(m0 + m1 + m2, 6) AS maxsim
 FROM agg ORDER BY maxsim DESC, label ASC
 """
+
+
+# -- Markov transition matrix ------------------------------------------------
+
+ORACLES["ev_markov_transition_matrix"] = """
+WITH w1 AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER uw IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER uw) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+w2 AS (
+  SELECT *, SUM(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM w1
+),
+paths AS (
+  SELECT LAG(event_type) OVER (
+           PARTITION BY user_id, session_seq ORDER BY ts, event_id
+         ) AS from_type,
+         event_type AS to_type
+  FROM w2
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM paths WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts
+ORDER BY from_type, to_type
+"""

@@ -5771,3 +5771,46 @@ def vs_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"vs_maxsim_topk": vs_maxsim_topk})
+
+
+def ev_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of in-session navigation: the session-path
+    transition counts normalized per source state (rows sum to 1) plus
+    each source's exit mass -- the probability matrix behind next-event
+    prediction and funnel simulation. One extra window over the counts of
+    ev_session_paths; everything stays on the same user-keyed shuffle."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    with_id = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    paths = with_id.withColumn(
+        "prev_type", F.lag("event_type").over(ws)
+    ).filter(F.col("prev_type").isNotNull())
+    counts = paths.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("row_total", F.sum("n").over(wrow))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+QUERIES.update({"ev_markov_transition_matrix": ev_markov_transition_matrix})
