@@ -3754,3 +3754,57 @@ SELECT from_type, to_type, n,
 FROM counts
 ORDER BY from_type, to_type
 """
+
+
+# -- MinHash estimate-error audit --------------------------------------------
+
+_SIG_EQ16 = " + ".join(
+    f"CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END" for i in range(16)
+)
+
+ORACLES["dd_minhash_estimate_error"] = f"""
+WITH {_minhash_sig_ctes(16)},
+bands AS (
+  {_BANDS_SQL}
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bn FROM bands
+  ) WHERE bn <= 1000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM kept a JOIN kept b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.s = a.s
+  GROUP BY c.id1, c.id2
+),
+ex AS (
+  SELECT id1, id2,
+         ROUND(inter / (z1.n_sh + z2.n_sh - inter), 6) AS jaccard
+  FROM inter
+  JOIN sz z1 ON z1.doc_id = id1
+  JOIN sz z2 ON z2.doc_id = id2
+),
+est AS (
+  SELECT e.id1, e.id2, e.jaccard,
+         ROUND(({_SIG_EQ16}) / 16.0, 6) AS est
+  FROM ex e
+  JOIN sigt s1 ON s1.doc_id = e.id1
+  JOIN sigt s2 ON s2.doc_id = e.id2
+),
+err AS (
+  SELECT ROUND(ABS(est - jaccard), 6) AS abs_err FROM est
+)
+SELECT least(floor(abs_err / 0.0625), 7)::INT AS err_bucket,
+       COUNT(*) AS n_pairs,
+       ROUND(SUM(abs_err::DECIMAL(18,6))::DOUBLE / COUNT(*), 6)
+         AS mean_abs_err,
+       ROUND(MAX(abs_err), 6) AS max_abs_err
+FROM err GROUP BY 1 ORDER BY err_bucket
+"""

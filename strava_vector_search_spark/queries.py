@@ -5814,3 +5814,59 @@ def ev_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_markov_transition_matrix": ev_markov_transition_matrix})
+
+
+def dd_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation audit for the MinHash pipeline: for every
+    LSH-candidate pair, the signature-agreement Jaccard ESTIMATE (what the
+    streaming gate trusts) vs the exact shingle Jaccard, bucketed by
+    absolute error -- the calibration table that justifies num_hashes=16.
+    Both sides are deterministic, so the error distribution is
+    oracle-exact."""
+    from strava_vector_search_spark.operators.dedup import (
+        minhash_dedup_verified,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = minhash_dedup_verified(docs, "doc_id", "text", threshold=0.0)
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    s1 = sigs.select(F.col("doc_id").alias("id1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("doc_id").alias("id2"), F.col("sig").alias("sig2"))
+    est = (
+        exact.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "est",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("sig1"), F.col("sig2"), lambda a, b: a == b
+                        ),
+                        lambda x: x,
+                    )
+                )
+                / 16.0,
+                6,
+            ),
+        )
+        .withColumn("abs_err", F.round(F.abs(F.col("est") - F.col("jaccard")), 6))
+    )
+    bucket = F.least(F.floor(F.col("abs_err") / 0.0625), F.lit(7)).cast("int")
+    return (
+        est.groupBy(bucket.alias("err_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("abs_err").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_err"),
+            F.round(F.max("abs_err"), 6).alias("max_abs_err"),
+        )
+        .orderBy("err_bucket")
+    )
+
+
+QUERIES.update({"dd_minhash_estimate_error": dd_minhash_estimate_error})
