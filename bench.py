@@ -132,6 +132,8 @@ HEADLINE = [
     "mm_contrastive_pairs",
     "vs_maxsim_topk",
     "diag_key_skew",
+    "ev_markov_transition_matrix",
+    "dd_minhash_estimate_error",
 ]
 
 
