@@ -808,7 +808,7 @@ WITH agg AS (
   SELECT lang, list_sort(list(DISTINCT source)) AS sources
   FROM documents GROUP BY lang
 )
-SELECT lang, sources,
+SELECT lang,
        len(sources) AS n_sources,
        list_contains(sources, 'src3') AS has_src3,
        array_to_string(sources, ',') AS sources_csv

@@ -1277,14 +1277,20 @@ def a8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/string aggregation surface: sorted distinct collect, array
-    length, membership, and deterministic string_agg."""
+    length, membership, and deterministic string_agg.
+
+    The array itself is consumed by size/contains/array_join but NOT
+    returned raw: the gate output keeps only scalar columns (the driver's
+    canonicalizer cannot sort list-typed cells — the round-1 `err` mode on
+    dd_minhash_signatures/ann_centroids/mm_decode_frames); ``sources_csv``
+    carries the full array content as a deterministic string.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang")
         .agg(F.array_sort(F.collect_set("source")).alias("sources"))
         .select(
             "lang",
-            "sources",
             F.size("sources").cast("bigint").alias("n_sources"),
             F.array_contains("sources", "src3").alias("has_src3"),
             F.array_join("sources", ",").alias("sources_csv"),
