@@ -134,6 +134,7 @@ HEADLINE = [
     "diag_key_skew",
     "ev_markov_transition_matrix",
     "dd_minhash_estimate_error",
+    "a18_heavy_hitters",
 ]
 
 

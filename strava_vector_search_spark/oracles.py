@@ -3808,3 +3808,14 @@ SELECT least(floor(abs_err / 0.0625), 7)::INT AS err_bucket,
        ROUND(MAX(abs_err), 6) AS max_abs_err
 FROM err GROUP BY 1 ORDER BY err_bucket
 """
+
+# -- heavy hitters (two-pass Misra-Gries; oracle is the naive exact form) ----
+
+ORACLES["a18_heavy_hitters"] = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT token, COUNT(*) AS cnt
+FROM tok GROUP BY token
+HAVING COUNT(*) * 200 > (SELECT n FROM tot)
+ORDER BY cnt DESC, token ASC
+"""

@@ -5876,3 +5876,23 @@ def dd_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dd_minhash_estimate_error": dd_minhash_estimate_error})
+
+
+def a18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens (count > N/k, k=200) over the document
+    corpus via two-pass Misra-Gries: a bounded-memory map-only candidate
+    sketch (<= partitions x capacity rows leave each partition; the full
+    distinct-token key space never shuffles) followed by an exact recount
+    restricted to the broadcast candidate set. Output is identical to the
+    naive GROUP BY token HAVING cnt*k > N - which is the oracle."""
+    from strava_vector_search_spark.functions.text import tokens
+    from strava_vector_search_spark.operators.heavy import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return heavy_hitters_exact(toks, "token", k=200).orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+
+
+QUERIES.update({"a18_heavy_hitters": a18_heavy_hitters})
