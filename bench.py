@@ -135,6 +135,7 @@ HEADLINE = [
     "ev_markov_transition_matrix",
     "dd_minhash_estimate_error",
     "a18_heavy_hitters",
+    "tx_bpe_merges",
 ]
 
 

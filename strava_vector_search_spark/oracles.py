@@ -3819,3 +3819,268 @@ FROM tok GROUP BY token
 HAVING COUNT(*) * 200 > (SELECT n FROM tot)
 ORDER BY cnt DESC, token ASC
 """
+
+
+# -- distributed BPE trainer (oracle = 6 unrolled merge rounds) --------------
+# Generated CTE chain: each round recomputes weighted pair counts, picks the
+# (cnt DESC, pair ASC) winner, and applies the greedy-leftmost merge with the
+# same gaps-and-islands windows as operators/bpe.apply_merge.
+
+ORACLES["tx_bpe_merges"] = f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS wcnt
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents) GROUP BY word
+),
+st0 AS (
+  SELECT word, pos, substr(word, pos::INT, 1) AS sym, wcnt
+  FROM (SELECT word, unnest(range(1, length(word) + 1)) AS pos, wcnt
+        FROM words)
+),
+pr1 AS (
+  SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt, wcnt
+  FROM st0
+),
+pc1 AS (
+  SELECT sym, nxt, SUM(wcnt) AS cnt FROM pr1
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+win1 AS (
+  SELECT sym AS a, nxt AS b, cnt FROM pc1
+  ORDER BY cnt DESC, sym ASC, nxt ASC LIMIT 1
+),
+mm1 AS (
+  SELECT s.word, s.pos, s.sym, s.wcnt, w.a, w.b,
+         COALESCE(s.sym = w.a AND
+                  lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = w.b,
+                  FALSE) AS match
+  FROM st0 s CROSS JOIN win1 w
+),
+r1 AS (
+  SELECT *, SUM(CASE WHEN match THEN 1 ELSE 0 END)
+              OVER (PARTITION BY word ORDER BY pos) AS rc
+  FROM mm1
+),
+k1 AS (
+  SELECT *, (match AND
+             SUM(CASE WHEN match THEN 1 ELSE 0 END)
+               OVER (PARTITION BY word, pos - rc ORDER BY pos) % 2 = 1) AS kept
+  FROM r1
+),
+d1 AS (
+  SELECT *, COALESCE(lag(kept) OVER (PARTITION BY word ORDER BY pos), FALSE)
+              AS prev_kept
+  FROM k1
+),
+st1 AS (
+  SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN kept THEN a || b ELSE sym END AS sym, wcnt
+  FROM d1 WHERE NOT prev_kept
+),
+pr2 AS (
+  SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt, wcnt
+  FROM st1
+),
+pc2 AS (
+  SELECT sym, nxt, SUM(wcnt) AS cnt FROM pr2
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+win2 AS (
+  SELECT sym AS a, nxt AS b, cnt FROM pc2
+  ORDER BY cnt DESC, sym ASC, nxt ASC LIMIT 1
+),
+mm2 AS (
+  SELECT s.word, s.pos, s.sym, s.wcnt, w.a, w.b,
+         COALESCE(s.sym = w.a AND
+                  lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = w.b,
+                  FALSE) AS match
+  FROM st1 s CROSS JOIN win2 w
+),
+r2 AS (
+  SELECT *, SUM(CASE WHEN match THEN 1 ELSE 0 END)
+              OVER (PARTITION BY word ORDER BY pos) AS rc
+  FROM mm2
+),
+k2 AS (
+  SELECT *, (match AND
+             SUM(CASE WHEN match THEN 1 ELSE 0 END)
+               OVER (PARTITION BY word, pos - rc ORDER BY pos) % 2 = 1) AS kept
+  FROM r2
+),
+d2 AS (
+  SELECT *, COALESCE(lag(kept) OVER (PARTITION BY word ORDER BY pos), FALSE)
+              AS prev_kept
+  FROM k2
+),
+st2 AS (
+  SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN kept THEN a || b ELSE sym END AS sym, wcnt
+  FROM d2 WHERE NOT prev_kept
+),
+pr3 AS (
+  SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt, wcnt
+  FROM st2
+),
+pc3 AS (
+  SELECT sym, nxt, SUM(wcnt) AS cnt FROM pr3
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+win3 AS (
+  SELECT sym AS a, nxt AS b, cnt FROM pc3
+  ORDER BY cnt DESC, sym ASC, nxt ASC LIMIT 1
+),
+mm3 AS (
+  SELECT s.word, s.pos, s.sym, s.wcnt, w.a, w.b,
+         COALESCE(s.sym = w.a AND
+                  lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = w.b,
+                  FALSE) AS match
+  FROM st2 s CROSS JOIN win3 w
+),
+r3 AS (
+  SELECT *, SUM(CASE WHEN match THEN 1 ELSE 0 END)
+              OVER (PARTITION BY word ORDER BY pos) AS rc
+  FROM mm3
+),
+k3 AS (
+  SELECT *, (match AND
+             SUM(CASE WHEN match THEN 1 ELSE 0 END)
+               OVER (PARTITION BY word, pos - rc ORDER BY pos) % 2 = 1) AS kept
+  FROM r3
+),
+d3 AS (
+  SELECT *, COALESCE(lag(kept) OVER (PARTITION BY word ORDER BY pos), FALSE)
+              AS prev_kept
+  FROM k3
+),
+st3 AS (
+  SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN kept THEN a || b ELSE sym END AS sym, wcnt
+  FROM d3 WHERE NOT prev_kept
+),
+pr4 AS (
+  SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt, wcnt
+  FROM st3
+),
+pc4 AS (
+  SELECT sym, nxt, SUM(wcnt) AS cnt FROM pr4
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+win4 AS (
+  SELECT sym AS a, nxt AS b, cnt FROM pc4
+  ORDER BY cnt DESC, sym ASC, nxt ASC LIMIT 1
+),
+mm4 AS (
+  SELECT s.word, s.pos, s.sym, s.wcnt, w.a, w.b,
+         COALESCE(s.sym = w.a AND
+                  lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = w.b,
+                  FALSE) AS match
+  FROM st3 s CROSS JOIN win4 w
+),
+r4 AS (
+  SELECT *, SUM(CASE WHEN match THEN 1 ELSE 0 END)
+              OVER (PARTITION BY word ORDER BY pos) AS rc
+  FROM mm4
+),
+k4 AS (
+  SELECT *, (match AND
+             SUM(CASE WHEN match THEN 1 ELSE 0 END)
+               OVER (PARTITION BY word, pos - rc ORDER BY pos) % 2 = 1) AS kept
+  FROM r4
+),
+d4 AS (
+  SELECT *, COALESCE(lag(kept) OVER (PARTITION BY word ORDER BY pos), FALSE)
+              AS prev_kept
+  FROM k4
+),
+st4 AS (
+  SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN kept THEN a || b ELSE sym END AS sym, wcnt
+  FROM d4 WHERE NOT prev_kept
+),
+pr5 AS (
+  SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt, wcnt
+  FROM st4
+),
+pc5 AS (
+  SELECT sym, nxt, SUM(wcnt) AS cnt FROM pr5
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+win5 AS (
+  SELECT sym AS a, nxt AS b, cnt FROM pc5
+  ORDER BY cnt DESC, sym ASC, nxt ASC LIMIT 1
+),
+mm5 AS (
+  SELECT s.word, s.pos, s.sym, s.wcnt, w.a, w.b,
+         COALESCE(s.sym = w.a AND
+                  lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = w.b,
+                  FALSE) AS match
+  FROM st4 s CROSS JOIN win5 w
+),
+r5 AS (
+  SELECT *, SUM(CASE WHEN match THEN 1 ELSE 0 END)
+              OVER (PARTITION BY word ORDER BY pos) AS rc
+  FROM mm5
+),
+k5 AS (
+  SELECT *, (match AND
+             SUM(CASE WHEN match THEN 1 ELSE 0 END)
+               OVER (PARTITION BY word, pos - rc ORDER BY pos) % 2 = 1) AS kept
+  FROM r5
+),
+d5 AS (
+  SELECT *, COALESCE(lag(kept) OVER (PARTITION BY word ORDER BY pos), FALSE)
+              AS prev_kept
+  FROM k5
+),
+st5 AS (
+  SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN kept THEN a || b ELSE sym END AS sym, wcnt
+  FROM d5 WHERE NOT prev_kept
+),
+pr6 AS (
+  SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt, wcnt
+  FROM st5
+),
+pc6 AS (
+  SELECT sym, nxt, SUM(wcnt) AS cnt FROM pr6
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+win6 AS (
+  SELECT sym AS a, nxt AS b, cnt FROM pc6
+  ORDER BY cnt DESC, sym ASC, nxt ASC LIMIT 1
+),
+mm6 AS (
+  SELECT s.word, s.pos, s.sym, s.wcnt, w.a, w.b,
+         COALESCE(s.sym = w.a AND
+                  lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = w.b,
+                  FALSE) AS match
+  FROM st5 s CROSS JOIN win6 w
+),
+r6 AS (
+  SELECT *, SUM(CASE WHEN match THEN 1 ELSE 0 END)
+              OVER (PARTITION BY word ORDER BY pos) AS rc
+  FROM mm6
+),
+k6 AS (
+  SELECT *, (match AND
+             SUM(CASE WHEN match THEN 1 ELSE 0 END)
+               OVER (PARTITION BY word, pos - rc ORDER BY pos) % 2 = 1) AS kept
+  FROM r6
+),
+d6 AS (
+  SELECT *, COALESCE(lag(kept) OVER (PARTITION BY word ORDER BY pos), FALSE)
+              AS prev_kept
+  FROM k6
+),
+st6 AS (
+  SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN kept THEN a || b ELSE sym END AS sym, wcnt
+  FROM d6 WHERE NOT prev_kept
+)
+SELECT 1 AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM win1
+UNION ALL SELECT 2 AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM win2
+UNION ALL SELECT 3 AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM win3
+UNION ALL SELECT 4 AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM win4
+UNION ALL SELECT 5 AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM win5
+UNION ALL SELECT 6 AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM win6
+ORDER BY step
+"""

@@ -5896,3 +5896,18 @@ def a18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"a18_heavy_hitters": a18_heavy_hitters})
+
+
+def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: 6 merges learned over the
+    document corpus (word-vocab decomposition: one corpus scan, then
+    every round is one weighted pair aggregate + one greedy-leftmost
+    window merge over the bounded distinct-word char state). Oracle
+    replays the identical algorithm as 6 unrolled CTE stages in DuckDB."""
+    from strava_vector_search_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe(docs, "text", num_merges=6).orderBy("step")
+
+
+QUERIES.update({"tx_bpe_merges": tx_bpe_merges})
