@@ -136,6 +136,7 @@ HEADLINE = [
     "dd_minhash_estimate_error",
     "a18_heavy_hitters",
     "tx_bpe_merges",
+    "tx_bpe_encode_stats",
 ]
 
 

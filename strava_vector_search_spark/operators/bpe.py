@@ -32,6 +32,9 @@ engine-completion operator for the LLM-data-pipeline layer.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from strava_vector_search_spark.functions.text import tokens
@@ -114,15 +117,15 @@ def apply_merge(state: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
-def train_bpe(
+def train_bpe_with_state(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 8,
     min_pair_count: int = 1,
-) -> DataFrame:
-    """Learn ``num_merges`` BPE merges; returns the merge table
-    (step int, lhs string, rhs string, pair_count bigint) in learned
-    order — the tokenizer artifact a trainer ships."""
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn merges and also return the final symbol state — the encoded
+    word vocabulary (word, pos, sym, wcnt) after every merge, i.e. the
+    corpus segmentation the learned tokenizer produces."""
     state = char_state(word_vocab(docs, text_col)).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, num_merges + 1):
@@ -132,8 +135,54 @@ def train_bpe(
         left, right, cnt = best
         merges.append((step, left, right, int(cnt)))
         state = apply_merge(state, left, right)
+    return merges, state
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns the merge table
+    (step int, lhs string, rhs string, pair_count bigint) in learned
+    order — the tokenizer artifact a trainer ships."""
+    merges, _ = train_bpe_with_state(docs, text_col, num_merges, min_pair_count)
     return docs.sparkSession.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Production encode path: apply learned merges to every document —
+    map-only Arrow-batched pandas UDF over the broadcast merge list (the
+    merge table is bounded: vocab-size rows), NO shuffle. Returns
+    (id_col, n_tokens, tokens_csv)."""
+    tok_re = re.compile(r"[^a-z0-9]+")
+    bc = docs.sparkSession.sparkContext.broadcast(list(merges))
+
+    @F.pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        ms = bc.value
+        return texts.map(
+            lambda t: [
+                s
+                for w in tok_re.split((t or "").lower())
+                if w
+                for s in encode_word_bpe(w, ms)
+            ]
+        )
+
+    out = docs.select(id_col, _enc(F.col(text_col)).alias("toks"))
+    return out.select(
+        id_col,
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.array_join("toks", " ").alias("tokens_csv"),
     )
 
 

@@ -4084,3 +4084,16 @@ UNION ALL SELECT 5 AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM win5
 UNION ALL SELECT 6 AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM win6
 ORDER BY step
 """
+
+# final-state twin of tx_bpe_merges: same 6 unrolled rounds, aggregated
+_BPE_PRELUDE = ORACLES["tx_bpe_merges"].rsplit("SELECT 1 AS step", 1)[0]
+ORACLES["tx_bpe_encode_stats"] = (
+    _BPE_PRELUDE
+    + """SELECT COUNT(DISTINCT word) AS n_words,
+       SUM(length(sym) * wcnt) AS chars_total,
+       SUM(wcnt) AS symbols_after,
+       ROUND(SUM(length(sym)::DECIMAL(18,0) * wcnt)::DOUBLE / SUM(wcnt), 6)
+         AS chars_per_symbol
+FROM st6
+"""
+)

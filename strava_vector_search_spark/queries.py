@@ -5911,3 +5911,28 @@ def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_bpe_merges": tx_bpe_merges})
+
+
+def tx_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compression achieved by the 6 learned BPE merges: symbols
+    per corpus token occurrence before (= characters) vs after encoding,
+    weighted by word frequency. One row; the oracle recomputes the final
+    segmentation with the same unrolled merge rounds."""
+    from strava_vector_search_spark.operators.bpe import train_bpe_with_state
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, state = train_bpe_with_state(docs, "text", num_merges=6)
+    return state.agg(
+        F.count_distinct("word").alias("n_words"),
+        F.sum(F.length("sym").cast("bigint") * F.col("wcnt")).alias("chars_total"),
+        F.sum("wcnt").alias("symbols_after"),
+        F.round(
+            F.sum(F.length("sym").cast("decimal(18,0)") * F.col("wcnt"))
+            .cast("double")
+            / F.sum("wcnt"),
+            6,
+        ).alias("chars_per_symbol"),
+    )
+
+
+QUERIES.update({"tx_bpe_encode_stats": tx_bpe_encode_stats})

@@ -117,3 +117,22 @@ def test_learned_merges_encode_consistently(spark):
     _, final_state = _py_train(dict(wc), 4)
     for w in wc:
         assert encode_word_bpe(w, merges) == final_state[w]
+
+
+def test_encode_corpus_matches_trainer_state(spark):
+    from strava_vector_search_spark.operators.bpe import (
+        encode_corpus,
+        train_bpe_with_state,
+    )
+
+    texts = ["low lower lowest", "new newer lowest low"]
+    docs = _docs(spark, texts)
+    merges, state = train_bpe_with_state(docs, num_merges=4)
+    seg = {}
+    for r in state.orderBy("word", "pos").collect():
+        seg.setdefault(r["word"], []).append(r["sym"])
+    enc = encode_corpus(docs, [(m[1], m[2]) for m in merges]).collect()
+    for r, text in zip(sorted(enc, key=lambda r: r["doc_id"]), texts):
+        expected = [s for w in text.split() for s in seg[w]]
+        assert r["tokens_csv"].split(" ") == expected
+        assert r["n_tokens"] == len(expected)
