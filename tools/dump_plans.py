@@ -369,6 +369,14 @@ EXPECTATIONS: dict[str, dict] = {
         "merge_join": "SortMergeJoin",
         "bucket_scan": "SelectedBucketsCount",
     },
+    "a18_heavy_hitters": {
+        # pass 1 is a map-only Python sketch; pass 2 recounts only the
+        # broadcast candidate set with a map-side-combined aggregate —
+        # the full distinct-key space never hash-shuffles
+        "python_kernel": "MapInPandas",
+        "broadcast_join": "BroadcastHashJoin",
+        "partial_agg": "partial_count",
+    },
 }
 
 
