@@ -423,6 +423,43 @@ def main() -> None:
                     "one codegen fold per row, no vocab join — classifier "
                     "at scan speed (the fastText hashing trick)"))
 
+    # ---- heavy hitters over ~50K docs' token stream: sketch-pass shuffle
+    # is bounded by partitions x capacity, vs the naive full-key shuffle
+    from strava_vector_search_spark.functions.text import tokens as _toks
+    from strava_vector_search_spark.operators.heavy import heavy_hitters_exact
+
+    tok_stream = big_docs.select(F.explode(_toks(F.col("text"))).alias("token"))
+    n_tok = tok_stream.count()
+    sec, n = t(lambda: heavy_hitters_exact(tok_stream, "token", k=200).count())
+    results.append(("heavy_hitters MG k=200", f"{n_tok:,} token rows", sec,
+                    f"{n} items > N/200; pass 1 ships <=partitions*400 "
+                    "candidate rows, pass 2 recounts only the broadcast "
+                    "candidates — the distinct-key space never shuffles"))
+
+    def _naive_hh():
+        nt = tok_stream.count()
+        return (tok_stream.groupBy("token").count()
+                .filter(F.col("count") * 200 > nt).count())
+
+    sec, _ = t(_naive_hh)
+    results.append(("heavy_hitters naive groupBy", f"{n_tok:,} token rows", sec,
+                    "full distinct-key shuffle for comparison — similar here "
+                    "(small vocab), but its shuffle grows with distinct keys "
+                    "while the sketch's stays constant"))
+
+    # ---- BPE trainer: after the one corpus scan, per-round cost is bound
+    # by the DISTINCT-word char state, not corpus bytes
+    from strava_vector_search_spark.operators.bpe import (
+        char_state, train_bpe, word_vocab,
+    )
+
+    n_state = char_state(word_vocab(big_docs, "text")).count()
+    sec, _ = t(lambda: train_bpe(big_docs, "text", num_merges=4).count())
+    results.append(("bpe_train 4 merges", f"{n_tok:,} token occurrences", sec,
+                    f"word-vocab decomposition: rounds run on the "
+                    f"{n_state:,}-row distinct-word char state — 10x more "
+                    "corpus only changes the initial scan, not the rounds"))
+
     # ---- write SCALE.md
     lines = [
         "# SCALE — measured behavior on amplified data (local[32])",
