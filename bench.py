@@ -137,6 +137,7 @@ HEADLINE = [
     "a18_heavy_hitters",
     "tx_bpe_merges",
     "tx_bpe_encode_stats",
+    "dd_cc_incremental",
 ]
 
 

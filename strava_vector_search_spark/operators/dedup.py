@@ -1202,3 +1202,49 @@ def decontaminate(
         frac.alias("contaminated_frac"),
         (frac >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def cc_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Incrementally maintain a connected-components labeling as new edges
+    arrive — the steady-state form of corpus dedup (a near-dup pair feed
+    appends forever; relabeling the whole corpus per batch is the job you
+    cannot afford at 100 TB).
+
+    Only components INCIDENT to a new edge are recomputed: the untouched
+    labeling is reused verbatim (anti-join), and the affected subgraph is
+    rebuilt from its star edges (member -> old comp) plus the new edges —
+    per batch the work is proportional to the touched components, not the
+    corpus. Handles all three incremental cases: component growth (edge
+    into an existing comp), creation (both endpoints unseen), and MERGES
+    of multiple existing comps (relabeling every member of every merged
+    comp to the new minimum). Output is bit-identical to
+    ``connected_components`` over the full accumulated edge set — which is
+    how the gate's oracle checks it.
+    """
+    e = new_edges.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    ends = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    # endpoints -> their current comp; unseen endpoints are their own comp
+    touched = (
+        ends.join(labels, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )
+    affected = touched.select("comp").distinct()
+    # full membership of every affected comp, as star edges (member, comp);
+    # unseen endpoints enter via their self-comp rows in `touched`
+    sub_members = (
+        labels.join(affected, "comp", "leftsemi")
+        .unionByName(touched.join(labels, "id", "left_anti"))
+    )
+    star = sub_members.select(F.col("id").alias("a"), F.col("comp").alias("b"))
+    sub_new = connected_components(star.unionByName(e), "a", "b")
+    untouched = labels.join(affected, "comp", "left_anti")
+    return untouched.unionByName(sub_new.select("id", "comp"))

@@ -4097,3 +4097,23 @@ ORACLES["tx_bpe_encode_stats"] = (
 FROM st6
 """
 )
+
+# -- incremental connected components (oracle = full recompute) --------------
+
+ORACLES["dd_cc_incremental"] = """
+WITH RECURSIVE
+e AS (
+  SELECT o_orderkey AS a, o_custkey + 2000000000 AS b FROM orders
+  UNION ALL
+  SELECT DISTINCT o_custkey + 2000000000, o_custkey + 3 + 2000000000
+  FROM orders WHERE o_custkey % 97 = 1
+),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+nodes AS (SELECT DISTINCT a AS id FROM sym),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+)
+SELECT id, MIN(comp) AS comp FROM reach GROUP BY id ORDER BY id
+"""

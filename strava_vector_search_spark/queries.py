@@ -5936,3 +5936,41 @@ def tx_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_bpe_encode_stats": tx_bpe_encode_stats})
+
+
+def dd_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance: a deterministic
+    bipartite order<->customer edge feed is split into an already-labeled
+    base (2/3 of orders) and an incoming batch (the remaining orders plus
+    customer-customer bridge edges that MERGE existing components); only
+    components incident to the batch are recomputed. The oracle runs a
+    full recursive-CTE recompute over the accumulated edge set —
+    incremental must equal rebuild bit-for-bit."""
+    from strava_vector_search_spark.operators.dedup import (
+        cc_incremental,
+        connected_components,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    C = 2_000_000_000
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    edges = orders.select(
+        ok.alias("a"), (ck + C).cast("long").alias("b"), (ok % 3).alias("m")
+    )
+    old_e = edges.filter(F.col("m") != 0).drop("m")
+    new_orders = edges.filter(F.col("m") == 0).drop("m")
+    bridges = (
+        orders.select(ck.alias("c"))
+        .distinct()
+        .filter(F.col("c") % 97 == 1)
+        .select(
+            (F.col("c") + C).cast("long").alias("a"),
+            (F.col("c") + 3 + C).cast("long").alias("b"),
+        )
+    )
+    labels_old = connected_components(old_e, "a", "b")
+    out = cc_incremental(labels_old, new_orders.unionByName(bridges), "a", "b")
+    return out.orderBy("id")
+
+
+QUERIES.update({"dd_cc_incremental": dd_cc_incremental})

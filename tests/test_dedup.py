@@ -430,3 +430,90 @@ def test_cdc_chunks_tile_random_texts(spark):
         assert " ".join(r["chunk"] for r in got) == " ".join(toks)
         assert [r["chunk_idx"] for r in got] == list(range(len(got)))
         assert all(r["n_tokens"] >= 1 for r in got)
+
+
+# -- incremental connected components ----------------------------------------
+
+
+def _cc_rows(df):
+    return {(r["id"], r["comp"]) for r in df.collect()}
+
+
+def test_cc_incremental_merge_growth_create(spark):
+    from strava_vector_search_spark.operators.dedup import (
+        cc_incremental,
+        connected_components,
+    )
+
+    old_e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id1 long, id2 long"
+    )
+    labels = connected_components(old_e)
+    # batch: merge comps {1,2,3} and {10,11}; grow {20,21} with 22;
+    # create brand-new {30,31}
+    batch = spark.createDataFrame(
+        [(3, 10), (21, 22), (30, 31)], "id1 long, id2 long"
+    )
+    got = cc_incremental(labels, batch)
+    full = connected_components(
+        old_e.unionByName(batch), "id1", "id2"
+    )
+    assert _cc_rows(got) == _cc_rows(full)
+    by_id = dict(_cc_rows(got))
+    assert by_id[11] == 1 and by_id[10] == 1  # merged comp relabeled to min
+    assert by_id[22] == 20
+    assert by_id[31] == 30
+
+
+def test_cc_incremental_untouched_components_unchanged(spark):
+    from strava_vector_search_spark.operators.dedup import (
+        cc_incremental,
+        connected_components,
+    )
+
+    old_e = spark.createDataFrame(
+        [(1, 2), (50, 51), (60, 61)], "id1 long, id2 long"
+    )
+    labels = connected_components(old_e)
+    batch = spark.createDataFrame([(2, 3)], "id1 long, id2 long")
+    got = dict(_cc_rows(cc_incremental(labels, batch)))
+    assert got[50] == 50 and got[51] == 50 and got[60] == 60 and got[61] == 60
+    assert got[3] == 1
+
+
+def test_cc_incremental_batch_stream_matches_rebuild(spark):
+    import random
+
+    from strava_vector_search_spark.operators.dedup import (
+        cc_incremental,
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    all_edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(120)
+    ]
+    batches = [all_edges[:40], all_edges[40:80], all_edges[80:]]
+    labels = connected_components(
+        spark.createDataFrame(batches[0], "id1 long, id2 long")
+    )
+    for b in batches[1:]:
+        labels = cc_incremental(
+            labels, spark.createDataFrame(b, "id1 long, id2 long")
+        ).localCheckpoint()
+    full = connected_components(
+        spark.createDataFrame(all_edges, "id1 long, id2 long")
+    )
+    assert _cc_rows(labels) == _cc_rows(full)
+
+
+def test_cc_incremental_intra_component_edge_is_noop(spark):
+    from strava_vector_search_spark.operators.dedup import (
+        cc_incremental,
+        connected_components,
+    )
+
+    old_e = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+    labels = connected_components(old_e)
+    batch = spark.createDataFrame([(1, 3)], "id1 long, id2 long")
+    assert _cc_rows(cc_incremental(labels, batch)) == _cc_rows(labels)
