@@ -150,3 +150,68 @@ def test_runtime_bloom_plan_and_conf_restore(spark, sf_dir):
     assert snapshot() == before  # scoped confs restored
     rows = df.collect()  # executes the bloom plan
     assert len(rows) >= 1 and all(r["n_items"] > 0 for r in rows)
+
+
+def test_aqe_skew_join_runtime_split(spark):
+    """AQE's runtime skew handling — the automatic counterpart of
+    plans/layout.salted_join: one hot key dominates the fact side, and
+    with the skew thresholds scoped down AQE splits the oversized shuffle
+    partition at RUNTIME (the executed plan shows a skew-split shuffle
+    read). Values must equal the plain join exactly — skew handling, like
+    salting, must be value-invisible."""
+    from pyspark.sql import functions as F
+
+    # fact: 60K rows on hot key 7, a few hundred elsewhere
+    hot = spark.range(60_000).select(
+        F.lit(7).alias("k"), (F.col("id") % 97).alias("v")
+    )
+    cold = spark.range(300).select(
+        (F.col("id") % 29 + 100).alias("k"), F.col("id").alias("v")
+    )
+    fact = hot.unionByName(cold)
+    dim = spark.range(200).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        joined = (
+            fact.join(dim, "k")
+            .groupBy("name")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+        got = {(r["name"], r["n"], r["sv"]) for r in joined.collect()}
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan or "skewed" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # value parity with the unskewed reference plan (broadcast join fine)
+    expected = {
+        (r["name"], r["n"], r["sv"])
+        for r in fact.join(dim, "k")
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert got == expected
