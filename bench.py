@@ -138,6 +138,7 @@ HEADLINE = [
     "tx_bpe_merges",
     "tx_bpe_encode_stats",
     "dd_cc_incremental",
+    "dm_dsir_select",
 ]
 
 

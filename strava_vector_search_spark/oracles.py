@@ -4117,3 +4117,37 @@ reach(id, comp) AS (
 )
 SELECT id, MIN(comp) AS comp FROM reach GROUP BY id ORDER BY id
 """
+
+# -- DSIR importance resampling ----------------------------------------------
+
+ORACLES["dm_dsir_select"] = f"""
+WITH tok AS (SELECT doc_id, source, unnest({_TOKS}) AS t FROM documents),
+bk AS (SELECT doc_id, source, {_md5i('t')} % 512 AS bucket FROM tok),
+t_tot AS (SELECT COUNT(*) + 512 AS tt FROM bk WHERE source = 'src1'),
+p_tot AS (SELECT COUNT(*) + 512 AS pt FROM bk),
+bucketlist AS (SELECT unnest(range(0, 512)) AS bucket),
+tcnt AS (SELECT bucket, COUNT(*) AS c FROM bk WHERE source = 'src1' GROUP BY bucket),
+pcnt AS (SELECT bucket, COUNT(*) AS c FROM bk GROUP BY bucket),
+ratio AS (
+  SELECT b.bucket,
+         ROUND(ln((COALESCE(tc.c, 0) + 1)::DOUBLE / (SELECT tt FROM t_tot))
+             - ln((COALESCE(pc.c, 0) + 1)::DOUBLE / (SELECT pt FROM p_tot)),
+               9)::DECIMAL(28,12) AS r
+  FROM bucketlist b
+  LEFT JOIN tcnt tc ON tc.bucket = b.bucket
+  LEFT JOIN pcnt pc ON pc.bucket = b.bucket
+),
+docw AS (
+  SELECT bk.doc_id, COUNT(*) AS n_tokens,
+         ROUND(SUM(r)::DOUBLE, 6) AS log_w
+  FROM bk JOIN ratio ON ratio.bucket = bk.bucket
+  GROUP BY bk.doc_id
+)
+SELECT doc_id, n_tokens, log_w,
+       ROUND(log_w + -ln(-ln(
+         (({_md5i("doc_id::VARCHAR || '|dsir'")} % 1000000) + 0.5) / 1000000
+       )), 6) AS score
+FROM docw
+ORDER BY score DESC, doc_id ASC
+LIMIT 50
+"""

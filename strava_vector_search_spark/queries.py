@@ -5974,3 +5974,24 @@ def dd_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dd_cc_incremental": dd_cc_incremental})
+
+
+def dm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: hashed-unigram importance weights
+    toward a target slice (source='src1') over the whole-corpus proposal,
+    Gumbel top-50 resampling with hash-derived noise. Distribution
+    estimate = two bounded 512-bucket aggregates; scoring = map-only
+    in-expression fold against the literal log-ratio table (DECIMAL
+    accumulator, order-exact); selection = TakeOrderedAndProject."""
+    from strava_vector_search_spark.operators.dsir import (
+        dsir_select,
+        importance_log_ratios,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src1")
+    ratios = importance_log_ratios(target, docs, "text", buckets=512)
+    return dsir_select(docs, ratios, k=50, buckets=512)
+
+
+QUERIES.update({"dm_dsir_select": dm_dsir_select})
