@@ -139,6 +139,7 @@ HEADLINE = [
     "tx_bpe_encode_stats",
     "dd_cc_incremental",
     "dm_dsir_select",
+    "tx_pmi_pairs",
 ]
 
 

@@ -4151,3 +4151,33 @@ FROM docw
 ORDER BY score DESC, doc_id ASC
 LIMIT 50
 """
+
+# -- skip-gram PMI co-occurrence ---------------------------------------------
+
+ORACLES["tx_pmi_pairs"] = f"""
+WITH tok AS (
+  SELECT doc_id, ts FROM (SELECT doc_id, {_TOKS} AS ts FROM documents)
+),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(ts) + 1)) AS p, unnest(ts) AS t FROM tok
+),
+pairs AS (
+  SELECT least(a.t, b.t) AS x, greatest(a.t, b.t) AS y
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+),
+cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM pairs GROUP BY x, y),
+uni AS (SELECT t, COUNT(*) AS c FROM pos GROUP BY t),
+tot AS (SELECT (SELECT SUM(c) FROM uni)::DOUBLE AS n_tok,
+               (SELECT SUM(c_xy) FROM cxy)::DOUBLE AS n_pair)
+SELECT x, y, c_xy, ux.c AS c_x, uy.c AS c_y,
+       ROUND(ln((c_xy / t.n_pair) / ((ux.c / t.n_tok) * (uy.c / t.n_tok))), 6)
+         AS pmi
+FROM cxy
+JOIN uni ux ON ux.t = x
+JOIN uni uy ON uy.t = y
+CROSS JOIN tot t
+WHERE c_xy >= 5
+ORDER BY pmi DESC, x ASC, y ASC
+LIMIT 40
+"""

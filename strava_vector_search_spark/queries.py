@@ -5995,3 +5995,66 @@ def dm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dm_dsir_select": dm_dsir_select})
+
+
+def tx_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence PMI mining (the count side of word2vec /
+    GloVe prep): token pairs within a +-2 window, unordered-canonical
+    (least, greatest), PMI = ln((c_xy/P) / ((c_x/N)(c_y/N))). Pair
+    extraction is MAP-ONLY (offset slices zipped per row - no position
+    self-join, no explode-before-pair); the only shuffles are the two
+    count aggregates, both map-side combined, and the unigram table joins
+    back via AQE broadcast (a vocab is always broadcastable after the
+    min-count cut). Top-40 by (pmi DESC, pair ASC), c_xy >= 5."""
+    from strava_vector_search_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    pair_arrays = [
+        F.zip_with(
+            F.slice(ts, 1, F.greatest(F.size(ts) - off, F.lit(0))),
+            F.slice(ts, 1 + off, F.greatest(F.size(ts) - off, F.lit(0))),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("x"), F.greatest(a, b).alias("y")
+            ),
+        )
+        for off in (1, 2)
+    ]
+    pairs = docs.select(
+        F.explode(F.concat(*pair_arrays)).alias("p")
+    ).select("p.x", "p.y")
+    cxy = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = docs.select(F.explode(ts).alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_tok = int(uni.agg(F.sum("c")).head()[0])
+    n_pair = int(cxy.agg(F.sum("c_xy")).head()[0])
+    ux = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))
+    return (
+        cxy.filter(F.col("c_xy") >= 5)
+        .join(ux, "x")
+        .join(uy, "y")
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.lit(float(n_pair)))
+                    / (
+                        (F.col("c_x") / F.lit(float(n_tok)))
+                        * (F.col("c_y") / F.lit(float(n_tok)))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
+        .limit(40)
+    )
+
+
+QUERIES.update({"tx_pmi_pairs": tx_pmi_pairs})

@@ -240,3 +240,28 @@ def test_hashed_linear_score_deterministic_and_bounded(spark):
     assert rows[3] == 0.5              # empty -> logit 0 -> sigmoid 0.5
     assert all(0.0 < s < 1.0 for s in rows.values())
     assert rows[1] != rows[4]          # different text, different slots
+
+
+def test_pmi_pair_window_extraction(spark):
+    """tx_pmi_pairs' slice-zip pair extraction: +-2 window, unordered
+    canonical form, no self-join — pinned on a tiny corpus."""
+    from strava_vector_search_spark.queries import QUERIES
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            # 'a b c a b' x5 so pairs clear the c_xy >= 5 floor
+            [(i, "a b c a b") for i in range(5)],
+            "doc_id long, text string",
+        )
+        # write a minimal sf-dir with just documents.parquet
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            (r["x"], r["y"]): r["c_xy"]
+            for r in QUERIES["tx_pmi_pairs"](spark, d).collect()
+        }
+    # per doc: off=1 -> (a,b),(b,c),(a,c),(a,b); off=2 -> (a,c),(a,b),(b,c)
+    assert out[("a", "b")] == 15  # 3 per doc x 5
+    assert out[("a", "c")] == 10
+    assert out[("b", "c")] == 10
