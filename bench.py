@@ -140,6 +140,7 @@ HEADLINE = [
     "dd_cc_incremental",
     "dm_dsir_select",
     "tx_pmi_pairs",
+    "tx_span_corruption",
 ]
 
 

@@ -4181,3 +4181,36 @@ WHERE c_xy >= 5
 ORDER BY pmi DESC, x ASC, y ASC
 LIMIT 40
 """
+
+# -- T5 span corruption ------------------------------------------------------
+
+ORACLES["tx_span_corruption"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+tiles AS (
+  SELECT doc_id,
+         [array_to_string(list_slice(ts, i * 3 + 1, i * 3 + 3), ' ')
+          FOR i IN range(0, ceil(len(ts) / 3.0)::BIGINT)] AS tl
+  FROM tok WHERE len(ts) > 0
+),
+m AS (
+  SELECT doc_id, tl,
+         [{_md5i("doc_id::VARCHAR || '|' || i::VARCHAR")} % 5 = 0
+          FOR i IN range(0, len(tl))] AS mask
+  FROM tiles
+)
+SELECT doc_id,
+  len(tl) AS n_tiles,
+  len(list_filter(mask, x -> x)) AS n_masked,
+  array_to_string(
+    [CASE WHEN mask[i + 1]
+          THEN '<extra_id_' ||
+               len(list_filter(list_slice(mask, 1, i), x -> x))::VARCHAR || '>'
+          ELSE tl[i + 1] END
+     FOR i IN range(0, len(tl))], ' ') AS input_text,
+  COALESCE(array_to_string(
+    ['<extra_id_' ||
+     len(list_filter(list_slice(mask, 1, i), x -> x))::VARCHAR || '> ' ||
+     tl[i + 1]
+     FOR i IN range(0, len(tl)) IF mask[i + 1]], ' '), '') AS target_text
+FROM m ORDER BY doc_id
+"""

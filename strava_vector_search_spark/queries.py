@@ -6058,3 +6058,79 @@ def tx_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_pmi_pairs": tx_pmi_pairs})
+
+
+def tx_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair generation (masked-span pretraining
+    prep): documents tiled into 3-token spans, ~1/5 of tiles selected by
+    the portable hash (deterministic across engines/retries/partitions -
+    no RNG), masked tiles replaced by <extra_id_k> sentinels in the input
+    and emitted after their sentinel in the target. Entirely map-only
+    higher-order-function expressions - no explode, no shuffle, no UDF;
+    sentinel numbering is a prefix count over the mask array."""
+    from strava_vector_search_spark.operators.dedup import (
+        _span_chunks_over,
+        md5_int,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    d = docs.select(
+        "doc_id", _span_chunks_over(ts, 3).alias("tl")
+    ).filter(F.size("tl") > 0)
+    seq = F.sequence(F.lit(0), F.size("tl") - 1)
+    d = d.withColumn(
+        "mask",
+        F.transform(
+            seq,
+            lambda i: md5_int(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("|"), i.cast("string")
+                )
+            )
+            % 5
+            == 0,
+        ),
+    )
+
+    def sid(i):
+        # sentinel index = number of masked tiles strictly before i
+        return F.size(F.filter(F.slice(F.col("mask"), 1, i), lambda x: x))
+
+    tile = lambda i: F.element_at(F.col("tl"), (i + 1).cast("int"))  # noqa: E731
+    masked = lambda i: F.element_at(F.col("mask"), (i + 1).cast("int"))  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.size("tl").cast("bigint").alias("n_tiles"),
+        F.size(F.filter(F.col("mask"), lambda x: x)).cast("bigint").alias(
+            "n_masked"
+        ),
+        F.array_join(
+            F.transform(
+                seq,
+                lambda i: F.when(
+                    masked(i),
+                    F.concat(
+                        F.lit("<extra_id_"), sid(i).cast("string"), F.lit(">")
+                    ),
+                ).otherwise(tile(i)),
+            ),
+            " ",
+        ).alias("input_text"),
+        F.array_join(
+            F.transform(
+                F.filter(seq, lambda i: masked(i)),
+                lambda i: F.concat(
+                    F.lit("<extra_id_"),
+                    sid(i).cast("string"),
+                    F.lit("> "),
+                    tile(i),
+                ),
+            ),
+            " ",
+        ).alias("target_text"),
+    ).orderBy("doc_id")
+
+
+QUERIES.update({"tx_span_corruption": tx_span_corruption})
