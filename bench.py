@@ -141,6 +141,7 @@ HEADLINE = [
     "dm_dsir_select",
     "tx_pmi_pairs",
     "tx_span_corruption",
+    "tx_stupid_backoff",
 ]
 
 

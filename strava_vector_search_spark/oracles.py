@@ -4214,3 +4214,45 @@ SELECT doc_id,
      FOR i IN range(0, len(tl)) IF mask[i + 1]], ' '), '') AS target_text
 FROM m ORDER BY doc_id
 """
+
+# -- Stupid Backoff trigram LM -----------------------------------------------
+
+ORACLES["tx_stupid_backoff"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(ts) + 1)) AS p, unnest(ts) AS t FROM tok
+),
+uni AS (SELECT t, COUNT(*) AS cnt FROM pos GROUP BY t),
+tot AS (SELECT SUM(cnt)::DOUBLE AS n FROM uni),
+bi AS (
+  SELECT a.t AS a, b.t AS b, COUNT(*) AS cab
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  GROUP BY 1, 2
+),
+tri AS (
+  SELECT a.doc_id, a.t AS w1, b.t AS w2, c.t AS w3
+  FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+),
+c123 AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri GROUP BY 1, 2, 3),
+terms AS (
+  SELECT t.doc_id,
+         ln(CASE WHEN k.c123 IS NOT NULL AND b12.cab > 0
+                 THEN k.c123::DOUBLE / b12.cab
+                 ELSE 0.4 * (CASE WHEN b23.cab IS NOT NULL AND u2.cnt > 0
+                                  THEN b23.cab::DOUBLE / u2.cnt
+                                  ELSE 0.4 * u3.cnt / (SELECT n FROM tot)
+                             END)
+            END) AS ls
+  FROM tri t
+  LEFT JOIN c123 k ON k.w1 = t.w1 AND k.w2 = t.w2 AND k.w3 = t.w3
+  LEFT JOIN bi b12 ON b12.a = t.w1 AND b12.b = t.w2
+  LEFT JOIN bi b23 ON b23.a = t.w2 AND b23.b = t.w3
+  LEFT JOIN uni u2 ON u2.t = t.w2
+  LEFT JOIN uni u3 ON u3.t = t.w3
+)
+SELECT doc_id, COUNT(*) AS n_trigrams, 0 AS n_oov,
+       ROUND(SUM(ls::DECIMAL(28,12))::DOUBLE / COUNT(*), 6) AS avg_log_score
+FROM terms GROUP BY doc_id ORDER BY doc_id
+"""

@@ -6134,3 +6134,21 @@ def tx_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_span_corruption": tx_span_corruption})
+
+
+def tx_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram Stupid Backoff LM scoring (Brants et al. 2007 - the
+    distributed-LM recipe that skips normalized smoothing precisely so it
+    scales): S(w3|w1w2) = c123/c12, backing off to 0.4*c23/c2, then to
+    0.4^2*c3/N (operators/lm.py). Three map-side-combined count
+    aggregates; map-only trigram extraction; AQE-broadcast joins;
+    DECIMAL-routed mean. Trained and scored on the corpus itself here
+    (n_oov = 0 by construction); the backoff chain on held-out text is
+    pinned by test_lm."""
+    from strava_vector_search_spark.operators.lm import stupid_backoff_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stupid_backoff_scores(docs, docs)
+
+
+QUERIES.update({"tx_stupid_backoff": tx_stupid_backoff})
