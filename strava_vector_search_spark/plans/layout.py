@@ -189,3 +189,32 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_sorted_compressed(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    codec: str = "zstd",
+) -> None:
+    """Write parquet with the two storage levers that matter at 100 TB:
+
+    * **Sort before write** (``sortWithinPartitions`` — no extra shuffle):
+      clustering rows by the sort key makes dictionary/RLE encodings and
+      the column codec dramatically more effective (like values become
+      adjacent), and gives every row group tight min/max stats on the
+      sort columns, so later range predicates prune at the reader.
+    * **Codec choice**: ``zstd`` trades a little CPU for a materially
+      smaller footprint than the snappy default — at petabyte scale the
+      scan is usually I/O-bound, so smaller is also faster.
+
+    The size effect is MEASURED, not asserted by folklore: see the
+    `parquet sorted+zstd vs unsorted snappy` row in SCALE.md and
+    test_layout's ratio assertion.
+    """
+    (
+        df.sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .option("compression", codec)
+        .parquet(path)
+    )

@@ -215,3 +215,29 @@ def test_aqe_skew_join_runtime_split(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_sorted_zstd_write_shrinks_footprint(spark, sf_dir, tmp_path):
+    """write_sorted_compressed: sorting low-cardinality/correlated columns
+    together before writing must shrink the parquet footprint measurably
+    vs an unsorted snappy write of the same rows (RLE/dict + zstd)."""
+    import pathlib
+
+    from strava_vector_search_spark.io.tables import load_events
+    from strava_vector_search_spark.plans.layout import write_sorted_compressed
+
+    ev = load_events(spark, sf_dir)
+    # shuffle rows so the baseline write has no accidental clustering
+    scrambled = ev.orderBy(F.md5(F.col("event_id").cast("string"))).repartition(4)
+    base = str(tmp_path / "base")
+    opt = str(tmp_path / "opt")
+    scrambled.write.mode("overwrite").option("compression", "snappy").parquet(base)
+    write_sorted_compressed(scrambled, opt, ["event_type", "user_id"])
+
+    def size(p):
+        return sum(f.stat().st_size for f in pathlib.Path(p).rglob("*.parquet"))
+
+    ratio = size(opt) / size(base)
+    assert ratio < 0.9, f"expected >=10% shrink, got ratio {ratio:.3f}"
+    # and the data is identical
+    assert spark.read.parquet(opt).count() == ev.count()
