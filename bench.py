@@ -142,6 +142,7 @@ HEADLINE = [
     "tx_pmi_pairs",
     "tx_span_corruption",
     "tx_stupid_backoff",
+    "dq_luhn_audit",
 ]
 
 

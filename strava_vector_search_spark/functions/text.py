@@ -399,3 +399,39 @@ def hashed_weight_table(buckets: int = 1024) -> list[float]:
         h = int(hashlib.md5(f"w{j}".encode()).hexdigest()[:15], 16)
         out.append((h % 2001 - 1000) / 1000.0)
     return out
+
+
+PAN_RUN = r"[0-9]{13,19}"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum over a digit-string column — TRUE iff the number is a
+    structurally valid payment-card number. Pure expression fold (reverse,
+    double every second digit, subtract 9 above 9, sum % 10 == 0): runs at
+    scan speed, identical math in the DuckDB oracle."""
+    ds = F.split(F.reverse(digits), "")
+    ds = F.filter(ds, lambda c: c != "")
+    term = lambda c, i: F.when(  # noqa: E731
+        i % 2 == 1,
+        F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(
+            c.cast("int") * 2
+        ),
+    ).otherwise(c.cast("int"))
+    total = F.aggregate(
+        F.zip_with(ds, F.sequence(F.lit(0), F.size(ds) - 1), term),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return total % 10 == 0
+
+
+def pan_candidates(text: Column) -> Column:
+    """All 13-19-digit runs in the text (array<string>) — the candidate
+    set Luhn then filters; separators are intentionally NOT matched so
+    the rule stays RE2-portable and oracle-identical."""
+    return F.regexp_extract_all(text, F.lit(PAN_RUN), F.lit(0))
+
+
+def luhn_pan_count(text: Column) -> Column:
+    """Count of Luhn-valid card-shaped numbers in the text."""
+    return F.size(F.filter(pan_candidates(text), luhn_valid))

@@ -4256,3 +4256,28 @@ SELECT doc_id, COUNT(*) AS n_trigrams, 0 AS n_oov,
        ROUND(SUM(ls::DECIMAL(28,12))::DOUBLE / COUNT(*), 6) AS avg_log_score
 FROM terms GROUP BY doc_id ORDER BY doc_id
 """
+
+# -- Luhn checksum audit -----------------------------------------------------
+
+ORACLES["dq_luhn_audit"] = """
+WITH pans AS (
+  SELECT o_orderpriority,
+         lpad((o_custkey::BIGINT * 100000000 + o_orderkey)::VARCHAR, 16, '0')
+           AS s
+  FROM orders
+),
+checked AS (
+  SELECT o_orderpriority,
+         list_sum([CASE WHEN (i - 1) % 2 = 1
+                        THEN CASE WHEN substr(reverse(s), i, 1)::INT * 2 > 9
+                                  THEN substr(reverse(s), i, 1)::INT * 2 - 9
+                                  ELSE substr(reverse(s), i, 1)::INT * 2 END
+                        ELSE substr(reverse(s), i, 1)::INT END
+                   FOR i IN range(1, length(s) + 1)]) % 10 = 0 AS ok
+  FROM pans
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+       SUM(ok::BIGINT) AS n_luhn_valid,
+       ROUND(SUM(ok::INT) / COUNT(*), 6) AS valid_rate
+FROM checked GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -6190,3 +6190,37 @@ def tx_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_stupid_backoff": tx_stupid_backoff})
+
+
+def dq_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-checksum audit (the payment-card detector of the PII family,
+    functions/text.luhn_valid): order keys are zero-padded into 16-digit
+    card-shaped strings - a deterministic digit corpus - and the checksum
+    pass rate (~1 in 10 by construction) is reported per order priority.
+    Pure expression fold, scan-speed; the free-text scan path
+    (pan_candidates + luhn_pan_count) is pinned by test_text on crafted
+    PANs."""
+    from strava_vector_search_spark.functions.text import luhn_valid
+
+    orders = load_table(spark, sf_dir, "orders")
+    pan = F.lpad(
+        (F.col("o_custkey").cast("bigint") * 100000000 + F.col("o_orderkey"))
+        .cast("string"),
+        16,
+        "0",
+    )
+    return (
+        orders.select("o_orderpriority", luhn_valid(pan).alias("ok"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("ok").cast("bigint")).alias("n_luhn_valid"),
+            F.round(
+                F.sum(F.col("ok").cast("int")) / F.count(F.lit(1)), 6
+            ).alias("valid_rate"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES.update({"dq_luhn_audit": dq_luhn_audit})

@@ -265,3 +265,43 @@ def test_pmi_pair_window_extraction(spark):
     assert out[("a", "b")] == 15  # 3 per doc x 5
     assert out[("a", "c")] == 10
     assert out[("b", "c")] == 10
+
+
+def test_luhn_pan_detection(spark):
+    """luhn_valid / pan_candidates / luhn_pan_count on crafted text:
+    4532015112830366 is Luhn-valid, 4532015112830367 is not; 12-digit
+    runs are not card-shaped candidates."""
+    from strava_vector_search_spark.functions.text import (
+        luhn_pan_count,
+        luhn_valid,
+        pan_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4532015112830366 now"),             # valid PAN
+            (2, "fake 4532015112830367 num"),            # bad checksum
+            (3, "both 4532015112830366 and 5500005555555559 here"),
+            (4, "short 123456789012 run"),               # 12 digits: no candidate
+            (5, "no digits at all"),
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: (r["cands"], r["valid"])
+        for r in df.select(
+            "id",
+            F.size(pan_candidates(F.col("text"))).alias("cands"),
+            luhn_pan_count(F.col("text")).alias("valid"),
+        ).collect()
+    }
+    assert rows[1] == (1, 1)
+    assert rows[2] == (1, 0)
+    assert rows[3] == (2, 2)
+    assert rows[4] == (0, 0)
+    assert rows[5] == (0, 0)
+    # scalar check: classic test number 4111111111111111
+    one = spark.createDataFrame([("4111111111111111",)], "s string").select(
+        luhn_valid(F.col("s")).alias("ok")
+    ).head()
+    assert one["ok"] is True
