@@ -57,6 +57,49 @@ def _mg_merge(counts: dict, batch: pd.Series, capacity: int) -> dict:
     return counts
 
 
+def mg_summaries(items: DataFrame, item_col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries as (item, cnt) rows — the
+    MERGEABLE form (Agarwal et al.): summaries from different partitions,
+    batches, or days combine by summing counts and re-applying the
+    capacity cut, and the union remains a candidate superset.  ≤
+    partitions × capacity rows leave each partition; counts are deficient
+    (lower bounds), never used as final answers.
+    """
+    src = items.select(F.col(item_col).cast("string").alias(item_col)).filter(
+        F.col(item_col).isNotNull()
+    )
+
+    def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for pdf in it:
+            counts = _mg_merge(counts, pdf[item_col].value_counts(), capacity)
+        yield pd.DataFrame(
+            {item_col: list(counts.keys()), "cnt": list(counts.values())}
+        )
+
+    return src.mapInPandas(summarize, f"{item_col} string, cnt long")
+
+
+def merge_mg_summaries(
+    summaries: DataFrame, item_col: str, capacity: int
+) -> DataFrame:
+    """Combine any set of MG summary rows into one capacity-bounded
+    summary: sum per item, subtract the (capacity+1)-th largest total,
+    keep the positive rows.  Input is sketch-sized (≤ sources × capacity
+    rows), so the one driver action here (reading the cut value) is on
+    bounded data by construction."""
+    tot = summaries.groupBy(item_col).agg(F.sum("cnt").alias("cnt"))
+    tail = (
+        tot.orderBy(F.desc("cnt"), F.asc(item_col))
+        .limit(capacity + 1)
+        .collect()
+    )
+    cut = tail[capacity]["cnt"] if len(tail) > capacity else 0
+    return tot.select(
+        item_col, (F.col("cnt") - cut).alias("cnt")
+    ).filter(F.col("cnt") > 0)
+
+
 def heavy_hitter_candidates(
     items: DataFrame, item_col: str, capacity: int
 ) -> DataFrame:
@@ -67,17 +110,7 @@ def heavy_hitter_candidates(
     N/(capacity+1).  Arrow-batched; the Python work per batch is one
     ``value_counts`` plus dict arithmetic on ≤ batch-distinct keys.
     """
-    src = items.select(F.col(item_col).cast("string").alias(item_col)).filter(
-        F.col(item_col).isNotNull()
-    )
-
-    def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts: dict = {}
-        for pdf in it:
-            counts = _mg_merge(counts, pdf[item_col].value_counts(), capacity)
-        yield pd.DataFrame({item_col: list(counts.keys())})
-
-    return src.mapInPandas(summarize, f"{item_col} string").distinct()
+    return mg_summaries(items, item_col, capacity).select(item_col).distinct()
 
 
 def heavy_hitters_exact(
