@@ -143,6 +143,7 @@ HEADLINE = [
     "tx_span_corruption",
     "tx_stupid_backoff",
     "dq_luhn_audit",
+    "smp_hard_negatives",
 ]
 
 

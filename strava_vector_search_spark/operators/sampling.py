@@ -295,3 +295,77 @@ def weighted_sample_topk(
         .orderBy(F.desc("ws_key"), kc.asc())
         .limit(k)
     )
+
+
+def hard_negative_pairs(
+    emb: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    per_anchor: int = 3,
+    dup_ceiling: float = 0.95,
+    bits: int = 64,
+    bands: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the hardest non-duplicate negatives — highest-cosine candidates drawn
+    from the anchor's SRP-LSH buckets (semantically close by construction,
+    unlike the uniform hash draws of ``negative_pairs``), with near-dups
+    excluded above ``dup_ceiling`` so positives never leak into the
+    negative set.
+
+    Scale shape: candidate generation is the SRP band join (map-only
+    signatures, one band-key shuffle restricted to the anchor rows);
+    exact scoring touches only the candidates; per-anchor selection is a
+    rank window over candidate rows. Never all-pairs. Assumes normalized
+    embeddings (dot == cosine, the engine-wide convention).
+    """
+    from pyspark.sql import Window
+
+    from strava_vector_search_spark.operators.ann import srp_band_rows_blas
+
+    # BLAS signature kernel (bit-identical to the expression form, pinned
+    # in test_ann) and a lineage cut so the corpus signature stage runs
+    # once, not once per downstream join side
+    rows_all = srp_band_rows_blas(
+        emb, id_col, vector_col, bits, bands, dim
+    ).localCheckpoint(eager=False)
+    rows_anchor = srp_band_rows_blas(anchors, id_col, vector_col, bits, bands, dim)
+    cand = (
+        rows_anchor.select(
+            F.col("_id").alias("anchor_id"), "band", "key"
+        )
+        .join(rows_all.select(F.col("_id").alias("neg_id"), "band", "key"),
+              ["band", "key"])
+        .filter(F.col("anchor_id") != F.col("neg_id"))
+        .select("anchor_id", "neg_id")
+        .distinct()
+    )
+    va = emb.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vector_col).cast("array<double>").alias("_va"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vector_col).cast("array<double>").alias("_vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(va, "anchor_id")
+        .join(vb, "neg_id")
+        .select("anchor_id", "neg_id", F.round(dot, 6).alias("cosine"))
+        .filter(F.col("cosine") < dup_ceiling)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_anchor)
+        .select("anchor_id", "neg_id", "cosine", "rn")
+    )

@@ -4281,3 +4281,45 @@ SELECT o_orderpriority, COUNT(*) AS n,
        ROUND(SUM(ok::INT) / COUNT(*), 6) AS valid_rate
 FROM checked GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+# -- hard-negative mining (SRP buckets + exact scoring) ----------------------
+
+
+def _hard_neg_oracle(
+    bits: int = 64, bands: int = 16, dim: int = 64,
+    per_anchor: int = 3, ceiling: float = 0.95,
+) -> str:
+    keys = _srp_key_exprs(bits, bands, dim)
+    collide = " OR ".join(f"a.k{k} = s.k{k}" for k in range(bands))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+qt AS (SELECT vec_id, v, [ROUND(x * 127, 0)::BIGINT FOR x IN v] AS qv FROM e),
+sig AS (
+  SELECT vec_id,
+         {keys}
+  FROM qt
+),
+anch AS (SELECT * FROM sig WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, s.vec_id AS neg_id
+  FROM anch a JOIN sig s ON a.vec_id <> s.vec_id AND ({collide})
+),
+scored AS (
+  SELECT c.anchor_id, c.neg_id,
+         ROUND(list_dot_product(ea.v, eb.v), 6) AS cosine
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.anchor_id
+  JOIN e eb ON eb.vec_id = c.neg_id
+  WHERE ROUND(list_dot_product(ea.v, eb.v), 6) < {ceiling}
+)
+SELECT anchor_id, neg_id, cosine, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY anchor_id ORDER BY cosine DESC, neg_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {per_anchor}
+ORDER BY anchor_id, rn
+"""
+
+
+ORACLES["smp_hard_negatives"] = _hard_neg_oracle()

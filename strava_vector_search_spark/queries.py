@@ -6224,3 +6224,27 @@ def dq_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dq_luhn_audit": dq_luhn_audit})
+
+
+def smp_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: anchors (vec_id % 100 == 0) get
+    their 3 hardest non-duplicate negatives from their own SRP-LSH
+    buckets - semantically close by construction - with near-dups
+    (cosine >= 0.95) excluded so positives never leak into negatives.
+    Map-only signatures + anchor-restricted band join + exact scoring of
+    candidates only + per-anchor rank window. Exact DuckDB oracle via the
+    shared SRP band-key SQL fragment."""
+    from strava_vector_search_spark.operators.sampling import (
+        hard_negative_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    return hard_negative_pairs(emb, anchors, per_anchor=3).orderBy(
+        "anchor_id", "rn"
+    )
+
+
+QUERIES.update({"smp_hard_negatives": smp_hard_negatives})

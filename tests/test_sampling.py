@@ -304,3 +304,35 @@ def test_leakage_safe_split_keeps_components_together(spark, sf_dir):
     # and the split is roughly 80/20 over components (hash uniformity)
     frac = out.filter(F.col("split") == "train").count() / out.count()
     assert 0.6 < frac < 0.95
+
+
+def test_hard_negatives_exclude_dups_and_rank_hardest(spark):
+    """hard_negative_pairs: same-bucket candidates, near-dup ceiling, and
+    hardest-first ranking pinned on a constructed embedding set."""
+    import math
+
+    from strava_vector_search_spark.operators.sampling import (
+        hard_negative_pairs,
+    )
+
+    def unit(theta):
+        v = [math.cos(theta), math.sin(theta)] + [0.0] * 62
+        return v
+
+    # anchor at angle 0; near-dup at ~2deg (cos>0.999); hard negatives at
+    # 25deg/35deg; easy negative at 120deg (likely different buckets, and
+    # if bucketed together still ranks last)
+    rows = [
+        (0, unit(0.0)),
+        (1, unit(math.radians(2))),
+        (2, unit(math.radians(25))),
+        (3, unit(math.radians(35))),
+        (4, unit(math.radians(120))),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    anchors = emb.filter(F.col("vec_id") == 0)
+    out = hard_negative_pairs(emb, anchors, per_anchor=2, dup_ceiling=0.95)
+    got = [(r["neg_id"], r["rn"]) for r in out.orderBy("rn").collect()]
+    # near-dup 1 excluded by the ceiling; 2 then 3 are the hardest
+    assert got == [(2, 1), (3, 2)]
+    assert all(r["cosine"] < 0.95 for r in out.collect())
