@@ -97,3 +97,40 @@ def test_mg_merge_capacity_bound_and_decrement():
     # table within capacity: merge is plain addition, no decrement
     counts = _mg_merge(counts, pd.Series({"a": 1}), 2)
     assert counts == {"a": 10, "b": 5}
+
+
+# -- property test: the pure-Python MG merge kernel ---------------------------
+# (driver-side hypothesis over _mg_merge — no Spark in the loop, so the
+# property can run hundreds of random streams cheaply; the distributed
+# plumbing over the same kernel is pinned by the tests above)
+
+from collections import Counter
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    capacity=st.integers(min_value=2, max_value=12),
+    batch=st.integers(min_value=1, max_value=50),
+)
+def test_mg_merge_superset_and_deficiency_properties(stream, capacity, batch):
+    counts: dict = {}
+    for i in range(0, len(stream), batch):
+        chunk = pd.Series(Counter(stream[i : i + batch]))
+        counts = _mg_merge(counts, chunk, capacity)
+    true = Counter(stream)
+    n = len(stream)
+    # capacity bound always holds
+    assert len(counts) <= capacity
+    for item, c in counts.items():
+        # counts are deficient: never overcount, total decrement bounded
+        assert c <= true[item]
+        assert true[item] - c <= n // (capacity + 1)
+    # the core guarantee: anything above n/(capacity+1) survives
+    for item, tc in true.items():
+        if tc > n / (capacity + 1):
+            assert item in counts
