@@ -377,6 +377,31 @@ EXPECTATIONS: dict[str, dict] = {
         "broadcast_join": "BroadcastHashJoin",
         "partial_agg": "partial_count",
     },
+    "dm_dsir_select": {
+        # after the two bounded distribution aggregates bake into the
+        # literal ratio table, scoring + selection is one scan: no join,
+        # and the top-k never globally sorts
+        "no_join": "!Join",
+        "top_k_no_sort": "TakeOrderedAndProject",
+    },
+    "tx_stupid_backoff": {
+        # count tables come back via broadcast joins; the per-doc mean is
+        # map-side combined
+        "broadcast_join": "BroadcastHashJoin",
+        "partial_agg": "partial_",
+    },
+    "smp_hard_negatives": {
+        # BLAS signature kernel + per-anchor rank pruned as a window
+        # group limit (no full sort of candidate scores)
+        "python_kernel": "MapInPandas",
+        "window_limit": "WindowGroupLimit",
+    },
+    "tx_pmi_pairs": {
+        # map-only pair extraction (no positional self-join), partial-agg
+        # counts, top-40 via TakeOrderedAndProject
+        "partial_agg": "partial_count",
+        "top_k_no_sort": "TakeOrderedAndProject",
+    },
 }
 
 
