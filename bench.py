@@ -144,6 +144,7 @@ HEADLINE = [
     "tx_stupid_backoff",
     "dq_luhn_audit",
     "smp_hard_negatives",
+    "smp_rerank_triples",
 ]
 
 

@@ -4323,3 +4323,52 @@ ORDER BY anchor_id, rn
 
 
 ORACLES["smp_hard_negatives"] = _hard_neg_oracle()
+
+# -- reranker training triples -----------------------------------------------
+
+ORACLES["smp_rerank_triples"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+anch AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+exact AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+         ROUND(list_dot_product(a.v, c.v), 6) AS cosine
+  FROM anch a JOIN e c ON a.vec_id <> c.vec_id
+),
+pos AS (
+  SELECT anchor_id, cand_id, cosine, rn, 1 AS label FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY anchor_id ORDER BY cosine DESC, cand_id ASC) AS rn
+    FROM exact
+  ) WHERE rn <= 3
+),
+qt AS (SELECT vec_id, v, [ROUND(x * 127, 0)::BIGINT FOR x IN v] AS qv FROM e),
+sig AS (
+  SELECT vec_id,
+         {_srp_key_exprs(64, 16, 64)}
+  FROM qt
+),
+asig AS (SELECT * FROM sig WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, s.vec_id AS cand_id
+  FROM asig a JOIN sig s ON a.vec_id <> s.vec_id
+    AND ({" OR ".join(f"a.k{k} = s.k{k}" for k in range(16))})
+),
+negscored AS (
+  SELECT c.anchor_id, c.cand_id,
+         ROUND(list_dot_product(ea.v, eb.v), 6) AS cosine
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.anchor_id
+  JOIN e eb ON eb.vec_id = c.cand_id
+  WHERE ROUND(list_dot_product(ea.v, eb.v), 6) < 0.95
+),
+neg AS (
+  SELECT anchor_id, cand_id, cosine, rn, 0 AS label FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY anchor_id ORDER BY cosine DESC, cand_id ASC) AS rn
+    FROM negscored
+  ) WHERE rn <= 3
+)
+SELECT * FROM pos UNION ALL SELECT * FROM neg
+ORDER BY anchor_id, label DESC, rn
+"""

@@ -6248,3 +6248,69 @@ def smp_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"smp_hard_negatives": smp_hard_negatives})
+
+
+def smp_rerank_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reranker training-triple assembly - the end product the retrieval
+    + mining operators exist for: for each anchor query (vec_id % 100 ==
+    0), label-1 rows are its exact top-3 nearest neighbors (brute-force
+    cosine, the quality ceiling) and label-0 rows its 3 hardest LSH-bucket
+    negatives below the near-dup ceiling; rank is kept per side so a
+    pairwise/listwise trainer can weight by position. One corpus scan per
+    side at heart: exact side is a per-anchor WindowGroupLimit over the
+    broadcast anchor set, negative side reuses smp_hard_negatives'
+    kernel."""
+    from pyspark.sql import Window
+
+    from strava_vector_search_spark.operators.sampling import (
+        hard_negative_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    va = anchors.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").cast("array<double>").alias("_va"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("_vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        va.join(vb, F.col("anchor_id") != F.col("cand_id"))
+        .select("anchor_id", "cand_id", F.round(dot, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    pos = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "anchor_id",
+            F.col("cand_id"),
+            "cosine",
+            "rn",
+            F.lit(1).alias("label"),
+        )
+    )
+    neg = hard_negative_pairs(emb, anchors, per_anchor=3).select(
+        "anchor_id",
+        F.col("neg_id").alias("cand_id"),
+        "cosine",
+        "rn",
+        F.lit(0).alias("label"),
+    )
+    return pos.unionByName(neg).orderBy(
+        "anchor_id", F.desc("label"), "rn"
+    )
+
+
+QUERIES.update({"smp_rerank_triples": smp_rerank_triples})
