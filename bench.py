@@ -145,6 +145,8 @@ HEADLINE = [
     "dq_luhn_audit",
     "smp_hard_negatives",
     "smp_rerank_triples",
+    "g_pagerank",
+    "ml_linear_probe",
 ]
 
 

@@ -1,0 +1,116 @@
+"""Iterative graph analytics: fixed-point PageRank over a derived edge set.
+
+The reference has no graph surface; a training-data pipeline meets graphs
+constantly (hyperlink authority for crawl prioritization a la PageRank,
+influence/centrality over interaction graphs, dedup components — the latter
+already lives in :mod:`operators.dedup`). This module adds the canonical
+iterative-join workload, designed for Spark's execution model:
+
+* **Per iteration: one equi-join + one partial-combined aggregate.** Ranks
+  join edges on ``src`` (both sides shuffle-hash on the key; at 100 TB the
+  edge table can be bucketed on ``src`` so the join side of every iteration
+  is co-located and only the inflow aggregate shuffles), then inflow sums
+  per ``dst`` with map-side combine — 8-byte keys and longs on the wire,
+  never payloads.
+* **Lineage truncation.** Each iteration's rank table is
+  ``localCheckpoint``-ed; without it the plan doubles per iteration and the
+  optimizer re-derives the whole chain (the classic iterative-Spark trap).
+* **Fixed-point integer arithmetic = bit-reproducible.** Ranks are scaled
+  BIGINTs (1.0 == ``scale``); contributions use integer division and the
+  damping factor is an integer percent. Every operation is exact and
+  order-insensitive, so the result is identical under retries, AQE
+  re-planning, any partitioning, and across engines (the DuckDB oracle
+  replays it bit-for-bit) — floating-point PageRank cannot promise any of
+  that because double summation order changes the low bits. The floor
+  losses are bounded by ``out_degree / scale`` per node per iteration
+  (~1e-6 relative at the default scale), far below any ranking-relevant
+  difference.
+
+Dangling nodes (no out-edges) leak their damped mass, the common
+simplification (their redistribution term is a global constant that does
+not change relative order). Reference scope: none — engine completion
+beyond `aryeung0/strava_vector_search` (see SURVEY §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING_PCT = 85  # 0.85 as an integer percent
+SCALE = 1_000_000  # rank fixed-point scale: 1.0 == 1e6
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = DAMPING_PCT,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Damped PageRank over a directed edge list, exact fixed-point form.
+
+    Returns ``(node, rank_fp)`` where ``rank_fp`` is the scaled-integer
+    rank after ``iterations`` rounds of
+
+        rank' = (100 - d)·scale/100  +  d · Σ_in (rank_src div deg_src) / 100
+
+    with every division an integer floor — see module docstring for why.
+    Multi-edges count toward both degree and inflow (weight = multiplicity).
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # edges and degrees are reused every iteration: materialize once
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    deg = deg.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("bigint"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["_src"] == ranks["node"], "inner")
+            .join(deg, "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank_fp div _deg").alias("_c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("_c").alias("_inflow"))
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_inflow, 0L)) div 100"
+                    )
+                )
+                .cast("bigint")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def top_ranked(ranks: DataFrame, k: int = 20, scale: int = SCALE) -> DataFrame:
+    """Top-k nodes by rank, ties broken by node id; rank as a 6-dp double
+    (exact: the fixed-point value divided by the scale)."""
+    return (
+        ranks.select(
+            "node",
+            F.round(F.col("rank_fp").cast("double") / F.lit(float(scale)), 6).alias(
+                "rank"
+            ),
+        )
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(k)
+    )

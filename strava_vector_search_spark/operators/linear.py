@@ -1,0 +1,146 @@
+"""Distributed linear-model training via exact normal equations.
+
+A quality-classifier training loop is part of any serious curation
+pipeline (`functions/text.tx_hash_classifier` SERVES a hashed linear model
+at scan speed; this module TRAINS one). For linear least squares the
+scalable recipe at 100 TB is not SGD — it is the **normal equations**: the
+entire dataset folds into a tiny Gram matrix of feature moments
+(``X'X`` and ``X'y``) with ONE map-side-combined aggregate, and the solve
+is O(p³) driver-side math on a handful of numbers. No iterations, no
+second pass over the data for the fit, no parameter server.
+
+Determinism contract (matches the repo-wide oracle conventions,
+``queries.py`` module docstring): the moment sums accumulate in DECIMAL
+(exact, order-insensitive — double partial sums would differ between
+Spark's partial-aggregation order and DuckDB's single-node order), are
+cast to double once, and the 3x3 Cramer solve is written as the *same
+expression text* in both engines so each performs the identical IEEE
+evaluation. Coefficients are rounded to 6 dp BEFORE the scoring pass, so
+the train-accuracy comparison is against bit-identical predictions.
+
+Least-squares probes over embeddings ("linear probing") are the standard
+cheap read-out of representation quality; the one-vs-rest 0/1 target makes
+this the LS analogue of the fastText-style classifier the serving path
+uses. Reference scope: none — engine completion (SURVEY §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Cramer's rule for A·b = v, A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],
+# v = [sy,s1y,s2y]. The same text is compiled by Spark AND DuckDB (the
+# oracle embeds it verbatim) so the IEEE evaluation trees are identical.
+DET_EXPRS = {
+    "det": (
+        "n_d * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s12 - s11 * s2)"
+    ),
+    "det0": (
+        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s2y * s12)"
+        " + s2 * (s1y * s12 - s2y * s11)"
+    ),
+    "det1": (
+        "n_d * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s2y - s1y * s2)"
+    ),
+    "det2": (
+        "n_d * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+        " + sy * (s1 * s12 - s11 * s2)"
+    ),
+}
+
+
+def feature_frame(
+    df: DataFrame, x1: Column, x2: Column, y: Column
+) -> DataFrame:
+    """Project to 6-dp-rounded doubles (the cross-engine float contract:
+    rounding first leaves ~10 guard digits, so the later double→decimal
+    cast agrees between engines)."""
+    return df.select(
+        F.round(x1.cast("double"), 6).alias("x1"),
+        F.round(x2.cast("double"), 6).alias("x2"),
+        y.cast("double").alias("y"),
+    )
+
+
+def moment_sums(feats: DataFrame) -> DataFrame:
+    """One map-side-combined aggregate → the full Gram matrix (exact
+    DECIMAL accumulation, order-insensitive)."""
+
+    def dsum(expr: Column, name: str) -> Column:
+        return (
+            F.sum(expr.cast("decimal(38,12)")).cast("double").alias(name)
+        )
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    return feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x1, "s1"),
+        dsum(x2, "s2"),
+        dsum(y, "sy"),
+        dsum(x1 * x1, "s11"),
+        dsum(x1 * x2, "s12"),
+        dsum(x2 * x2, "s22"),
+        dsum(x1 * y, "s1y"),
+        dsum(x2 * y, "s2y"),
+    )
+
+
+def solve_coefficients(moments: DataFrame) -> DataFrame:
+    """Cramer solve of the 3-unknown normal equations; coefficients
+    rounded to 6 dp (they are inputs to the scoring pass — rounding first
+    pins cross-engine prediction parity)."""
+    m = moments.withColumn("n_d", F.col("n").cast("double"))
+    for name, text in DET_EXPRS.items():
+        m = m.withColumn(name, F.expr(text))
+    return m.select(
+        "n",
+        "sy",
+        F.round(F.expr("det0 / det"), 6).alias("b0"),
+        F.round(F.expr("det1 / det"), 6).alias("b1"),
+        F.round(F.expr("det2 / det"), 6).alias("b2"),
+    )
+
+
+def fit_and_score(feats: DataFrame) -> DataFrame:
+    """Train (one aggregate) then score the training set (one more scan
+    with the 1-row coefficient table broadcast): train accuracy at the 0.5
+    threshold, SSE → R². Returns ONE row:
+    (n_train, b0, b1, b2, train_acc, r2)."""
+    coef = solve_coefficients(moment_sums(feats))
+    scored = feats.crossJoin(F.broadcast(coef)).withColumn(
+        "pred", F.expr("b0 + b1 * x1 + b2 * x2")
+    )
+    # y is 0/1 so SST folds to sy - sy^2/n without a second moment
+    return (
+        scored.groupBy("n", "sy", "b0", "b1", "b2")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("pred") >= 0.5) == (F.col("y") >= 0.5), 1
+                ).otherwise(0)
+            ).alias("n_correct"),
+            F.sum(
+                F.expr("cast(round((y - pred) * (y - pred), 10) as decimal(38,12))")
+            )
+            .cast("double")
+            .alias("sse"),
+        )
+        .select(
+            F.col("n").alias("n_train"),
+            "b0",
+            "b1",
+            "b2",
+            F.round(F.col("n_correct").cast("double") / F.col("n"), 6).alias(
+                "train_acc"
+            ),
+            F.round(
+                F.lit(1.0)
+                - F.col("sse")
+                / F.expr("sy - sy * sy / cast(n as double)"),
+                6,
+            ).alias("r2"),
+        )
+    )

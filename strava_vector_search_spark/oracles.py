@@ -4372,3 +4372,120 @@ neg AS (
 SELECT * FROM pos UNION ALL SELECT * FROM neg
 ORDER BY anchor_id, label DESC, rn
 """
+
+
+# -- fixed-point PageRank ----------------------------------------------------
+# Unrolled 5-iteration replay of operators/graph.pagerank_fixedpoint: all
+# arithmetic is integer (scaled ranks, integer division), so the replay is
+# bit-exact regardless of join/aggregation order in either engine.
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)""",
+        """edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+)""",
+        """nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst AS node FROM edges
+)""",
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""i{i} AS (
+  SELECT e.dst AS node, SUM(r.r // d.d) AS inflow
+  FROM edges e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN i{i} i ON i.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, ROUND(CAST(r AS DOUBLE) / 1000000.0, 6) AS rank
+FROM r{iterations}
+ORDER BY rank DESC, node ASC
+LIMIT 20
+"""
+    )
+
+
+ORACLES["g_pagerank"] = _pagerank_oracle()
+
+
+# -- closed-form linear probe ------------------------------------------------
+# Mirrors operators/linear.py: exact DECIMAL moment sums, then the SAME
+# Cramer expression text (imported, not re-typed) so both engines perform
+# the identical IEEE double evaluation.
+
+from strava_vector_search_spark.operators.linear import DET_EXPRS as _DET
+
+ORACLES["ml_linear_probe"] = f"""
+WITH feats AS (
+  SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x1,
+         ROUND(CAST(embedding[2] AS DOUBLE), 6) AS x2,
+         CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(y  AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(38,12))) AS DOUBLE) AS s2y
+  FROM feats
+),
+md AS (SELECT *, CAST(n AS DOUBLE) AS n_d FROM m),
+dets AS (
+  SELECT n, sy,
+         {_DET["det"]} AS det,
+         {_DET["det0"]} AS det0,
+         {_DET["det1"]} AS det1,
+         {_DET["det2"]} AS det2
+  FROM md
+),
+c AS (
+  SELECT n, sy,
+         ROUND(det0 / det, 6) AS b0,
+         ROUND(det1 / det, 6) AS b1,
+         ROUND(det2 / det, 6) AS b2
+  FROM dets
+),
+scored AS (
+  SELECT f.x1, f.x2, f.y, c.n, c.sy, c.b0, c.b1, c.b2,
+         b0 + b1 * x1 + b2 * x2 AS pred
+  FROM feats f CROSS JOIN c
+)
+SELECT n AS n_train, b0, b1, b2,
+       ROUND(CAST(SUM(CASE WHEN (pred >= 0.5) = (y >= 0.5)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / n, 6)
+         AS train_acc,
+       ROUND(1.0 - CAST(SUM(CAST(ROUND((y - pred) * (y - pred), 10)
+                                 AS DECIMAL(38,12))) AS DOUBLE)
+                   / (sy - sy * sy / CAST(n AS DOUBLE)), 6) AS r2
+FROM scored
+GROUP BY n, sy, b0, b1, b2
+"""

@@ -6314,3 +6314,61 @@ def smp_rerank_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"smp_rerank_triples": smp_rerank_triples})
+
+
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the customer<->supplier trade graph
+    (distinct trading pairs from orders |><| lineitem, both directions so
+    no node dangles). 5 damped iterations of exact integer arithmetic --
+    bit-reproducible under any partitioning/retry order and replayed
+    bit-for-bit by the unrolled-CTE DuckDB oracle; see operators/graph.py
+    for why floating-point PageRank cannot promise that. Top-20 nodes."""
+    from strava_vector_search_spark.operators.graph import (
+        pagerank_fixedpoint,
+        top_ranked,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return top_ranked(pagerank_fixedpoint(edges, iterations=5), k=20)
+
+
+QUERIES.update({"g_pagerank": g_pagerank})
+
+
+def ml_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear-probe training over the embeddings table: least
+    squares of a one-vs-rest 0/1 target (label == 0) on the first two
+    embedding dims + intercept, solved from EXACT decimal normal-equation
+    moments (one map-side-combined aggregate) via a 3x3 Cramer solve whose
+    expression text is byte-identical in the DuckDB oracle. Second scan
+    scores the train set with the broadcast 1-row coefficient table.
+    Returns (n_train, b0, b1, b2, train_acc, r2)."""
+    from strava_vector_search_spark.operators import linear as L
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = L.feature_frame(
+        emb,
+        F.col("embedding")[0],
+        F.col("embedding")[1],
+        (F.col("label") == 0).cast("int"),
+    )
+    return L.fit_and_score(feats)
+
+
+QUERIES.update({"ml_linear_probe": ml_linear_probe})
