@@ -147,6 +147,7 @@ HEADLINE = [
     "smp_rerank_triples",
     "g_pagerank",
     "ml_linear_probe",
+    "ml_logreg_irls",
 ]
 
 

@@ -144,3 +144,110 @@ def fit_and_score(feats: DataFrame) -> DataFrame:
             ).alias("r2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# logistic regression via IRLS / Newton (Fisher scoring)
+#
+# The scalable logreg recipe mirrors the normal equations above: each
+# iteration folds the dataset into a 3-vector gradient and 3x3 Hessian with
+# ONE map-side-combined aggregate (per-row terms rounded to 10 dp then
+# DECIMAL-accumulated — exact, order-insensitive), and the Newton step is a
+# Cramer solve on nine numbers. Two iterations from beta = 0 reach useful
+# coefficients (IRLS converges quadratically); the iteration count is part
+# of the operator contract so the DuckDB oracle can unroll it.
+
+SIGMOID_EXPR = "1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2)))"
+
+# per-row aggregate terms, shared verbatim with the oracle
+ROW_TERMS = {
+    "g0": "y - p",
+    "g1": "x1 * (y - p)",
+    "g2": "x2 * (y - p)",
+    "h00": "p * (1.0 - p)",
+    "h01": "x1 * (p * (1.0 - p))",
+    "h02": "x2 * (p * (1.0 - p))",
+    "h11": "(x1 * x1) * (p * (1.0 - p))",
+    "h12": "(x1 * x2) * (p * (1.0 - p))",
+    "h22": "(x2 * x2) * (p * (1.0 - p))",
+}
+
+# Cramer solve of H·delta = g for the symmetric 3x3 Hessian
+NEWTON_DETS = {
+    "det": (
+        "h00 * (h11 * h22 - h12 * h12) - h01 * (h01 * h22 - h12 * h02)"
+        " + h02 * (h01 * h12 - h11 * h02)"
+    ),
+    "d0": (
+        "g0 * (h11 * h22 - h12 * h12) - h01 * (g1 * h22 - h12 * g2)"
+        " + h02 * (g1 * h12 - h11 * g2)"
+    ),
+    "d1": (
+        "h00 * (g1 * h22 - h12 * g2) - g0 * (h01 * h22 - h12 * h02)"
+        " + h02 * (h01 * g2 - g1 * h02)"
+    ),
+    "d2": (
+        "h00 * (h11 * g2 - g1 * h12) - h01 * (h01 * g2 - g1 * h02)"
+        " + g0 * (h01 * h12 - h11 * h02)"
+    ),
+}
+
+LOGLOSS_EXPR = "-(y * ln(p) + (1.0 - y) * ln(1.0 - p))"
+
+
+def _dsum_term(text: str, name: str) -> Column:
+    return (
+        F.sum(F.expr(f"cast(round({text}, 10) as decimal(38,12))"))
+        .cast("double")
+        .alias(name)
+    )
+
+
+def logreg_irls(feats: DataFrame, iterations: int = 2) -> DataFrame:
+    """Train 0/1 logistic regression on (x1, x2, y) by ``iterations``
+    Newton steps from beta = 0; returns ONE row
+    (n_train, b0, b1, b2, train_acc, log_loss). Coefficients are rounded
+    to 6 dp after every step (the cross-engine prediction contract)."""
+    spark = feats.sparkSession
+    beta = spark.createDataFrame(
+        [(0.0, 0.0, 0.0)], "b0 double, b1 double, b2 double"
+    )
+    for _ in range(iterations):
+        scored = feats.crossJoin(F.broadcast(beta)).withColumn(
+            "p", F.expr(SIGMOID_EXPR)
+        )
+        agg = scored.groupBy("b0", "b1", "b2").agg(
+            *[_dsum_term(text, name) for name, text in ROW_TERMS.items()]
+        )
+        for name, text in NEWTON_DETS.items():
+            agg = agg.withColumn(name, F.expr(text))
+        beta = agg.select(
+            F.round(F.expr("b0 + d0 / det"), 6).alias("b0"),
+            F.round(F.expr("b1 + d1 / det"), 6).alias("b1"),
+            F.round(F.expr("b2 + d2 / det"), 6).alias("b2"),
+        )
+    final = feats.crossJoin(F.broadcast(beta)).withColumn(
+        "p", F.expr(SIGMOID_EXPR)
+    )
+    return (
+        final.groupBy("b0", "b1", "b2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when((F.col("p") >= 0.5) == (F.col("y") >= 0.5), 1).otherwise(0)
+            ).alias("n_correct"),
+            _dsum_term(LOGLOSS_EXPR, "nll"),
+        )
+        .select(
+            F.col("n").alias("n_train"),
+            "b0",
+            "b1",
+            "b2",
+            F.round(F.col("n_correct").cast("double") / F.col("n"), 6).alias(
+                "train_acc"
+            ),
+            F.round(F.col("nll") / F.col("n").cast("double"), 6).alias(
+                "log_loss"
+            ),
+        )
+    )

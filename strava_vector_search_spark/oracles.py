@@ -4489,3 +4489,84 @@ SELECT n AS n_train, b0, b1, b2,
 FROM scored
 GROUP BY n, sy, b0, b1, b2
 """
+
+
+# -- IRLS logistic regression ------------------------------------------------
+# Unrolled replay of operators/linear.logreg_irls: per-iteration moment
+# aggregates are DECIMAL-exact, the sigmoid/Newton/log-loss expression text
+# is imported from the operator so both engines evaluate identical trees.
+
+from strava_vector_search_spark.operators.linear import (  # noqa: E402
+    LOGLOSS_EXPR as _LL,
+    NEWTON_DETS as _ND,
+    ROW_TERMS as _RT,
+    SIGMOID_EXPR as _SIG,
+)
+
+
+def _logreg_oracle(iterations: int = 2) -> str:
+    sums = ",\n         ".join(
+        f"CAST(SUM(CAST(ROUND({text}, 10) AS DECIMAL(38,12)))"
+        f" AS DOUBLE) AS {name}"
+        for name, text in _RT.items()
+    )
+    dets = ",\n         ".join(f"{text} AS {name}" for name, text in _ND.items())
+    ctes = [
+        """feats AS (
+  SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x1,
+         ROUND(CAST(embedding[2] AS DOUBLE), 6) AS x2,
+         CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+)""",
+        """beta0 AS (
+  SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+         CAST(0.0 AS DOUBLE) AS b2
+)""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""scored{i} AS (
+  SELECT f.x1, f.x2, f.y, b.b0, b.b1, b.b2, {_SIG} AS p
+  FROM feats f CROSS JOIN beta{i - 1} b
+)"""
+        )
+        ctes.append(
+            f"""agg{i} AS (
+  SELECT b0, b1, b2,
+         {sums}
+  FROM scored{i} GROUP BY b0, b1, b2
+)"""
+        )
+        ctes.append(f"dets{i} AS (SELECT *,\n         {dets}\n  FROM agg{i})")
+        ctes.append(
+            f"""beta{i} AS (
+  SELECT ROUND(b0 + d0 / det, 6) AS b0,
+         ROUND(b1 + d1 / det, 6) AS b1,
+         ROUND(b2 + d2 / det, 6) AS b2
+  FROM dets{i}
+)"""
+        )
+    ctes.append(
+        f"""final AS (
+  SELECT f.x1, f.x2, f.y, b.b0, b.b1, b.b2, {_SIG} AS p
+  FROM feats f CROSS JOIN beta{iterations} b
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT COUNT(*) AS n_train, b0, b1, b2,
+       ROUND(CAST(SUM(CASE WHEN (p >= 0.5) = (y >= 0.5)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS train_acc,
+       ROUND(CAST(SUM(CAST(ROUND({_LL}, 10) AS DECIMAL(38,12)))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS log_loss
+FROM final
+GROUP BY b0, b1, b2
+"""
+    )
+
+
+ORACLES["ml_logreg_irls"] = _logreg_oracle()

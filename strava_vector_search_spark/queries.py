@@ -6372,3 +6372,29 @@ def ml_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_linear_probe": ml_linear_probe})
+
+
+def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (IRLS / Newton, 2
+    unrolled iterations from beta=0) on the same probe features as
+    ml_linear_probe: per iteration ONE map-side-combined aggregate folds
+    the dataset into the 3-gradient + 3x3-Hessian moments (per-row terms
+    10-dp-rounded then DECIMAL-accumulated -- exact under any partition
+    order), and the Newton step is a Cramer solve whose expression text the
+    DuckDB oracle shares byte-for-byte. Returns
+    (n_train, b0, b1, b2, train_acc, log_loss)."""
+    from strava_vector_search_spark.operators import linear as L
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = L.feature_frame(
+        emb,
+        F.col("embedding")[0],
+        F.col("embedding")[1],
+        (F.col("label") == 0).cast("int"),
+    )
+    return L.logreg_irls(feats, iterations=2)
+
+
+QUERIES.update({"ml_logreg_irls": ml_logreg_irls})

@@ -66,3 +66,63 @@ def test_partitioning_invariant(spark):
     r1 = L.fit_and_score(f1).collect()[0]
     r2 = L.fit_and_score(f2).collect()[0]
     assert r1.asDict() == r2.asDict()
+
+
+def _numpy_irls(rows, iterations=2):
+    """Pure-numpy replay of logreg_irls' exact semantics (10-dp term
+    rounding, decimal-exact sums are plain sums here, 6-dp beta rounds)."""
+    import numpy as np
+
+    X = np.array([[1.0, a, b] for a, b, _ in rows])
+    y = np.array([c for _, _, c in rows])
+    beta = np.zeros(3)
+    for _ in range(iterations):
+        eta = X @ beta
+        p = 1.0 / (1.0 + np.exp(-eta))
+        w = np.round(p * (1.0 - p), 10)
+        r = np.round(y - p, 10)
+        g = np.array(
+            [
+                r.sum(),
+                np.round(X[:, 1] * (y - p), 10).sum(),
+                np.round(X[:, 2] * (y - p), 10).sum(),
+            ]
+        )
+        H = np.zeros((3, 3))
+        H[0, 0] = w.sum()
+        H[0, 1] = H[1, 0] = np.round(X[:, 1] * (p * (1 - p)), 10).sum()
+        H[0, 2] = H[2, 0] = np.round(X[:, 2] * (p * (1 - p)), 10).sum()
+        H[1, 1] = np.round((X[:, 1] * X[:, 1]) * (p * (1 - p)), 10).sum()
+        H[1, 2] = H[2, 1] = np.round((X[:, 1] * X[:, 2]) * (p * (1 - p)), 10).sum()
+        H[2, 2] = np.round((X[:, 2] * X[:, 2]) * (p * (1 - p)), 10).sum()
+        beta = np.round(beta + np.linalg.solve(H, g), 6)
+    return beta
+
+
+def test_logreg_matches_numpy_replay(spark):
+    rng = np.random.RandomState(3)
+    x = np.round(rng.uniform(-1, 1, size=(150, 2)), 6)
+    y = (0.5 * x[:, 0] - x[:, 1] + rng.normal(0, 0.3, 150) > 0).astype(float)
+    rows = [(float(a), float(b), float(c)) for (a, b), c in zip(x, y)]
+    out = L.logreg_irls(_feats(spark, rows), iterations=2).collect()[0]
+    beta = _numpy_irls(rows, iterations=2)
+    # numpy solve vs Cramer differ only in last-ulp double noise, absorbed
+    # by the 6-dp beta rounding in all but boundary cases
+    assert abs(out["b0"] - beta[0]) < 2e-6
+    assert abs(out["b1"] - beta[1]) < 2e-6
+    assert abs(out["b2"] - beta[2]) < 2e-6
+    assert out["n_train"] == 150
+    assert out["train_acc"] > 0.75
+    assert out["log_loss"] > 0.0
+
+
+def test_logreg_improves_over_iterations(spark):
+    rng = np.random.RandomState(5)
+    x = np.round(rng.uniform(-1, 1, size=(200, 2)), 6)
+    y = (1.2 * x[:, 0] + 0.7 * x[:, 1] > 0).astype(float)
+    rows = [(float(a), float(b), float(c)) for (a, b), c in zip(x, y)]
+    f = _feats(spark, rows)
+    l1 = L.logreg_irls(f, iterations=1).collect()[0]
+    l3 = L.logreg_irls(f, iterations=3).collect()[0]
+    assert l3["log_loss"] <= l1["log_loss"]
+    assert l3["train_acc"] >= 0.9
