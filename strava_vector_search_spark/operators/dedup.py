@@ -733,6 +733,8 @@ def connected_components(
     out_schema = f"id {id_type}, comp {id_type}"
 
     if driver_threshold and edges.count() <= driver_threshold:
+        import pandas as pd
+
         parent: dict = {}
 
         def find(x: int) -> int:
@@ -741,17 +743,22 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for row in edges.collect():
-            a, b = row["a"], row["b"]
+        # Arrow both ways: toPandas()/createDataFrame(pandas) move columnar
+        # batches instead of pickled Row lists — at the 100-250K threshold
+        # the py4j round trip, not the union-find, dominated the wall clock
+        edf = edges.toPandas()
+        for a, b in zip(edf["a"].tolist(), edf["b"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
             if ra != rb:
                 lo, hi = min(ra, rb), max(ra, rb)
                 parent[hi] = lo
-        rows = [(n, find(n)) for n in parent]
+        out = pd.DataFrame(
+            {"id": list(parent), "comp": [find(n) for n in parent]}
+        )
         spark = pairs.sparkSession
-        return spark.createDataFrame(rows, out_schema)
+        return spark.createDataFrame(out, out_schema)
 
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -1227,7 +1234,12 @@ def cc_incremental(
     ``connected_components`` over the full accumulated edge set — which is
     how the gate's oracle checks it.
     """
-    e = new_edges.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    # the batch edge set and the touched-endpoint labeling feed THREE
+    # downstream subtrees each (star build, subgraph CC, untouched
+    # anti-join); checkpoint so each is computed once, not per action
+    e = new_edges.select(
+        F.col(id1).alias("a"), F.col(id2).alias("b")
+    ).localCheckpoint(eager=False)
     ends = (
         e.select(F.col("a").alias("id"))
         .unionByName(e.select(F.col("b").alias("id")))
@@ -1237,6 +1249,7 @@ def cc_incremental(
     touched = (
         ends.join(labels, "id", "left")
         .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+        .localCheckpoint(eager=False)
     )
     affected = touched.select("comp").distinct()
     # full membership of every affected comp, as star edges (member, comp);

@@ -402,6 +402,25 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_count",
         "top_k_no_sort": "TakeOrderedAndProject",
     },
+    "g_pagerank": {
+        # the rank table is localCheckpoint-ed per iteration, so the visible
+        # plan is checkpoint-scan -> top-k: lineage stays flat across
+        # iterations (the design property) and the final top-k never sorts
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "flat_lineage": "ExistingRDD|LogicalRDD",
+    },
+    "ml_linear_probe": {
+        # train = one partial-combined moment aggregate; score pass joins
+        # the 1-row coefficient table by broadcast nested loop (no shuffle)
+        "partial_agg": "partial_",
+        "broadcast_join": "BroadcastNestedLoopJoin",
+        "no_sortmerge": "!SortMergeJoin",
+    },
+    "ml_logreg_irls": {
+        "partial_agg": "partial_",
+        "broadcast_join": "BroadcastNestedLoopJoin",
+        "no_sortmerge": "!SortMergeJoin",
+    },
 }
 
 

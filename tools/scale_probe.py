@@ -491,6 +491,50 @@ def main() -> None:
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
 
+    # ---- fixed-point PageRank: 1M edges / 100K nodes, 5 iterations
+    # (per iteration one join + one partial-combined aggregate; integer
+    # arithmetic so the probe's result is bit-identical at any parallelism)
+    from strava_vector_search_spark.operators.graph import pagerank_fixedpoint
+
+    n_nodes = 100_000
+    pr_edges = (
+        spark.range(1_000_000)
+        .select(
+            F.pmod(F.col("id") * 2654435761, F.lit(n_nodes)).alias("src"),
+            F.pmod(F.col("id") * 40503 + 7, F.lit(n_nodes)).alias("dst"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_edges = pr_edges.count()
+    sec, _ = t(lambda: pagerank_fixedpoint(pr_edges, iterations=5).count())
+    results.append(("pagerank 5 iters", f"{n_edges:,} edges / {n_nodes:,} nodes",
+                    sec,
+                    "per iteration one src-join + one dst partial-agg; "
+                    "shuffles 8-byte keys+longs only; localCheckpoint keeps "
+                    "the plan flat — cost is linear in edges x iterations"))
+    pr_edges.unpersist()
+
+    # ---- closed-form linear probe + 2-iteration IRLS logreg at 1M rows:
+    # training folds to moment aggregates, so cost ~= a scan per pass
+    from strava_vector_search_spark.operators import linear as L
+
+    feats = L.feature_frame(
+        big_emb,
+        F.col("embedding")[0],
+        F.col("embedding")[1],
+        (F.col("label") == 0).cast("int"),
+    )
+    sec, _ = t(lambda: L.fit_and_score(feats).count())
+    results.append(("linear_probe train+score", f"{n_vec:,} rows", sec,
+                    "normal equations: ONE moment aggregate trains, one "
+                    "broadcast-coefficient scan scores — no iterations, no "
+                    "parameter server"))
+    sec, _ = t(lambda: L.logreg_irls(feats, iterations=2).count())
+    results.append(("logreg IRLS 2 iters", f"{n_vec:,} rows", sec,
+                    "one gradient/Hessian aggregate per Newton step; "
+                    "model state is 3 numbers — scales as iterations x scan"))
+
     # ---- write SCALE.md
     lines = [
         "# SCALE — measured behavior on amplified data (local[32])",
