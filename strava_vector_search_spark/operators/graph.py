@@ -41,6 +41,9 @@ DAMPING_PCT = 85  # 0.85 as an integer percent
 SCALE = 1_000_000  # rank fixed-point scale: 1.0 == 1e6
 
 
+BROADCAST_NODES_THRESHOLD = 5_000_000
+
+
 def pagerank_fixedpoint(
     edges: DataFrame,
     src: str = "src",
@@ -48,6 +51,7 @@ def pagerank_fixedpoint(
     iterations: int = 5,
     damping_pct: int = DAMPING_PCT,
     scale: int = SCALE,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list, exact fixed-point form.
 
@@ -58,33 +62,49 @@ def pagerank_fixedpoint(
 
     with every division an integer floor — see module docstring for why.
     Multi-edges count toward both degree and inflow (weight = multiplicity).
+
+    Degrees are attached to the edge list ONCE (``edeg``), so an iteration
+    is a single join + one aggregate. ``broadcast_ranks``: when the node
+    set is modest (below ``BROADCAST_NODES_THRESHOLD`` in auto mode — a
+    handful of bytes per node in the executor heap), the rank table
+    broadcasts and the big edge side is never shuffled by the join; the
+    only per-iteration shuffle is the map-side-combined inflow aggregate
+    (8-byte keys). Above the threshold it falls back to a shuffle join —
+    at billion-node scale, pre-bucketing ``edeg`` on ``_src`` restores
+    co-location there too.
     """
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    # edges and degrees are reused every iteration: materialize once
-    e = e.localCheckpoint(eager=True)
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    deg = deg.localCheckpoint(eager=True)
+    # edges-with-degree and the node set are reused every iteration:
+    # materialize once, keep lineage flat
+    edeg = e.join(deg, "_src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    if broadcast_ranks is None:
+        broadcast_ranks = nodes.count() <= BROADCAST_NODES_THRESHOLD
+
+    def _maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_ranks else df
 
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("bigint"))
     for _ in range(iterations):
-        contrib = (
-            e.join(ranks, e["_src"] == ranks["node"], "inner")
-            .join(deg, "_src")
-            .select(
-                F.col("_dst").alias("node"),
-                F.expr("rank_fp div _deg").alias("_c"),
+        r = _maybe_bcast(
+            ranks.select(
+                F.col("node").alias("_src"), F.col("rank_fp").alias("_r")
             )
+        )
+        contrib = edeg.join(r, "_src").select(
+            F.col("_dst").alias("node"),
+            F.expr("_r div _deg").alias("_c"),
         )
         inflow = contrib.groupBy("node").agg(F.sum("_c").alias("_inflow"))
         ranks = (
-            nodes.join(inflow, "node", "left")
+            nodes.join(_maybe_bcast(inflow), "node", "left")
             .select(
                 "node",
                 (
@@ -96,7 +116,7 @@ def pagerank_fixedpoint(
                 .cast("bigint")
                 .alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks
 
