@@ -148,6 +148,7 @@ HEADLINE = [
     "g_pagerank",
     "ml_linear_probe",
     "ml_logreg_irls",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -85,13 +85,20 @@ def encode_pq(
     books: np.ndarray,
     vector_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, code BINARY) — m uint8 centroid ids packed per vector. Map-only;
-    the fat vector column is dropped before any downstream shuffle."""
+    """(id[, keep_cols...], code BINARY) — m uint8 centroid ids packed per
+    vector. Map-only; the fat vector column is dropped before any
+    downstream shuffle. ``keep_cols`` carries narrow metadata (e.g. the
+    IVF cluster id) into the code table so candidate scans can prune on
+    it without joining the fat corpus back."""
     import pandas as pd
 
     m, _, sub = books.shape
     id_type = emb.schema[id_col].dataType.simpleString()
+    keep_types = {
+        c: emb.schema[c].dataType.simpleString() for c in keep_cols
+    }
     B = books
 
     def _enc(batches):
@@ -102,15 +109,22 @@ def encode_pq(
                 Xj = X[:, j * sub : (j + 1) * sub]
                 d2 = ((Xj[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
                 codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "code": [c.tobytes() for c in codes]}
-            )
+            out = {id_col: pdf[id_col]}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            out["code"] = [c.tobytes() for c in codes]
+            yield pd.DataFrame(out)
 
     from strava_vector_search_spark.operators.util import rebalance_for_kernel
 
-    return rebalance_for_kernel(emb.select(id_col, vector_col)).mapInPandas(
-        _enc, f"{id_col} {id_type}, code binary"
+    schema = ", ".join(
+        [f"{id_col} {id_type}"]
+        + [f"{c} {t}" for c, t in keep_types.items()]
+        + ["code binary"]
     )
+    return rebalance_for_kernel(
+        emb.select(id_col, *keep_cols, vector_col)
+    ).mapInPandas(_enc, schema)
 
 
 def pq_candidates(
@@ -166,6 +180,64 @@ def pq_topk_refined(
     join is a broadcast semi-join — the 100-row side never shuffles the
     corpus. Returns (id, similarity), exact values, approximate recall."""
     cand = pq_candidates(codes, books, query_vec, n_cand, id_col)
+    pruned = emb.join(
+        F.broadcast(cand.select(id_col)), on=id_col, how="left_semi"
+    )
+    return brute_force_topk(
+        pruned,
+        query_vec,
+        k=k,
+        vector_col=vector_col,
+        id_col=id_col,
+        assume_normalized=True,
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    codes: DataFrame,
+    books: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_cand: int = 100,
+    cluster_col: str = "label",
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the standard billion-scale ANN recipe (FAISS
+    IVFPQ): IVF prunes WHICH codes are scanned (cluster semi-join →
+    partition pruning on a cluster-partitioned code table), PQ shrinks
+    WHAT the scan reads (m-byte codes, ADC lookups). The fat vector table
+    is touched only to exact-rescore the ``n_cand`` surviving candidates.
+
+    ``codes`` must carry ``cluster_col`` (encode with
+    ``encode_pq(..., keep_cols=(cluster_col,))``). Centroid probe and
+    rescore follow the ivf_topk / pq_topk_refined contracts exactly.
+    """
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
+    from strava_vector_search_spark.operators.ann import compute_centroids
+
+    if centroids is None:
+        centroids = compute_centroids(emb, cluster_col, vector_col)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    probed = (
+        centroids.withColumn(
+            "cdist", cosine_similarity_rounded(F.col("centroid"), qcol)
+        )
+        .orderBy(F.desc("cdist"), F.asc("cluster"))
+        .limit(nprobe)
+        .select("cluster")
+    )
+    cand_codes = codes.join(
+        F.broadcast(probed),
+        codes[cluster_col] == probed["cluster"],
+        "left_semi",
+    )
+    cand = pq_candidates(cand_codes, books, query_vec, n_cand, id_col)
     pruned = emb.join(
         F.broadcast(cand.select(id_col)), on=id_col, how="left_semi"
     )

@@ -4570,3 +4570,14 @@ GROUP BY b0, b1, b2
 
 
 ORACLES["ml_logreg_irls"] = _logreg_oracle()
+
+
+# IVF+PQ property gate: the IVF stage is deterministic and exact-oracled by
+# ann_ivf_topk; the PQ stage's codebooks are numpy Lloyd's (not SQL
+# expressible), so — like ann_pq_topk — the oracle pins the data-anchored
+# row shape and the property booleans the Spark side must have verified.
+ORACLES["ann_ivfpq_topk"] = """
+SELECT COUNT(*)::BIGINT AS n_encoded, 4 AS nprobe, 10 AS k,
+       true AS recall_vs_probed_exact_ge_080, true AS refined_sims_exact
+FROM embeddings
+"""

@@ -6398,3 +6398,76 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_logreg_irls": ml_logreg_irls})
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN property gate (the FAISS-IVFPQ recipe): encode
+    the corpus once WITH its cluster id (keep_cols), then per query probe
+    nprobe=4 of the 10 label clusters, ADC-scan only the probed codes, and
+    exact-rescore 200 candidates. Checked properties, same contract as the
+    other ANN gates: (a) mean recall@10 >= 0.8 vs the EXACT top-10 within
+    the probed clusters (isolates PQ candidate loss from IVF pruning,
+    which is deterministic and already exact-oracled by ann_ivf_topk);
+    (b) every shared hit carries the identical similarity (the refine
+    stage uses the same scorer)."""
+    from strava_vector_search_spark.operators import pq as PQ
+    from strava_vector_search_spark.operators.ann import compute_centroids
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_codebooks(emb)
+    codes = PQ.encode_pq(emb, books, keep_cols=("label",)).localCheckpoint(
+        eager=False
+    )
+    n_encoded = codes.count()
+    cents = compute_centroids(emb, "label").localCheckpoint(eager=False)
+    k, nprobe, qids = 10, 4, (3, 7, 11, 19, 23)
+    hits, sims_exact = 0, True
+    for qid in qids:
+        qv = _query_vec(spark, sf_dir, qid)
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+        probed = (
+            cents.withColumn(
+                "cdist", cosine_similarity_rounded(F.col("centroid"), qcol)
+            )
+            .orderBy(F.desc("cdist"), F.asc("cluster"))
+            .limit(nprobe)
+            .select("cluster")
+        )
+        in_probe = emb.join(
+            F.broadcast(probed), emb["label"] == probed["cluster"], "left_semi"
+        )
+        exact = {
+            r["vec_id"]: r["similarity"]
+            for r in S.brute_force_topk(
+                in_probe, qv, k=k, id_col="vec_id", assume_normalized=True
+            ).collect()
+        }
+        approx = {
+            r["vec_id"]: r["similarity"]
+            for r in PQ.ivfpq_topk(
+                emb, codes, books, qv, k=k, nprobe=nprobe, n_cand=200,
+                centroids=cents,
+            ).collect()
+        }
+        common = set(exact) & set(approx)
+        hits += len(common)
+        sims_exact = sims_exact and all(exact[i] == approx[i] for i in common)
+    return spark.createDataFrame(
+        [
+            (
+                n_encoded,
+                nprobe,
+                k,
+                bool(hits / (k * len(qids)) >= 0.8),
+                bool(sims_exact),
+            )
+        ],
+        "n_encoded bigint, nprobe int, k int,"
+        " recall_vs_probed_exact_ge_080 boolean, refined_sims_exact boolean",
+    )
+
+
+QUERIES.update({"ann_ivfpq_topk": ann_ivfpq_topk})

@@ -72,3 +72,62 @@ def test_string_ids_roundtrip(spark, emb, books):
     cand = PQ.pq_candidates(codes, books, qv, n_cand=5, id_col="sid")
     rows = cand.collect()
     assert len(rows) == 5 and all(r["sid"].startswith("doc-") for r in rows)
+
+
+def test_encode_keep_cols_carries_metadata(emb, books):
+    codes = PQ.encode_pq(emb, books, keep_cols=("label",))
+    assert set(codes.columns) == {"vec_id", "label", "code"}
+    # the carried label matches the source row's label
+    src = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in codes.collect():
+        assert r["label"] == src[r["vec_id"]]
+
+
+def test_ivfpq_equals_pq_within_probed_clusters(spark, emb, books):
+    """With the candidate budget covering the probed clusters entirely,
+    IVF+PQ must equal exact brute force restricted to those clusters —
+    the composition adds pruning, not new approximation."""
+    from strava_vector_search_spark.operators.ann import compute_centroids
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
+
+    codes = PQ.encode_pq(emb, books, keep_cols=("label",)).localCheckpoint()
+    cents = compute_centroids(emb, "label").localCheckpoint()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    nprobe = 3
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    probed = (
+        cents.withColumn(
+            "cdist", cosine_similarity_rounded(F.col("centroid"), qcol)
+        )
+        .orderBy(F.desc("cdist"), F.asc("cluster"))
+        .limit(nprobe)
+        .select("cluster")
+    )
+    in_probe = emb.join(
+        F.broadcast(probed), emb["label"] == probed["cluster"], "left_semi"
+    )
+    n_in_probe = in_probe.count()
+    exact = brute_force_topk(
+        in_probe, qv, k=10, id_col="vec_id", assume_normalized=True
+    ).collect()
+    approx = PQ.ivfpq_topk(
+        emb, codes, books, qv, k=10, nprobe=nprobe,
+        n_cand=n_in_probe,  # full-coverage budget -> zero candidate loss
+        centroids=cents,
+    ).collect()
+    assert [(r["vec_id"], r["similarity"]) for r in approx] == [
+        (r["vec_id"], r["similarity"]) for r in exact
+    ]
+
+
+def test_ivfpq_never_returns_unprobed_cluster(spark, emb, books):
+    codes = PQ.encode_pq(emb, books, keep_cols=("label",)).localCheckpoint()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    out = PQ.ivfpq_topk(emb, codes, books, qv, k=10, nprobe=2, n_cand=50)
+    labels = {
+        r["label"]
+        for r in out.join(emb.select("vec_id", "label"), "vec_id").collect()
+    }
+    assert len(labels) <= 2
