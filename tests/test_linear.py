@@ -126,3 +126,51 @@ def test_logreg_improves_over_iterations(spark):
     l3 = L.logreg_irls(f, iterations=3).collect()[0]
     assert l3["log_loss"] <= l1["log_loss"]
     assert l3["train_acc"] >= 0.9
+
+
+def _auc_frame(spark, scores, ys):
+    import pandas as pd
+
+    from strava_vector_search_spark.queries import ml_roc_auc  # noqa: F401
+    # exercise the same pair-counting pipeline on a prepared (s, yl) frame
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in zip(scores, ys)], "s double, yl long"
+    )
+    by_score = df.groupBy("s").agg(
+        F.sum("yl").alias("np_s"),
+        (F.count(F.lit(1)) - F.sum("yl")).alias("nn_s"),
+    )
+    w = Window.orderBy(F.asc("s")).rowsBetween(Window.unboundedPreceding, -1)
+    terms = by_score.select(
+        "np_s", "nn_s",
+        F.coalesce(F.sum("nn_s").over(w), F.lit(0)).alias("nn_below"),
+    )
+    row = terms.agg(
+        F.sum("np_s").alias("p"), F.sum("nn_s").alias("q"),
+        F.sum(F.col("np_s") * (F.lit(2) * F.col("nn_below") + F.col("nn_s"))).alias("num2"),
+    ).collect()[0]
+    return row["num2"] / (2.0 * row["p"] * row["q"])
+
+
+def test_auc_pair_counting_identity(spark):
+    # perfectly separated
+    assert _auc_frame(spark, [0.1, 0.2, 0.8, 0.9], [0, 0, 1, 1]) == 1.0
+    # perfectly inverted
+    assert _auc_frame(spark, [0.9, 0.8, 0.2, 0.1], [0, 0, 1, 1]) == 0.0
+    # all tied -> 0.5 exactly (tie-aware half credit)
+    assert _auc_frame(spark, [0.5] * 6, [0, 1, 0, 1, 0, 1]) == 0.5
+    # cross-check a mixed case against the O(n^2) definition
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    s = np.round(rng.uniform(0, 1, 60), 3)
+    y = rng.randint(0, 2, 60)
+    pos, neg = s[y == 1], s[y == 0]
+    wins = (pos[:, None] > neg[None, :]).sum() + 0.5 * (
+        pos[:, None] == neg[None, :]
+    ).sum()
+    expected = wins / (len(pos) * len(neg))
+    got = _auc_frame(spark, s, y)
+    assert abs(got - expected) < 1e-12
