@@ -149,6 +149,7 @@ HEADLINE = [
     "ml_linear_probe",
     "ml_logreg_irls",
     "ann_ivfpq_topk",
+    "ml_roc_auc",
 ]
 
 

@@ -4581,3 +4581,70 @@ SELECT COUNT(*)::BIGINT AS n_encoded, 4 AS nprobe, 10 AS k,
        true AS recall_vs_probed_exact_ge_080, true AS refined_sims_exact
 FROM embeddings
 """
+
+
+# -- exact ROC-AUC of the linear probe ---------------------------------------
+# Tie-aware pair-counting identity over per-distinct-score integer counts;
+# shares the coefficient CTEs with ml_linear_probe (same Cramer text).
+
+ORACLES["ml_roc_auc"] = f"""
+WITH feats AS (
+  SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x1,
+         ROUND(CAST(embedding[2] AS DOUBLE), 6) AS x2,
+         CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(y  AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(38,12))) AS DOUBLE) AS s2y
+  FROM feats
+),
+md AS (SELECT *, CAST(n AS DOUBLE) AS n_d FROM m),
+dets AS (
+  SELECT n, sy,
+         {_DET["det"]} AS det,
+         {_DET["det0"]} AS det0,
+         {_DET["det1"]} AS det1,
+         {_DET["det2"]} AS det2
+  FROM md
+),
+c AS (
+  SELECT ROUND(det0 / det, 6) AS b0,
+         ROUND(det1 / det, 6) AS b1,
+         ROUND(det2 / det, 6) AS b2
+  FROM dets
+),
+scored AS (
+  SELECT ROUND(b0 + b1 * x1 + b2 * x2, 6) AS s,
+         CAST(y AS BIGINT) AS yl
+  FROM feats f CROSS JOIN c
+),
+by_score AS (
+  SELECT s, SUM(yl) AS np_s, COUNT(*) - SUM(yl) AS nn_s
+  FROM scored GROUP BY s
+),
+terms AS (
+  SELECT np_s, nn_s,
+         COALESCE(SUM(nn_s) OVER (ORDER BY s ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS nn_below
+  FROM by_score
+),
+agg AS (
+  SELECT SUM(np_s + nn_s) AS n, SUM(np_s) AS n_pos, SUM(nn_s) AS n_neg,
+         SUM(np_s * (2 * nn_below + nn_s)) AS numer2
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       ROUND(CAST(numer2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+FROM agg
+"""

@@ -6471,3 +6471,66 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ann_ivfpq_topk": ann_ivfpq_topk})
+
+
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC of the linear probe's scores over the
+    embeddings table, via the tie-aware pair-counting identity
+
+        AUC = [ Σ_s n_pos(s)·(2·n_neg(<s) + n_neg(s)) ] / (2·n_pos·n_neg)
+
+    -- every term is an integer count, so the sum is exact and
+    order-insensitive; the one double division happens at the end. The
+    cumulative window runs over the per-DISTINCT-SCORE aggregate (scores
+    are 6-dp-rounded model outputs over a bounded range, so its
+    cardinality is bounded regardless of corpus size -- the global-order
+    window never sees raw rows). Returns (n, n_pos, n_neg, auc)."""
+    from strava_vector_search_spark.operators import linear as L
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = L.feature_frame(
+        emb,
+        F.col("embedding")[0],
+        F.col("embedding")[1],
+        (F.col("label") == 0).cast("int"),
+    )
+    coef = L.solve_coefficients(L.moment_sums(feats))
+    scored = feats.crossJoin(F.broadcast(coef)).select(
+        F.round(F.expr("b0 + b1 * x1 + b2 * x2"), 6).alias("s"),
+        F.col("y").cast("long").alias("yl"),
+    )
+    by_score = scored.groupBy("s").agg(
+        F.sum("yl").alias("np_s"),
+        (F.count(F.lit(1)) - F.sum("yl")).alias("nn_s"),
+    )
+    w = (
+        Window.orderBy(F.asc("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = by_score.select(
+        "np_s",
+        "nn_s",
+        F.coalesce(F.sum("nn_s").over(w), F.lit(0)).alias("nn_below"),
+    )
+    return terms.agg(
+        F.sum(F.col("np_s") + F.col("nn_s")).alias("n"),
+        F.sum("np_s").alias("n_pos"),
+        F.sum("nn_s").alias("n_neg"),
+        F.sum(
+            F.col("np_s") * (F.lit(2) * F.col("nn_below") + F.col("nn_s"))
+        ).alias("numer2"),
+    ).select(
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("numer2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+QUERIES.update({"ml_roc_auc": ml_roc_auc})
