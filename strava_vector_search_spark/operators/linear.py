@@ -65,14 +65,19 @@ def feature_frame(
     )
 
 
-def moment_sums(feats: DataFrame) -> DataFrame:
-    """One map-side-combined aggregate → the full Gram matrix (exact
-    DECIMAL accumulation, order-insensitive)."""
+MOMENT_COLS = ("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")
+
+
+def moment_sums_decimal(feats: DataFrame) -> DataFrame:
+    """One map-side-combined aggregate → the full Gram matrix, kept in
+    DECIMAL(38,12). Decimal addition is exact and order-insensitive, so
+    these rows form a MONOID: per-partition (or per-micro-batch) moment
+    rows merged with ``merge_moment_states`` equal the single-pass
+    aggregate bit-for-bit — the property the streaming model-maintenance
+    path (streaming/model_stream.py) is built on."""
 
     def dsum(expr: Column, name: str) -> Column:
-        return (
-            F.sum(expr.cast("decimal(38,12)")).cast("double").alias(name)
-        )
+        return F.sum(expr.cast("decimal(38,12)")).alias(name)
 
     x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
     return feats.agg(
@@ -86,6 +91,29 @@ def moment_sums(feats: DataFrame) -> DataFrame:
         dsum(x1 * y, "s1y"),
         dsum(x2 * y, "s2y"),
     )
+
+
+def merge_moment_states(states: DataFrame) -> DataFrame:
+    """Fold any number of decimal moment rows into one — exact, so
+    merge(recompute(parts)) == recompute(whole)."""
+    return states.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        *[F.sum(c).alias(c) for c in MOMENT_COLS],
+    )
+
+
+def moments_to_double(m: DataFrame) -> DataFrame:
+    """Exact decimal sums → one double per moment (the solve's input)."""
+    return m.select(
+        "n", *[F.col(c).cast("double").alias(c) for c in MOMENT_COLS]
+    )
+
+
+def moment_sums(feats: DataFrame) -> DataFrame:
+    """One map-side-combined aggregate → the full Gram matrix (exact
+    DECIMAL accumulation, order-insensitive), cast to double for the
+    solve."""
+    return moments_to_double(moment_sums_decimal(feats))
 
 
 def solve_coefficients(moments: DataFrame) -> DataFrame:
