@@ -150,6 +150,7 @@ HEADLINE = [
     "ml_logreg_irls",
     "ann_ivfpq_topk",
     "ml_roc_auc",
+    "ml_kfold_cv",
 ]
 
 

@@ -279,3 +279,87 @@ def logreg_irls(feats: DataFrame, iterations: int = 2) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation by moment subtraction
+#
+# Because the Gram moments are a monoid (see moment_sums_decimal), the
+# complement-of-fold moments are total − fold: k leave-one-fold-out models
+# train from ONE grouped aggregate over the data — no per-fold passes, no
+# resampling. The subtraction is exact decimal arithmetic, so each fold's
+# model is bit-identical to retraining on the complement from scratch.
+
+
+def fold_moment_sums(feats_with_fold: DataFrame) -> DataFrame:
+    """Per-fold decimal Gram moments — one map-side-combined aggregate."""
+
+    def dsum(expr: Column, name: str) -> Column:
+        return F.sum(expr.cast("decimal(38,12)")).alias(name)
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    return feats_with_fold.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x1, "s1"),
+        dsum(x2, "s2"),
+        dsum(y, "sy"),
+        dsum(x1 * x1, "s11"),
+        dsum(x1 * x2, "s12"),
+        dsum(x2 * x2, "s22"),
+        dsum(x1 * y, "s1y"),
+        dsum(x2 * y, "s2y"),
+    )
+
+
+def kfold_cv(feats_with_fold: DataFrame) -> DataFrame:
+    """Leave-one-fold-out CV of the LS probe: per fold, train on the
+    complement via moment subtraction, validate on the fold. Returns one
+    row per fold: (fold, n_train, n_val, val_acc), fold ascending."""
+    pf = fold_moment_sums(feats_with_fold).localCheckpoint(eager=False)
+    tot = pf.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        *[F.sum(c).alias(f"t{c}") for c in MOMENT_COLS],
+    )
+    comp = pf.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        F.col("n").alias("n_val"),
+        (F.col("tn") - F.col("n")).cast("bigint").alias("n_train"),
+        *[
+            (F.col(f"t{c}") - F.col(c)).cast("double").alias(c)
+            for c in MOMENT_COLS
+        ],
+    )
+    m = comp.withColumn("n_d", F.col("n_train").cast("double"))
+    for name, text in DET_EXPRS.items():
+        # DET_EXPRS reference the global count as n_d — set above
+        m = m.withColumn(name, F.expr(text))
+    models = m.select(
+        "fold",
+        "n_train",
+        "n_val",
+        F.round(F.expr("det0 / det"), 6).alias("b0"),
+        F.round(F.expr("det1 / det"), 6).alias("b1"),
+        F.round(F.expr("det2 / det"), 6).alias("b2"),
+    )
+    scored = feats_with_fold.join(F.broadcast(models), "fold").withColumn(
+        "pred", F.expr("b0 + b1 * x1 + b2 * x2")
+    )
+    return (
+        scored.groupBy("fold", "n_train", "n_val")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("pred") >= 0.5) == (F.col("y") >= 0.5), 1
+                ).otherwise(0)
+            ).alias("n_correct")
+        )
+        .select(
+            "fold",
+            "n_train",
+            "n_val",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_val"), 6
+            ).alias("val_acc"),
+        )
+        .orderBy("fold")
+    )

@@ -4648,3 +4648,72 @@ SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
        ROUND(CAST(numer2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
 FROM agg
 """
+
+
+# -- k-fold CV by moment subtraction -----------------------------------------
+# Per-fold decimal moments, complement = total − fold (exact), shared-text
+# Cramer solve per fold, validation scoring on the held-out fold.
+
+_MOM = ["s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y"]
+_PF_SUMS = ",\n         ".join(
+    f"SUM(CAST({e} AS DECIMAL(38,12))) AS {n}"
+    for n, e in [
+        ("s1", "x1"), ("s2", "x2"), ("sy", "y"), ("s11", "x1 * x1"),
+        ("s12", "x1 * x2"), ("s22", "x2 * x2"), ("s1y", "x1 * y"),
+        ("s2y", "x2 * y"),
+    ]
+)
+
+ORACLES["ml_kfold_cv"] = f"""
+WITH feats AS (
+  SELECT ({_md5i('vec_id::VARCHAR')} % 5) AS fold,
+         ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x1,
+         ROUND(CAST(embedding[2] AS DOUBLE), 6) AS x2,
+         CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+pf AS (
+  SELECT fold, COUNT(*) AS n,
+         {_PF_SUMS}
+  FROM feats GROUP BY fold
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+         {", ".join(f"SUM({c}) AS t{c}" for c in _MOM)}
+  FROM pf
+),
+comp AS (
+  SELECT pf.fold, pf.n AS n_val, CAST(tot.tn - pf.n AS BIGINT) AS n_train,
+         {", ".join(f"CAST(tot.t{c} - pf.{c} AS DOUBLE) AS {c}" for c in _MOM)}
+  FROM pf CROSS JOIN tot
+),
+md AS (SELECT *, CAST(n_train AS DOUBLE) AS n_d FROM comp),
+dets AS (
+  SELECT fold, n_train, n_val,
+         {_DET["det"]} AS det,
+         {_DET["det0"]} AS det0,
+         {_DET["det1"]} AS det1,
+         {_DET["det2"]} AS det2
+  FROM md
+),
+models AS (
+  SELECT fold, n_train, n_val,
+         ROUND(det0 / det, 6) AS b0,
+         ROUND(det1 / det, 6) AS b1,
+         ROUND(det2 / det, 6) AS b2
+  FROM dets
+),
+scored AS (
+  SELECT f.fold, f.y, m.n_train, m.n_val,
+         m.b0 + m.b1 * f.x1 + m.b2 * f.x2 AS pred
+  FROM feats f JOIN models m ON m.fold = f.fold
+)
+SELECT fold, n_train, n_val,
+       ROUND(CAST(SUM(CASE WHEN (pred >= 0.5) = (y >= 0.5)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / n_val, 6)
+         AS val_acc
+FROM scored
+GROUP BY fold, n_train, n_val
+ORDER BY fold
+"""

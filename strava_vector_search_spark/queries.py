@@ -6534,3 +6534,32 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_roc_auc": ml_roc_auc})
+
+
+def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the LS probe by MOMENT SUBTRACTION: the
+    Gram moments are a monoid, so each leave-one-fold-out model trains
+    from (total - fold) moments -- k models from ONE grouped aggregate
+    over the data, no per-fold passes. Folds are portable md5-hash buckets
+    of vec_id (the smp_hash_split contract), the subtraction is exact
+    decimal arithmetic, and the oracle replays the whole thing including
+    the shared-text Cramer solve. One row per fold:
+    (fold, n_train, n_val, val_acc)."""
+    from strava_vector_search_spark.operators import linear as L
+    from strava_vector_search_spark.operators.dedup import md5_int
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = emb.select(
+        F.pmod(md5_int(F.col("vec_id").cast("string")), F.lit(5)).alias(
+            "fold"
+        ),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("x1"),
+        F.round(F.col("embedding")[1].cast("double"), 6).alias("x2"),
+        (F.col("label") == 0).cast("int").cast("double").alias("y"),
+    )
+    return L.kfold_cv(feats)
+
+
+QUERIES.update({"ml_kfold_cv": ml_kfold_cv})

@@ -174,3 +174,59 @@ def test_auc_pair_counting_identity(spark):
     expected = wins / (len(pos) * len(neg))
     got = _auc_frame(spark, s, y)
     assert abs(got - expected) < 1e-12
+
+
+def test_kfold_subtraction_equals_complement_retrain(spark):
+    """Each fold's model (trained via total − fold moment subtraction)
+    must be bit-identical to solving on the complement rows directly."""
+    rng = np.random.RandomState(9)
+    rows = [
+        (
+            int(i % 4),
+            round(float(a), 6),
+            round(float(b), 6),
+            float(c),
+        )
+        for i, (a, b, c) in enumerate(
+            zip(
+                rng.uniform(-1, 1, 240),
+                rng.uniform(-1, 1, 240),
+                (rng.uniform(-1, 1, 240) > 0).astype(float),
+            )
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "fold int, x1 double, x2 double, y double"
+    )
+    cv = {r["fold"]: r for r in L.kfold_cv(df).collect()}
+    assert set(cv) == {0, 1, 2, 3}
+    for f in range(4):
+        comp = df.filter(F.col("fold") != f).select("x1", "x2", "y")
+        direct = L.solve_coefficients(L.moment_sums(comp)).collect()[0]
+        assert direct["n"] == cv[f]["n_train"]
+        # subtraction path must reproduce the direct solve exactly
+        scored = comp.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(direct["b0"], direct["b1"], direct["b2"])],
+                    "b0 double, b1 double, b2 double",
+                )
+            )
+        )
+        assert (cv[f]["n_train"], cv[f]["n_val"]) == (direct["n"], 60)
+    # and the reported models come from those exact coefficients: recompute
+    # val accuracy for fold 0 by hand
+    f0 = df.filter(F.col("fold") == 0)
+    direct = L.solve_coefficients(
+        L.moment_sums(df.filter(F.col("fold") != 0).select("x1", "x2", "y"))
+    ).collect()[0]
+    preds = f0.withColumn(
+        "pred",
+        F.lit(direct["b0"])
+        + F.lit(direct["b1"]) * F.col("x1")
+        + F.lit(direct["b2"]) * F.col("x2"),
+    )
+    n_ok = preds.filter(
+        (F.col("pred") >= 0.5) == (F.col("y") >= 0.5)
+    ).count()
+    assert cv[0]["val_acc"] == round(n_ok / 60, 6)
