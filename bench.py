@@ -151,6 +151,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "ml_roc_auc",
     "ml_kfold_cv",
+    "ml_multiclass_probe",
 ]
 
 

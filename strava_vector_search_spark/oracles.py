@@ -4717,3 +4717,81 @@ FROM scored
 GROUP BY fold, n_train, n_val
 ORDER BY fold
 """
+
+
+# -- multiclass OVR probe ----------------------------------------------------
+# 10 models from one groupBy(label) aggregate: indicator-target cross
+# moments are the class's own (count, sums); shared Gram = fold of the
+# per-class rows; same det for every class; argmax scoring with
+# (score DESC, class ASC) tie-break.
+
+ORACLES["ml_multiclass_probe"] = f"""
+WITH feats AS (
+  SELECT vec_id, label,
+         ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x1,
+         ROUND(CAST(embedding[2] AS DOUBLE), 6) AS x2
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+pc AS (
+  SELECT label, COUNT(*) AS n_c,
+         SUM(CAST(x1 AS DECIMAL(38,12))) AS s1_c,
+         SUM(CAST(x2 AS DECIMAL(38,12))) AS s2_c,
+         SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS s11_c,
+         SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS s12_c,
+         SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS s22_c
+  FROM feats GROUP BY label
+),
+shared AS (
+  SELECT CAST(SUM(n_c) AS BIGINT) AS tn,
+         SUM(s1_c) AS ts1, SUM(s2_c) AS ts2, SUM(s11_c) AS ts11,
+         SUM(s12_c) AS ts12, SUM(s22_c) AS ts22
+  FROM pc
+),
+md AS (
+  SELECT pc.label, CAST(pc.n_c AS BIGINT) AS n_pos,
+         CAST(shared.tn AS DOUBLE) AS n_d,
+         CAST(shared.ts1 AS DOUBLE) AS s1, CAST(shared.ts2 AS DOUBLE) AS s2,
+         CAST(shared.ts11 AS DOUBLE) AS s11,
+         CAST(shared.ts12 AS DOUBLE) AS s12,
+         CAST(shared.ts22 AS DOUBLE) AS s22,
+         CAST(pc.n_c AS DOUBLE) AS sy,
+         CAST(pc.s1_c AS DOUBLE) AS s1y, CAST(pc.s2_c AS DOUBLE) AS s2y
+  FROM pc CROSS JOIN shared
+),
+dets AS (
+  SELECT label, n_pos,
+         {_DET["det"]} AS det,
+         {_DET["det0"]} AS det0,
+         {_DET["det1"]} AS det1,
+         {_DET["det2"]} AS det2
+  FROM md
+),
+models AS (
+  SELECT label, n_pos,
+         ROUND(det0 / det, 6) AS b0,
+         ROUND(det1 / det, 6) AS b1,
+         ROUND(det2 / det, 6) AS b2
+  FROM dets
+),
+scored AS (
+  SELECT f.vec_id, f.label, m.label AS cls,
+         ROUND(m.b0 + m.b1 * f.x1 + m.b2 * f.x2, 6) AS score
+  FROM feats f CROSS JOIN models m
+),
+pred AS (
+  SELECT vec_id, label, cls AS pred_label FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY score DESC, cls ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+acc AS (
+  SELECT ROUND(CAST(SUM(CASE WHEN label = pred_label THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*), 6) AS argmax_acc
+  FROM pred
+)
+SELECT m.label, m.n_pos, m.b0, m.b1, m.b2, a.argmax_acc
+FROM models m CROSS JOIN acc a
+ORDER BY m.label
+"""

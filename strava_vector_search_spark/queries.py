@@ -6563,3 +6563,105 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_kfold_cv": ml_kfold_cv})
+
+
+def ml_multiclass_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass (one-vs-rest) linear probe over ALL 10 labels from ONE
+    grouped aggregate: because the OVR target of class c is an indicator,
+    its cross moments are just the class's own (count, Σx1, Σx2), and the
+    shared Gram matrix is the monoid fold of the per-class rows -- so 10
+    models cost one groupBy(label) aggregate, one 10-row solve (det is
+    identical across classes: same A, different right-hand side), and one
+    argmax scoring scan against the broadcast 10-row model table. Output:
+    (label, n_pos, b0, b1, b2, argmax_acc) per class; argmax_acc is the
+    overall multiclass train accuracy (score desc, label asc tie-break),
+    identical in every row."""
+    from strava_vector_search_spark.operators.linear import DET_EXPRS
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = emb.select(
+        "vec_id",
+        "label",
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("x1"),
+        F.round(F.col("embedding")[1].cast("double"), 6).alias("x2"),
+    )
+
+    def dsum(expr, name):
+        return F.sum(expr.cast("decimal(38,12)")).alias(name)
+
+    x1, x2 = F.col("x1"), F.col("x2")
+    per_class = feats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        dsum(x1, "s1_c"),
+        dsum(x2, "s2_c"),
+        dsum(x1 * x1, "s11_c"),
+        dsum(x1 * x2, "s12_c"),
+        dsum(x2 * x2, "s22_c"),
+    )
+    shared = per_class.agg(
+        F.sum("n_c").cast("bigint").alias("tn"),
+        *[
+            F.sum(f"{c}_c").alias(f"t{c}")
+            for c in ("s1", "s2", "s11", "s12", "s22")
+        ],
+    )
+    m = per_class.crossJoin(F.broadcast(shared)).select(
+        "label",
+        F.col("n_c").cast("bigint").alias("n_pos"),
+        F.col("tn").cast("double").alias("n_d"),
+        *[
+            F.col(f"t{c}").cast("double").alias(c)
+            for c in ("s1", "s2", "s11", "s12", "s22")
+        ],
+        F.col("n_c").cast("double").alias("sy"),
+        F.col("s1_c").cast("double").alias("s1y"),
+        F.col("s2_c").cast("double").alias("s2y"),
+    )
+    for name, text in DET_EXPRS.items():
+        m = m.withColumn(name, F.expr(text))
+    models = m.select(
+        "label",
+        "n_pos",
+        F.round(F.expr("det0 / det"), 6).alias("b0"),
+        F.round(F.expr("det1 / det"), 6).alias("b1"),
+        F.round(F.expr("det2 / det"), 6).alias("b2"),
+    ).localCheckpoint(eager=False)
+    scored = feats.crossJoin(
+        F.broadcast(
+            models.select(
+                F.col("label").alias("cls"), "b0", "b1", "b2"
+            )
+        )
+    ).select(
+        "vec_id",
+        "label",
+        "cls",
+        F.round(F.expr("b0 + b1 * x1 + b2 * x2"), 6).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("score"), F.asc("cls")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("cls").alias("pred_label"))
+    )
+    acc = pred.agg(
+        F.round(
+            F.sum(
+                F.when(F.col("label") == F.col("pred_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("argmax_acc")
+    )
+    return (
+        models.crossJoin(F.broadcast(acc))
+        .select("label", "n_pos", "b0", "b1", "b2", "argmax_acc")
+        .orderBy("label")
+    )
+
+
+QUERIES.update({"ml_multiclass_probe": ml_multiclass_probe})

@@ -230,3 +230,33 @@ def test_kfold_subtraction_equals_complement_retrain(spark):
         (F.col("pred") >= 0.5) == (F.col("y") >= 0.5)
     ).count()
     assert cv[0]["val_acc"] == round(n_ok / 60, 6)
+
+
+def test_multiclass_probe_ovr_equals_binary_probes(spark):
+    """Each OVR model from the shared-Gram formulation must equal the
+    binary probe trained on the same (label==c) target directly."""
+    from strava_vector_search_spark.io.tables import load_table
+    from strava_vector_search_spark.queries import ml_multiclass_probe
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["label"]: r for r in ml_multiclass_probe(spark, sf).collect()}
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    for c in (0, 4, 9):
+        feats = L.feature_frame(
+            emb,
+            F.col("embedding")[0],
+            F.col("embedding")[1],
+            (F.col("label") == c).cast("int"),
+        )
+        direct = L.solve_coefficients(L.moment_sums(feats)).collect()[0]
+        assert (rows[c]["b0"], rows[c]["b1"], rows[c]["b2"]) == (
+            direct["b0"],
+            direct["b1"],
+            direct["b2"],
+        )
+    accs = {r["argmax_acc"] for r in rows.values()}
+    assert len(accs) == 1
+    (acc,) = accs
+    assert 0.0 <= acc <= 1.0
