@@ -152,6 +152,7 @@ HEADLINE = [
     "ml_roc_auc",
     "ml_kfold_cv",
     "ml_multiclass_probe",
+    "vs_mean_pool_topk",
 ]
 
 

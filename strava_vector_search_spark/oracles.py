@@ -4795,3 +4795,14 @@ SELECT m.label, m.n_pos, m.b0, m.b1, m.b2, a.argmax_acc
 FROM models m CROSS JOIN acc a
 ORDER BY m.label
 """
+
+
+# -- mean-pooled document vectors --------------------------------------------
+
+ORACLES["vs_mean_pool_topk"] = f"""
+WITH {_CENTROID_CTES}
+SELECT cluster::INTEGER AS label,
+       ROUND(list_cosine_similarity(centroid, {_qvec(5)}), 6) AS pooled_sim
+FROM cent
+ORDER BY pooled_sim DESC, label ASC
+"""

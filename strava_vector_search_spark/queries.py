@@ -6665,3 +6665,33 @@ def ml_multiclass_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_multiclass_probe": ml_multiclass_probe})
+
+
+def vs_mean_pool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level embedding aggregation: mean-pool each label group's
+    member vectors into ONE document vector (per-dim exact DECIMAL means,
+    the compute_centroids kernel) and rank documents by pooled cosine --
+    the standard sentence->document pooling step of an embedding pipeline,
+    as one posexplode + partial-combined aggregate; the query scores 10
+    pooled vectors, not the corpus."""
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
+    from strava_vector_search_spark.operators.ann import compute_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 5)
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    pooled = compute_centroids(emb, "label")
+    return (
+        pooled.select(
+            F.col("cluster").cast("int").alias("label"),
+            cosine_similarity_rounded(F.col("centroid"), qcol).alias(
+                "pooled_sim"
+            ),
+        )
+        .orderBy(F.desc("pooled_sim"), F.asc("label"))
+    )
+
+
+QUERIES.update({"vs_mean_pool_topk": vs_mean_pool_topk})
