@@ -153,6 +153,7 @@ HEADLINE = [
     "ml_kfold_cv",
     "ml_multiclass_probe",
     "vs_mean_pool_topk",
+    "dq_embedding_drift",
 ]
 
 

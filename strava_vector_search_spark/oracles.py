@@ -4806,3 +4806,35 @@ SELECT cluster::INTEGER AS label,
 FROM cent
 ORDER BY pooled_sim DESC, label ASC
 """
+
+
+# -- embedding snapshot drift -------------------------------------------------
+
+ORACLES["dq_embedding_drift"] = """
+WITH dims AS (SELECT range AS i FROM range(1, 65)),
+ex AS (
+  SELECT (vec_id % 2) AS cohort, d.i AS pos, embedding[d.i]::DOUBLE AS v
+  FROM embeddings, dims d
+  WHERE embedding IS NOT NULL
+),
+per AS (
+  SELECT cohort, pos,
+         ROUND(SUM(v::DECIMAL(28,10))::DOUBLE / COUNT(*), 6) AS mu,
+         COUNT(*) AS n_rows
+  FROM ex GROUP BY cohort, pos
+),
+j AS (
+  SELECT a.pos, a.mu AS mu_a, b.mu AS mu_b, a.n_rows AS na, b.n_rows AS nb
+  FROM (SELECT * FROM per WHERE cohort = 0) a
+  JOIN (SELECT * FROM per WHERE cohort = 1) b USING (pos)
+)
+SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(SUM(CAST(ABS(mu_a - mu_b) AS DECIMAL(38,12)))::DOUBLE
+             / COUNT(*), 6) AS mean_abs_drift,
+       ROUND(MAX(ABS(mu_a - mu_b)), 6) AS max_abs_drift,
+       ROUND(SUM(CAST(mu_a * mu_b AS DECIMAL(38,12)))::DOUBLE
+             / (SQRT(SUM(CAST(mu_a * mu_a AS DECIMAL(38,12)))::DOUBLE)
+                * SQRT(SUM(CAST(mu_b * mu_b AS DECIMAL(38,12)))::DOUBLE)), 6)
+         AS mean_cosine
+FROM j
+"""

@@ -6695,3 +6695,66 @@ def vs_mean_pool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"vs_mean_pool_topk": vs_mean_pool_topk})
+
+
+def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-snapshot drift monitor -- the ops check a re-embedding run
+    needs before an index swap: split the table into two deterministic
+    cohorts (stand-ins for old/new snapshots), compute each cohort's exact
+    per-dimension DECIMAL mean vector, and report how far the two centers
+    moved: mean/max absolute per-dim shift and the cosine of the two mean
+    vectors. One posexplode + one partial-combined aggregate per cohort;
+    the comparison runs over 64 per-dim rows, never the corpus. Output:
+    (n_a, n_b, mean_abs_drift, max_abs_drift, mean_cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    ex = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(2)).alias("cohort"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    )
+    per = ex.groupBy("cohort", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mu"),
+        (F.count(F.lit(1))).alias("n_rows"),
+    )
+    a = per.filter(F.col("cohort") == 0).select(
+        "pos", F.col("mu").alias("mu_a"), F.col("n_rows").alias("na")
+    )
+    b = per.filter(F.col("cohort") == 1).select(
+        "pos", F.col("mu").alias("mu_b"), F.col("n_rows").alias("nb")
+    )
+    j = a.join(b, "pos")
+
+    # the 6-dp means make |diff| exact at 6 dp and products exact at 12 dp,
+    # so DECIMAL accumulation keeps the 64-element sums order-insensitive
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(38,12)")).cast("double")
+
+    return j.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(
+            dsum(F.abs(F.col("mu_a") - F.col("mu_b"))) / F.count(F.lit(1)),
+            6,
+        ).alias("mean_abs_drift"),
+        F.round(
+            F.max(F.abs(F.col("mu_a") - F.col("mu_b"))), 6
+        ).alias("max_abs_drift"),
+        F.round(
+            dsum(F.col("mu_a") * F.col("mu_b"))
+            / (
+                F.sqrt(dsum(F.col("mu_a") * F.col("mu_a")))
+                * F.sqrt(dsum(F.col("mu_b") * F.col("mu_b")))
+            ),
+            6,
+        ).alias("mean_cosine"),
+    )
+
+
+QUERIES.update({"dq_embedding_drift": dq_embedding_drift})

@@ -95,3 +95,30 @@ def test_deterministic_across_partitionings(spark):
         )
     )
     assert a == b
+
+
+def test_property_random_graphs_match_replay(spark):
+    """Hypothesis: on random multigraphs the distributed fixed-point
+    iteration equals the pure-Python replay exactly (the bit-equality the
+    integer arithmetic promises)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    nodes = list("abcdefgh")
+    edge = st.tuples(st.sampled_from(nodes), st.sampled_from(nodes))
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(st.lists(edge, min_size=1, max_size=12))
+    def check(edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixedpoint(df, iterations=2).collect()
+        }
+        assert got == _python_pagerank(edges, iterations=2)
+
+    check()

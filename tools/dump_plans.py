@@ -421,6 +421,28 @@ EXPECTATIONS: dict[str, dict] = {
         "broadcast_join": "BroadcastNestedLoopJoin",
         "no_sortmerge": "!SortMergeJoin",
     },
+    "ml_kfold_cv": {
+        # one grouped moment aggregate; fold models broadcast back for the
+        # validation scan — no shuffle join anywhere
+        "partial_agg": "partial_",
+        "broadcast_join": "BroadcastHashJoin",
+        "no_sortmerge": "!SortMergeJoin",
+    },
+    "ml_multiclass_probe": {
+        "partial_agg": "partial_",
+        "no_sortmerge": "!SortMergeJoin",
+    },
+    "vs_mean_pool_topk": {
+        # posexplode fan-out then partial-combined per-dim means; the
+        # query scores 10 pooled rows, so no top-k machinery needed
+        "explode": "Generate",
+        "partial_agg": "partial_",
+        "no_join": "!Join",
+    },
+    # ann_ivfpq_topk: no entry — the gate collects internally and returns a
+    # local property row, so its visible plan is a LocalTableScan (the
+    # underlying kernels are audited via ann_ivf_topk + the MapInPandas
+    # checks on the PQ/SRP entries)
 }
 
 
