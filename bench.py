@@ -154,6 +154,7 @@ HEADLINE = [
     "ml_multiclass_probe",
     "vs_mean_pool_topk",
     "dq_embedding_drift",
+    "g_item_similarity",
 ]
 
 

@@ -134,3 +134,62 @@ def top_ranked(ranks: DataFrame, k: int = 20, scale: int = SCALE) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(k)
     )
+
+
+def neighborhood_jaccard_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_src_degree: int | None = 1000,
+) -> DataFrame:
+    """Top item pairs by Jaccard overlap of their neighbor sets — the
+    collaborative-filtering "items bought by the same customers" kernel,
+    as the inverted-index join (never all item pairs): each ``src``
+    (customer) emits its ``dst`` (item) pairs, so candidate generation is
+    bounded by per-src degree, and only pairs sharing ≥1 neighbor exist.
+
+    ``max_src_degree`` drops promiscuous sources before pairing (a src
+    touching everything contributes degree² pairs and no signal — the
+    stop-shingle guard from the text-dedup operators applied to graphs);
+    dropped sources still count toward neighbor-set sizes, so the Jaccard
+    denominators stay honest. Returns (i1, i2, inter, n1, n2, jaccard).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    e = e.localCheckpoint(eager=False)
+    sizes = e.groupBy("_d").agg(F.count(F.lit(1)).alias("_n"))
+    pair_src = e
+    if max_src_degree is not None:
+        deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_sd"))
+        pair_src = e.join(
+            deg.filter(F.col("_sd") <= max_src_degree).select("_s"), "_s"
+        )
+    a = pair_src.select(F.col("_s"), F.col("_d").alias("i1"))
+    b = pair_src.select(F.col("_s"), F.col("_d").alias("i2"))
+    inter = (
+        a.join(b, "_s")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("_d").alias("i1"), F.col("_n").alias("n1")),
+            "i1",
+        )
+        .join(
+            sizes.select(F.col("_d").alias("i2"), F.col("_n").alias("n2")),
+            "i2",
+        )
+        .select(
+            "i1",
+            "i2",
+            "inter",
+            "n1",
+            "n2",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

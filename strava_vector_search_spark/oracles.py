@@ -4838,3 +4838,29 @@ SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
          AS mean_cosine
 FROM j
 """
+
+
+# -- graph-neighborhood item similarity ---------------------------------------
+
+ORACLES["g_item_similarity"] = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS s, l_suppkey AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+sizes AS (SELECT d, COUNT(*) AS n FROM e GROUP BY d),
+deg AS (SELECT s, COUNT(*) AS sd FROM e GROUP BY s),
+ps AS (SELECT e.s, e.d FROM e JOIN deg ON deg.s = e.s WHERE deg.sd <= 50),
+inter AS (
+  SELECT a.d AS i1, b.d AS i2, COUNT(*) AS inter
+  FROM ps a JOIN ps b ON a.s = b.s AND a.d < b.d
+  GROUP BY a.d, b.d
+)
+SELECT i.i1, i.i2, i.inter, s1.n AS n1, s2.n AS n2,
+       ROUND(CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes s1 ON s1.d = i.i1
+JOIN sizes s2 ON s2.d = i.i2
+ORDER BY jaccard DESC, i1 ASC, i2 ASC
+LIMIT 20
+"""

@@ -6758,3 +6758,30 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dq_embedding_drift": dq_embedding_drift})
+
+
+def g_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative-filtering item similarity over the trade graph: top
+    supplier pairs by Jaccard overlap of their customer sets, via the
+    inverted-index join (customers emit their supplier pairs -- bounded by
+    per-customer degree, never all supplier pairs; a max-degree guard
+    drops promiscuous customers the way text dedup drops stop-shingles).
+    Exact integer counts, one 6-dp division at the end."""
+    from strava_vector_search_spark.operators.graph import (
+        neighborhood_jaccard_pairs,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    pairs = neighborhood_jaccard_pairs(edges, max_src_degree=50)
+    return pairs.orderBy(
+        F.desc("jaccard"), F.asc("i1"), F.asc("i2")
+    ).limit(20)
+
+
+QUERIES.update({"g_item_similarity": g_item_similarity})

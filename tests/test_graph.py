@@ -122,3 +122,48 @@ def test_property_random_graphs_match_replay(spark):
         assert got == _python_pagerank(edges, iterations=2)
 
     check()
+
+
+def test_neighborhood_jaccard_exact_small(spark):
+    from strava_vector_search_spark.operators.graph import (
+        neighborhood_jaccard_pairs,
+    )
+
+    # customers c1..c3; items A,B share 2 of 3 customers; C disjoint-ish
+    edges = [
+        ("c1", "A"), ("c1", "B"),
+        ("c2", "A"), ("c2", "B"),
+        ("c3", "A"), ("c3", "C"),
+        ("c1", "A"),  # duplicate edge must not inflate counts
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["i1"], r["i2"]): r
+        for r in neighborhood_jaccard_pairs(df, max_src_degree=None).collect()
+    }
+    ab = got[("A", "B")]
+    assert (ab["inter"], ab["n1"], ab["n2"]) == (2, 3, 2)
+    assert ab["jaccard"] == round(2 / 3, 6)
+    ac = got[("A", "C")]
+    assert (ac["inter"], ac["jaccard"]) == (1, round(1 / 3, 6))
+    assert ("B", "C") not in got  # no shared customer -> no candidate
+
+
+def test_max_degree_guard_drops_pairs_keeps_denominators(spark):
+    from strava_vector_search_spark.operators.graph import (
+        neighborhood_jaccard_pairs,
+    )
+
+    edges = [("hub", d) for d in ("A", "B", "C")] + [
+        ("c1", "A"), ("c1", "B"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    guarded = {
+        (r["i1"], r["i2"]): r
+        for r in neighborhood_jaccard_pairs(df, max_src_degree=2).collect()
+    }
+    # hub (degree 3) is excluded from pairing: only c1's A-B pair remains
+    assert set(guarded) == {("A", "B")}
+    # but hub still counts toward the neighbor-set sizes
+    assert (guarded[("A", "B")]["n1"], guarded[("A", "B")]["n2"]) == (2, 2)
+    assert guarded[("A", "B")]["inter"] == 1
