@@ -155,6 +155,8 @@ HEADLINE = [
     "vs_mean_pool_topk",
     "dq_embedding_drift",
     "g_item_similarity",
+    "ml_target_encode_loo",
+    "ml_calibration_table",
 ]
 
 

@@ -4864,3 +4864,83 @@ JOIN sizes s2 ON s2.d = i.i2
 ORDER BY jaccard DESC, i1 ASC, i2 ASC
 LIMIT 20
 """
+
+
+# -- leave-one-out target encoding -------------------------------------------
+
+ORACLES["ml_target_encode_loo"] = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(CASE WHEN value > 5.0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_cat,
+         SUM(CAST(y AS DECIMAL(38,12))) AS sum_y
+  FROM base GROUP BY event_type
+)
+SELECT b.event_id, b.event_type, CAST(b.y AS BIGINT) AS y,
+       CASE WHEN s.n_cat > 1
+            THEN ROUND((CAST(s.sum_y AS DOUBLE) - b.y)
+                       / CAST(s.n_cat - 1 AS DOUBLE), 6)
+       END AS loo_encoding
+FROM base b JOIN stats s USING (event_type)
+ORDER BY event_id
+LIMIT 20
+"""
+
+
+# -- probe calibration table --------------------------------------------------
+
+ORACLES["ml_calibration_table"] = f"""
+WITH feats AS (
+  SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x1,
+         ROUND(CAST(embedding[2] AS DOUBLE), 6) AS x2,
+         CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(y  AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(38,12))) AS DOUBLE) AS s2y
+  FROM feats
+),
+md AS (SELECT *, CAST(n AS DOUBLE) AS n_d FROM m),
+dets AS (
+  SELECT {_DET["det"]} AS det,
+         {_DET["det0"]} AS det0,
+         {_DET["det1"]} AS det1,
+         {_DET["det2"]} AS det2
+  FROM md
+),
+c AS (
+  SELECT ROUND(det0 / det, 6) AS b0,
+         ROUND(det1 / det, 6) AS b1,
+         ROUND(det2 / det, 6) AS b2
+  FROM dets
+),
+scored AS (
+  SELECT ROUND(b0 + b1 * x1 + b2 * x2, 6) AS pred, y
+  FROM feats f CROSS JOIN c
+),
+binned AS (
+  SELECT LEAST(9, GREATEST(0, CAST(FLOOR(pred * 10) AS INTEGER))) AS bin,
+         pred, y
+  FROM scored
+)
+SELECT bin, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(pred AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_pred,
+       ROUND(CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS pos_rate
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""

@@ -6785,3 +6785,92 @@ def g_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"g_item_similarity": g_item_similarity})
+
+
+def ml_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding -- the standard
+    categorical feature for tabular training: each event's category
+    (event_type) is encoded as the mean target of ALL OTHER rows in that
+    category, (sum_y - y_i) / (n - 1). One grouped DECIMAL-exact aggregate
+    broadcast back onto the scan; categories with a single row encode
+    NULL. First 20 rows by event_id, value as the 0/1 target proxy."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    y = (F.col("value") > 5.0).cast("int").cast("double")
+    base = ev.select("event_id", "event_type", y.alias("y"))
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum(F.col("y").cast("decimal(38,12)")).alias("sum_y"),
+    )
+    return (
+        base.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("y").cast("bigint").alias("y"),
+            F.when(
+                F.col("n_cat") > 1,
+                F.round(
+                    (F.col("sum_y").cast("double") - F.col("y"))
+                    / (F.col("n_cat") - 1).cast("double"),
+                    6,
+                ),
+            ).alias("loo_encoding"),
+        )
+        .orderBy("event_id")
+        .limit(20)
+    )
+
+
+QUERIES.update({"ml_target_encode_loo": ml_target_encode_loo})
+
+
+def ml_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the linear probe: predictions bucketed into
+    ten 0.1-wide bins (clamped to [0,1]), each reporting its row count,
+    mean prediction, and empirical positive rate -- the calibration check
+    a score must pass before thresholding at 0.80/0.70 like the
+    reference's cache rubric. Means are DECIMAL-routed, one scan + one
+    aggregate after the broadcast-coefficient scoring."""
+    from strava_vector_search_spark.operators import linear as L
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = L.feature_frame(
+        emb,
+        F.col("embedding")[0],
+        F.col("embedding")[1],
+        (F.col("label") == 0).cast("int"),
+    )
+    coef = L.solve_coefficients(L.moment_sums(feats))
+    scored = feats.crossJoin(F.broadcast(coef)).select(
+        F.round(F.expr("b0 + b1 * x1 + b2 * x2"), 6).alias("pred"),
+        F.col("y"),
+    )
+    binned = scored.withColumn(
+        "bin",
+        F.least(
+            F.lit(9),
+            F.greatest(F.lit(0), F.floor(F.col("pred") * 10).cast("int")),
+        ),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("pred").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_pred"),
+            F.round(
+                F.sum(F.col("y").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES.update({"ml_calibration_table": ml_calibration_table})

@@ -260,3 +260,35 @@ def test_multiclass_probe_ovr_equals_binary_probes(spark):
     assert len(accs) == 1
     (acc,) = accs
     assert 0.0 <= acc <= 1.0
+
+
+def test_loo_target_encoding_semantics(spark):
+    """LOO excludes the row's own target; singleton categories give NULL."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 0.0), (3, "a", 1.0), (4, "b", 1.0)],
+        "event_id long, event_type string, y double",
+    )
+    stats = df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum(F.col("y").cast("decimal(38,12)")).alias("sum_y"),
+    )
+    out = {
+        r["event_id"]: r["loo"]
+        for r in df.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            F.when(
+                F.col("n_cat") > 1,
+                F.round(
+                    (F.col("sum_y").cast("double") - F.col("y"))
+                    / (F.col("n_cat") - 1).cast("double"),
+                    6,
+                ),
+            ).alias("loo"),
+        )
+        .collect()
+    }
+    assert out[1] == 0.5   # (2 - 1) / 2
+    assert out[2] == 1.0   # (2 - 0) / 2
+    assert out[3] == 0.5
+    assert out[4] is None  # singleton category
