@@ -1545,7 +1545,7 @@ ORACLES["q9_product_profit"] = f"""
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
        ROUND(SUM({_REV}
                  - p_retailprice::DECIMAL(18,6) * l_quantity::DECIMAL(18,6)
-            )::DOUBLE, 2) AS sum_profit
+            ), 2)::DOUBLE AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey

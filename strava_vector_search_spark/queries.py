@@ -2407,7 +2407,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+        # round the EXACT decimal, then cast: both engines round decimals
+        # half-away-from-zero identically, whereas rounding after the
+        # double cast diverges when the exact sum lands on a half-cent
+        # boundary (observed at sf0.001: 529029.065)
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
