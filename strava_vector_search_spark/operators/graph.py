@@ -41,7 +41,11 @@ DAMPING_PCT = 85  # 0.85 as an integer percent
 SCALE = 1_000_000  # rank fixed-point scale: 1.0 == 1e6
 
 
-BROADCAST_NODES_THRESHOLD = 5_000_000
+# auto-broadcast ceiling for the rank table: ~1M (node, long) rows is a
+# few tens of MB per broadcast — two broadcasts per iteration must stay
+# comfortably inside a modest driver heap; larger graphs take the shuffle
+# join (pre-bucket the edge table there)
+BROADCAST_NODES_THRESHOLD = 1_000_000
 
 
 def pagerank_fixedpoint(
@@ -73,7 +77,12 @@ def pagerank_fixedpoint(
     at billion-node scale, pre-bucketing ``edeg`` on ``_src`` restores
     co-location there too.
     """
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # checkpoint the edge projection: deg, edeg and nodes each read it (the
+    # union in nodes twice), so an un-checkpointed upstream derivation
+    # (join + distinct in g_pagerank) would recompute ~6x
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint(eager=False)
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     # edges-with-degree and the node set are reused every iteration:
     # materialize once, keep lineage flat

@@ -68,19 +68,17 @@ def feature_frame(
 MOMENT_COLS = ("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")
 
 
-def moment_sums_decimal(feats: DataFrame) -> DataFrame:
-    """One map-side-combined aggregate → the full Gram matrix, kept in
-    DECIMAL(38,12). Decimal addition is exact and order-insensitive, so
-    these rows form a MONOID: per-partition (or per-micro-batch) moment
-    rows merged with ``merge_moment_states`` equal the single-pass
-    aggregate bit-for-bit — the property the streaming model-maintenance
-    path (streaming/model_stream.py) is built on."""
+def _moment_agg_cols() -> list[Column]:
+    """The ONE definition of the nine Gram-moment aggregate columns —
+    shared by the global, per-fold, and streaming paths so the monoid
+    identities (merge == recompute, total − fold == complement) can never
+    drift between hand-maintained copies."""
 
     def dsum(expr: Column, name: str) -> Column:
         return F.sum(expr.cast("decimal(38,12)")).alias(name)
 
     x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
-    return feats.agg(
+    return [
         F.count(F.lit(1)).alias("n"),
         dsum(x1, "s1"),
         dsum(x2, "s2"),
@@ -90,7 +88,17 @@ def moment_sums_decimal(feats: DataFrame) -> DataFrame:
         dsum(x2 * x2, "s22"),
         dsum(x1 * y, "s1y"),
         dsum(x2 * y, "s2y"),
-    )
+    ]
+
+
+def moment_sums_decimal(feats: DataFrame) -> DataFrame:
+    """One map-side-combined aggregate → the full Gram matrix, kept in
+    DECIMAL(38,12). Decimal addition is exact and order-insensitive, so
+    these rows form a MONOID: per-partition (or per-micro-batch) moment
+    rows merged with ``merge_moment_states`` equal the single-pass
+    aggregate bit-for-bit — the property the streaming model-maintenance
+    path (streaming/model_stream.py) is built on."""
+    return feats.agg(*_moment_agg_cols())
 
 
 def merge_moment_states(states: DataFrame) -> DataFrame:
@@ -292,23 +300,9 @@ def logreg_irls(feats: DataFrame, iterations: int = 2) -> DataFrame:
 
 
 def fold_moment_sums(feats_with_fold: DataFrame) -> DataFrame:
-    """Per-fold decimal Gram moments — one map-side-combined aggregate."""
-
-    def dsum(expr: Column, name: str) -> Column:
-        return F.sum(expr.cast("decimal(38,12)")).alias(name)
-
-    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
-    return feats_with_fold.groupBy("fold").agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum(x1, "s1"),
-        dsum(x2, "s2"),
-        dsum(y, "sy"),
-        dsum(x1 * x1, "s11"),
-        dsum(x1 * x2, "s12"),
-        dsum(x2 * x2, "s22"),
-        dsum(x1 * y, "s1y"),
-        dsum(x2 * y, "s2y"),
-    )
+    """Per-fold decimal Gram moments — one map-side-combined aggregate
+    over the same shared column definitions as the global path."""
+    return feats_with_fold.groupBy("fold").agg(*_moment_agg_cols())
 
 
 def kfold_cv(feats_with_fold: DataFrame) -> DataFrame:

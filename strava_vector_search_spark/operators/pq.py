@@ -198,6 +198,28 @@ def pq_topk_refined(
     )
 
 
+def probe_clusters(
+    centroids: DataFrame, query_vec: list[float], nprobe: int
+) -> DataFrame:
+    """The nprobe nearest clusters by centroid cosine, ties to the lowest
+    cluster id — the ONE probe definition shared by ivfpq_topk and the
+    gates' exact-within-probe comparisons (they must agree textually or a
+    recall check silently compares against the wrong cluster set)."""
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        centroids.withColumn(
+            "cdist", cosine_similarity_rounded(F.col("centroid"), qcol)
+        )
+        .orderBy(F.desc("cdist"), F.asc("cluster"))
+        .limit(nprobe)
+        .select("cluster")
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     codes: DataFrame,
@@ -221,22 +243,11 @@ def ivfpq_topk(
     ``encode_pq(..., keep_cols=(cluster_col,))``). Centroid probe and
     rescore follow the ivf_topk / pq_topk_refined contracts exactly.
     """
-    from strava_vector_search_spark.functions.vector import (
-        cosine_similarity_rounded,
-    )
     from strava_vector_search_spark.operators.ann import compute_centroids
 
     if centroids is None:
         centroids = compute_centroids(emb, cluster_col, vector_col)
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    probed = (
-        centroids.withColumn(
-            "cdist", cosine_similarity_rounded(F.col("centroid"), qcol)
-        )
-        .orderBy(F.desc("cdist"), F.asc("cluster"))
-        .limit(nprobe)
-        .select("cluster")
-    )
+    probed = probe_clusters(centroids, query_vec, nprobe)
     cand_codes = codes.join(
         F.broadcast(probed),
         codes[cluster_col] == probed["cluster"],

@@ -4438,8 +4438,10 @@ ORACLES["g_pagerank"] = _pagerank_oracle()
 
 from strava_vector_search_spark.operators.linear import DET_EXPRS as _DET
 
-ORACLES["ml_linear_probe"] = f"""
-WITH feats AS (
+# shared coefficient pipeline for every probe-based oracle: feats -> exact
+# decimal moments -> shared-text Cramer solve -> 6-dp coefficients. ONE
+# definition so the probe oracles cannot drift from each other.
+_PROBE_COEF_CTES = f"""feats AS (
   SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x1,
          ROUND(CAST(embedding[2] AS DOUBLE), 6) AS x2,
          CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
@@ -4473,7 +4475,11 @@ c AS (
          ROUND(det1 / det, 6) AS b1,
          ROUND(det2 / det, 6) AS b2
   FROM dets
-),
+)"""
+
+
+ORACLES["ml_linear_probe"] = f"""
+WITH {_PROBE_COEF_CTES},
 scored AS (
   SELECT f.x1, f.x2, f.y, c.n, c.sy, c.b0, c.b1, c.b2,
          b0 + b1 * x1 + b2 * x2 AS pred
@@ -4588,40 +4594,7 @@ FROM embeddings
 # shares the coefficient CTEs with ml_linear_probe (same Cramer text).
 
 ORACLES["ml_roc_auc"] = f"""
-WITH feats AS (
-  SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x1,
-         ROUND(CAST(embedding[2] AS DOUBLE), 6) AS x2,
-         CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
-  FROM embeddings
-  WHERE embedding IS NOT NULL
-),
-m AS (
-  SELECT COUNT(*) AS n,
-         CAST(SUM(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
-         CAST(SUM(CAST(y  AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
-         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s12,
-         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
-         CAST(SUM(CAST(x1 * y AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
-         CAST(SUM(CAST(x2 * y AS DECIMAL(38,12))) AS DOUBLE) AS s2y
-  FROM feats
-),
-md AS (SELECT *, CAST(n AS DOUBLE) AS n_d FROM m),
-dets AS (
-  SELECT n, sy,
-         {_DET["det"]} AS det,
-         {_DET["det0"]} AS det0,
-         {_DET["det1"]} AS det1,
-         {_DET["det2"]} AS det2
-  FROM md
-),
-c AS (
-  SELECT ROUND(det0 / det, 6) AS b0,
-         ROUND(det1 / det, 6) AS b1,
-         ROUND(det2 / det, 6) AS b2
-  FROM dets
-),
+WITH {_PROBE_COEF_CTES},
 scored AS (
   SELECT ROUND(b0 + b1 * x1 + b2 * x2, 6) AS s,
          CAST(y AS BIGINT) AS yl
@@ -4893,39 +4866,7 @@ LIMIT 20
 # -- probe calibration table --------------------------------------------------
 
 ORACLES["ml_calibration_table"] = f"""
-WITH feats AS (
-  SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x1,
-         ROUND(CAST(embedding[2] AS DOUBLE), 6) AS x2,
-         CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
-  FROM embeddings
-  WHERE embedding IS NOT NULL
-),
-m AS (
-  SELECT COUNT(*) AS n,
-         CAST(SUM(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
-         CAST(SUM(CAST(y  AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
-         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s12,
-         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
-         CAST(SUM(CAST(x1 * y AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
-         CAST(SUM(CAST(x2 * y AS DECIMAL(38,12))) AS DOUBLE) AS s2y
-  FROM feats
-),
-md AS (SELECT *, CAST(n AS DOUBLE) AS n_d FROM m),
-dets AS (
-  SELECT {_DET["det"]} AS det,
-         {_DET["det0"]} AS det0,
-         {_DET["det1"]} AS det1,
-         {_DET["det2"]} AS det2
-  FROM md
-),
-c AS (
-  SELECT ROUND(det0 / det, 6) AS b0,
-         ROUND(det1 / det, 6) AS b1,
-         ROUND(det2 / det, 6) AS b2
-  FROM dets
-),
+WITH {_PROBE_COEF_CTES},
 scored AS (
   SELECT ROUND(b0 + b1 * x1 + b2 * x2, 6) AS pred, y
   FROM feats f CROSS JOIN c

@@ -6416,9 +6416,6 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage uses the same scorer)."""
     from strava_vector_search_spark.operators import pq as PQ
     from strava_vector_search_spark.operators.ann import compute_centroids
-    from strava_vector_search_spark.functions.vector import (
-        cosine_similarity_rounded,
-    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     books = PQ.train_codebooks(emb)
@@ -6431,15 +6428,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits, sims_exact = 0, True
     for qid in qids:
         qv = _query_vec(spark, sf_dir, qid)
-        qcol = F.array(*[F.lit(float(x)) for x in qv])
-        probed = (
-            cents.withColumn(
-                "cdist", cosine_similarity_rounded(F.col("centroid"), qcol)
-            )
-            .orderBy(F.desc("cdist"), F.asc("cluster"))
-            .limit(nprobe)
-            .select("cluster")
-        )
+        # the SAME probe definition the operator uses internally — textual
+        # agreement is what makes "recall vs exact-within-probe" valid
+        probed = PQ.probe_clusters(cents, qv, nprobe)
         in_probe = emb.join(
             F.broadcast(probed), emb["label"] == probed["cluster"], "left_semi"
         )
@@ -6522,8 +6513,12 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("np_s") + F.col("nn_s")).alias("n"),
         F.sum("np_s").alias("n_pos"),
         F.sum("nn_s").alias("n_neg"),
+        # the pair-count numerator is ~2·AUC·n_pos·n_neg — past ~2e9 rows
+        # per class it overflows a long; DECIMAL(38,0) keeps it exact (the
+        # DuckDB oracle promotes to HUGEINT for the same reason)
         F.sum(
-            F.col("np_s") * (F.lit(2) * F.col("nn_below") + F.col("nn_s"))
+            (F.col("np_s") * (F.lit(2) * F.col("nn_below") + F.col("nn_s")))
+            .cast("decimal(38,0)")
         ).alias("numer2"),
     ).select(
         "n",

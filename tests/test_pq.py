@@ -88,23 +88,12 @@ def test_ivfpq_equals_pq_within_probed_clusters(spark, emb, books):
     IVF+PQ must equal exact brute force restricted to those clusters —
     the composition adds pruning, not new approximation."""
     from strava_vector_search_spark.operators.ann import compute_centroids
-    from strava_vector_search_spark.functions.vector import (
-        cosine_similarity_rounded,
-    )
 
     codes = PQ.encode_pq(emb, books, keep_cols=("label",)).localCheckpoint()
     cents = compute_centroids(emb, "label").localCheckpoint()
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
     nprobe = 3
-    qcol = F.array(*[F.lit(float(x)) for x in qv])
-    probed = (
-        cents.withColumn(
-            "cdist", cosine_similarity_rounded(F.col("centroid"), qcol)
-        )
-        .orderBy(F.desc("cdist"), F.asc("cluster"))
-        .limit(nprobe)
-        .select("cluster")
-    )
+    probed = PQ.probe_clusters(cents, qv, nprobe)
     in_probe = emb.join(
         F.broadcast(probed), emb["label"] == probed["cluster"], "left_semi"
     )
