@@ -157,6 +157,8 @@ HEADLINE = [
     "g_item_similarity",
     "ml_target_encode_loo",
     "ml_calibration_table",
+    "dd_soft_dedup_weights",
+    "dm_epoch_schedule",
 ]
 
 

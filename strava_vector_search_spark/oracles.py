@@ -4885,3 +4885,48 @@ FROM binned
 GROUP BY bin
 ORDER BY bin
 """
+
+
+# -- soft dedup (duplicate down-weighting) ------------------------------------
+
+ORACLES["dd_soft_dedup_weights"] = _CC_CTES + """,
+labeled AS (
+  SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+),
+sizes AS (SELECT comp, COUNT(*) AS comp_size FROM labeled GROUP BY comp)
+SELECT l.doc_id, l.comp, s.comp_size,
+       ROUND(1.0 / CAST(s.comp_size AS DOUBLE), 6) AS weight
+FROM labeled l JOIN sizes s USING (comp)
+ORDER BY l.doc_id
+"""
+
+
+# -- multi-epoch mixture schedule ---------------------------------------------
+
+ORACLES["dm_epoch_schedule"] = f"""
+WITH avail AS (
+  SELECT source, SUM(len({_TOKS})) AS avail_tokens
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+  GROUP BY source
+),
+sched AS (
+  SELECT source, CAST(avail_tokens AS BIGINT) AS avail_tokens,
+         CASE source WHEN 'src0' THEN 0.2::DOUBLE
+                     WHEN 'src1' THEN 0.5::DOUBLE
+                     ELSE 0.3::DOUBLE END AS target_weight,
+         CAST(ROUND(CASE source WHEN 'src0' THEN 0.2::DOUBLE
+                                WHEN 'src1' THEN 0.5::DOUBLE
+                                ELSE 0.3::DOUBLE END * 40000.0, 0) AS BIGINT)
+           AS scheduled_tokens
+  FROM avail
+)
+SELECT source, avail_tokens, target_weight, scheduled_tokens,
+       ROUND(CAST(scheduled_tokens AS DOUBLE)
+             / CAST(avail_tokens AS DOUBLE), 6) AS epochs,
+       CAST(scheduled_tokens AS DOUBLE)
+         > 4.0 * CAST(avail_tokens AS DOUBLE) AS over_repetition
+FROM sched
+ORDER BY source
+"""

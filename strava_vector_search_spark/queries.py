@@ -6873,3 +6873,97 @@ def ml_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_calibration_table": ml_calibration_table})
+
+
+def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style duplicate DOWN-WEIGHTING: instead of dropping
+    near-dup copies, every document gets training weight 1/|component|
+    (singletons weigh 1.0), so duplicated content contributes once in
+    expectation while no document is lost -- the soft alternative the
+    dedup literature recommends when near-dups carry distinct metadata. Same
+    MinHash-LSH -> verified pairs -> connected components labeling as
+    dd_connected_components, plus one component-size aggregate broadcast
+    back. Output: (doc_id, comp, comp_size, weight)."""
+    from strava_vector_search_spark.operators.dedup import (
+        dedup_by_near_dup_groups,
+        minhash_dedup_verified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_verified(docs, "doc_id", "text", threshold=0.5)
+    labeled = dedup_by_near_dup_groups(docs, pairs, "doc_id")
+    sizes = labeled.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("comp_size")
+    )
+    return (
+        labeled.join(F.broadcast(sizes), "comp")
+        .select(
+            "doc_id",
+            "comp",
+            "comp_size",
+            F.round(
+                F.lit(1.0) / F.col("comp_size").cast("double"), 6
+            ).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"dd_soft_dedup_weights": dd_soft_dedup_weights})
+
+
+def dm_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mixture schedule: given a global training-token budget
+    and target mixture weights, compute each source's repetition factor
+    (epochs = tokens the schedule wants / tokens the source has) -- the
+    "how many times does each domain repeat" table of a pretraining run
+    (up-sampled low-resource sources repeat, abundant ones are sampled
+    below one epoch). One |sources|-row aggregate; all arithmetic on the
+    tiny table. Output per source: available and scheduled token counts,
+    the repetition factor, and a flag when a source repeats more than the
+    4-epoch soundness ceiling the data-mixing literature warns about."""
+    docs = load_table(spark, sf_dir, "documents")
+    from strava_vector_search_spark.functions.text import token_count
+
+    weights = {"src0": 0.2, "src1": 0.5, "src2": 0.3}
+    budget_tokens = 40_000
+    avail = (
+        docs.filter(F.col("source").isin(*weights))
+        .groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("avail_tokens"))
+    )
+    w_expr = F.when(F.col("source") == "src0", F.lit(0.2)).when(
+        F.col("source") == "src1", F.lit(0.5)
+    ).otherwise(F.lit(0.3))
+    return (
+        avail.select(
+            "source",
+            "avail_tokens",
+            w_expr.alias("target_weight"),
+            # explicit round before the integral cast: Spark truncates
+            # double->bigint while DuckDB rounds, so an unrounded product
+            # like 7999.999... would diverge by 1
+            F.round(w_expr * F.lit(float(budget_tokens)), 0)
+            .cast("bigint")
+            .alias("scheduled_tokens"),
+        )
+        .select(
+            "source",
+            "avail_tokens",
+            "target_weight",
+            "scheduled_tokens",
+            F.round(
+                F.col("scheduled_tokens").cast("double")
+                / F.col("avail_tokens").cast("double"),
+                6,
+            ).alias("epochs"),
+            (
+                F.col("scheduled_tokens").cast("double")
+                > F.lit(4.0) * F.col("avail_tokens").cast("double")
+            ).alias("over_repetition"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES.update({"dm_epoch_schedule": dm_epoch_schedule})
