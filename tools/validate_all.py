@@ -19,6 +19,10 @@ STEPS = [
     ("plan audit", [sys.executable, "tools/dump_plans.py"]),
     ("bench (sf0.1)", [sys.executable, "bench.py"]),
     ("demo", [sys.executable, "examples/workout_cache_demo.py"]),
+    (
+        "curation demo",
+        [sys.executable, "examples/training_data_pipeline_demo.py"],
+    ),
 ]
 
 
