@@ -6891,7 +6891,11 @@ def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_dedup_verified(docs, "doc_id", "text", threshold=0.5)
-    labeled = dedup_by_near_dup_groups(docs, pairs, "doc_id")
+    # the labeling feeds BOTH the size aggregate and the weight join —
+    # checkpoint so the MinHash+CC pipeline upstream runs once, not twice
+    labeled = dedup_by_near_dup_groups(docs, pairs, "doc_id").localCheckpoint(
+        eager=False
+    )
     sizes = labeled.groupBy("comp").agg(
         F.count(F.lit(1)).alias("comp_size")
     )
