@@ -159,6 +159,7 @@ HEADLINE = [
     "ml_calibration_table",
     "dd_soft_dedup_weights",
     "dm_epoch_schedule",
+    "a19_mode_per_group",
 ]
 
 

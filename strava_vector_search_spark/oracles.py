@@ -4930,3 +4930,24 @@ SELECT source, avail_tokens, target_weight, scheduled_tokens,
 FROM sched
 ORDER BY source
 """
+
+
+# -- exact per-group mode -----------------------------------------------------
+
+ORACLES["a19_mode_per_group"] = """
+WITH counts AS (
+  SELECT event_type, CAST(ROUND(value, 0) AS BIGINT) AS v, COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, v
+)
+SELECT event_type, v AS mode_value, cnt AS mode_count, n_distinct_values
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, v ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_distinct_values
+  FROM counts
+)
+WHERE rn = 1
+ORDER BY event_type
+"""

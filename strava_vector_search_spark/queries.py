@@ -6971,3 +6971,28 @@ def dm_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dm_epoch_schedule": dm_epoch_schedule})
+
+
+def a19_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE (most frequent value) with deterministic
+    tie-break -- the one descriptive statistic percentiles can't express:
+    per event type, the most common rounded value, its count, and the
+    distinct-value count. Two partial-combined aggregates (value counts,
+    then argmax via max_by on (count, -value)); no window, no sort of the
+    raw rows."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    counts = ev.select(
+        "event_type", F.round(F.col("value"), 0).cast("bigint").alias("v")
+    ).groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            F.expr("max_by(v, struct(cnt, -v))").alias("mode_value"),
+            F.max("cnt").alias("mode_count"),
+            F.count(F.lit(1)).alias("n_distinct_values"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES.update({"a19_mode_per_group": a19_mode_per_group})
