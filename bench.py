@@ -1,21 +1,42 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Each query is executed to completion (collect) after a shared warm-up so JVM
-startup and parquet footer reads don't pollute per-query numbers.
+Output framing (VERDICT r02 item 1 — the r02 artifact was truncated to a
+tail window and lost its head, leaving the driver with no machine-readable
+total):
+
+* stdout carries EXACTLY ONE compact JSON line — small enough (<1.5 KB) to
+  survive any tail-window capture intact:
+  {"metric": "headline_queries_total_wall", "value": total_sec,
+   "unit": "sec", "sf": ..., "n_queries": N, "queries": {slowest 15},
+   "queries_full": "<snapshot path>"}
+* the FULL per-query map (plus protocol metadata) is written to
+  tools/bench_snapshots/last_run.json and echoed to stderr for humans.
+
+Timing protocol (VERDICT r02 item 3 — round-over-round comparability):
+each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+MEDIAN; the first rep pays plan compilation and is absorbed as the median's
+outlier. Per-query sf0.1 numbers still vary ~2x with JVM state under
+concurrent load — compare clean solo runs (tools/compare_bench.py).
+
+The heaviest property gates are substituted with their operator-path-only
+twins from strava_vector_search_spark/benchmarks.py (VERDICT r02 item 2):
+the gates' 5-query exact-comparison harnesses stay in the correctness path;
+the bench measures one operator invocation. Substituted names are listed
+under "lean" in the snapshot.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from strava_vector_search_spark.benchmarks import LEAN_BENCH  # noqa: E402
 from strava_vector_search_spark.queries import QUERIES  # noqa: E402
 from strava_vector_search_spark.session import get_spark  # noqa: E402
 
@@ -166,11 +187,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("bench")
     # FATAL (not ERROR): AQE-cancelled stages log benign ERROR-level
     # DAGScheduler accumulator messages ("Java heartbeat" noise) that would
-    # otherwise clutter the bench tail; failures still surface via rc != 0
-    # and the missing JSON line.
+    # otherwise clutter stderr; failures still surface via rc != 0 and the
+    # missing JSON line.
     spark.sparkContext.setLogLevel("FATAL")
 
     # warm-up: touch every table once (footer reads, JIT, codegen caches)
@@ -180,29 +202,65 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
+    lean_used: list[str] = []
     for name in HEADLINE:
-        fn = QUERIES.get(name)
+        fn = LEAN_BENCH.get(name) or QUERIES.get(name)
         if fn is None:
             continue
-        best = None
-        for _ in range(2):  # best-of-2: first run pays plan compilation
+        if name in LEAN_BENCH:
+            lean_used.append(name)
+        samples = []
+        for _ in range(reps):
             t0 = time.time()
             fn(spark, sf_dir).collect()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "reps": reps,
+        "protocol": "median_of_reps",
+        "lean": lean_used,
+        "queries": timings,
+    }
+    snap_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_snapshots"
+    )
+    snap_path = os.path.join(snap_dir, "last_run.json")
+    try:
+        os.makedirs(snap_dir, exist_ok=True)
+        with open(snap_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError:
+        snap_path = "(unwritable)"
+    # full map to stderr for humans / logs that keep stderr
+    print(json.dumps(full), file=sys.stderr)
+
+    # stdout: ONE compact line (tail-window safe). "queries" carries only
+    # the slowest 15 so the line stays well under typical capture windows;
+    # the complete map lives in queries_full.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "queries_full": snap_path,
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -1,0 +1,129 @@
+"""Lean bench-path variants of the heaviest gates.
+
+The property gates in ``queries.py`` for the composed ANN recipes
+(``ann_pq_topk``, ``ann_kmeans_ivf_topk``, ``ann_ivfpq_topk``) and for
+incremental connected components (``dd_cc_incremental``) intentionally run
+an exhaustive verification harness: 5 probe queries, each computing the
+brute-force exact answer NEXT TO the approximate path, with per-query
+collects. That is the right shape for a correctness gate and the wrong
+shape for a benchmark — the benched number ends up measuring the
+verification harness (~25 s of the r02 bench total), not the operator.
+
+This module holds the operator-path-only twins: ONE query / ONE
+incremental batch through exactly the same operator code, no exact-answer
+replay. ``bench.py`` substitutes these for the gate callables of the same
+name; the driver's correctness check still runs the full gates from
+``queries()``, so the exhaustive comparison stays in the correctness path
+(VERDICT r02 item 2).
+
+Reference scope anchor: the composed recipes are the scale path the
+reference prescribes for "1M+ documents: consider approximate search"
+(``02_method2_manual_vector_embedding.sql:438-442``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.io.tables import load_table
+from strava_vector_search_spark.queries import _query_vec
+
+
+def ann_pq_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ operator path once: train, encode, ADC-scan + exact rescore, one
+    query. Same code path as the ``ann_pq_topk`` gate minus the 5-query
+    brute-force comparison."""
+    from strava_vector_search_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_codebooks(emb)
+    codes = PQ.encode_pq(emb, books)
+    qv = _query_vec(spark, sf_dir, 3)
+    return PQ.pq_topk_refined(emb, codes, books, qv, k=10, n_cand=200)
+
+
+def ann_kmeans_ivf_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans-coarse-quantizer IVF operator path once: assign, centroids,
+    one probed top-k. No all-cluster brute-force baseline replay."""
+    from strava_vector_search_spark.operators.ann import (
+        compute_centroids,
+        ivf_topk,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clustered = kmeans_assign(emb, num_clusters=8, seed=42)
+    cents = compute_centroids(clustered, "cluster")
+    qv = _query_vec(spark, sf_dir, 3)
+    return ivf_topk(
+        clustered,
+        qv,
+        k=10,
+        nprobe=5,
+        cluster_col="cluster",
+        id_col="vec_id",
+        centroids=cents,
+    )
+
+
+def ann_ivfpq_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ operator path once: encode-with-cluster, probe, ADC scan of
+    the probed codes, exact rescore — one query, no exact-within-probe
+    comparison."""
+    from strava_vector_search_spark.operators import pq as PQ
+    from strava_vector_search_spark.operators.ann import compute_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_codebooks(emb)
+    codes = PQ.encode_pq(emb, books, keep_cols=("label",))
+    cents = compute_centroids(emb, "label")
+    qv = _query_vec(spark, sf_dir, 3)
+    return PQ.ivfpq_topk(
+        emb, codes, books, qv, k=10, nprobe=4, n_cand=200, centroids=cents
+    )
+
+
+def dd_cc_incremental_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-CC operator path once: label the base edge set, apply ONE
+    SMALL batch (the bridge edges only — the O(touched) regime the
+    operator exists for), return a 1-row checksum instead of the full
+    label table (the gate's full-table orderBy+collect is a correctness
+    artifact, not operator cost)."""
+    from strava_vector_search_spark.operators.dedup import (
+        cc_incremental,
+        connected_components,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    C = 2_000_000_000
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    base = orders.select(ok.alias("a"), (ck + C).cast("long").alias("b"))
+    bridges = (
+        orders.select(ck.alias("c"))
+        .distinct()
+        .filter(F.col("c") % 97 == 1)
+        .select(
+            (F.col("c") + C).cast("long").alias("a"),
+            (F.col("c") + 3 + C).cast("long").alias("b"),
+        )
+    )
+    labels_old = connected_components(base, "a", "b", driver_threshold=250_000)
+    out = cc_incremental(labels_old, bridges, "a", "b", driver_threshold=250_000)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_labels"),
+        F.countDistinct("comp").alias("n_components"),
+        # decimal accumulator: a long sum of 64-bit hashes overflows (ANSI
+        # Spark raises); decimal(38,0) holds ~1e19 rows' worth exactly
+        F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias("checksum"),
+    )
+
+
+# bench.py substitutes these for the same-named gates; correctness still
+# runs the full gates (queries.py) with their exhaustive comparisons.
+LEAN_BENCH = {
+    "ann_pq_topk": ann_pq_topk_bench,
+    "ann_kmeans_ivf_topk": ann_kmeans_ivf_topk_bench,
+    "ann_ivfpq_topk": ann_ivfpq_topk_bench,
+    "dd_cc_incremental": dd_cc_incremental_bench,
+}

@@ -70,8 +70,12 @@ def train_codebooks(
         Xj = X[:, j * sub : (j + 1) * sub]
         C = Xj[init_idx].copy()
         # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 as one matmul instead of a
-        # broadcast (n, k, sub) tensor — same argmin (ties to the lowest
-        # centroid index), ~10x faster at the 4096-row sample ceiling
+        # broadcast (n, k, sub) tensor — mathematically the same argmin
+        # (float low-bits may differ from encode_pq's naive form on exact
+        # ties), ~10x faster at the 4096-row sample ceiling. Encoding is a
+        # fresh assignment either way, so a near-tie flipping between train
+        # and encode costs at most a marginally worse code, never
+        # correctness (the gates check candidate recall, not assignments).
         x2 = (Xj * Xj).sum(1)[:, None]
         for _ in range(iters):
             d2 = x2 - 2.0 * (Xj @ C.T) + (C * C).sum(1)[None, :]

@@ -184,6 +184,32 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+# twin of the Spark-4 native-VARIANT gate: replays the identical raw-JSON
+# construction, then json_extract_string where Spark uses variant_get
+ORACLES["f_variant_extract"] = """
+WITH raw AS (
+  SELECT value,
+         '{"meta":{"et":"' || event_type || '","k":'
+           || COALESCE(json_extract_string(props, '$.k'), 'null')
+           || '},"tags":["lo","hi"]}' AS j
+  FROM events
+),
+x AS (
+  SELECT json_extract_string(j, '$.meta.et') AS et,
+         TRY_CAST(json_extract_string(j, '$.meta.k') AS INTEGER) AS k,
+         json_extract_string(
+           j, CASE WHEN value >= 0.5 THEN '$.tags[1]' ELSE '$.tags[0]' END
+         ) AS tag
+  FROM raw
+)
+SELECT et, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(CASE WHEN tag = 'hi' THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+FROM x
+GROUP BY et
+ORDER BY et
+"""
+
 ORACLES["q1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity::DECIMAL(18,6))::DOUBLE, 2) AS sum_qty,
@@ -4613,7 +4639,12 @@ terms AS (
 ),
 agg AS (
   SELECT SUM(np_s + nn_s) AS n, SUM(np_s) AS n_pos, SUM(nn_s) AS n_neg,
-         SUM(np_s * (2 * nn_below + nn_s)) AS numer2
+         -- promote BEFORE the multiply (mirrors the Spark side's
+         -- pre-multiplication DECIMAL(38,0) promotion): a BIGINT product
+         -- would overflow past ~2e9 rows per class — and DuckDB raises
+         -- where Spark wraps, so the engines would diverge in failure mode
+         SUM(CAST(np_s AS HUGEINT)
+             * (2 * CAST(nn_below AS HUGEINT) + nn_s)) AS numer2
   FROM terms
 )
 SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
@@ -4784,7 +4815,13 @@ ORDER BY pooled_sim DESC, label ASC
 # -- embedding snapshot drift -------------------------------------------------
 
 ORACLES["dq_embedding_drift"] = """
-WITH dims AS (SELECT range AS i FROM range(1, 65)),
+-- dims derived from the data (max array length), not hardcoded, so the
+-- oracle tracks the Spark side's posexplode if dimensionality ever changes
+WITH dims AS (
+  SELECT UNNEST(generate_series(
+           1, (SELECT MAX(len(embedding)) FROM embeddings
+               WHERE embedding IS NOT NULL))) AS i
+),
 ex AS (
   SELECT (vec_id % 2) AS cohort, d.i AS pos, embedding[d.i]::DOUBLE AS v
   FROM embeddings, dims d

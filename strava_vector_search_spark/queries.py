@@ -269,6 +269,48 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native VARIANT path — the direct mapping of the reference's
+    ``VARIANT`` column (``01_method1_cortex_search.sql:91``) and its path
+    extraction (``01:125,201-206``), closing SURVEY §1.2's "VariantType
+    (Spark 4.x)" branch (the portable StringType+from_json branch is
+    ``f_json_extract``). A nested raw-JSON string is assembled per event,
+    loaded with ``parse_json`` into a real VariantType column, and fields
+    come back out with typed ``variant_get`` / ``try_variant_get`` over
+    object AND array paths ($.meta.et, $.meta.k, $.tags[1]). The binary
+    variant encoding never leaves the JVM (whole-stage codegen expressions
+    throughout); the oracle replays the same construction with DuckDB
+    ``json_extract_string``."""
+    ev = load_events(spark, sf_dir)
+    raw = F.concat(
+        F.lit('{"meta":{"et":"'),
+        F.col("event_type"),
+        F.lit('","k":'),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("null")),
+        F.lit('},"tags":["lo","hi"]}'),
+    )
+    v = F.parse_json(raw)
+    picked = ev.select(
+        F.variant_get(v, "$.meta.et", "string").alias("et"),
+        F.try_variant_get(v, "$.meta.k", "int").alias("k"),
+        F.variant_get(
+            v, F.when(F.col("value") >= 0.5, "$.tags[1]").otherwise("$.tags[0]"),
+            "string",
+        ).alias("tag"),
+    )
+    return (
+        picked.groupBy("et")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum((F.col("tag") == "hi").cast("int")).cast("bigint").alias("n_hi"),
+        )
+        .orderBy("et")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational spine on TPC-H tables (scale-bearing joins/aggs for bench)
 
@@ -370,6 +412,7 @@ QUERIES = {
     "p_predicates_projection": p_predicates_projection,
     "j3_explode_tokens": j3_explode_tokens,
     "f_json_extract": f_json_extract,
+    "f_variant_extract": f_variant_extract,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_broadcast_dims": q5_broadcast_dims,
@@ -6370,7 +6413,10 @@ def ml_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         F.col("embedding")[0],
         F.col("embedding")[1],
-        (F.col("label") == 0).cast("int"),
+        # coalesce pins NULL labels to 0, matching the oracle's
+        # CASE WHEN label = 0 THEN 1 ELSE 0 END (a bare boolean cast
+        # would yield NULL) — same contract at every probe-gate site
+        F.coalesce((F.col("label") == 0).cast("int"), F.lit(0)),
     )
     return L.fit_and_score(feats)
 
@@ -6396,7 +6442,7 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         F.col("embedding")[0],
         F.col("embedding")[1],
-        (F.col("label") == 0).cast("int"),
+        F.coalesce((F.col("label") == 0).cast("int"), F.lit(0)),
     )
     return L.logreg_irls(feats, iterations=2)
 
@@ -6489,7 +6535,7 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         F.col("embedding")[0],
         F.col("embedding")[1],
-        (F.col("label") == 0).cast("int"),
+        F.coalesce((F.col("label") == 0).cast("int"), F.lit(0)),
     )
     coef = L.solve_coefficients(L.moment_sums(feats))
     scored = feats.crossJoin(F.broadcast(coef)).select(
@@ -6514,11 +6560,16 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("np_s").alias("n_pos"),
         F.sum("nn_s").alias("n_neg"),
         # the pair-count numerator is ~2·AUC·n_pos·n_neg — past ~2e9 rows
-        # per class it overflows a long; DECIMAL(38,0) keeps it exact (the
-        # DuckDB oracle promotes to HUGEINT for the same reason)
+        # per class it overflows a long, so promote an OPERAND to
+        # DECIMAL(38,0) BEFORE the multiply (casting the finished product
+        # would wrap in BIGINT first under non-ANSI Spark); the DuckDB
+        # oracle promotes to HUGEINT pre-multiplication for the same reason
         F.sum(
-            (F.col("np_s") * (F.lit(2) * F.col("nn_below") + F.col("nn_s")))
-            .cast("decimal(38,0)")
+            F.col("np_s").cast("decimal(38,0)")
+            * (
+                F.lit(2) * F.col("nn_below").cast("decimal(38,0)")
+                + F.col("nn_s")
+            )
         ).alias("numer2"),
     ).select(
         "n",
@@ -6556,7 +6607,9 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("embedding")[0].cast("double"), 6).alias("x1"),
         F.round(F.col("embedding")[1].cast("double"), 6).alias("x2"),
-        (F.col("label") == 0).cast("int").cast("double").alias("y"),
+        F.coalesce((F.col("label") == 0).cast("int"), F.lit(0))
+        .cast("double")
+        .alias("y"),
     )
     return L.kfold_cv(feats)
 
@@ -6839,7 +6892,7 @@ def ml_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         F.col("embedding")[0],
         F.col("embedding")[1],
-        (F.col("label") == 0).cast("int"),
+        F.coalesce((F.col("label") == 0).cast("int"), F.lit(0)),
     )
     coef = L.solve_coefficients(L.moment_sums(feats))
     scored = feats.crossJoin(F.broadcast(coef)).select(

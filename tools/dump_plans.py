@@ -439,10 +439,40 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_join": "!Join",
     },
-    # ann_ivfpq_topk: no entry — the gate collects internally and returns a
-    # local property row, so its visible plan is a LocalTableScan (the
-    # underlying kernels are audited via ann_ivf_topk + the MapInPandas
-    # checks on the PQ/SRP entries)
+    # The four heaviest gates collect internally (property rows /
+    # full-label tables), so their gate plans are LocalTableScans; their
+    # OPERATOR plans are audited via the lean bench twins
+    # (strava_vector_search_spark/benchmarks.py) that main() substitutes —
+    # the same callables bench.py times (VERDICT r02 item 5).
+    "ann_ivfpq_topk": {
+        # IVF prune = broadcast semi-join of probed clusters; ADC scan is
+        # the one Python kernel; candidate rescore joins back by broadcast;
+        # final top-k never globally sorts; nothing cartesian, ever
+        "python_kernel": "MapInPandas",
+        "broadcast_join": "BroadcastHashJoin",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_sortmerge": "!SortMergeJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "dd_cc_incremental": {
+        # sub-threshold regime: labels come back from the driver union-find
+        # as a parallelized RDD scan; the checksum is one map-side-combined
+        # aggregate — no join, no cartesian in the visible plan
+        "partial_agg": "partial_",
+        "no_cartesian": "!CartesianProduct",
+        "flat_lineage": "ExistingRDD|LogicalRDD|LocalTableScan",
+    },
+    "tx_bpe_encode_stats": {
+        # the distributed side of BPE training (tx_bpe_merges returns the
+        # driver-assembled merge table, a LocalTableScan): the trained char
+        # state is localCheckpoint-ed per round, so the visible plan is a
+        # flat scan + one partial-combined aggregate — per-round lineage
+        # (window merges, pair counts) never accumulates
+        "partial_agg": "partial_",
+        "flat_lineage": "ExistingRDD|LogicalRDD",
+        "no_join": "!Join",
+        "no_cartesian": "!CartesianProduct",
+    },
 }
 
 
@@ -459,9 +489,14 @@ def main() -> None:
         "(map-side combine) before shuffles.",
         "",
     ]
+    from strava_vector_search_spark.benchmarks import LEAN_BENCH
+
     failures = []
     for name, checks in EXPECTATIONS.items():
-        df = QUERIES[name](spark, SF_DIR)
+        # heavy property gates: audit the operator-path twin bench.py
+        # times, not the gate's internal-collect LocalTableScan
+        fn = LEAN_BENCH.get(name) or QUERIES[name]
+        df = fn(spark, SF_DIR)
         df.collect()  # materialize so AQE finalizes the plan
         plan = df._jdf.queryExecution().executedPlan().toString()
         lines.append(f"## {name}\n")

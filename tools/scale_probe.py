@@ -515,6 +515,52 @@ def main() -> None:
                     "the plan flat — cost is linear in edges x iterations"))
     pr_edges.unpersist()
 
+    # ---- incremental CC at 1M accumulated edges + a small batch: prove the
+    # O(touched) claim at the scale where a full rebuild is visibly worse.
+    # Edge space: 250K disjoint 8-node blocks (4 edges each) so components
+    # stay small and a 500-edge batch touches ~1K of 250K components.
+    blk = (F.col("id") / 4).cast("long") * 8
+    cc_base = (
+        spark.range(1_000_000)
+        .select(
+            (blk + F.pmod(F.col("id") * 2654435761, F.lit(8))).alias("a"),
+            (blk + F.pmod(F.col("id") * 40503 + 7, F.lit(8))).alias("b"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_cc_edges = cc_base.count()
+    # prior labeling = the state an incremental pipeline would already have;
+    # materialize it OUTSIDE both timed regions
+    cc_labels = D.connected_components(cc_base, "a", "b").cache()
+    n_cc_nodes = cc_labels.count()
+    cc_batch = (
+        spark.range(500)
+        .select(
+            (F.col("id") * 4000).alias("a"),  # block 500*id, node 0
+            (F.col("id") * 4000 + 8).alias("b"),  # first node of next block
+        )
+        .cache()
+    )
+    cc_batch.count()
+    sec_inc, _ = t(
+        lambda: D.cc_incremental(cc_labels, cc_batch, "a", "b").count()
+    )
+    sec_full, _ = t(
+        lambda: D.connected_components(
+            cc_base.unionByName(cc_batch), "a", "b"
+        ).count()
+    )
+    results.append((
+        "cc_incremental (500-edge batch)",
+        f"{n_cc_edges:,} base edges / {n_cc_nodes:,} nodes",
+        sec_inc,
+        "anti-join reuses every untouched label; only components incident "
+        "to the batch are rebuilt from their star edges — O(touched), "
+        f"vs full rebuild {sec_full:.1f}s on the same accumulated edge set "
+        "(gap widens linearly with corpus/batch ratio)"))
+    cc_base.unpersist(); cc_labels.unpersist(); cc_batch.unpersist()
+
     # ---- closed-form linear probe + 2-iteration IRLS logreg at 1M rows:
     # training folds to moment aggregates, so cost ~= a scan per pass
     from strava_vector_search_spark.operators import linear as L
