@@ -15,8 +15,9 @@ total):
 
 Timing protocol (VERDICT r02 item 3 — round-over-round comparability):
 each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
-MEDIAN; the first rep pays plan compilation and is absorbed as the median's
-outlier. Per-query sf0.1 numbers still vary ~2x with JVM state under
+LOW MEDIAN (statistics.median_low — always an observed sample, so an even
+rep count never averages in half of the compile-paying first rep); the
+first rep pays plan compilation and is absorbed as the median's outlier. Per-query sf0.1 numbers still vary ~2x with JVM state under
 concurrent load — compare clean solo runs (tools/compare_bench.py).
 
 The heaviest property gates are substituted with their operator-path-only
@@ -214,7 +215,10 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).collect()
             samples.append(time.time() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+        # median_low: with an even rep count a plain median would average in
+        # half of the compile-paying first rep; median_low always reports an
+        # actually-observed sample (ADVICE r03 item 2).
+        timings[name] = round(statistics.median_low(samples), 3)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -225,7 +229,7 @@ def main() -> None:
         "sf": sf_val,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "reps": reps,
-        "protocol": "median_of_reps",
+        "protocol": "median_low_of_reps",
         "lean": lean_used,
         "queries": timings,
     }
@@ -248,6 +252,8 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:15]
     )
+    # protocol/reps/lean ride along on stdout so a consumer parsing stdout
+    # alone sees when the workload definition changed (ADVICE r03 item 1).
     print(
         json.dumps(
             {
@@ -256,6 +262,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "protocol": "median_low_of_reps",
+                "reps": reps,
+                "lean": lean_used,
                 "queries": slowest,
                 "queries_full": snap_path,
             }

@@ -5,6 +5,11 @@ DuckDB at sf0.01 (or $SF_DIR), compares row count, column-name set, and
 order-insensitive values (exact after the queries' own rounding).
 
 Usage: python tools/check_correctness.py [name ...]
+
+Besides the per-gate stdout lines, every full (no-subset) run writes a
+machine-readable artifact in the driver's CORRECTNESS_r{N}.json shape to
+tools/correctness_snapshots/full_run.json (override: $CHECK_JSON_OUT) so
+a complete-gate run can be committed as round evidence (ADVICE r03 item 3).
 """
 
 from __future__ import annotations
@@ -60,6 +65,16 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, *, rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -70,9 +85,12 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            record(name, err=f"spark error: {e}")
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            record(name, rows_match=len(s_rows) >= 0, spark_rows=len(s_rows),
+                   err="rows-only (no oracle)")
             print(f"SKIP-ORACLE {name}: rows={len(s_rows)} ({time.time()-t0:.1f}s)")
             continue
         try:
@@ -81,6 +99,7 @@ def main() -> int:
             d_rows = rel.fetchall()
         except Exception as e:
             failures.append(name)
+            record(name, spark_rows=len(s_rows), err=f"duckdb error: {e}")
             print(f"FAIL {name}: duckdb error: {e}")
             continue
 
@@ -95,6 +114,12 @@ def main() -> int:
                 diff_s = [r for r in sset if r not in dset][:3]
                 diff_d = [r for r in dset if r not in sset][:3]
                 problems.append(f"values spark-only={diff_s} duck-only={diff_d}")
+        rows_ok = len(s_rows) == len(d_rows)
+        schema_ok = sorted(s_cols) == sorted(d_cols)
+        record(name, rows_match=rows_ok, schema_match=schema_ok,
+               hash_match=not problems, spark_rows=len(s_rows),
+               oracle_rows=len(d_rows),
+               err="; ".join(problems) if problems else None)
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))
@@ -102,6 +127,23 @@ def main() -> int:
             print(f"OK   {name}: rows={len(s_rows)} ({time.time()-t0:.1f}s)")
 
     spark.stop()
+    if not only:
+        import json
+
+        out_path = os.environ.get(
+            "CHECK_JSON_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "correctness_snapshots", "full_run.json"),
+        )
+        try:
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            with open(out_path, "w") as fh:
+                json.dump({"sf_dir": SF_DIR, "n_gates": len(results),
+                           "n_failures": len(failures), "results": results},
+                          fh, indent=1, sort_keys=True)
+            print(f"artifact: {out_path}")
+        except OSError as e:
+            print(f"artifact write failed: {e}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
