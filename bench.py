@@ -182,6 +182,8 @@ HEADLINE = [
     "dd_soft_dedup_weights",
     "dm_epoch_schedule",
     "a19_mode_per_group",
+    "lay_zonemap_prune",
+    "f_udtf_char_windows",
 ]
 
 

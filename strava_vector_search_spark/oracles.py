@@ -4988,3 +4988,34 @@ FROM (
 WHERE rn = 1
 ORDER BY event_type
 """
+
+# -- zone-map pruned scan -----------------------------------------------------
+# The oracle is the PLAIN filtered aggregate: pruning must be semantically
+# invisible (conservative envelopes + exact re-filter after the pruned read).
+
+ORACLES["lay_zonemap_prune"] = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS revenue
+FROM orders
+WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# -- Python UDTF sliding char windows ----------------------------------------
+# Window starts are 0, stride, 2*stride, ... while start < len(text);
+# win_len = least(size, len - start); preview = first 20 chars of the window.
+
+ORACLES["f_udtf_char_windows"] = """
+SELECT d.doc_id,
+       CAST(g.i AS INT)        AS win_idx,
+       CAST(g.i * 30 AS INT)   AS start,
+       CAST(LEAST(40, LENGTH(d.text) - g.i * 30) AS INT) AS win_len,
+       SUBSTR(d.text, g.i * 30 + 1, 20) AS preview
+FROM documents d
+CROSS JOIN generate_series(0, 1000) g(i)
+WHERE d.doc_id < 40 AND g.i * 30 < LENGTH(d.text)
+ORDER BY d.doc_id, win_idx
+"""

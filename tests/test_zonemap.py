@@ -1,0 +1,152 @@
+"""Zone-map data skipping (plans/zonemap.py), the UDTF gate's engine-side
+twin checks, and the df.observe inline-metrics surface."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.io.tables import load_table
+from strava_vector_search_spark.plans import zonemap as Z
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def laid_out(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("zm") / "orders_zm")
+    orders = load_table(spark, SF_DIR, "orders")
+    (
+        orders.repartitionByRange(8, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    zm = Z.build_zonemap(spark, path, ["o_totalprice"]).cache()
+    zm.count()
+    return path, zm
+
+
+def test_zonemap_one_row_per_file(spark, laid_out):
+    path, zm = laid_out
+    n_files = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    assert zm.count() == n_files == 8
+    total = zm.agg(F.sum("n_rows")).first()[0]
+    assert total == spark.read.parquet(path).count()
+
+
+def test_selective_predicate_prunes_most_files(spark, laid_out):
+    path, zm = laid_out
+    lo, hi = 100000.0, 150000.0
+    files = Z.prune_files(zm, "o_totalprice", lo, hi)
+    # range-clustered layout → a ~10%-of-range predicate touches few files
+    assert 0 < len(files) <= 3 < zm.count()
+    pruned = Z.read_pruned(spark, zm, "o_totalprice", lo, hi)
+    expected = (
+        spark.read.parquet(path)
+        .filter(F.col("o_totalprice").between(lo, hi))
+    )
+    assert pruned.count() == expected.count()
+    assert (
+        pruned.agg(F.sum("o_orderkey")).first()[0]
+        == expected.agg(F.sum("o_orderkey")).first()[0]
+    )
+
+
+def test_pruning_is_conservative_and_exact(spark, laid_out):
+    """A predicate that overlaps every envelope keeps every file, and the
+    re-applied exact filter still makes the result correct (zone maps are
+    a pruning aid, never the filter)."""
+    path, zm = laid_out
+    files = Z.prune_files(zm, "o_totalprice", None, None)
+    assert len(files) == zm.count()
+    pruned = Z.read_pruned(spark, zm, "o_totalprice", None, None)
+    assert pruned.count() == spark.read.parquet(path).count()
+
+
+def test_fully_pruned_read_is_empty_with_schema(spark, laid_out):
+    path, zm = laid_out
+    out = Z.read_pruned(spark, zm, "o_totalprice", 1e12, None)
+    assert out.count() == 0
+    assert "o_orderkey" in out.columns
+
+
+def test_incremental_update_equals_rebuild(spark, laid_out, tmp_path):
+    path, zm = laid_out
+    path2 = str(tmp_path / "orders_app")
+    spark.read.parquet(path).write.parquet(path2)
+    zm2 = Z.build_zonemap(spark, path2, ["o_totalprice"])
+    # append a batch → new files appear; update must stat ONLY those
+    extra = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1e6))
+    )
+    extra.repartition(2).write.mode("append").parquet(path2)
+    updated = Z.update_zonemap(spark, path2, zm2, ["o_totalprice"])
+    rebuilt = Z.build_zonemap(spark, path2, ["o_totalprice"])
+    u = {r["file"]: (r["n_rows"], r["min_o_totalprice"], r["max_o_totalprice"])
+         for r in updated.collect()}
+    b = {r["file"]: (r["n_rows"], r["min_o_totalprice"], r["max_o_totalprice"])
+         for r in rebuilt.collect()}
+    assert u == b
+    assert len(u) > zm2.count()
+
+
+def test_udtf_matches_expression_twin(spark):
+    """The UDTF gate's windows must agree with the set-oriented expression
+    formulation (sequence + transform) — the fast path the engine would
+    actually use at scale."""
+    from strava_vector_search_spark.queries import QUERIES
+
+    udtf_out = QUERIES["f_udtf_char_windows"](spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 40)
+    expr_out = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(0, cast(ceil(length(text)/30.0) "
+                "as int) - 1), i -> struct(cast(i as int) as win_idx, "
+                "cast(i*30 as int) as start, "
+                "cast(least(40, length(text) - i*30) as int) as win_len, "
+                "substr(text, i*30 + 1, 20) as preview)))"
+            ).alias("w"),
+        )
+        .select("doc_id", "w.*")
+    )
+    a = sorted(map(tuple, udtf_out.collect()))
+    b = sorted(map(tuple, expr_out.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_observe_inline_metrics(spark):
+    """df.observe: quality metrics collected DURING the main action (one
+    CollectMetrics node, zero extra scans) match a separately computed
+    aggregate — the 100 TB way to get row counts / null rates / sums out
+    of a pipeline run without re-reading the input."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, SF_DIR, "documents")
+    obs = Observation("dq")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text").cast("decimal(18,0)")).alias("total_chars"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("null_lang"),
+    )
+    n_out = observed.filter(F.length("text") > 100).count()
+    got = obs.get
+    exp = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text").cast("decimal(18,0)")).alias("total_chars"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("null_lang"),
+    ).first()
+    assert got["n_rows"] == exp["n_rows"]
+    assert got["total_chars"] == exp["total_chars"]
+    assert got["null_lang"] == exp["null_lang"]
+    assert n_out <= got["n_rows"]

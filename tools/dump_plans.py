@@ -462,6 +462,22 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
         "flat_lineage": "ExistingRDD|LogicalRDD|LocalTableScan",
     },
+    "lay_zonemap_prune": {
+        # zone-map pruned scan: the exact range predicate is re-applied
+        # after pruning and must reach the parquet reader as a pushed
+        # filter; the aggregate partial-combines; no join anywhere (the
+        # stats lookup happens at plan time, not as a runtime join)
+        "pushed_filter": r"PushedFilters: \[.*GreaterThanOrEqual\(o_totalprice",
+        "partial_agg": "partial_",
+        "no_join": "!Join",
+    },
+    "f_udtf_char_windows": {
+        # Python UDTF surface: the plan must carry the Arrow-batched UDTF
+        # eval node and the lateral correlation must not degrade into a
+        # cartesian product against anything
+        "udtf_node": r"EvalPythonUDTF|PythonUDTF",
+        "no_cartesian": "!CartesianProduct",
+    },
     "tx_bpe_encode_stats": {
         # the distributed side of BPE training (tx_bpe_merges returns the
         # driver-assembled merge table, a LocalTableScan): the trained char
