@@ -184,6 +184,9 @@ HEADLINE = [
     "a19_mode_per_group",
     "lay_zonemap_prune",
     "f_udtf_char_windows",
+    "ml_pca_power",
+    "ml_judge_agreement",
+    "idx_trigram_substring",
 ]
 
 

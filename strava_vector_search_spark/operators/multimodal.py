@@ -283,3 +283,53 @@ def audio_windows(
             F.array_max(F.transform(F.col("wn.w"), F.abs)).alias("peak"),
         )
     )
+
+
+def extract_metadata_arrow(
+    media: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """`mapInArrow` twin of :func:`extract_metadata`: processes raw Arrow
+    RecordBatches with pyarrow.compute — NO pandas materialization, so
+    large binary payloads never round-trip through Python objects (the
+    fast lane for multimodal byte columns; pandas conversion of a binary
+    column copies every blob into a Python bytes object, Arrow compute
+    operates on the buffer in place). Same output contract as the
+    expression version (pinned in test_multimodal); use the expression
+    version when the computation is expressible — this path exists for
+    kernels that genuinely need Python over the raw buffers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for batch in it:
+            tbl = pa.Table.from_batches([batch])
+            content = tbl.column(content_col)
+            n_bytes = pc.cast(pc.binary_length(content), pa.int64())
+            # hex of the first 4 bytes, matching F.hex(F.substring(c,1,4))
+            prefix = pc.binary_slice(content, 0, 4)
+            header_hex = pa.array(
+                [
+                    None if v is None else v.as_py().hex().upper()
+                    for v in prefix
+                ],
+                type=pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("media_id").combine_chunks(),
+                    tbl.column("media_type").combine_chunks(),
+                    n_bytes.combine_chunks()
+                    if isinstance(n_bytes, pa.ChunkedArray)
+                    else n_bytes,
+                    header_hex,
+                ],
+                names=["media_id", "media_type", "n_bytes", "header_hex"],
+            )
+
+    return media.mapInArrow(
+        batches,
+        schema=(
+            "media_id bigint, media_type string, "
+            "n_bytes bigint, header_hex string"
+        ),
+    )

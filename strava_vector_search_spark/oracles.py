@@ -5019,3 +5019,50 @@ CROSS JOIN generate_series(0, 1000) g(i)
 WHERE d.doc_id < 40 AND g.i * 30 < LENGTH(d.text)
 ORDER BY d.doc_id, win_idx
 """
+
+# -- PCA top component (shared expression text => bit parity) -----------------
+
+from strava_vector_search_spark.operators import pca as _pca
+
+ORACLES["ml_pca_power"] = _pca.oracle_sql("embeddings")
+
+# -- Cohen's kappa judge agreement -------------------------------------------
+
+ORACLES["ml_judge_agreement"] = """
+WITH lab AS (
+  SELECT CASE WHEN LENGTH(text) >= 250 THEN 1 ELSE 0 END AS a,
+         CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 45
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+), m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+         SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+         SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+         SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+  FROM lab
+)
+SELECT n, n11, n10, n01, n00,
+       ROUND((CAST(n11 AS DOUBLE) + n00) / n, 6) AS p_observed,
+       ROUND(((CAST(n11 AS DOUBLE) + n10) / n) * ((CAST(n11 AS DOUBLE) + n01) / n)
+             + ((CAST(n01 AS DOUBLE) + n00) / n) * ((CAST(n10 AS DOUBLE) + n00) / n),
+             6) AS p_expected,
+       ROUND((((CAST(n11 AS DOUBLE) + n00) / n)
+              - (((CAST(n11 AS DOUBLE) + n10) / n) * ((CAST(n11 AS DOUBLE) + n01) / n)
+                 + ((CAST(n01 AS DOUBLE) + n00) / n) * ((CAST(n10 AS DOUBLE) + n00) / n)))
+             / (1.0 - (((CAST(n11 AS DOUBLE) + n10) / n) * ((CAST(n11 AS DOUBLE) + n01) / n)
+                       + ((CAST(n01 AS DOUBLE) + n00) / n) * ((CAST(n10 AS DOUBLE) + n00) / n))),
+             6) AS kappa
+FROM m
+"""
+
+# -- trigram-index substring search ------------------------------------------
+# Oracle is the PLAIN substring scan: the posting-list intersection plus
+# exact verify must return exactly the LIKE result.
+
+ORACLES["idx_trigram_substring"] = """
+SELECT doc_id, LENGTH(text) AS n_chars
+FROM documents
+WHERE text LIKE '%vector table fast%'
+ORDER BY doc_id
+"""

@@ -7148,3 +7148,144 @@ def f_udtf_char_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"f_udtf_char_windows": f_udtf_char_windows})
+
+
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus (first 8 dims):
+    ONE map-side-combined decimal Gram aggregate (the d(d+1)/2 moment
+    monoid -- operators/pca.py), then a fixed 6-iteration power method
+    unrolled in expression text shared verbatim with the DuckDB oracle
+    (the PageRank/IRLS bit-exact pattern). Returns 1 row: corpus size,
+    Rayleigh eigenvalue, explained-variance share, and the sign-fixed
+    6-dp component vector. The only distributed work is the aggregate;
+    everything after is O(d^2) on one row -- at 768d the same design
+    swaps the unrolled text for a driver eigensolve on the aggregate."""
+    from strava_vector_search_spark.operators import pca as P
+
+    def cols(texts):
+        out = []
+        for t in texts:
+            expr_text, alias = t.rsplit(" AS ", 1)
+            out.append(F.expr(expr_text).alias(alias))
+        return out
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = emb.select(*cols(P.feat_exprs(one_based=False)))
+    m = feats.agg(*cols(P.gram_exprs()))
+    m = m.select("n", *cols(P.double_exprs()))
+    m = m.select("n", *cols(P.cov_exprs()))
+    # carry only (n, C, previous stage) forward: keeps the codegen row
+    # narrow instead of accumulating every intermediate column
+    keep = ["n"] + [f"c{i}_{j}" for i, j in P._PAIRS]
+    prev2: list[str] = []
+    prev1: list[str] = []
+    for stage in P.power_stages():
+        # the v-stage reads both w (two stages back) and nrm (one back)
+        m = m.select(*keep, *prev2, *prev1, *cols(stage))
+        prev2, prev1 = prev1, [t.rsplit(" AS ", 1)[1] for t in stage]
+        if prev1[0].startswith("v"):
+            # cut lineage at each iteration boundary: otherwise Catalyst's
+            # project-collapsing inlines w->nrm->v across iterations and
+            # the expression tree grows exponentially (1-row data, so the
+            # checkpoint itself is free)
+            m = m.localCheckpoint(eager=False)
+    return m.select(*cols(P.final_exprs()))
+
+
+QUERIES.update({"ml_pca_power": ml_pca_power})
+
+
+def ml_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-judge agreement (Cohen's kappa) between two deterministic
+    document labelers -- the acceptance statistic for LLM-judge / rater
+    pipelines (is judge B adding signal over chance agreement with judge
+    A?). Labels are pure expressions (length rule vs word-count rule), the
+    contingency table is ONE map-side-combined aggregate, kappa is
+    arithmetic on the 1-row result. Scales as a single scan; no shuffle
+    wider than 4 counters."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.when(F.length("text") >= 250, 1).otherwise(0).alias("a"),
+        F.when(
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + F.lit(1)
+            >= 45,
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    m = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END")).alias("n11"),
+        F.sum(F.expr("CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END")).alias("n10"),
+        F.sum(F.expr("CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END")).alias("n01"),
+        F.sum(F.expr("CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END")).alias("n00"),
+    )
+    po = "(CAST(n11 AS DOUBLE) + n00) / n"
+    pe = (
+        "((CAST(n11 AS DOUBLE) + n10) / n) * ((CAST(n11 AS DOUBLE) + n01) / n)"
+        " + ((CAST(n01 AS DOUBLE) + n00) / n) * ((CAST(n10 AS DOUBLE) + n00) / n)"
+    )
+    return m.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(f"ROUND({po}, 6)").alias("p_observed"),
+        F.expr(f"ROUND({pe}, 6)").alias("p_expected"),
+        F.expr(f"ROUND((({po}) - ({pe})) / (1.0 - ({pe})), 6)").alias("kappa"),
+    )
+
+
+QUERIES.update({"ml_judge_agreement": ml_judge_agreement})
+
+
+def idx_trigram_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-index-accelerated substring search: the engine answer to
+    selective LIKE '%phrase%' at 100 TB, where a full text scan per query
+    is unaffordable. A character-trigram posting table (doc_id, trigram --
+    per-doc distinct, built in one scan; persisted + partitioned by
+    trigram in production so a query prunes to its own posting lists) is
+    filtered to the query's trigrams (literal IN -- pushable), candidates
+    are docs matching ALL query trigrams (one partial-combined count),
+    and the exact `contains` predicate runs on candidates ONLY
+    (conservative index, exact verify -- same contract as the zone map).
+    Oracle: the plain LIKE scan, so acceleration must be value-invisible."""
+    q = "vector table fast"
+    qgrams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.length("text") >= 3,
+                    F.expr(
+                        "transform(sequence(1, length(text) - 2),"
+                        " i -> substring(text, i, 3))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            )
+        ).alias("tg"),
+    )
+    candidates = (
+        postings.filter(F.col("tg").isin(qgrams))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == len(qgrams))
+        .select("doc_id")
+    )
+    return (
+        docs.join(candidates, "doc_id", "left_semi")
+        .filter(F.col("text").contains(q))
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"idx_trigram_substring": idx_trigram_substring})

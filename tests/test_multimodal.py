@@ -162,3 +162,15 @@ def test_decode_pcm_and_audio_windows(spark):
     import math
     assert w2[0]["energy"] == round(math.sqrt((0 + 16) / 2), 6)
     assert w2[0]["peak"] == 4
+
+
+def test_metadata_arrow_twin_matches_expressions(media):
+    """mapInArrow fast lane == expression version, row for row (including
+    NULL-payload handling) — the raw-Arrow path must be value-invisible."""
+    from strava_vector_search_spark.operators.multimodal import (
+        extract_metadata_arrow,
+    )
+
+    expr_rows = sorted(map(tuple, extract_metadata(media).collect()))
+    arrow_rows = sorted(map(tuple, extract_metadata_arrow(media).collect()))
+    assert expr_rows == arrow_rows and len(expr_rows) > 0

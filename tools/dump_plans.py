@@ -462,6 +462,29 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
         "flat_lineage": "ExistingRDD|LogicalRDD|LocalTableScan",
     },
+    "ml_pca_power": {
+        # the Gram aggregate ran in the checkpointed prefix (its own
+        # audited shape: one partial-combined agg); the visible final
+        # plan must be a flat projection over the 1-row checkpoint —
+        # no join, nothing cartesian, per-iteration lineage truncated
+        "flat_lineage": "ExistingRDD|LogicalRDD|LocalTableScan",
+        "no_join": "!Join",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "ml_judge_agreement": {
+        # contingency table = one map-side-combined aggregate over pure
+        # expressions; kappa arithmetic happens on the 1-row result
+        "partial_agg": "partial_",
+        "no_join": "!Join",
+    },
+    "idx_trigram_substring": {
+        # posting-list intersection: literal IN filter before the count,
+        # candidates verified via semi-join; exact contains runs on
+        # candidates only — no cartesian anywhere
+        "semi_join": "LeftSemi",
+        "partial_agg": "partial_",
+        "no_cartesian": "!CartesianProduct",
+    },
     "lay_zonemap_prune": {
         # zone-map pruned scan: the exact range predicate is re-applied
         # after pruning and must reach the parquet reader as a pushed
