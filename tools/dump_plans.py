@@ -478,9 +478,11 @@ EXPECTATIONS: dict[str, dict] = {
         "no_join": "!Join",
     },
     "idx_trigram_substring": {
-        # posting-list intersection: literal IN filter before the count,
-        # candidates verified via semi-join; exact contains runs on
-        # candidates only — no cartesian anywhere
+        # persisted trigram-clustered posting table: the query's literal
+        # IN must reach the posting parquet scan as a pushed filter
+        # (row-group min/max prune on the sorted tg column); candidates
+        # verified via semi-join; exact contains on candidates only
+        "pushed_filter": r"PushedFilters: \[.*In\(tg",
         "semi_join": "LeftSemi",
         "partial_agg": "partial_",
         "no_cartesian": "!CartesianProduct",
