@@ -187,6 +187,7 @@ HEADLINE = [
     "ml_pca_power",
     "ml_judge_agreement",
     "idx_trigram_substring",
+    "dd_decontaminate_semantic",
 ]
 
 

@@ -1264,3 +1264,78 @@ def cc_incremental(
     )
     untouched = labels.join(affected, "comp", "left_anti")
     return untouched.unionByName(sub_new.select("id", "comp"))
+
+
+def cross_set_contamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Semantic benchmark contamination screen: corpus vectors whose best
+    cosine against ANY eval-set vector reaches ``threshold``, with the
+    nearest eval item attached — the embedding-space complement of the
+    n-gram `decontaminate` (paraphrased leakage has no shared n-grams).
+
+    Scale shape: the eval set is SMALL BY DEFINITION (a benchmark), so it
+    broadcasts as one dense matrix and the corpus pass is map-only — one
+    ``V @ E.T`` per Arrow batch, one row out per contaminated doc, no
+    shuffle at any corpus size. Scores round to 6 dp IN the kernel before
+    the argmax so round-ties resolve to the smallest eval id (the
+    deterministic tie-break the oracle replays).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from strava_vector_search_spark.operators.util import rebalance_for_kernel
+
+    erows = evalset.select(eval_id_col, vector_col).collect()
+    if not erows:
+        # nothing to screen against: empty result, correct schema
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, nearest_eval_id {id_type}, cosine double"
+        )
+    order = sorted(range(len(erows)), key=lambda i: erows[i][eval_id_col])
+    eids = np.array([erows[i][eval_id_col] for i in order])
+    emat = np.stack(
+        [np.asarray(erows[i][vector_col], dtype="float64") for i in order]
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    narrow = rebalance_for_kernel(
+        corpus.filter(F.col(vector_col).isNotNull()).select(
+            F.col(id_col).alias("_id"), F.col(vector_col).alias("_vec")
+        )
+    )
+
+    def _screen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            mat = np.stack(pdf["_vec"].to_numpy()).astype("float64")
+            scores = np.round(mat @ emat.T, 6)  # nb x ne
+            best = scores.argmax(axis=1)  # first max => smallest eval id
+            best_s = scores[np.arange(len(ids)), best]
+            keep = best_s >= threshold
+            yield pd.DataFrame(
+                {
+                    "_id": ids[keep],
+                    "nearest_eval_id": eids[best[keep]],
+                    "cosine": best_s[keep],
+                }
+            )
+
+    return (
+        narrow.mapInPandas(
+            _screen,
+            f"_id {id_type}, nearest_eval_id {id_type}, cosine double",
+        )
+        .withColumnRenamed("_id", id_col)
+        .orderBy(id_col)
+    )

@@ -5066,3 +5066,23 @@ FROM documents
 WHERE text LIKE '%vector table fast%'
 ORDER BY doc_id
 """
+
+# -- semantic decontamination (cross-set embedding screen) --------------------
+
+ORACLES["dd_decontaminate_semantic"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT * FROM e WHERE vec_id % 41 = 0),
+co AS (SELECT * FROM e WHERE vec_id % 41 <> 0),
+sc AS (
+  SELECT co.vec_id AS vec_id, ev.vec_id AS eval_id,
+         ROUND(list_dot_product(co.v, ev.v), 6) AS cosine
+  FROM co CROSS JOIN ev
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, eval_id ASC) AS rn
+  FROM sc
+)
+SELECT vec_id, eval_id AS nearest_eval_id, cosine
+FROM r WHERE rn = 1 AND cosine >= 0.35
+ORDER BY vec_id
+"""

@@ -7321,3 +7321,26 @@ def idx_trigram_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"idx_trigram_substring": idx_trigram_substring})
+
+
+def dd_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (complement of the n-gram
+    `dd_decontaminate`: paraphrased leakage shares no n-grams but lands
+    close in embedding space): corpus vectors whose best cosine against
+    any eval vector >= 0.35, with the nearest eval item attached. Eval
+    matrix broadcasts (small by definition); ONE map-only V @ E.T pass
+    over the corpus, 6-dp-in-kernel rounding with min-eval-id tie-break
+    (operators/dedup.cross_set_contamination)."""
+    from strava_vector_search_spark.operators.dedup import (
+        cross_set_contamination,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    evalset = emb.filter(F.col("vec_id") % 41 == 0).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 41 != 0)
+    return cross_set_contamination(corpus, evalset, threshold=0.35)
+
+
+QUERIES.update({"dd_decontaminate_semantic": dd_decontaminate_semantic})

@@ -517,3 +517,29 @@ def test_cc_incremental_intra_component_edge_is_noop(spark):
     labels = connected_components(old_e)
     batch = spark.createDataFrame([(1, 3)], "id1 long, id2 long")
     assert _cc_rows(cc_incremental(labels, batch)) == _cc_rows(labels)
+
+
+def test_cross_set_contamination_edges(spark):
+    """Empty eval set screens nothing (empty result, correct schema);
+    screening the corpus against itself flags every vector with cosine
+    1.0 and itself as nearest."""
+    from pyspark.sql import functions as F
+
+    from strava_vector_search_spark.io.tables import load_table
+    from strava_vector_search_spark.operators.dedup import (
+        cross_set_contamination,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    empty_eval = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    out = cross_set_contamination(emb, empty_eval)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "nearest_eval_id", "cosine"]
+
+    self_eval = emb.select(F.col("vec_id").alias("eval_id"), "embedding")
+    hits = cross_set_contamination(emb, self_eval, threshold=0.999)
+    rows = {r["vec_id"]: r for r in hits.collect()}
+    assert len(rows) == emb.count()
+    assert all(r["nearest_eval_id"] == vid for vid, r in rows.items())

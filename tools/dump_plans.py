@@ -487,6 +487,13 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_cartesian": "!CartesianProduct",
     },
+    "dd_decontaminate_semantic": {
+        # eval matrix is broadcast INTO the kernel closure; the corpus
+        # pass is one map-only Arrow kernel — no join node at all
+        "python_kernel": "MapInPandas",
+        "no_join": "!Join",
+        "no_cartesian": "!CartesianProduct",
+    },
     "lay_zonemap_prune": {
         # zone-map pruned scan: the exact range predicate is re-applied
         # after pruning and must reach the parquet reader as a pushed
