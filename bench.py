@@ -188,6 +188,7 @@ HEADLINE = [
     "ml_judge_agreement",
     "idx_trigram_substring",
     "dd_decontaminate_semantic",
+    "ml_als_user_factors",
 ]
 
 

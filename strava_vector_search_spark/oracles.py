@@ -5086,3 +5086,9 @@ SELECT vec_id, eval_id AS nearest_eval_id, cosine
 FROM r WHERE rn = 1 AND cosine >= 0.35
 ORDER BY vec_id
 """
+
+# -- ALS user step (shared algebra text; engine-specific md5 idiom) -----------
+
+from strava_vector_search_spark.operators import als as _als
+
+ORACLES["ml_als_user_factors"] = _als.als_user_step_sql(_als.duck_md5i)

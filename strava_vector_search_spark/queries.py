@@ -7344,3 +7344,29 @@ def dd_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dd_decontaminate_semantic": dd_decontaminate_semantic})
+
+
+def ml_als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One closed-form ALS user-step over the purchase matrix
+    (operators/als.py): hash-initialized rank-2 item factors join onto
+    the (custkey, partkey, qty) ratings, five DECIMAL sufficient
+    statistics per user in ONE map-side-combined aggregate, and the 2x2
+    ridge solve (Y'Y + lambda I)^-1 Y'r as expression math -- the same
+    moments-then-broadcast-solve shape as the linear probe, so iterating
+    alternates two such steps with roles swapped and factors never
+    become driver state. Algebra text shared verbatim with the DuckDB
+    oracle; only the md5->bigint idiom differs per engine."""
+    from strava_vector_search_spark.operators import als as A
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "svs_als_lineitem"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "svs_als_orders"
+    )
+    return spark.sql(
+        A.als_user_step_sql(A.spark_md5i, "svs_als_lineitem", "svs_als_orders")
+    )
+
+
+QUERIES.update({"ml_als_user_factors": ml_als_user_factors})

@@ -296,3 +296,62 @@ def test_loo_target_encoding_semantics(spark):
     assert out[2] == 1.0   # (2 - 0) / 2
     assert out[3] == 0.5
     assert out[4] is None  # singleton category
+
+
+def test_als_user_step_matches_numpy_ridge(spark):
+    """The closed-form 2x2 ALS solve must equal numpy's ridge solution
+    (Y'Y + lambda I) x = Y'r computed from the same ratings and the same
+    hash-initialized item factors, per user."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from strava_vector_search_spark.io.tables import load_table
+    from strava_vector_search_spark.operators import als as A
+    from strava_vector_search_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["custkey"]: r
+        for r in QUERIES["ml_als_user_factors"](spark, sf).collect()
+    }
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    ratings = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("r")
+        )
+        .collect()
+    )
+    itemf = {}
+    for row in ratings:
+        i = row["l_partkey"]
+        if i not in itemf:
+            fr = spark.sql(
+                "SELECT ROUND(CAST({h0} % 2000 AS DOUBLE) / 1000.0 - 1.0, 6) AS y0,"
+                "       ROUND(CAST({h1} % 2000 AS DOUBLE) / 1000.0 - 1.0, 6) AS y1".format(
+                    h0=A.spark_md5i(f"'if0:' || CAST({i} AS STRING)"),
+                    h1=A.spark_md5i(f"'if1:' || CAST({i} AS STRING)"),
+                )
+            ).first()
+            itemf[i] = (float(fr["y0"]), float(fr["y1"]))
+    by_user: dict = {}
+    for row in ratings:
+        by_user.setdefault(row["o_custkey"], []).append(
+            (itemf[row["l_partkey"]], row["r"])
+        )
+    checked = 0
+    for u in sorted(by_user)[:5]:
+        Y = np.array([yf for yf, _ in by_user[u]])
+        r = np.array([rv for _, rv in by_user[u]])
+        x = np.linalg.solve(Y.T @ Y + A.LAMBDA * np.eye(2), Y.T @ r)
+        assert got[u]["x1"] == pytest.approx(x[0], abs=2e-6)
+        assert got[u]["x2"] == pytest.approx(x[1], abs=2e-6)
+        assert got[u]["n_items"] == len(r)
+        checked += 1
+    assert checked == 5

@@ -494,6 +494,13 @@ EXPECTATIONS: dict[str, dict] = {
         "no_join": "!Join",
         "no_cartesian": "!CartesianProduct",
     },
+    "ml_als_user_factors": {
+        # one ratings aggregate + item-factor join + one stats aggregate;
+        # the 2x2 ridge solve is pure projection math — nothing cartesian
+        "partial_agg": "partial_",
+        "no_cartesian": "!CartesianProduct",
+        "no_nested_loop": "!NestedLoop",
+    },
     "lay_zonemap_prune": {
         # zone-map pruned scan: the exact range predicate is re-applied
         # after pruning and must reach the parquet reader as a pushed
