@@ -189,6 +189,7 @@ HEADLINE = [
     "idx_trigram_substring",
     "dd_decontaminate_semantic",
     "ml_als_user_factors",
+    "lay_zorder_2d_prune",
 ]
 
 

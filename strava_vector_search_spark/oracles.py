@@ -5092,3 +5092,17 @@ ORDER BY vec_id
 from strava_vector_search_spark.operators import als as _als
 
 ORACLES["ml_als_user_factors"] = _als.als_user_step_sql(_als.duck_md5i)
+
+# -- z-order + 2-column zone-map pruning --------------------------------------
+
+ORACLES["lay_zorder_2d_prune"] = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS revenue
+FROM orders
+WHERE o_totalprice >= 100000.0 AND o_totalprice <= 200000.0
+  AND o_custkey <= 400
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -7370,3 +7370,55 @@ def ml_als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_als_user_factors": ml_als_user_factors})
+
+
+def lay_zorder_2d_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order + multi-column zone maps composed: orders laid out on the
+    Morton curve of (o_totalprice, o_custkey) (plans/layout.write_zordered
+    -- one repartitionByRange shuffle, sorted files), a two-column
+    zone map built in one scan, and a CONJUNCTIVE range predicate
+    answered by intersecting the per-column file survivors before any
+    data I/O -- the multi-dimensional data-skipping property that
+    single-column sorting cannot give (sorting by price alone leaves
+    every file spanning all custkeys). Exact predicate re-applied after
+    the pruned read; oracle is the plain two-predicate aggregate."""
+    import os
+
+    from strava_vector_search_spark.plans import zonemap as Z
+    from strava_vector_search_spark.plans.layout import write_zordered
+
+    orders = load_table(spark, sf_dir, "orders")
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/svs_zorder2d_{token}"
+    marker = os.path.join(path, "_svs_layout_done")
+    if not os.path.exists(marker):
+        lo_p, hi_p = 1000.0, 510000.0
+        hi_c = (
+            orders.agg(F.max("o_custkey")).first()[0] or 1
+        )
+        write_zordered(
+            orders,
+            path,
+            ["o_totalprice", "o_custkey"],
+            {"o_totalprice": (lo_p, hi_p), "o_custkey": (0.0, float(hi_c))},
+            num_files=16,
+        )
+        open(marker, "w").close()
+    zm = Z.build_zonemap(spark, path, ["o_totalprice", "o_custkey"])
+    f_price = set(Z.prune_files(zm, "o_totalprice", 100000.0, 200000.0))
+    f_cust = set(Z.prune_files(zm, "o_custkey", None, 400))
+    files = sorted(f_price & f_cust)
+    if not files:
+        files = sorted(f_price | f_cust)[:1]  # schema-only empty read
+    pruned = (
+        spark.read.parquet(*files)
+        .filter(F.col("o_totalprice").between(100000.0, 200000.0))
+        .filter(F.col("o_custkey") <= 400)
+    )
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice", 2).alias("revenue"),
+    ).orderBy("o_orderstatus")
+
+
+QUERIES.update({"lay_zorder_2d_prune": lay_zorder_2d_prune})

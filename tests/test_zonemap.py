@@ -150,3 +150,46 @@ def test_observe_inline_metrics(spark):
     assert got["total_chars"] == exp["total_chars"]
     assert got["null_lang"] == exp["null_lang"]
     assert n_out <= got["n_rows"]
+
+
+def test_zorder_2d_prunes_on_both_columns(spark):
+    """On the Morton layout, BOTH columns' zone maps are selective, and
+    the conjunctive intersection reads fewer files than either column
+    alone admits — the property a single-column sort cannot give."""
+    from strava_vector_search_spark.io.tables import load_table
+    from strava_vector_search_spark.plans import zonemap as Z
+    from strava_vector_search_spark.plans.layout import write_zordered
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = "/tmp/svs_test_zorder2d"
+    hi_c = float(orders.agg(F.max("o_custkey")).first()[0])
+    write_zordered(
+        orders,
+        path,
+        ["o_totalprice", "o_custkey"],
+        {"o_totalprice": (1000.0, 510000.0), "o_custkey": (0.0, hi_c)},
+        num_files=16,
+    )
+    zm = Z.build_zonemap(spark, path, ["o_totalprice", "o_custkey"]).cache()
+    n = zm.count()
+    f_p = set(Z.prune_files(zm, "o_totalprice", 100000.0, 200000.0))
+    f_c = set(Z.prune_files(zm, "o_custkey", None, hi_c * 0.25))
+    both = f_p & f_c
+    # each column prunes SOMETHING on a z-ordered layout...
+    assert len(f_p) < n and len(f_c) < n
+    # ...and the conjunction prunes strictly more than either alone
+    assert len(both) < min(len(f_p), len(f_c))
+    # value parity with the plain filtered scan
+    got = (
+        spark.read.parquet(*sorted(both))
+        .filter(F.col("o_totalprice").between(100000.0, 200000.0))
+        .filter(F.col("o_custkey") <= hi_c * 0.25)
+        .count()
+    )
+    exp = (
+        spark.read.parquet(path)
+        .filter(F.col("o_totalprice").between(100000.0, 200000.0))
+        .filter(F.col("o_custkey") <= hi_c * 0.25)
+        .count()
+    )
+    assert got == exp

@@ -501,6 +501,16 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
         "no_nested_loop": "!NestedLoop",
     },
+    "lay_zorder_2d_prune": {
+        # pruned conjunctive read: both exact predicates must still reach
+        # the parquet reader; aggregate partial-combines; no join
+        "pushed_filter": r"PushedFilters: \[.*GreaterThanOrEqual\(o_totalprice",
+        # the printed PushedFilters list truncates ("LessTh..."); the
+        # custkey predicate's scan-level presence shows in DataFilters
+        "pushed_filter_2": r"DataFilters: \[.*o_custkey",
+        "partial_agg": "partial_",
+        "no_join": "!Join",
+    },
     "lay_zonemap_prune": {
         # zone-map pruned scan: the exact range predicate is re-applied
         # after pruning and must reach the parquet reader as a pushed
