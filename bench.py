@@ -190,6 +190,7 @@ HEADLINE = [
     "dd_decontaminate_semantic",
     "ml_als_user_factors",
     "lay_zorder_2d_prune",
+    "ev_gap_fill",
 ]
 
 

@@ -5106,3 +5106,54 @@ WHERE o_totalprice >= 100000.0 AND o_totalprice <= 200000.0
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+# -- time-series gap fill + linear interpolation ------------------------------
+
+ORACLES["ev_gap_fill"] = """
+WITH obs AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) - 473352 AS h,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(value), 6) AS obs_v
+  FROM events
+  WHERE user_id < 5 AND value IS NOT NULL
+    AND CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) - 473352 BETWEEN 0 AND 47
+  GROUP BY user_id, h
+),
+grid AS (
+  SELECT u.user_id, g.h
+  FROM (SELECT DISTINCT user_id FROM obs) u
+  CROSS JOIN (SELECT i AS h FROM generate_series(0, 47) s(i)) g
+),
+j AS (
+  SELECT g.user_id, g.h, o.obs_v
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+),
+w AS (
+  SELECT *,
+    LAST_VALUE(obs_v IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    LAST_VALUE(CASE WHEN obs_v IS NOT NULL THEN h END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+    FIRST_VALUE(obs_v IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    FIRST_VALUE(CASE WHEN obs_v IS NOT NULL THEN h END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM j
+)
+SELECT user_id, h, obs_v,
+       ROUND(CASE
+         WHEN obs_v IS NOT NULL THEN obs_v
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+           THEN prev_v + (next_v - prev_v) * (h - prev_h) / (next_h - prev_h)
+         WHEN prev_v IS NOT NULL THEN prev_v
+         ELSE next_v
+       END, 6) AS filled_v,
+       obs_v IS NULL AS was_gap
+FROM w
+ORDER BY user_id, h
+"""

@@ -7422,3 +7422,93 @@ def lay_zorder_2d_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"lay_zorder_2d_prune": lay_zorder_2d_prune})
+
+
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation: per user, the
+    hourly mean of `value` over the first 48 hours is projected onto a
+    DENSE hour grid; missing hours are linearly interpolated between the
+    previous and next observed hour (forward-/back-fill at the edges).
+    The regular-grid densification every metrics store needs before
+    windowed models. Shape: one partial-combined hourly aggregate, a
+    generated grid (no data scan), one left join, and two
+    IGNORE-NULLS window passes (prev/next observation) -- no self-join,
+    no per-gap explode; scales as O(grid + observations)."""
+    from pyspark.sql import Window
+
+    HBASE = 473352  # floor(epoch('2024-01-01')/3600)
+    HOURS = 48
+    ev = load_events(spark, sf_dir).filter(
+        (F.col("user_id") < 5) & F.col("value").isNotNull()
+    )
+    obs = (
+        ev.withColumn(
+            "h",
+            F.expr("CAST(FLOOR(unix_timestamp(ts) / 3600) AS BIGINT)")
+            - F.lit(HBASE),
+        )
+        .filter((F.col("h") >= 0) & (F.col("h") < HOURS))
+        .groupBy("user_id", "h")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("obs_v")
+        )
+    )
+    users = obs.select("user_id").distinct()
+    grid = users.crossJoin(
+        spark.range(HOURS).select(F.col("id").alias("h"))
+    )
+    j = grid.join(obs, ["user_id", "h"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    j = (
+        j.withColumn("prev_v", F.last("obs_v", ignorenulls=True).over(wp))
+        .withColumn(
+            "prev_h",
+            F.last(
+                F.when(F.col("obs_v").isNotNull(), F.col("h")),
+                ignorenulls=True,
+            ).over(wp),
+        )
+        .withColumn("next_v", F.first("obs_v", ignorenulls=True).over(wn))
+        .withColumn(
+            "next_h",
+            F.first(
+                F.when(F.col("obs_v").isNotNull(), F.col("h")),
+                ignorenulls=True,
+            ).over(wn),
+        )
+    )
+    filled = (
+        F.when(F.col("obs_v").isNotNull(), F.col("obs_v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("h") - F.col("prev_h"))
+            / (F.col("next_h") - F.col("prev_h")),
+        )
+        .when(F.col("prev_v").isNotNull(), F.col("prev_v"))
+        .otherwise(F.col("next_v"))
+    )
+    return j.select(
+        "user_id",
+        "h",
+        "obs_v",
+        F.round(filled, 6).alias("filled_v"),
+        F.col("obs_v").isNull().alias("was_gap"),
+    ).orderBy("user_id", "h")
+
+
+QUERIES.update({"ev_gap_fill": ev_gap_fill})

@@ -511,6 +511,14 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_join": "!Join",
     },
+    "ev_gap_fill": {
+        # dense-grid densification: one partial-combined hourly agg, a
+        # generated grid, one left join, two window passes — no self-join
+        # over gaps, nothing cartesian except the tiny users x 48 grid
+        "window": "Window",
+        "partial_agg": "partial_",
+        "no_sortmerge_selfjoin": "!SortMergeJoin LeftOuter",
+    },
     "lay_zonemap_prune": {
         # zone-map pruned scan: the exact range predicate is re-applied
         # after pruning and must reach the parquet reader as a pushed
