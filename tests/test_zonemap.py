@@ -193,3 +193,67 @@ def test_zorder_2d_prunes_on_both_columns(spark):
         .count()
     )
     assert got == exp
+
+
+def test_streaming_zonemap_maintenance(spark, tmp_path):
+    """Zone-map kept fresh under a LIVE stream: a foreachBatch sink lands
+    each micro-batch as parquet and incrementally extends the stats table
+    (update_zonemap stats only the new files). After two waves the
+    maintained map must equal a from-scratch rebuild — the ops loop a
+    streaming-append table needs for data skipping to stay usable."""
+    src = str(tmp_path / "zm_src")
+    tgt = str(tmp_path / "zm_tgt")
+    ckpt = str(tmp_path / "zm_ckpt")
+
+    def _wave(lo, hi):
+        spark.createDataFrame(
+            [(i, float(i * 10)) for i in range(lo, hi)], "k long, price double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    _wave(0, 500)
+
+    state = {"zm": None}
+
+    def land(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(tgt)
+        if state["zm"] is None:
+            state["zm"] = Z.build_zonemap(spark, tgt, ["price"])
+        else:
+            state["zm"] = Z.update_zonemap(spark, tgt, state["zm"], ["price"])
+        # materialize so the lineage doesn't re-scan later waves' files
+        state["zm"] = spark.createDataFrame(
+            state["zm"].collect(), state["zm"].schema
+        )
+
+    stream = spark.readStream.schema("k long, price double").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _wave(500, 800)
+    q2 = (
+        spark.readStream.schema("k long, price double")
+        .parquet(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    rebuilt = Z.build_zonemap(spark, tgt, ["price"])
+    m = {
+        r["file"]: (r["n_rows"], r["min_price"], r["max_price"])
+        for r in state["zm"].collect()
+    }
+    b = {
+        r["file"]: (r["n_rows"], r["min_price"], r["max_price"])
+        for r in rebuilt.collect()
+    }
+    assert m == b and len(m) >= 2
+    # and the maintained map still prunes correctly
+    files = Z.prune_files(state["zm"], "price", 6000.0, 7000.0)
+    assert 0 < len(files) < len(m)
