@@ -257,3 +257,47 @@ def test_streaming_zonemap_maintenance(spark, tmp_path):
     # and the maintained map still prunes correctly
     files = Z.prune_files(state["zm"], "price", 6000.0, 7000.0)
     assert 0 < len(files) < len(m)
+
+
+def test_zonemap_conservative_property(spark, laid_out):
+    """Property (hypothesis): for ANY range predicate — open, closed,
+    empty, inverted, or degenerate — a file dropped by prune_files
+    contains NO row matching the predicate, and the files kept plus the
+    exact re-filter reproduce the brute-force answer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    path, zm = laid_out
+    rows = (
+        spark.read.parquet(path)
+        .select(
+            F.input_file_name().alias("file"), "o_totalprice", "o_orderkey"
+        )
+        .collect()
+    )
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["file"], []).append(r["o_totalprice"])
+
+    bound = st.one_of(
+        st.none(), st.floats(min_value=0.0, max_value=600000.0, width=32)
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(lo=bound, hi=bound)
+    def check(lo, hi):
+        kept = set(Z.prune_files(zm, "o_totalprice", lo, hi))
+
+        def matches(v):
+            return (lo is None or v >= lo) and (hi is None or v <= hi)
+
+        for f, vals in by_file.items():
+            if f not in kept:
+                assert not any(matches(v) for v in vals), (f, lo, hi)
+        expect = sum(1 for vals in by_file.values() for v in vals if matches(v))
+        got = sum(
+            1 for f in kept for v in by_file[f] if matches(v)
+        )
+        assert got == expect
+
+    check()
