@@ -1293,7 +1293,11 @@ def cross_set_contamination(
 
     from strava_vector_search_spark.operators.util import rebalance_for_kernel
 
-    erows = evalset.select(eval_id_col, vector_col).collect()
+    erows = (
+        evalset.filter(F.col(vector_col).isNotNull())
+        .select(eval_id_col, vector_col)
+        .collect()
+    )
     if not erows:
         # nothing to screen against: empty result, correct schema
         id_type = corpus.schema[id_col].dataType.simpleString()

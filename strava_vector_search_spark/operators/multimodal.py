@@ -307,9 +307,11 @@ def extract_metadata_arrow(
             n_bytes = pc.cast(pc.binary_length(content), pa.int64())
             # hex of the first 4 bytes, matching F.hex(F.substring(c,1,4))
             prefix = pc.binary_slice(content, 0, 4)
+            # NB: a pyarrow NULL scalar is NOT Python None — materialize
+            # with as_py() first, which maps nulls to None
             header_hex = pa.array(
                 [
-                    None if v is None else v.as_py().hex().upper()
+                    None if (b := v.as_py()) is None else b.hex().upper()
                     for v in prefix
                 ],
                 type=pa.string(),

@@ -4996,7 +4996,7 @@ ORDER BY event_type
 ORACLES["lay_zonemap_prune"] = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
          AS revenue
 FROM orders
 WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
@@ -5015,7 +5015,7 @@ SELECT d.doc_id,
        CAST(LEAST(40, LENGTH(d.text) - g.i * 30) AS INT) AS win_len,
        SUBSTR(d.text, g.i * 30 + 1, 20) AS preview
 FROM documents d
-CROSS JOIN generate_series(0, 1000) g(i)
+CROSS JOIN generate_series(0, 100000) g(i)  -- >> any plausible doc length / stride
 WHERE d.doc_id < 40 AND g.i * 30 < LENGTH(d.text)
 ORDER BY d.doc_id, win_idx
 """
@@ -5098,7 +5098,7 @@ ORACLES["ml_als_user_factors"] = _als.als_user_step_sql(_als.duck_md5i)
 ORACLES["lay_zorder_2d_prune"] = """
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
          AS revenue
 FROM orders
 WHERE o_totalprice >= 100000.0 AND o_totalprice <= 200000.0

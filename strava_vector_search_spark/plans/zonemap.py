@@ -61,10 +61,16 @@ def prune_files(
     """
     cond = F.lit(True)
     if lo is not None:
-        # max < lo proves disjoint; NULL max (all-null file) stays
-        cond = cond & ~(F.col(f"max_{col}") < F.lit(lo))
+        # max < lo proves disjoint; a NULL max (all-NULL file) must be
+        # KEPT — under three-valued logic ~(NULL < lo) is NULL and
+        # filter() would drop it, so the NULL case is admitted explicitly
+        cond = cond & (
+            F.col(f"max_{col}").isNull() | ~(F.col(f"max_{col}") < F.lit(lo))
+        )
     if hi is not None:
-        cond = cond & ~(F.col(f"min_{col}") > F.lit(hi))
+        cond = cond & (
+            F.col(f"min_{col}").isNull() | ~(F.col(f"min_{col}") > F.lit(hi))
+        )
     return [r["file"] for r in zonemap.filter(cond).select("file").collect()]
 
 
@@ -77,41 +83,65 @@ def read_pruned(
 ) -> DataFrame:
     """Scan only the files the zone map cannot rule out, then re-apply the
     exact predicate (conservativeness contract). Returns an empty, correctly
-    typed DataFrame when every file is pruned."""
-    files = prune_files(zonemap, col, lo, hi)
+    typed DataFrame when every file is pruned. Raises ValueError on an
+    EMPTY zone map (no files known → no schema to type an empty result)."""
+    return read_pruned_multi(spark, zonemap, [(col, lo, hi)])
+
+
+def read_pruned_multi(
+    spark: SparkSession,
+    zonemap: DataFrame,
+    preds: list[tuple[str, float | None, float | None]],
+) -> DataFrame:
+    """Conjunctive multi-column pruned read: intersect the per-column file
+    survivors (each column's envelope can veto a file independently — the
+    property a Morton/z-order layout makes useful), then re-apply EVERY
+    exact predicate on the pruned scan. One definition of the
+    prune-then-exact-refilter contract for all callers."""
+    survivor_sets = [
+        set(prune_files(zonemap, col, lo, hi)) for col, lo, hi in preds
+    ]
+    files = sorted(set.intersection(*survivor_sets)) if survivor_sets else []
     if not files:
-        # derive the schema from one (any) file without reading rows
-        any_file = [r["file"] for r in zonemap.select("file").limit(1).collect()]
-        empty = spark.read.parquet(*any_file).limit(0)
-        return empty
-    df = spark.read.parquet(*files)
-    if lo is not None:
-        df = df.filter(F.col(col) >= F.lit(lo))
-    if hi is not None:
-        df = df.filter(F.col(col) <= F.lit(hi))
+        any_file = [
+            r["file"] for r in zonemap.select("file").limit(1).collect()
+        ]
+        if not any_file:
+            raise ValueError(
+                "read_pruned on an EMPTY zone map: no files known, so no "
+                "schema exists to type an empty result — build the zone map "
+                "after at least one file lands"
+            )
+        # schema-only: one file opened, zero rows read past the footer
+        df = spark.read.parquet(*any_file).limit(0)
+    else:
+        df = spark.read.parquet(*files)
+    for col, lo, hi in preds:
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
     return df
 
 
 def update_zonemap(
     spark: SparkSession, path: str, existing: DataFrame, cols: list[str]
 ) -> DataFrame:
-    """Incrementally extend a zone map after files were appended: stat ONLY
-    the files absent from ``existing`` (left_anti on file name), union with
-    the existing rows. The scan cost is O(appended bytes); the existing map
-    is never recomputed. Compaction/rewrite should rebuild instead (file
-    names change)."""
-    current_files = (
-        spark.read.parquet(path)
-        .select(F.input_file_name().alias("file"))
-        .distinct()
+    """Incrementally extend a zone map after files were appended: the
+    current file LIST comes from the scan's file index (``inputFiles()`` —
+    metadata only, no rows read), the already-mapped names are subtracted
+    driver-side (both lists are one string per file — the same driver-size
+    object every scan planner holds), and ONLY the new files are opened
+    and statted. Scan cost is O(appended bytes), never O(table).
+    Compaction/rewrite should rebuild instead (file names change)."""
+    known = {r["file"] for r in existing.select("file").collect()}
+    new_files = sorted(
+        f for f in spark.read.parquet(path).inputFiles() if f not in known
     )
-    new_files = current_files.join(
-        F.broadcast(existing.select("file")), "file", "left_anti"
-    )
-    fresh = (
-        spark.read.parquet(path)
-        .select(F.input_file_name().alias("file"), *cols)
-        .join(F.broadcast(new_files), "file", "left_semi")
+    if not new_files:
+        return existing
+    fresh = spark.read.parquet(*new_files).select(
+        F.input_file_name().alias("file"), *cols
     )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:

@@ -47,6 +47,28 @@ def _dsum(col, scale: int = 2):
     return F.round(F.sum(F.col(col).cast("decimal(18,6)")).cast("double"), scale)
 
 
+def _src_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap fingerprint of a source parquet (mtime+size of every file):
+    derived-layout caches under /tmp embed it in their done-marker so a
+    REGENERATED testdata directory (same path, new contents) invalidates
+    the cache instead of silently serving a stale layout."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    else:
+        for dirp, _, names in sorted(os.walk(root)):
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    st = os.stat(os.path.join(dirp, n))
+                    parts.append(f"{n}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
 def _davg(col, scale: int = 4):
     # exact decimal sum → double BEFORE the division, so both engines do the
     # same IEEE double divide (decimal-division scale rules differ)
@@ -7087,7 +7109,9 @@ def lay_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/tmp/svs_zonemap_{token}"
     # the layout is a pure function of the source table: write once per
     # process lifetime (marker), so repeated calls measure the READ path
-    marker = os.path.join(path, "_svs_layout_done")
+    marker = os.path.join(
+        path, f"_svs_layout_done_{_src_fingerprint(sf_dir, 'orders')}"
+    )
     if not os.path.exists(marker):
         (
             orders.repartitionByRange(8, "o_totalprice")
@@ -7098,11 +7122,15 @@ def lay_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(marker, "w").close()
     zm = Z.build_zonemap(spark, path, ["o_totalprice"])
     pruned = Z.read_pruned(spark, zm, "o_totalprice", 100000.0, 150000.0)
+    # round the exact DECIMAL before the double cast (the q9 half-boundary
+    # lesson: rounding after the cast diverges cross-engine on exact halves)
     return (
         pruned.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _dsum("o_totalprice", 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -7281,7 +7309,9 @@ def idx_trigram_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     idx_path = f"/tmp/svs_trigram_{token}"
-    marker = os.path.join(idx_path, "_svs_index_done")
+    marker = os.path.join(
+        idx_path, f"_svs_index_done_{_src_fingerprint(sf_dir, 'documents')}"
+    )
     if not os.path.exists(marker):
         postings = docs.select(
             "doc_id",
@@ -7390,7 +7420,9 @@ def lay_zorder_2d_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = f"/tmp/svs_zorder2d_{token}"
-    marker = os.path.join(path, "_svs_layout_done")
+    marker = os.path.join(
+        path, f"_svs_layout_done_{_src_fingerprint(sf_dir, 'orders')}"
+    )
     if not os.path.exists(marker):
         lo_p, hi_p = 1000.0, 510000.0
         hi_c = (
@@ -7405,19 +7437,16 @@ def lay_zorder_2d_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         open(marker, "w").close()
     zm = Z.build_zonemap(spark, path, ["o_totalprice", "o_custkey"])
-    f_price = set(Z.prune_files(zm, "o_totalprice", 100000.0, 200000.0))
-    f_cust = set(Z.prune_files(zm, "o_custkey", None, 400))
-    files = sorted(f_price & f_cust)
-    if not files:
-        files = sorted(f_price | f_cust)[:1]  # schema-only empty read
-    pruned = (
-        spark.read.parquet(*files)
-        .filter(F.col("o_totalprice").between(100000.0, 200000.0))
-        .filter(F.col("o_custkey") <= 400)
+    pruned = Z.read_pruned_multi(
+        spark,
+        zm,
+        [("o_totalprice", 100000.0, 200000.0), ("o_custkey", None, 400)],
     )
     return pruned.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        _dsum("o_totalprice", 2).alias("revenue"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("revenue"),
     ).orderBy("o_orderstatus")
 
 

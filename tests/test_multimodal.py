@@ -164,13 +164,28 @@ def test_decode_pcm_and_audio_windows(spark):
     assert w2[0]["peak"] == 4
 
 
-def test_metadata_arrow_twin_matches_expressions(media):
-    """mapInArrow fast lane == expression version, row for row (including
-    NULL-payload handling) — the raw-Arrow path must be value-invisible."""
+def test_metadata_arrow_twin_matches_expressions(media, spark):
+    """mapInArrow fast lane == expression version, row for row — the
+    raw-Arrow path must be value-invisible, INCLUDING on NULL payloads
+    (a NULL content row is appended so the None branch actually runs)."""
     from strava_vector_search_spark.operators.multimodal import (
         extract_metadata_arrow,
     )
 
-    expr_rows = sorted(map(tuple, extract_metadata(media).collect()))
-    arrow_rows = sorted(map(tuple, extract_metadata_arrow(media).collect()))
+    with_null = media.unionByName(
+        spark.createDataFrame(
+            [(9999, "image/png", None)],
+            "media_id long, media_type string, content binary",
+        )
+    )
+    expr_rows = sorted(
+        map(tuple, extract_metadata(with_null).collect()),
+        key=lambda t: (t[0],),
+    )
+    arrow_rows = sorted(
+        map(tuple, extract_metadata_arrow(with_null).collect()),
+        key=lambda t: (t[0],),
+    )
     assert expr_rows == arrow_rows and len(expr_rows) > 0
+    null_row = [t for t in arrow_rows if t[0] == 9999]
+    assert null_row and null_row[0][2] is None and null_row[0][3] is None
