@@ -191,6 +191,7 @@ HEADLINE = [
     "ml_als_user_factors",
     "lay_zorder_2d_prune",
     "ev_gap_fill",
+    "ml_bootstrap_ci",
 ]
 
 

@@ -5157,3 +5157,11 @@ SELECT user_id, h, obs_v,
 FROM w
 ORDER BY user_id, h
 """
+
+# -- Poisson bootstrap CI (shared text; engine md5/series idioms) -------------
+
+from strava_vector_search_spark.operators import bootstrap as _bs
+
+ORACLES["ml_bootstrap_ci"] = _bs.bootstrap_ci_sql(
+    _als.duck_md5i, f"SELECT i AS b FROM generate_series(1, {_bs.B}) t(i)"
+)

@@ -7541,3 +7541,29 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_gap_fill": ev_gap_fill})
+
+
+def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap confidence interval for the mean document
+    length (operators/bootstrap.py): per-(doc, resample) Poisson(1)
+    weights from the portable hash (no RNG, no global multinomial -- the
+    only bootstrap that distributes), B=100 resamples as a crossed
+    column, integer-exact weighted sums, CI from the order statistics of
+    the resample means. One map-only weight pass + one partial-combined
+    aggregate; resample count, not corpus size, bounds the extra work."""
+    from strava_vector_search_spark.operators import als as A
+    from strava_vector_search_spark.operators import bootstrap as BS
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "svs_bs_documents"
+    )
+    return spark.sql(
+        BS.bootstrap_ci_sql(
+            A.spark_md5i,
+            f"SELECT explode(sequence(1, {BS.B})) AS b",
+            "svs_bs_documents",
+        )
+    )
+
+
+QUERIES.update({"ml_bootstrap_ci": ml_bootstrap_ci})

@@ -519,6 +519,15 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_sortmerge_selfjoin": "!SortMergeJoin LeftOuter",
     },
+    "ml_bootstrap_ci": {
+        # per-(row, resample) weights are a map-only projection over the
+        # crossed grid; per-resample means partial-combine; order stats
+        # over B rows — the resample cross join must stay nested-loop-
+        # broadcast of the tiny series, never an exchange-heavy join
+        "partial_agg": "partial_",
+        "window": "Window",
+        "no_sortmerge": "!SortMergeJoin",
+    },
     "lay_zonemap_prune": {
         # zone-map pruned scan: the exact range predicate is re-applied
         # after pruning and must reach the parquet reader as a pushed
