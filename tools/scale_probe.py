@@ -581,6 +581,91 @@ def main() -> None:
                     "one gradient/Hessian aggregate per Newton step; "
                     "model state is 3 numbers — scales as iterations x scan"))
 
+    # ---- trigram substring index at 50K docs: build once, query many
+    from pyspark.sql import functions as _F
+
+    with tempfile.TemporaryDirectory() as tmpd:
+        tg_path = f"{tmpd}/trigram_idx"
+        postings = big_docs.select(
+            "doc_id",
+            _F.explode(
+                _F.array_distinct(
+                    _F.expr(
+                        "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                        " i -> substring(text, i, 3))"
+                    )
+                )
+            ).alias("tg"),
+        )
+        t0 = time.time()
+        (
+            postings.repartitionByRange(16, "tg")
+            .sortWithinPartitions("tg", "doc_id")
+            .write.mode("overwrite")
+            .parquet(tg_path)
+        )
+        sec_build = time.time() - t0
+        q = "vector table fast"
+        qgrams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+
+        def _tg_query():
+            cand = (
+                spark.read.parquet(tg_path)
+                .filter(_F.col("tg").isin(qgrams))
+                .groupBy("doc_id")
+                .agg(_F.count(_F.lit(1)).alias("hits"))
+                .filter(_F.col("hits") == len(qgrams))
+            )
+            return big_docs.join(cand, "doc_id", "left_semi").filter(
+                _F.col("text").contains(q)
+            ).count()
+
+        sec, n = t(_tg_query)
+        results.append((
+            "trigram index build", f"{n_docs:,} docs", sec_build,
+            "one scan + one range shuffle of (doc_id, trigram); amortized "
+            "over every subsequent substring query"))
+        results.append((
+            "trigram substring query", f"{n_docs:,} docs", sec,
+            f"{n} matches; literal IN pushed into the trigram-sorted "
+            "posting scan (row-group min/max prune), exact contains on "
+            "candidates only — the full-text scan never runs"))
+
+    # ---- PCA: one decimal Gram aggregate at 1M vectors + driver eigensolve
+    from strava_vector_search_spark.operators import pca as _P
+
+    def _cols(texts):
+        return [
+            _F.expr(tx.rsplit(" AS ", 1)[0]).alias(tx.rsplit(" AS ", 1)[1])
+            for tx in texts
+        ]
+
+    feats8 = big_emb.select(*_cols(_P.feat_exprs(one_based=False)))
+    sec, _ = t(lambda: feats8.agg(*_cols(_P.gram_exprs())).collect())
+    row = feats8.agg(*_cols(_P.gram_exprs())).first()
+    lam, _v = _P.top_component_dense(row)
+    results.append((
+        "pca gram aggregate (8d)", f"{n_vec:,} vecs", sec,
+        "ONE map-side-combined decimal aggregate is the entire distributed "
+        f"cost; dense driver eigensolve on the 1-row result (lambda={lam:.4f}) "
+        "is O(d^2) — at 768d the same shape with array outer-product sums"))
+
+    # ---- Poisson bootstrap: B=100 resamples over 50K docs (5M weight rows)
+    from strava_vector_search_spark.operators import als as _A
+    from strava_vector_search_spark.operators import bootstrap as _BS
+
+    big_docs.createOrReplaceTempView("svs_probe_docs")
+    sec, _ = t(lambda: spark.sql(_BS.bootstrap_ci_sql(
+        _A.spark_md5i,
+        f"SELECT explode(sequence(1, {_BS.B})) AS b",
+        "svs_probe_docs",
+    )).collect())
+    results.append((
+        "poisson bootstrap CI B=100", f"{n_docs:,} docs", sec,
+        "weights are a map-only projection over the crossed grid (no RNG, "
+        "no global multinomial); per-resample integer sums partial-combine "
+        "— extra work scales with B, and partitions never coordinate"))
+
     # ---- zone-map data skipping at 3M rows / 32 range-clustered files:
     # a ~2%-of-range predicate should read ~1/32 of the table
     from strava_vector_search_spark.plans import zonemap as Z
