@@ -192,6 +192,7 @@ HEADLINE = [
     "lay_zorder_2d_prune",
     "ev_gap_fill",
     "ml_bootstrap_ci",
+    "ml_probe_attribution",
 ]
 
 

@@ -5165,3 +5165,24 @@ from strava_vector_search_spark.operators import bootstrap as _bs
 ORACLES["ml_bootstrap_ci"] = _bs.bootstrap_ci_sql(
     _als.duck_md5i, f"SELECT i AS b FROM generate_series(1, {_bs.B}) t(i)"
 )
+
+# -- linear-probe feature attribution (exact Shapley for a linear model) -----
+
+ORACLES["ml_probe_attribution"] = f"""
+WITH {_PROBE_COEF_CTES},
+dev AS (
+  SELECT c.n, c.b1, c.b2,
+         CAST(SUM(CAST(ROUND(ABS(f.x1 - md.s1 / md.n_d), 10)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS d1,
+         CAST(SUM(CAST(ROUND(ABS(f.x2 - md.s2 / md.n_d), 10)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM feats f CROSS JOIN md CROSS JOIN c
+  GROUP BY c.n, c.b1, c.b2
+)
+SELECT n AS n_train, b1, b2,
+       ROUND(ABS(b1) * (d1 / n), 6) AS contrib_x1,
+       ROUND(ABS(b2) * (d2 / n), 6) AS contrib_x2,
+       ROUND(ABS(b1) * (d1 / n) / (ABS(b1) * (d1 / n)
+             + ABS(b2) * (d2 / n)), 6) AS share_x1
+FROM dev
+"""

@@ -7567,3 +7567,60 @@ def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_bootstrap_ci": ml_bootstrap_ci})
+
+
+def ml_probe_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature attribution for the trained linear probe -- for a LINEAR
+    model the exact Shapley value of feature i on a prediction is
+    b_i*(x_i - mean_i), so global importance is |b_i| * mean|x_i - mean_i|
+    (mean absolute deviation), computable in ONE extra scan with the
+     1-row (means, coefficients) table broadcast. Returns the per-feature
+    mean absolute contribution and x1's share. The explanation pass is
+    the same moments-then-broadcast shape as training itself."""
+    from strava_vector_search_spark.operators import linear as L
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = L.feature_frame(
+        emb,
+        F.col("embedding")[0],
+        F.col("embedding")[1],
+        F.coalesce((F.col("label") == 0).cast("int"), F.lit(0)),
+    )
+    m = L.moment_sums(feats)
+    coef = L.solve_coefficients(m).select("b1", "b2")
+    means = m.select(
+        "n",
+        F.expr("s1 / CAST(n AS DOUBLE)").alias("mean1"),
+        F.expr("s2 / CAST(n AS DOUBLE)").alias("mean2"),
+    )
+    dev = (
+        feats.crossJoin(F.broadcast(means))
+        .crossJoin(F.broadcast(coef))
+        .groupBy("n", "b1", "b2")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(ABS(x1 - mean1), 10) AS DECIMAL(38,12)))"
+                " AS DOUBLE)"
+            ).alias("d1"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(ABS(x2 - mean2), 10) AS DECIMAL(38,12)))"
+                " AS DOUBLE)"
+            ).alias("d2"),
+        )
+    )
+    return dev.select(
+        F.col("n").alias("n_train"),
+        "b1",
+        "b2",
+        F.expr("ROUND(ABS(b1) * (d1 / n), 6)").alias("contrib_x1"),
+        F.expr("ROUND(ABS(b2) * (d2 / n), 6)").alias("contrib_x2"),
+        F.expr(
+            "ROUND(ABS(b1) * (d1 / n) / (ABS(b1) * (d1 / n)"
+            " + ABS(b2) * (d2 / n)), 6)"
+        ).alias("share_x1"),
+    )
+
+
+QUERIES.update({"ml_probe_attribution": ml_probe_attribution})

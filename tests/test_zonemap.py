@@ -301,3 +301,12 @@ def test_zonemap_conservative_property(spark, laid_out):
         assert got == expect
 
     check()
+
+
+def test_empty_zonemap_read_raises_clearly(spark, laid_out):
+    """An EMPTY zone map has no files and therefore no schema — read_pruned
+    must fail with the documented ValueError, not a zero-path parquet read."""
+    _, zm = laid_out
+    empty = zm.filter(F.lit(False))
+    with pytest.raises(ValueError, match="EMPTY zone map"):
+        Z.read_pruned(spark, empty, "o_totalprice", 0.0, 1.0)
