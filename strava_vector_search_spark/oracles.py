@@ -3588,7 +3588,7 @@ ORDER BY pos
 ORACLES["svc_cache_hit_report"] = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id % 17 = 0
+  FROM embeddings WHERE vec_id % 17 = 0 AND embedding IS NOT NULL
 ),
 c AS (
   SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v

@@ -97,11 +97,19 @@ def read_pruned_multi(
     survivors (each column's envelope can veto a file independently — the
     property a Morton/z-order layout makes useful), then re-apply EVERY
     exact predicate on the pruned scan. One definition of the
-    prune-then-exact-refilter contract for all callers."""
+    prune-then-exact-refilter contract for all callers. An EMPTY preds
+    list is rejected: "no predicates" means a full scan, which silently
+    returning zero files would invert — callers wanting the whole table
+    should read the path directly."""
+    if not preds:
+        raise ValueError(
+            "read_pruned_multi with no predicates: zone-map pruning is "
+            "predicate-driven; scan the table directly for a full read"
+        )
     survivor_sets = [
         set(prune_files(zonemap, col, lo, hi)) for col, lo, hi in preds
     ]
-    files = sorted(set.intersection(*survivor_sets)) if survivor_sets else []
+    files = sorted(set.intersection(*survivor_sets))
     if not files:
         any_file = [
             r["file"] for r in zonemap.select("file").limit(1).collect()
