@@ -5186,3 +5186,153 @@ SELECT n AS n_train, b1, b2,
              + ABS(b2) * (d2 / n)), 6) AS share_x1
 FROM dev
 """
+
+
+# -- round 5: LM smoothing, NB classifier, forensics, Zipf -------------------
+
+from strava_vector_search_spark.operators.stats import (  # noqa: E402
+    BENFORD_P_EXPR as _BENFORD_P,
+    DEC_SUM as _DEC_SUM,
+    KN_PKN_EXPR as _KN_PKN,
+    NB_PRIOR_EXPR as _NB_PRIOR,
+    NB_TERM_EXPR as _NB_TERM,
+    ZIPF_INTERCEPT_EXPR as _ZIPF_B0,
+    ZIPF_R2_EXPR as _ZIPF_R2,
+    ZIPF_SLOPE_EXPR as _ZIPF_B1,
+)
+
+_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+ORACLES["tx_kneser_ney"] = f"""
+WITH toks AS (SELECT {_TOKS} AS ts FROM documents),
+bg AS (
+  SELECT p['w1'] AS w1, p['w2'] AS w2
+  FROM (
+    SELECT unnest([{{'w1': ts[i], 'w2': ts[i+1]}} FOR i IN range(1, len(ts))]) AS p
+    FROM toks WHERE len(ts) >= 2
+  )
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+lft AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n_follow FROM bc GROUP BY w1),
+rgt AS (SELECT w2, COUNT(*) AS n_precede FROM bc GROUP BY w2),
+bt AS (SELECT COUNT(*) AS n_bigram_types FROM bc)
+SELECT bc.w1, bc.w2, c12, c1, n_follow, n_precede,
+       {_KN_PKN} AS pkn
+FROM bc
+JOIN lft ON bc.w1 = lft.w1
+JOIN rgt ON bc.w2 = rgt.w2
+CROSS JOIN bt
+ORDER BY c12 DESC, bc.w1, bc.w2
+LIMIT 20
+"""
+
+
+ORACLES["ml_naive_bayes"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang AS lang_true, {_TOKS} AS ts FROM documents
+),
+occ AS (
+  SELECT doc_id, lang_true, t, COUNT(*) AS occ
+  FROM (SELECT doc_id, lang_true, unnest(ts) AS t FROM toks)
+  GROUP BY doc_id, lang_true, t
+),
+tokc AS (
+  SELECT lang_true AS lang, t, SUM(occ) AS cnt FROM occ GROUP BY lang_true, t
+),
+mass AS (SELECT lang, SUM(cnt) AS tot FROM tokc GROUP BY lang),
+vocab AS (SELECT COUNT(DISTINCT t) AS v FROM tokc),
+pri AS (SELECT lang, COUNT(*) AS n_docs_c FROM documents GROUP BY lang),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+classes AS (
+  SELECT mass.lang, tot, v, {_NB_PRIOR} AS prior_ln
+  FROM mass JOIN pri ON mass.lang = pri.lang
+  CROSS JOIN vocab CROSS JOIN nd
+),
+scored AS (
+  SELECT o.doc_id, o.lang_true, c.lang,
+         ROUND(c.prior_ln + {_DEC_SUM.format(t=_NB_TERM)}, 6) AS score
+  FROM occ o
+  CROSS JOIN classes c
+  LEFT JOIN tokc ON tokc.lang = c.lang AND tokc.t = o.t
+  GROUP BY o.doc_id, o.lang_true, c.lang, c.prior_ln
+),
+pred AS (
+  SELECT doc_id, lang_true, lang AS lang_pred
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, lang ASC
+    ) AS rn
+    FROM scored
+  )
+  WHERE rn = 1
+)
+SELECT lang_true, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY lang_true, lang_pred
+ORDER BY lang_true, lang_pred
+"""
+
+
+ORACLES["dq_benford"] = f"""
+WITH digits AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                        1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1.0
+),
+per AS (SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit),
+tot AS (SELECT SUM(n_obs) AS n_total FROM per),
+scored AS (
+  SELECT digit, n_obs,
+         ROUND(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS obs_share,
+         {_BENFORD_P} AS p_benford,
+         n_total
+  FROM per CROSS JOIN tot
+),
+chi AS (
+  SELECT digit, n_obs, obs_share,
+         ROUND(p_benford, 6) AS benford_share,
+         ROUND((CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_benford)
+             * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_benford)
+             / (CAST(n_total AS DOUBLE) * p_benford), 6) AS chi2_term
+  FROM scored
+)
+SELECT digit, n_obs, obs_share, benford_share, chi2_term,
+       ROUND(SUM(chi2_term) OVER (), 6) AS chi2_total
+FROM chi ORDER BY digit
+"""
+
+
+ORACLES["tx_zipf_fit"] = f"""
+WITH vocab AS (
+  SELECT t, COUNT(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+  GROUP BY t
+  ORDER BY cnt DESC, t
+  LIMIT 100
+),
+xy AS (
+  SELECT ROUND(LN(CAST(r AS DOUBLE)), 10) AS x,
+         ROUND(LN(CAST(cnt AS DOUBLE)), 10) AS y
+  FROM (
+    SELECT cnt, t,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS r
+    FROM vocab
+  )
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS np_,
+         {_DEC_SUM.format(t='x')} AS sx,
+         {_DEC_SUM.format(t='y')} AS sy,
+         {_DEC_SUM.format(t='ROUND(x * y, 10)')} AS sxy,
+         {_DEC_SUM.format(t='ROUND(x * x, 10)')} AS sxx,
+         {_DEC_SUM.format(t='ROUND(y * y, 10)')} AS syy
+  FROM xy
+)
+SELECT CAST(np_ AS BIGINT) AS n_points,
+       ROUND({_ZIPF_B1}, 6) AS zipf_slope,
+       ROUND({_ZIPF_B0}, 6) AS intercept,
+       ROUND({_ZIPF_R2}, 6) AS r2
+FROM m
+"""

@@ -7641,3 +7641,239 @@ def ml_probe_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_probe_attribution": ml_probe_attribution})
+
+
+# ---------------------------------------------------------------------------
+# Round 5: corpus statistics, LM smoothing, NB classifier, forensics
+
+
+def tx_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (absolute discount D=0.75) --
+    the smoothing real pretraining LMs (KenLM) use, completing the LM
+    ladder above tx_bigram_perplexity/tx_stupid_backoff: continuation
+    probability Pcont(w2) = N1+(.w2)/|bigram types| fixes the
+    "San Francisco" problem raw counts have. Bigram extraction is the
+    map-only index-transform zip; EVERY statistic (context mass c1,
+    distinct continuations N1+(w1.), distinct left contexts N1+(.w2),
+    global type count) derives from the bigram-count table bc -- vocab^2-
+    bounded, never a second corpus pass; marginals come back via
+    AQE-broadcast joins. pkn expression text is shared verbatim with the
+    DuckDB oracle (operators/stats.KN_PKN_EXPR), so parity is bit-exact.
+    Returns the top-20 bigrams by count with their KN probabilities."""
+    from strava_vector_search_spark.operators.dedup import tokens
+    from strava_vector_search_spark.operators.stats import KN_PKN_EXPR
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(tokens(F.col("text")).alias("_ts")).filter(
+        F.size("_ts") >= 2
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_ts") - 1),
+        lambda i: F.struct(
+            F.element_at("_ts", i).alias("w1"),
+            F.element_at("_ts", i + 1).alias("w2"),
+        ),
+    )
+    big = tok.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    right = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_precede"))
+    btypes = bc.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    return (
+        bc.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n_follow",
+            "n_precede",
+            F.expr(KN_PKN_EXPR).alias("pkn"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(20)
+    )
+
+
+QUERIES.update({"tx_kneser_ney": tx_kneser_ney})
+
+
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND scored distributed -- the
+    classic scalable text classifier (predicting `lang` from tokens, the
+    fastText-langid shape): training is ONE (class, token) count
+    aggregate plus two tiny marginals (class token mass, class doc
+    priors); scoring is the per-doc occurrence table crossed with the
+    5-row class table (linear in corpus x |classes|, never quadratic)
+    left-joined to the count table (AQE broadcast), each Laplace-smoothed
+    log term rounded to 10 dp before DECIMAL accumulation so the
+    log-likelihood sum is order-insensitive. Output: the train confusion
+    matrix (true lang x predicted lang). Term/prior expression text is
+    shared with the oracle (operators/stats)."""
+    from strava_vector_search_spark.operators.dedup import tokens
+    from strava_vector_search_spark.operators.stats import (
+        DEC_SUM,
+        NB_PRIOR_EXPR,
+        NB_TERM_EXPR,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.col("lang").alias("lang_true"), tokens(F.col("text")).alias("_ts")
+    )
+    occ = (
+        tok.select("doc_id", "lang_true", F.explode("_ts").alias("t"))
+        .groupBy("doc_id", "lang_true", "t")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    tokc = (
+        occ.groupBy(F.col("lang_true").alias("lang"), "t")
+        .agg(F.sum("occ").alias("cnt"))
+    )
+    mass = tokc.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = tokc.select("t").distinct().agg(F.count(F.lit(1)).alias("v"))
+    pri = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs_c"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    classes = (
+        mass.join(pri, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "lang", "tot", "v", F.expr(NB_PRIOR_EXPR).alias("prior_ln")
+        )
+    )
+    scored = (
+        occ.crossJoin(F.broadcast(classes))
+        .join(
+            tokc.select(F.col("lang"), F.col("t"), F.col("cnt")),
+            ["lang", "t"],
+            "left",
+        )
+        .groupBy("doc_id", "lang_true", "lang", "prior_ln")
+        .agg(F.expr(DEC_SUM.format(t=NB_TERM_EXPR)).alias("ll_sum"))
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang",
+            F.expr("ROUND(prior_ln + ll_sum, 6)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang_true", F.col("lang").alias("lang_pred"))
+    )
+    return (
+        pred.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+QUERIES.update({"ml_naive_bayes": ml_naive_bayes})
+
+
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice -- the forensic
+    data-quality screen for fabricated or truncated numeric feeds (a
+    synthetic uniform-ish price book deviates, which is exactly what the
+    report shows). First significant digit via FLOOR -> BIGINT -> first
+    character (no float log10 on data values, so no boundary hazard);
+    one map-only digit extraction + one 9-row aggregate; expected
+    share log10(1+1/d) rounded at 10 dp (shared text) before the
+    chi-square terms so both engines agree bit-for-bit."""
+    from strava_vector_search_spark.operators.stats import BENFORD_P_EXPR
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1.0
+    )
+    # FLOOR, not a double->bigint cast: Spark's cast truncates while
+    # DuckDB's rounds -- floor is identical in both engines
+    digits = orders.select(
+        F.substring(F.floor(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    per = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = per.agg(F.sum("n_obs").alias("n_total"))
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.expr("ROUND(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)").alias(
+            "obs_share"
+        ),
+        F.expr(BENFORD_P_EXPR).alias("p_benford"),
+        F.col("n_total"),
+    )
+    chi = scored.select(
+        "digit",
+        "n_obs",
+        "obs_share",
+        F.expr("ROUND(p_benford, 6)").alias("benford_share"),
+        F.expr(
+            "ROUND((CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_benford)"
+            " * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_benford)"
+            " / (CAST(n_total AS DOUBLE) * p_benford), 6)"
+        ).alias("chi2_term"),
+    )
+    return chi.withColumn(
+        "chi2_total",
+        F.expr("ROUND(SUM(chi2_term) OVER (), 6)"),
+    ).orderBy("digit")
+
+
+QUERIES.update({"dq_benford": dq_benford})
+
+
+def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency distribution: the
+    one-row corpus-health statistic (natural text slopes near -1;
+    boilerplate-heavy or synthetic corpora drift). Vocabulary counts are
+    one map-side-combined aggregate; only the top-100 ranks survive
+    (TakeOrderedAndProject) into the log-log OLS, whose moment sums are
+    10 dp-rounded DECIMAL folds and whose closed-form solve is shared
+    expression text (operators/stats.ZIPF_*) -- the moments-then-solve
+    shape of the linear probe applied to corpus statistics."""
+    from strava_vector_search_spark.operators.dedup import tokens
+    from strava_vector_search_spark.operators.stats import (
+        DEC_SUM,
+        ZIPF_INTERCEPT_EXPR,
+        ZIPF_R2_EXPR,
+        ZIPF_SLOPE_EXPR,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "t")
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("t"))
+    xy = vocab.withColumn("r", F.row_number().over(w)).select(
+        F.expr("ROUND(LN(CAST(r AS DOUBLE)), 10)").alias("x"),
+        F.expr("ROUND(LN(CAST(cnt AS DOUBLE)), 10)").alias("y"),
+    )
+    m = xy.agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("np_"),
+        F.expr(DEC_SUM.format(t="x")).alias("sx"),
+        F.expr(DEC_SUM.format(t="y")).alias("sy"),
+        F.expr(DEC_SUM.format(t="ROUND(x * y, 10)")).alias("sxy"),
+        F.expr(DEC_SUM.format(t="ROUND(x * x, 10)")).alias("sxx"),
+        F.expr(DEC_SUM.format(t="ROUND(y * y, 10)")).alias("syy"),
+    )
+    return m.select(
+        F.expr("CAST(np_ AS BIGINT)").alias("n_points"),
+        F.expr(f"ROUND({ZIPF_SLOPE_EXPR}, 6)").alias("zipf_slope"),
+        F.expr(f"ROUND({ZIPF_INTERCEPT_EXPR}, 6)").alias("intercept"),
+        F.expr(f"ROUND({ZIPF_R2_EXPR}, 6)").alias("r2"),
+    )
+
+
+QUERIES.update({"tx_zipf_fit": tx_zipf_fit})
