@@ -5336,3 +5336,136 @@ SELECT CAST(np_ AS BIGINT) AS n_points,
        ROUND({_ZIPF_R2}, 6) AS r2
 FROM m
 """
+
+
+ORACLES["ev_max_concurrency"] = """
+WITH b AS (
+  SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + 1800000000 AS t, -1 AS delta FROM events
+),
+d AS (SELECT t // 86400000000 AS day, t, delta FROM b),
+loc AS (
+  SELECT day, t, delta,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS local_run
+  FROM d
+),
+days AS (SELECT day, SUM(delta) AS day_sum FROM d GROUP BY day),
+carry AS (
+  SELECT day,
+         COALESCE(SUM(day_sum) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM days
+)
+SELECT l.day,
+       SUM(CASE WHEN l.delta = 1 THEN 1 ELSE 0 END) AS n_starts,
+       MAX(carry.c + l.local_run) AS max_concurrency
+FROM loc l JOIN carry ON l.day = carry.day
+GROUP BY l.day
+ORDER BY l.day
+"""
+
+
+ORACLES["ev_kaplan_meier"] = """
+WITH pu AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id
+),
+hz AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+subj AS (
+  SELECT (last_us - first_us) // 86400000000 AS t,
+         CASE WHEN last_us < max_us - 604800000000 THEN 1 ELSE 0 END AS event
+  FROM pu CROSS JOIN hz
+),
+per_t AS (
+  SELECT t, SUM(event) AS d, SUM(1 - event) AS c, COUNT(*) AS leaving
+  FROM subj GROUP BY t
+),
+nt AS (SELECT COUNT(*) AS n_users FROM subj),
+risk AS (
+  SELECT t, d, c,
+         n_users - COALESCE(SUM(leaving) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t CROSS JOIN nt
+),
+terms AS (
+  SELECT t, n_risk, d, c,
+         CASE WHEN d = 0 OR d >= n_risk THEN CAST(0 AS DOUBLE)
+              ELSE ROUND(LN(1.0 - CAST(d AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE)), 10) END AS ln_term,
+         MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+           ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead_end
+  FROM risk
+),
+fin AS (
+  SELECT t, n_risk, d, c, dead_end,
+         SUM(CAST(ln_term AS DECIMAL(38,12))) OVER (
+           ORDER BY t ROWS UNBOUNDED PRECEDING) AS ln_cum
+  FROM terms
+)
+SELECT t, n_risk, d, c,
+       CASE WHEN dead_end = 1 THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(EXP(CAST(ln_cum AS DOUBLE)), 6) END AS survival
+FROM fin ORDER BY t
+"""
+
+
+ORACLES["ab_proportion_ztest"] = """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 180.0
+             THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (SELECT user_id % 2 AS arm, converted FROM pu),
+agg AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS conv_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_b
+  FROM arms
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / SQRT((CAST(conv_a + conv_b AS DOUBLE)
+            / CAST(n_a + n_b AS DOUBLE))
+            * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+            / CAST(n_a + n_b AS DOUBLE))
+            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+         AS z_stat
+FROM agg
+"""
+
+
+ORACLES["w_pareto_abc"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(18,6))) AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT SUM(rev_dec) AS tot_dec FROM per_part),
+ranked AS (
+  SELECT l_partkey, rev_dec, tot_dec,
+         SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_dec
+  FROM per_part CROSS JOIN total
+),
+cls AS (
+  SELECT rev_dec, tot_dec,
+         CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) <= 0.80
+                THEN 'A'
+              WHEN CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) <= 0.95
+                THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc, COUNT(*) AS n_parts,
+       ROUND(CAST(SUM(rev_dec) AS DOUBLE) / CAST(MAX(tot_dec) AS DOUBLE), 6)
+         AS revenue_share
+FROM cls GROUP BY abc ORDER BY abc
+"""

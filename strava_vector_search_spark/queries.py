@@ -7877,3 +7877,239 @@ def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_zipf_fit": tx_zipf_fit})
+
+
+def ev_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the DISTRIBUTED sweep line: each
+    event opens a half-open [ts, ts+30min) interval; +1/-1 boundary rows
+    are bucketed by day, the running sum is computed per-day (parallel
+    windows), and a per-day carry (cumulative sum of prior days' deltas
+    -- a |days|-row window, never the event table) lifts each local run
+    to the global level. This is the two-level prefix-sum recipe: the
+    single-partition global ORDER BY that kills sweep lines at 100 TB
+    is replaced by day-partitioned windows + a bounded carry join. Ties
+    at one timestamp order -1 before +1 (half-open semantics); per-day
+    MAX is invariant to intra-tie order because run endpoints are.
+    Oracle computes the same two-level plan in SQL."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    starts = ev.select(us.alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select((us + 1800000000).alias("t"), F.lit(-1).alias("delta"))
+    b = starts.unionAll(ends).withColumn(
+        "day", F.expr("t DIV 86400000000")
+    )
+    wday = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = b.withColumn("local_run", F.sum("delta").over(wday))
+    days = b.groupBy("day").agg(F.sum("delta").alias("day_sum"))
+    wcarry = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = days.select(
+        "day", F.coalesce(F.sum("day_sum").over(wcarry), F.lit(0)).alias("c")
+    )
+    lifted = loc.join(F.broadcast(carry), "day")
+    return (
+        lifted.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "n_starts"
+            ),
+            F.max(F.col("c") + F.col("local_run")).alias("max_concurrency"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES.update({"ev_max_concurrency": ev_max_concurrency})
+
+
+def ev_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve over time-to-churn: per-user
+    (first, last) event span in ONE corpus aggregate; churn observed if
+    the user went quiet >= 7 days before the corpus horizon, else
+    censored. Every KM quantity (at-risk n_t via prior-leavers window,
+    survival as the running product of (1 - d/n)) is computed over the
+    per-DURATION aggregate -- |distinct durations| rows, never users.
+    The product distributes as exp of a DECIMAL sum of 10 dp-rounded
+    LN terms; a d==n terminal factor short-circuits to 0 explicitly
+    (Spark LN(0) is NULL while DuckDB's is -inf, so the guard is also
+    the cross-engine contract). Columns: duration day, at-risk count,
+    deaths, censored, survival estimate."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"), F.max(us).alias("last_us")
+    )
+    horizon = ev.agg(F.max(us).alias("max_us"))
+    subj = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(last_us - first_us) DIV 86400000000").alias("t"),
+        F.expr(
+            "CASE WHEN last_us < max_us - 604800000000 THEN 1 ELSE 0 END"
+        ).alias("event"),
+    )
+    per_t = subj.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.sum(F.expr("1 - event")).alias("c"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    n_total = subj.agg(F.count(F.lit(1)).alias("n_users"))
+    wprior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wrun = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = (
+        per_t.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            F.col("n_users")
+            - F.coalesce(F.sum("leaving").over(wprior), F.lit(0)),
+        )
+        .withColumn(
+            "ln_term",
+            F.expr(
+                "CASE WHEN d = 0 OR d >= n_risk THEN CAST(0 AS DOUBLE)"
+                " ELSE ROUND(LN(1.0 - CAST(d AS DOUBLE)"
+                " / CAST(n_risk AS DOUBLE)), 10) END"
+            ),
+        )
+        .withColumn(
+            "dead_end",
+            F.max(F.expr("CASE WHEN d >= n_risk THEN 1 ELSE 0 END")).over(
+                wrun
+            ),
+        )
+        .withColumn(
+            "ln_cum",
+            F.sum(F.col("ln_term").cast("decimal(38,12)")).over(wrun),
+        )
+    )
+    return risk.select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.expr(
+            "CASE WHEN dead_end = 1 THEN CAST(0 AS DOUBLE)"
+            " ELSE ROUND(EXP(CAST(ln_cum AS DOUBLE)), 6) END"
+        ).alias("survival"),
+    ).orderBy("t")
+
+
+QUERIES.update({"ev_kaplan_meier": ev_kaplan_meier})
+
+
+def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion z-test -- the experimentation readout every
+    large platform computes at warehouse scale: users split into arms by
+    id parity (hash-deterministic), conversion = any 'purchase' event;
+    arm sizes, conversion rates, and the pooled z statistic all fold out
+    of ONE per-user aggregate + one 2-row pivot (the decision threshold
+    |z| > 1.96 is a literal comparison). Everything after the per-user
+    pass is 1-row arithmetic with expression text identical in the
+    oracle."""
+    ev = load_events(spark, sf_dir)
+    # conversion = a HIGH-VALUE purchase (value > 180): over a month of
+    # activity every user purchases at least once, so the raw any-purchase
+    # rate is degenerate (p=1 makes the pooled variance 0); the value cut
+    # gives a ~25% rate at every sf
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 180.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = per_user.select(
+        F.expr("user_id % 2").alias("arm"), "converted"
+    )
+    agg = arms.groupBy().agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN converted ELSE 0 END")).alias(
+            "conv_a"
+        ),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n_b"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN converted ELSE 0 END")).alias(
+            "conv_b"
+        ),
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)").alias(
+            "rate_a"
+        ),
+        F.expr("ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)").alias(
+            "rate_b"
+        ),
+        F.expr(
+            "ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+            " / SQRT((CAST(conv_a + conv_b AS DOUBLE)"
+            " / CAST(n_a + n_b AS DOUBLE))"
+            " * (1.0 - CAST(conv_a + conv_b AS DOUBLE)"
+            " / CAST(n_a + n_b AS DOUBLE))"
+            " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)"
+        ).alias("z_stat"),
+    )
+
+
+QUERIES.update({"ab_proportion_ztest": ab_proportion_ztest})
+
+
+def w_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue -- the 80/15/5
+    inventory-curation split (same shape as coverage-based corpus
+    pruning by source). The corpus-scale work is ONE partial-combined
+    revenue aggregate per part (DECIMAL-routed); the cumulative-share
+    window then runs over |parts| aggregated rows, not line items, and
+    the class rollup is 3 rows. Class A = first 80% of revenue, B to
+    95%, C the tail; deterministic (revenue DESC, partkey ASC) order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(l_extendedprice * (1.0 - l_discount)"
+                " AS DECIMAL(18,6))"
+            )
+        ).alias("rev_dec")
+    )
+    total = per_part.agg(F.sum("rev_dec").alias("tot_dec"))
+    wcum = Window.orderBy(
+        F.desc("rev_dec"), F.asc("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        per_part.crossJoin(F.broadcast(total))
+        .withColumn("cum_dec", F.sum("rev_dec").over(wcum))
+        .withColumn(
+            "cum_share",
+            F.expr("CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE)"),
+        )
+        .withColumn(
+            "abc",
+            F.expr(
+                "CASE WHEN cum_share <= 0.80 THEN 'A'"
+                " WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END"
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr(
+                "ROUND(CAST(SUM(rev_dec) AS DOUBLE)"
+                " / CAST(MAX(tot_dec) AS DOUBLE), 6)"
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc")
+    )
+
+
+QUERIES.update({"w_pareto_abc": w_pareto_abc})
