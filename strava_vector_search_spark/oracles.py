@@ -5469,3 +5469,69 @@ SELECT abc, COUNT(*) AS n_parts,
          AS revenue_share
 FROM cls GROUP BY abc ORDER BY abc
 """
+
+
+ORACLES["ivm_join_delta"] = """
+SELECT n_name, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+ORACLES["idx_phrase_search"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+hits AS (
+  SELECT doc_id, i - 1 AS pos1
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)
+  WHERE ts[i] = 'fast' AND ts[i+1] = 'hash'
+)
+SELECT doc_id, COUNT(*) AS n_occurrences, MIN(pos1) AS first_pos
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLES["ml_isotonic_calibration"] = f"""
+WITH {_PROBE_COEF_CTES},
+scored AS (
+  SELECT ROUND(b0 + b1 * x1 + b2 * x2, 6) AS pred, y
+  FROM feats f CROSS JOIN c
+),
+bins AS (
+  SELECT LEAST(99, GREATEST(0, CAST(FLOOR(pred * 100) AS INTEGER))) AS bin,
+         COUNT(*) AS n, SUM(CAST(y AS BIGINT)) AS pos
+  FROM scored GROUP BY 1
+),
+cums AS (
+  SELECT bin, n, pos,
+         ROW_NUMBER() OVER (ORDER BY bin) AS ri,
+         SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+         SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cy
+  FROM bins
+),
+lo AS (
+  SELECT ri + 1 AS j, cn AS cn_lo, cy AS cy_lo FROM cums
+  UNION ALL SELECT 1, 0, 0
+),
+hi AS (SELECT ri AS k, cn AS cn_hi, cy AS cy_hi FROM cums),
+intervals AS (
+  SELECT j, k,
+         CAST(cy_hi - cy_lo AS DOUBLE) / CAST(cn_hi - cn_lo AS DOUBLE) AS iavg
+  FROM lo JOIN hi ON j <= k
+),
+inner_ AS (
+  SELECT a.bin, a.n, a.pos, a.i, iv.j, MIN(iv.iavg) AS mn
+  FROM (SELECT bin, n, pos, ri AS i FROM cums) a
+  JOIN intervals iv ON iv.j <= a.i AND a.i <= iv.k
+  GROUP BY a.bin, a.n, a.pos, a.i, iv.j
+),
+fit AS (SELECT bin, n, pos, MAX(mn) AS iso FROM inner_ GROUP BY bin, n, pos)
+SELECT bin, n,
+       ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+       ROUND(iso, 6) AS iso_rate
+FROM fit ORDER BY bin
+"""

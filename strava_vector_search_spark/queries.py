@@ -8113,3 +8113,205 @@ def w_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"w_pareto_abc": w_pareto_abc})
+
+
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregated JOIN view (per-nation
+    order count + revenue over orders |><| customer |><| nation) under an
+    appending order feed -- the delta rule Delta(V) = Delta(orders) |><|
+    dims, applied as a monoid merge: the base state (per-nation counts +
+    DECIMAL revenue sums) is NEVER rescanned; the refresh joins ONLY the
+    delta batch (10% of orders here) against the broadcast dims and
+    full-outer-merges |nations| state rows. agg_incremental_merge's
+    pattern lifted to a JOIN view. The oracle recomputes the view from
+    scratch over base+delta -- equality IS the IVM correctness claim."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def view_state(o: DataFrame) -> DataFrame:
+        return (
+            o.join(
+                F.broadcast(
+                    cust.select("c_custkey", "c_nationkey")
+                ),
+                o["o_custkey"] == F.col("c_custkey"),
+            )
+            .join(
+                F.broadcast(nation.select("n_nationkey", "n_name")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,6)")
+                ).alias("rev"),
+            )
+        )
+
+    base_state = view_state(orders.filter(F.expr("o_orderkey % 10 <> 7")))
+    delta_state = view_state(orders.filter(F.expr("o_orderkey % 10 = 7")))
+    merged = base_state.alias("b").join(
+        delta_state.alias("d"), "n_name", "full_outer"
+    )
+    return merged.select(
+        "n_name",
+        (
+            F.coalesce(F.col("b.cnt"), F.lit(0))
+            + F.coalesce(F.col("d.cnt"), F.lit(0))
+        ).alias("n_orders"),
+        F.round(
+            (
+                F.coalesce(F.col("b.rev"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("d.rev"), F.lit(0).cast("decimal(18,6)"))
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+    ).orderBy("n_name")
+
+
+QUERIES.update({"ivm_join_delta": ivm_join_delta})
+
+
+def idx_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE query over a positional inverted index -- the Lucene
+    phrase-search recipe as dataflow: token postings with positions
+    (doc_id, token, pos) built in one posexplode scan (partitioned by
+    token when persisted), the query's tokens selected by literal IN
+    (pushed to the scan on a persisted index), and adjacency resolved by
+    the positional self-join pos2 = pos1 + 1 -- candidate cost is bounded
+    by the query terms' posting lists, never the corpus. Returns matching
+    docs with occurrence counts and first match position. Oracle replays
+    phrase containment with a per-doc token-pair scan."""
+    from strava_vector_search_spark.operators.dedup import tokens
+
+    w1, w2 = "fast", "hash"
+    docs = load_table(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).filter(F.col("tok").isin(w1, w2))
+    p1 = post.filter(F.col("tok") == w1).select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    p2 = post.filter(F.col("tok") == w2).select(
+        "doc_id", F.col("pos").alias("pos2")
+    )
+    hits = p1.join(
+        p2,
+        (p1["doc_id"] == p2["doc_id"])
+        & (p2["pos2"] == p1["pos1"] + 1),
+    ).select(p1["doc_id"], "pos1")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos1").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"idx_phrase_search": idx_phrase_search})
+
+
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the linear probe's reliability
+    bins: the monotone score->probability map model serving uses when
+    Platt's sigmoid is too rigid. The corpus-scale work is EXACTLY
+    ml_calibration_table's one scored scan + a bounded bin
+    aggregate (0.01-wide bins here, so the probe's narrow score range
+    still yields a non-trivial monotone fit); the PAV
+    fit then uses the minimax identity iso(i) = max_{j<=i} min_{k>=i}
+    avg(y over bins j..k) evaluated over |bins|^3-bounded interval rows
+    (integer cumulative sums -> exact double interval means), so the
+    whole regression is post-aggregate expression work -- no iteration,
+    no driver state, and bit-identical in the SQL oracle. Output adds
+    the fitted monotone rate to each reliability bin."""
+    from strava_vector_search_spark.operators import linear as L
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = L.feature_frame(
+        emb,
+        F.col("embedding")[0],
+        F.col("embedding")[1],
+        F.coalesce((F.col("label") == 0).cast("int"), F.lit(0)),
+    )
+    coef = L.solve_coefficients(L.moment_sums(feats))
+    scored = feats.crossJoin(F.broadcast(coef)).select(
+        F.round(F.expr("b0 + b1 * x1 + b2 * x2"), 6).alias("pred"),
+        F.col("y"),
+    )
+    bins = (
+        scored.withColumn(
+            "bin",
+            F.least(
+                F.lit(99),
+                F.greatest(
+                    F.lit(0), F.floor(F.col("pred") * 100).cast("int")
+                ),
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("y").cast("bigint")).alias("pos"),
+        )
+    )
+    r = Window.orderBy("bin")
+    wcum = r.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cums = (
+        bins.withColumn("ri", F.row_number().over(r))
+        .withColumn("cn", F.sum("n").over(wcum))
+        .withColumn("cy", F.sum("pos").over(wcum))
+    )
+    lo = cums.select(
+        (F.col("ri") + 1).alias("j"),
+        F.col("cn").alias("cn_lo"),
+        F.col("cy").alias("cy_lo"),
+    ).unionAll(
+        cums.limit(1).select(
+            F.lit(1).alias("j"),
+            F.lit(0).cast("bigint").alias("cn_lo"),
+            F.lit(0).cast("bigint").alias("cy_lo"),
+        )
+    )
+    hi = cums.select(
+        F.col("ri").alias("k"),
+        F.col("cn").alias("cn_hi"),
+        F.col("cy").alias("cy_hi"),
+    )
+    intervals = (
+        lo.join(hi, F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            F.expr(
+                "CAST(cy_hi - cy_lo AS DOUBLE)"
+                " / CAST(cn_hi - cn_lo AS DOUBLE)"
+            ).alias("iavg"),
+        )
+    )
+    anchors = cums.select("bin", "n", "pos", F.col("ri").alias("i"))
+    inner = (
+        anchors.join(
+            intervals,
+            (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k")),
+        )
+        .groupBy("bin", "n", "pos", "i", "j")
+        .agg(F.min("iavg").alias("mn"))
+    )
+    fit = inner.groupBy("bin", "n", "pos").agg(F.max("mn").alias("iso"))
+    return fit.select(
+        "bin",
+        "n",
+        F.expr(
+            "ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+        ).alias("pos_rate"),
+        F.expr("ROUND(iso, 6)").alias("iso_rate"),
+    ).orderBy("bin")
+
+
+QUERIES.update({"ml_isotonic_calibration": ml_isotonic_calibration})

@@ -1,0 +1,198 @@
+"""Round-5 operator invariants: PAV isotonic fit, incremental join-view
+maintenance, the distributed sweep line, KM survival sanity, phrase index,
+and the KN probability axioms — each pinned against an independent
+formulation (pure-Python replay or a naive single-level plan), not just
+the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.queries import QUERIES
+
+
+def _pav(values: list[float], weights: list[float]) -> list[float]:
+    """Textbook pool-adjacent-violators: merge adjacent level sets while
+    any decrease remains; the independent replay for the minimax form."""
+    blocks = [[v * w, w] for v, w in zip(values, weights)]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / blocks[i + 1][1] + 1e-15:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # expand block means back onto the original points
+    fitted = []
+    bi, consumed = 0, 0.0
+    for w in weights:
+        s, bw = blocks[bi]
+        fitted.append(s / bw)
+        consumed += w
+        if consumed >= bw - 1e-9:
+            bi += 1
+            consumed = 0.0
+    return fitted
+
+
+def test_isotonic_matches_pool_adjacent_violators(spark, sf_dir):
+    rows = (
+        QUERIES["ml_isotonic_calibration"](spark, sf_dir)
+        .orderBy("bin")
+        .collect()
+    )
+    assert len(rows) >= 3
+    rates = [r["pos_rate"] for r in rows]
+    weights = [float(r["n"]) for r in rows]
+    expected = _pav(rates, weights)
+    for r, e in zip(rows, expected):
+        assert abs(r["iso_rate"] - e) < 5e-6, (r, e)
+    # monotone non-decreasing by construction
+    iso = [r["iso_rate"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+
+
+def test_ivm_delta_equals_recompute_any_split(spark, sf_dir):
+    """The gate splits on %10==7; the monoid merge must agree with the
+    from-scratch view under a DIFFERENT split too (order-insensitivity
+    of the state algebra, not an artifact of one partition)."""
+    from strava_vector_search_spark.io.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def state(o):
+        return (
+            o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+            .join(
+                F.broadcast(nation),
+                cust["c_nationkey"] == nation["n_nationkey"],
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                    "rev"
+                ),
+            )
+        )
+
+    full = {
+        r["n_name"]: (r["cnt"], r["rev"]) for r in state(orders).collect()
+    }
+    a = state(orders.filter(F.expr("o_orderkey % 3 = 0"))).collect()
+    b = state(orders.filter(F.expr("o_orderkey % 3 <> 0"))).collect()
+    merged: dict = {}
+    for part in (a, b):
+        for r in part:
+            c0, s0 = merged.get(r["n_name"], (0, 0))
+            merged[r["n_name"]] = (c0 + r["cnt"], s0 + r["rev"])
+    assert merged == full
+
+
+def test_max_concurrency_matches_single_level_sweep(spark, sf_dir):
+    """Two-level (day-partitioned + carry) == the naive single global
+    window — the lift must be value-invisible."""
+    from strava_vector_search_spark.io.tables import load_events
+
+    got = {
+        r["day"]: r["max_concurrency"]
+        for r in QUERIES["ev_max_concurrency"](spark, sf_dir).collect()
+    }
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    b = (
+        ev.select(us.alias("t"), F.lit(1).alias("delta"))
+        .unionAll(
+            ev.select((us + 1800000000).alias("t"), F.lit(-1).alias("delta"))
+        )
+        .coalesce(1)
+    )
+    w = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        b.withColumn("run", F.sum("delta").over(w))
+        .withColumn("day", F.expr("t DIV 86400000000"))
+        .groupBy("day")
+        .agg(F.max("run").alias("mx"))
+    )
+    expect = {r["day"]: r["mx"] for r in naive.collect()}
+    assert got == expect
+
+
+def test_kaplan_meier_axioms(spark, sf_dir):
+    rows = QUERIES["ev_kaplan_meier"](spark, sf_dir).orderBy("t").collect()
+    assert rows, "no survival rows"
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b - 1e-12 for a, b in zip(surv, surv[1:])), (
+        "survival must be non-increasing"
+    )
+    # at-risk counts strictly decrease as durations pass
+    risks = [r["n_risk"] for r in rows]
+    assert all(a > b for a, b in zip(risks, risks[1:]))
+    # leavers account for everyone: sum(d + c) == initial risk set
+    assert sum(r["d"] + r["c"] for r in rows) == risks[0]
+
+
+def test_phrase_search_matches_python_scan(spark, sf_dir):
+    from strava_vector_search_spark.io.tables import load_table
+    import re
+
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in QUERIES["idx_phrase_search"](spark, sf_dir).collect()
+    }
+    expect = {}
+    for r in load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        toks = [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        hits = [
+            i
+            for i in range(len(toks) - 1)
+            if toks[i] == "fast" and toks[i + 1] == "hash"
+        ]
+        if hits:
+            expect[r["doc_id"]] = (len(hits), hits[0])
+    assert got == expect
+
+
+def test_kneser_ney_probability_axioms(spark, sf_dir):
+    rows = QUERIES["tx_kneser_ney"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 < r["pkn"] <= 1.0
+        # discounted MLE part alone is a lower bound
+        assert r["pkn"] >= max(r["c12"] - 0.75, 0) / r["c1"] - 1e-9
+        assert r["c1"] >= r["c12"]
+        assert r["n_follow"] >= 1 and r["n_precede"] >= 1
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    rows = QUERIES["dq_benford"](spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4
+    assert len({r["chi2_total"] for r in rows}) == 1
+
+
+def test_pareto_abc_partitions_everything(spark, sf_dir):
+    from strava_vector_search_spark.io.tables import load_table
+
+    rows = QUERIES["w_pareto_abc"](spark, sf_dir).collect()
+    classes = {r["abc"]: r for r in rows}
+    assert set(classes) == {"A", "B", "C"}
+    n_parts = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey"
+    ).distinct().count()
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    # A-class revenue concentration dominates its part share
+    share_parts_a = classes["A"]["n_parts"] / n_parts
+    assert classes["A"]["revenue_share"] > share_parts_a
