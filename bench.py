@@ -193,6 +193,18 @@ HEADLINE = [
     "ev_gap_fill",
     "ml_bootstrap_ci",
     "ml_probe_attribution",
+    # round 5
+    "tx_kneser_ney",
+    "ml_naive_bayes",
+    "dq_benford",
+    "tx_zipf_fit",
+    "ev_max_concurrency",
+    "ev_kaplan_meier",
+    "ab_proportion_ztest",
+    "w_pareto_abc",
+    "ivm_join_delta",
+    "idx_phrase_search",
+    "ml_isotonic_calibration",
 ]
 
 

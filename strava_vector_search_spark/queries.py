@@ -7675,7 +7675,13 @@ def tx_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     big = tok.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # bc feeds four consumers (itself + three marginals): checkpoint so the
+    # corpus explode+aggregate runs once, not per consumer
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     left = bc.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_follow")
     )
@@ -7725,14 +7731,19 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.col("lang").alias("lang_true"), tokens(F.col("text")).alias("_ts")
     )
+    # occ feeds training (tokc) AND scoring; tokc feeds three marginals
+    # plus the scoring join -- checkpoint both so the tokenizing scan and
+    # the count aggregate each run exactly once
     occ = (
         tok.select("doc_id", "lang_true", F.explode("_ts").alias("t"))
         .groupBy("doc_id", "lang_true", "t")
         .agg(F.count(F.lit(1)).alias("occ"))
+        .localCheckpoint(eager=False)
     )
     tokc = (
         occ.groupBy(F.col("lang_true").alias("lang"), "t")
         .agg(F.sum("occ").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     mass = tokc.groupBy("lang").agg(F.sum("cnt").alias("tot"))
     vocab = tokc.select("t").distinct().agg(F.count(F.lit(1)).alias("v"))
