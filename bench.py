@@ -205,6 +205,10 @@ HEADLINE = [
     "ivm_join_delta",
     "idx_phrase_search",
     "ml_isotonic_calibration",
+    "g_triangle_count",
+    "a20_countmin_sketch",
+    "ev_psi_drift",
+    "ml_ridge_path",
 ]
 
 

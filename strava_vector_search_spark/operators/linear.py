@@ -124,6 +124,21 @@ def moment_sums(feats: DataFrame) -> DataFrame:
     return moments_to_double(moment_sums_decimal(feats))
 
 
+def ridge_dets(lam: str) -> dict[str, str]:
+    """Cramer determinant text for RIDGE normal equations: the slope
+    diagonal gets + lam*n (scale-free penalty; the intercept stays
+    unpenalized), produced by textual substitution into DET_EXPRS so the
+    whole regularization PATH reuses one Gram aggregate — sweeping a
+    hyperparameter never rescans the data. `lam` is a literal kept as
+    TEXT so Spark and DuckDB parse the identical constant."""
+    return {
+        k: v.replace("s11", f"(s11 + {lam} * n_d)").replace(
+            "s22", f"(s22 + {lam} * n_d)"
+        )
+        for k, v in DET_EXPRS.items()
+    }
+
+
 def solve_coefficients(moments: DataFrame) -> DataFrame:
     """Cramer solve of the 3-unknown normal equations; coefficients
     rounded to 6 dp (they are inputs to the scoring pass — rounding first

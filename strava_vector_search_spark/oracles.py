@@ -5535,3 +5535,186 @@ SELECT bin, n,
        ROUND(iso, 6) AS iso_rate
 FROM fit ORDER BY bin
 """
+
+
+# -- round 5 batch 4: triangles, CMS, PSI drift, ridge path -------------------
+
+from strava_vector_search_spark.operators.als import (  # noqa: E402
+    duck_md5i as _duck_md5i,
+)
+from strava_vector_search_spark.operators.linear import (  # noqa: E402
+    ridge_dets as _ridge_dets,
+)
+
+ORACLES["g_triangle_count"] = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a
+  JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+stats AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+         SUM(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       ROUND(3.0 * CAST(n_triangles AS DOUBLE)
+             / CAST(n_wedges AS DOUBLE), 6) AS clustering
+FROM stats CROSS JOIN tri
+"""
+
+_CMS_HASH = _duck_md5i("CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+
+ORACLES["a20_countmin_sketch"] = f"""
+WITH keys AS (SELECT user_id AS k FROM events),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cell AS (
+  SELECT j, {_CMS_HASH} % 128 AS bucket, COUNT(*) AS cnt
+  FROM keys CROSS JOIN js
+  GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT k FROM keys WHERE k % 37 = 0),
+pc AS (
+  SELECT k, j, {_CMS_HASH} % 128 AS bucket
+  FROM probes CROSS JOIN js
+),
+est AS (
+  SELECT k, MIN(cnt) AS cms_estimate
+  FROM pc JOIN cell USING (j, bucket)
+  GROUP BY k
+),
+exact AS (SELECT user_id AS k, COUNT(*) AS exact_cnt FROM events GROUP BY user_id)
+SELECT k AS user_id, exact_cnt, cms_estimate,
+       cms_estimate - exact_cnt AS overcount
+FROM est JOIN exact USING (k)
+ORDER BY user_id
+"""
+
+_PSI_TERM = (
+    "ROUND((CAST(cnt_q + 1 AS DOUBLE) / CAST(tot_q + n_cells AS DOUBLE)"
+    " - CAST(cnt_p + 1 AS DOUBLE) / CAST(tot_p + n_cells AS DOUBLE))"
+    " * ROUND(LN((CAST(cnt_q + 1 AS DOUBLE)"
+    " / CAST(tot_q + n_cells AS DOUBLE))"
+    " / (CAST(cnt_p + 1 AS DOUBLE)"
+    " / CAST(tot_p + n_cells AS DOUBLE))), 10), 10)"
+)
+
+ORACLES["ev_psi_drift"] = f"""
+WITH ev AS (SELECT event_type, value, epoch_us(ts) AS day_us FROM events),
+bounds AS (
+  SELECT MIN(day_us // 86400000000) AS min_day,
+         MAX(day_us // 86400000000) AS max_day
+  FROM ev
+),
+binned AS (
+  SELECT event_type,
+         CASE WHEN value < 50 THEN '0-50'
+              WHEN value < 100 THEN '50-100'
+              WHEN value < 150 THEN '100-150'
+              ELSE '150+' END AS band,
+         CASE WHEN day_us // 86400000000 < min_day + 7 THEN 'base'
+              WHEN day_us // 86400000000 > max_day - 7 THEN 'cur'
+              ELSE NULL END AS win
+  FROM ev CROSS JOIN bounds
+),
+counts AS (
+  SELECT event_type, band, win, COUNT(*) AS cnt
+  FROM binned WHERE win IS NOT NULL GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT DISTINCT e.event_type, b.band
+  FROM events e
+  CROSS JOIN (SELECT unnest(['0-50', '50-100', '100-150', '150+']) AS band) b
+),
+cells AS (
+  SELECT g.event_type, g.band,
+         COALESCE(p.cnt, 0) AS cnt_p, COALESCE(q.cnt, 0) AS cnt_q
+  FROM grid g
+  LEFT JOIN counts p
+    ON p.event_type = g.event_type AND p.band = g.band AND p.win = 'base'
+  LEFT JOIN counts q
+    ON q.event_type = g.event_type AND q.band = g.band AND q.win = 'cur'
+),
+tots AS (
+  SELECT SUM(cnt_p) AS tot_p, SUM(cnt_q) AS tot_q, COUNT(*) AS n_cells
+  FROM cells
+),
+psi AS (
+  SELECT event_type, band, cnt_p, cnt_q, {_PSI_TERM} AS psi_term
+  FROM cells CROSS JOIN tots
+)
+SELECT event_type, band, cnt_p, cnt_q,
+       ROUND(psi_term, 6) AS psi_contrib,
+       ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(38,12))) OVER ()
+             AS DOUBLE), 6) AS psi_total
+FROM psi
+ORDER BY event_type, band
+"""
+
+_RIDGE_FEATS = """feats AS (
+  SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x1,
+         ROUND(CAST(embedding[2] AS DOUBLE), 6) AS x2,
+         CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(y  AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(38,12))) AS DOUBLE) AS s2y
+  FROM feats
+),
+md AS (SELECT *, CAST(n AS DOUBLE) AS n_d FROM m)"""
+
+
+def _ridge_coef_sql() -> str:
+    parts = []
+    for lam in ["0.01", "0.1", "1.0"]:
+        d = _ridge_dets(lam)
+        parts.append(
+            f"SELECT CAST({lam} AS DOUBLE) AS lam, n,"
+            f" ROUND(({d['det0']}) / ({d['det']}), 6) AS b0,"
+            f" ROUND(({d['det1']}) / ({d['det']}), 6) AS b1,"
+            f" ROUND(({d['det2']}) / ({d['det']}), 6) AS b2"
+            " FROM md"
+        )
+    return "\n  UNION ALL\n  ".join(parts)
+
+
+ORACLES["ml_ridge_path"] = f"""
+WITH {_RIDGE_FEATS},
+coef AS (
+  {_ridge_coef_sql()}
+),
+scored AS (
+  SELECT c.lam, c.n, c.b0, c.b1, c.b2, f.y,
+         c.b0 + c.b1 * f.x1 + c.b2 * f.x2 AS pred
+  FROM feats f CROSS JOIN coef c
+)
+SELECT lam, n, b0, b1, b2,
+       ROUND(CAST(SUM(CAST(ROUND((y - pred) * (y - pred), 10)
+                 AS DECIMAL(38,12))) AS DOUBLE) / n, 6) AS train_mse,
+       ROUND(CAST(SUM(CASE WHEN (pred >= 0.5) = (y >= 0.5)
+                 THEN 1 ELSE 0 END) AS DOUBLE) / n, 6) AS train_acc
+FROM scored
+GROUP BY lam, n, b0, b1, b2
+ORDER BY lam
+"""

@@ -8326,3 +8326,317 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_isotonic_calibration": ml_isotonic_calibration})
+
+
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting over the part co-order graph --
+    the standard distributed triangle recipe (orient every edge from its
+    (degree, id)-smaller endpoint, join wedges at the low node, probe the
+    closing edge) whose wedge work is bounded by oriented out-degree
+    <= sqrt(E) instead of the max raw degree. Edge building is itself
+    scale-shaped: per-order part pairs (bounded by lines-per-order, never
+    all-pairs) aggregated to weights, sparsified at co-occurrence >= 2.
+    Returns one row: nodes, edges, wedges, triangles, and the global
+    clustering coefficient 3*tri/wedges. The oracle counts each triangle
+    once via the id-ordered u<v<w join -- orientation must be
+    count-invisible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # orient every edge from the (deg, id)-smaller endpoint
+    du = deg.select(F.col("u").alias("x"), F.col("deg").alias("deg_x"))
+    ed = (
+        und.join(du, und["u"] == du["x"])
+        .drop("x")
+        .withColumnRenamed("deg_x", "deg_u")
+        .join(
+            du.withColumnRenamed("deg_x", "deg_v"),
+            und["v"] == F.col("x"),
+        )
+        .drop("x")
+        .filter(
+            (F.col("deg_u") < F.col("deg_v"))
+            | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v", "deg_v")
+        .localCheckpoint(eager=False)
+    )
+    w1 = ed.select(
+        F.col("u").alias("a"),
+        F.col("v").alias("b"),
+        F.col("deg_v").alias("deg_b"),
+    )
+    w2 = ed.select(
+        F.col("u").alias("a"),
+        F.col("v").alias("c"),
+        F.col("deg_v").alias("deg_c"),
+    )
+    wedges = w1.join(w2, "a").filter(
+        (F.col("deg_b") < F.col("deg_c"))
+        | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
+    )
+    tri = wedges.join(
+        ed.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+        F.sum(
+            (F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint")
+        ).alias("n_wedges"),
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "ROUND(3.0 * CAST(n_triangles AS DOUBLE)"
+            " / CAST(n_wedges AS DOUBLE), 6)"
+        ).alias("clustering"),
+    )
+
+
+QUERIES.update({"g_triangle_count": g_triangle_count})
+
+
+def a20_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation: the bounded-memory
+    mergeable frequency summary (d=4 hash rows x w=128 counters = 512
+    cells, whatever the key cardinality). The sketch IS one
+    map-side-combined aggregate over (hash row, bucket) -- per-partition
+    partial sketches merge by cell addition, the CMS merge property, so
+    the full distinct-key space never shuffles. Probe keys are estimated
+    with min over their d counters; exact counts join in for the audit
+    (estimate >= exact always; equality unless a collision inflated
+    every row). Portable md5 hashing makes the whole construction
+    deterministic, so the oracle replays it exactly."""
+    from strava_vector_search_spark.operators.als import spark_md5i
+
+    ev = load_events(spark, sf_dir)
+    keys = ev.select(F.col("user_id").alias("k"))
+    d, w = 4, 128
+    cell = (
+        keys.select(
+            "k", F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
+        )
+        .select(
+            "j",
+            F.expr(
+                spark_md5i("CONCAT(CAST(j AS STRING), ':', CAST(k AS STRING))")
+                + f" % {w}"
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    probes = keys.filter(F.expr("k % 37 = 0")).distinct()
+    probe_cells = probes.select(
+        "k", F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
+    ).select(
+        "k",
+        "j",
+        F.expr(
+            spark_md5i("CONCAT(CAST(j AS STRING), ':', CAST(k AS STRING))")
+            + f" % {w}"
+        ).alias("bucket"),
+    )
+    est = (
+        probe_cells.join(F.broadcast(cell), ["j", "bucket"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    exact = (
+        ev.groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "k")
+        .select(
+            F.col("k").alias("user_id"),
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES.update({"a20_countmin_sketch": a20_countmin_sketch})
+
+
+def ev_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor between the first and
+    last 7-day event windows -- the standard pre-retrain input-drift
+    check. Cells = event_type x literal value band (edges 0/50/100/150);
+    both window distributions are one partial-combined aggregate each
+    over the FULL literal grid (types x 4 bands, built by explode so
+    zero cells exist on both sides), add-1 smoothed, and the PSI fold
+    (q-p)*ln(q/p) uses 10 dp-rounded LN terms so the total is
+    order-insensitive and bit-matched by the oracle."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    day = F.expr("day_us DIV 86400000000")
+    bounds = ev.select(us.alias("day_us")).agg(
+        F.min(day).alias("min_day"), F.max(day).alias("max_day")
+    )
+    binned = (
+        ev.select("event_type", F.col("value"), us.alias("day_us"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.expr(
+                "CASE WHEN value < 50 THEN '0-50'"
+                " WHEN value < 100 THEN '50-100'"
+                " WHEN value < 150 THEN '100-150'"
+                " ELSE '150+' END"
+            ).alias("band"),
+            F.expr(
+                "CASE WHEN day_us DIV 86400000000 < min_day + 7 THEN 'base'"
+                " WHEN day_us DIV 86400000000 > max_day - 7 THEN 'cur'"
+                " ELSE NULL END"
+            ).alias("win"),
+        )
+        .filter(F.col("win").isNotNull())
+    )
+    counts = binned.groupBy("event_type", "band", "win").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame(
+                [("0-50",), ("50-100",), ("100-150",), ("150+",)],
+                "band string",
+            )
+        )
+    )
+    base = counts.filter(F.col("win") == "base").select(
+        "event_type", "band", F.col("cnt").alias("cnt_p")
+    )
+    cur = counts.filter(F.col("win") == "cur").select(
+        "event_type", "band", F.col("cnt").alias("cnt_q")
+    )
+    cells = (
+        grid.join(base, ["event_type", "band"], "left")
+        .join(cur, ["event_type", "band"], "left")
+        .select(
+            "event_type",
+            "band",
+            F.coalesce("cnt_p", F.lit(0)).alias("cnt_p"),
+            F.coalesce("cnt_q", F.lit(0)).alias("cnt_q"),
+        )
+    )
+    tots = cells.agg(
+        F.sum("cnt_p").alias("tot_p"),
+        F.sum("cnt_q").alias("tot_q"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    psi = cells.crossJoin(F.broadcast(tots)).select(
+        "event_type",
+        "band",
+        "cnt_p",
+        "cnt_q",
+        F.expr(
+            "ROUND((CAST(cnt_q + 1 AS DOUBLE) / CAST(tot_q + n_cells AS DOUBLE)"
+            " - CAST(cnt_p + 1 AS DOUBLE) / CAST(tot_p + n_cells AS DOUBLE))"
+            " * ROUND(LN((CAST(cnt_q + 1 AS DOUBLE)"
+            " / CAST(tot_q + n_cells AS DOUBLE))"
+            " / (CAST(cnt_p + 1 AS DOUBLE)"
+            " / CAST(tot_p + n_cells AS DOUBLE))), 10), 10)"
+        ).alias("psi_term"),
+    )
+    return psi.select(
+        "event_type",
+        "band",
+        "cnt_p",
+        "cnt_q",
+        F.expr("ROUND(psi_term, 6)").alias("psi_contrib"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(38,12))) OVER ()"
+            " AS DOUBLE), 6)"
+        ).alias("psi_total"),
+    ).orderBy("event_type", "band")
+
+
+QUERIES.update({"ev_psi_drift": ev_psi_drift})
+
+
+def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regularization PATH from ONE Gram aggregate: the normal
+    equations are sufficient statistics, so sweeping lambda in
+    {0.01, 0.1, 1.0} (slope diagonal + lambda*n, intercept unpenalized)
+    re-solves a 3x3 Cramer system per lambda WITHOUT rescanning the data
+    -- the hyperparameter-sweep economics that make moment-based
+    training the 100 TB recipe. One more scan scores all three models
+    at once (3-row coefficient table broadcast, groupBy lambda).
+    Determinant text comes from operators/linear.ridge_dets (textual
+    diagonal substitution into the probe's shared Cramer text)."""
+    from strava_vector_search_spark.operators import linear as L
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = L.feature_frame(
+        emb,
+        F.col("embedding")[0],
+        F.col("embedding")[1],
+        F.coalesce((F.col("label") == 0).cast("int"), F.lit(0)),
+    )
+    m = L.moment_sums(feats).withColumn("n_d", F.expr("CAST(n AS DOUBLE)"))
+    m = m.localCheckpoint(eager=False)
+    lams = ["0.01", "0.1", "1.0"]
+    coef = None
+    for lam in lams:
+        d = L.ridge_dets(lam)
+        one = m.select(
+            F.lit(float(lam)).alias("lam"),
+            F.col("n"),
+            F.expr(f"ROUND(({d['det0']}) / ({d['det']}), 6)").alias("b0"),
+            F.expr(f"ROUND(({d['det1']}) / ({d['det']}), 6)").alias("b1"),
+            F.expr(f"ROUND(({d['det2']}) / ({d['det']}), 6)").alias("b2"),
+        )
+        coef = one if coef is None else coef.unionAll(one)
+    scored = feats.crossJoin(F.broadcast(coef)).withColumn(
+        "pred", F.expr("b0 + b1 * x1 + b2 * x2")
+    )
+    return (
+        scored.groupBy("lam", "n", "b0", "b1", "b2")
+        .agg(
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND((y - pred) * (y - pred), 10)"
+                " AS DECIMAL(38,12))) AS DOUBLE) / n, 6)"
+            ).alias("train_mse"),
+            F.expr(
+                "ROUND(CAST(SUM(CASE WHEN (pred >= 0.5) = (y >= 0.5)"
+                " THEN 1 ELSE 0 END) AS DOUBLE) / n, 6)"
+            ).alias("train_acc"),
+        )
+        .select("lam", "n", "b0", "b1", "b2", "train_mse", "train_acc")
+        .orderBy("lam")
+    )
+
+
+QUERIES.update({"ml_ridge_path": ml_ridge_path})

@@ -196,3 +196,71 @@ def test_pareto_abc_partitions_everything(spark, sf_dir):
     # A-class revenue concentration dominates its part share
     share_parts_a = classes["A"]["n_parts"] / n_parts
     assert classes["A"]["revenue_share"] > share_parts_a
+
+
+def test_triangle_count_matches_python_enumeration(spark, sf_dir):
+    from strava_vector_search_spark.io.tables import load_table
+    from collections import defaultdict
+    import itertools
+
+    row = QUERIES["g_triangle_count"](spark, sf_dir).head()
+    # replay: per-order part pairs, weight >= 2, then brute triangles
+    pairs = defaultdict(int)
+    orders = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    ):
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    for parts in orders.values():
+        for u, v in itertools.combinations(sorted(parts), 2):
+            pairs[(u, v)] += 1
+    edges = {e for e, w in pairs.items() if w >= 2}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = sum(
+        1
+        for (u, v) in edges
+        for w in adj[u] & adj[v]
+        if v < w
+    )
+    nodes = {x for e in edges for x in e}
+    wedges = sum(len(a) * (len(a) - 1) // 2 for a in adj.values())
+    assert row["n_triangles"] == tri
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == wedges
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    rows = QUERIES["a20_countmin_sketch"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_cnt"]
+        assert r["overcount"] == r["cms_estimate"] - r["exact_cnt"]
+
+
+def test_psi_terms_nonnegative_and_sum(spark, sf_dir):
+    rows = QUERIES["ev_psi_drift"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    # (q-p)*ln(q/p) >= 0 term by term (same sign); total = sum of terms
+    for r in rows:
+        assert r["psi_contrib"] >= -1e-9
+    assert len({r["psi_total"] for r in rows}) == 1
+    total = rows[0]["psi_total"]
+    assert abs(total - sum(r["psi_contrib"] for r in rows)) < 1e-4
+
+
+def test_ridge_path_shrinks_and_degrades(spark, sf_dir):
+    rows = QUERIES["ml_ridge_path"](spark, sf_dir).orderBy("lam").collect()
+    assert [r["lam"] for r in rows] == [0.01, 0.1, 1.0]
+    norms = [r["b1"] ** 2 + r["b2"] ** 2 for r in rows]
+    assert norms[0] >= norms[1] >= norms[2], "penalty must shrink slopes"
+    mses = [r["train_mse"] for r in rows]
+    assert mses[0] <= mses[1] + 1e-9 <= mses[2] + 2e-9, (
+        "train MSE is monotone in the penalty"
+    )
