@@ -209,6 +209,8 @@ HEADLINE = [
     "a20_countmin_sketch",
     "ev_psi_drift",
     "ml_ridge_path",
+    "ml_confusion_metrics",
+    "ev_exp_smoothing",
 ]
 
 

@@ -5230,8 +5230,7 @@ LIMIT 20
 """
 
 
-ORACLES["ml_naive_bayes"] = f"""
-WITH toks AS (
+_NB_PRED_CTES = f"""toks AS (
   SELECT doc_id, lang AS lang_true, {_TOKS} AS ts FROM documents
 ),
 occ AS (
@@ -5268,7 +5267,10 @@ pred AS (
     FROM scored
   )
   WHERE rn = 1
-)
+)"""
+
+ORACLES["ml_naive_bayes"] = f"""
+WITH {_NB_PRED_CTES}
 SELECT lang_true, lang_pred, COUNT(*) AS n_docs
 FROM pred GROUP BY lang_true, lang_pred
 ORDER BY lang_true, lang_pred
@@ -5717,4 +5719,79 @@ SELECT lam, n, b0, b1, b2,
 FROM scored
 GROUP BY lam, n, b0, b1, b2
 ORDER BY lam
+"""
+
+
+ORACLES["ml_confusion_metrics"] = f"""
+WITH {_NB_PRED_CTES},
+cm AS (
+  SELECT lang_true, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2
+),
+bt AS (SELECT lang_true AS cls, SUM(n) AS n_true FROM cm GROUP BY 1),
+bp AS (SELECT lang_pred AS cls, SUM(n) AS n_pred FROM cm GROUP BY 1),
+tpt AS (SELECT lang_true AS cls, n AS tp FROM cm WHERE lang_true = lang_pred),
+per AS (
+  SELECT COALESCE(bt.cls, bp.cls) AS cls,
+         COALESCE(n_true, 0) AS n_true,
+         COALESCE(n_pred, 0) AS n_pred,
+         COALESCE(tp, 0) AS tp
+  FROM bt
+  FULL OUTER JOIN bp ON bt.cls = bp.cls
+  LEFT JOIN tpt ON COALESCE(bt.cls, bp.cls) = tpt.cls
+),
+pr AS (
+  SELECT cls, n_true, n_pred, tp,
+         CASE WHEN n_pred = 0 THEN CAST(0 AS DOUBLE)
+              ELSE ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+         END AS "precision",
+         CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
+              ELSE ROUND(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+         END AS recall
+  FROM per
+),
+f AS (
+  SELECT *,
+         CASE WHEN "precision" + recall = 0 THEN CAST(0 AS DOUBLE)
+              ELSE ROUND(2.0 * "precision" * recall
+                         / ("precision" + recall), 6) END AS f1
+  FROM pr
+)
+SELECT cls, n_true, n_pred, tp, "precision", recall, f1,
+       ROUND(CAST(SUM(CAST(f1 AS DECIMAL(38,12))) OVER () AS DOUBLE)
+             / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS macro_f1
+FROM f
+ORDER BY cls
+"""
+
+
+ORACLES["ev_exp_smoothing"] = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*), 6) AS y
+  FROM events GROUP BY 1, 2
+),
+hmax AS (SELECT MAX(hour) AS max_hour FROM hourly),
+recent AS (
+  SELECT h.* FROM hourly h CROSS JOIN hmax WHERE hour > max_hour - 48
+),
+pos AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS idx,
+         COUNT(*) OVER (PARTITION BY event_type) AS t_n
+  FROM recent
+),
+terms AS (
+  SELECT event_type, t_n, idx, y,
+         ROUND(y / CAST((1::BIGINT << (CASE WHEN idx = 1 THEN t_n - 1
+                        ELSE t_n - idx + 1 END)) AS DOUBLE), 10) AS term
+  FROM pos
+)
+SELECT event_type, t_n AS n_hours,
+       MAX(CASE WHEN idx = t_n THEN y END) AS last_obs,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS ses_level
+FROM terms
+GROUP BY event_type, t_n
+ORDER BY event_type
 """

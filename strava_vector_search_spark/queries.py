@@ -7708,18 +7708,10 @@ def tx_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"tx_kneser_ney": tx_kneser_ney})
 
 
-def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive Bayes trained AND scored distributed -- the
-    classic scalable text classifier (predicting `lang` from tokens, the
-    fastText-langid shape): training is ONE (class, token) count
-    aggregate plus two tiny marginals (class token mass, class doc
-    priors); scoring is the per-doc occurrence table crossed with the
-    5-row class table (linear in corpus x |classes|, never quadratic)
-    left-joined to the count table (AQE broadcast), each Laplace-smoothed
-    log term rounded to 10 dp before DECIMAL accumulation so the
-    log-likelihood sum is order-insensitive. Output: the train confusion
-    matrix (true lang x predicted lang). Term/prior expression text is
-    shared with the oracle (operators/stats)."""
+def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared NB train+score pipeline: (doc_id, lang_true, lang_pred) --
+    consumed by ml_naive_bayes (confusion matrix) and
+    ml_confusion_metrics (per-class precision/recall/F1)."""
     from strava_vector_search_spark.operators.dedup import tokens
     from strava_vector_search_spark.operators.stats import (
         DEC_SUM,
@@ -7774,13 +7766,29 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    pred = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang_true", F.col("lang").alias("lang_pred"))
     )
+
+
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND scored distributed -- the
+    classic scalable text classifier (predicting `lang` from tokens, the
+    fastText-langid shape): training is ONE (class, token) count
+    aggregate plus two tiny marginals (class token mass, class doc
+    priors); scoring is the per-doc occurrence table crossed with the
+    5-row class table (linear in corpus x |classes|, never quadratic)
+    left-joined to the count table (AQE broadcast), each Laplace-smoothed
+    log term rounded to 10 dp before DECIMAL accumulation so the
+    log-likelihood sum is order-insensitive. Output: the train confusion
+    matrix (true lang x predicted lang). Term/prior expression text is
+    shared with the oracle (operators/stats); pipeline shared with
+    ml_confusion_metrics via _nb_predictions."""
     return (
-        pred.groupBy("lang_true", "lang_pred")
+        _nb_predictions(spark, sf_dir)
+        .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang_true", "lang_pred")
     )
@@ -8421,60 +8429,31 @@ QUERIES.update({"g_triangle_count": g_triangle_count})
 
 
 def a20_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch frequency estimation: the bounded-memory
-    mergeable frequency summary (d=4 hash rows x w=128 counters = 512
-    cells, whatever the key cardinality). The sketch IS one
-    map-side-combined aggregate over (hash row, bucket) -- per-partition
-    partial sketches merge by cell addition, the CMS merge property, so
-    the full distinct-key space never shuffles. Probe keys are estimated
-    with min over their d counters; exact counts join in for the audit
-    (estimate >= exact always; equality unless a collision inflated
-    every row). Portable md5 hashing makes the whole construction
-    deterministic, so the oracle replays it exactly."""
-    from strava_vector_search_spark.operators.als import spark_md5i
+    """Count-Min sketch frequency estimation (operators/cms.py): the
+    bounded-memory mergeable frequency summary (d=4 hash rows x w=128
+    counters = 512 cells, whatever the key cardinality). The sketch IS
+    one map-side-combined aggregate over (hash row, bucket) -- partial
+    sketches merge by cell addition, so the full distinct-key space
+    never shuffles; the SAME cell table is the unit of streaming
+    maintenance (streaming/cms_stream, merge == from-scratch exactly).
+    Probe keys are estimated with min over their d counters; exact
+    counts join in for the audit (estimate >= exact always). Portable
+    md5 hashing makes the whole construction deterministic, so the
+    oracle replays it exactly."""
+    from strava_vector_search_spark.operators.cms import (
+        cms_cells,
+        cms_estimates,
+    )
 
     ev = load_events(spark, sf_dir)
-    keys = ev.select(F.col("user_id").alias("k"))
-    d, w = 4, 128
-    cell = (
-        keys.select(
-            "k", F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
-        )
-        .select(
-            "j",
-            F.expr(
-                spark_md5i("CONCAT(CAST(j AS STRING), ':', CAST(k AS STRING))")
-                + f" % {w}"
-            ).alias("bucket"),
-        )
-        .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
-    probes = keys.filter(F.expr("k % 37 = 0")).distinct()
-    probe_cells = probes.select(
-        "k", F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
-    ).select(
-        "k",
-        "j",
-        F.expr(
-            spark_md5i("CONCAT(CAST(j AS STRING), ':', CAST(k AS STRING))")
-            + f" % {w}"
-        ).alias("bucket"),
-    )
-    est = (
-        probe_cells.join(F.broadcast(cell), ["j", "bucket"])
-        .groupBy("k")
-        .agg(F.min("cnt").alias("cms_estimate"))
-    )
-    exact = (
-        ev.groupBy(F.col("user_id").alias("k"))
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-    )
+    cells = cms_cells(ev, "user_id").localCheckpoint(eager=False)
+    probes = ev.select("user_id").filter(F.expr("user_id % 37 = 0"))
+    est = cms_estimates(cells, probes, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     return (
-        est.join(exact, "k")
+        est.join(exact, "user_id")
         .select(
-            F.col("k").alias("user_id"),
+            "user_id",
             "exact_cnt",
             "cms_estimate",
             (F.col("cms_estimate") - F.col("exact_cnt")).alias("overcount"),
@@ -8640,3 +8619,134 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_ridge_path": ml_ridge_path})
+
+
+def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 (+ shared macro-F1) for the NB
+    language classifier -- the eval table every classifier pipeline
+    publishes next to its confusion matrix. All metrics derive from the
+    |classes|^2-cell confusion matrix (one aggregate over the shared
+    _nb_predictions pipeline); the marginal sums and the zero-guarded
+    ratios are bounded-row arithmetic. F1 guard: a class never predicted
+    (or never true) reports 0.0, matching the SQL CASE in the oracle."""
+    pred = _nb_predictions(spark, sf_dir)
+    cm = (
+        pred.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    by_true = cm.groupBy(F.col("lang_true").alias("cls")).agg(
+        F.sum("n").alias("n_true")
+    )
+    by_pred = cm.groupBy(F.col("lang_pred").alias("cls")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tp = (
+        cm.filter(F.col("lang_true") == F.col("lang_pred"))
+        .select(F.col("lang_true").alias("cls"), F.col("n").alias("tp"))
+    )
+    per = (
+        by_true.join(by_pred, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+        .select(
+            "cls",
+            "n_true",
+            "n_pred",
+            "tp",
+            F.expr(
+                "CASE WHEN n_pred = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)"
+                " END"
+            ).alias("precision"),
+            F.expr(
+                "CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE ROUND(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6)"
+                " END"
+            ).alias("recall"),
+        )
+        .withColumn(
+            "f1",
+            F.expr(
+                "CASE WHEN precision + recall = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE ROUND(2.0 * precision * recall"
+                " / (precision + recall), 6) END"
+            ),
+        )
+    )
+    return per.withColumn(
+        "macro_f1",
+        F.expr(
+            "ROUND(CAST(SUM(CAST(f1 AS DECIMAL(38,12))) OVER () AS DOUBLE)"
+            " / CAST(COUNT(*) OVER () AS DOUBLE), 6)"
+        ),
+    ).orderBy("cls")
+
+
+QUERIES.update({"ml_confusion_metrics": ml_confusion_metrics})
+
+
+def ev_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (alpha = 0.5) of each event type's
+    hourly mean over the trailing 48 hours -- the streaming-metrics
+    forecast primitive, computed WITHOUT recursion: the SES recurrence
+    unrolls to weights alpha*(1-alpha)^(T-i), and with alpha = 1/2 every
+    weight is an EXACT power of two built by integer bit-shift, so the
+    closed form is a map-only weighted fold over the (bounded) per-type
+    hourly aggregate with zero libm-pow cross-engine risk. One corpus
+    aggregate -> |types x 48| rows -> one 10 dp-rounded DECIMAL fold."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    hourly = (
+        ev.select("event_type", us.alias("t_us"), "value")
+        .withColumn("hour", F.expr("t_us DIV 3600000000"))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.expr(
+                "ROUND(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)"
+                " / COUNT(*), 6)"
+            ).alias("y")
+        )
+    )
+    hmax = hourly.agg(F.max("hour").alias("max_hour"))
+    recent = hourly.crossJoin(F.broadcast(hmax)).filter(
+        F.col("hour") > F.col("max_hour") - 48
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("hour")
+    pos = (
+        recent.withColumn("idx", F.row_number().over(wo))
+        .withColumn("t_n", F.count(F.lit(1)).over(wt))
+        .withColumn(
+            "term",
+            F.expr(
+                "ROUND(y / CAST(SHIFTLEFT(CAST(1 AS BIGINT),"
+                " CAST(CASE WHEN idx = 1 THEN t_n - 1"
+                " ELSE t_n - idx + 1 END AS INT)) AS DOUBLE), 10)"
+            ),
+        )
+    )
+    return (
+        pos.groupBy("event_type", "t_n")
+        .agg(
+            F.expr(
+                "ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)"
+            ).alias("ses_level"),
+            F.expr("MAX(CASE WHEN idx = t_n THEN y END)").alias("last_obs"),
+        )
+        .select(
+            "event_type",
+            F.col("t_n").alias("n_hours"),
+            "last_obs",
+            "ses_level",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES.update({"ev_exp_smoothing": ev_exp_smoothing})

@@ -264,3 +264,67 @@ def test_ridge_path_shrinks_and_degrades(spark, sf_dir):
     assert mses[0] <= mses[1] + 1e-9 <= mses[2] + 2e-9, (
         "train MSE is monotone in the penalty"
     )
+
+
+def test_exp_smoothing_matches_recursion(spark, sf_dir):
+    """The closed-form power-of-two weighted fold must equal the SES
+    recursion L_t = a*y_t + (1-a)*L_{t-1} replayed in Python."""
+    from strava_vector_search_spark.io.tables import load_events
+
+    got = {
+        r["event_type"]: (r["n_hours"], r["last_obs"], r["ses_level"])
+        for r in QUERIES["ev_exp_smoothing"](spark, sf_dir).collect()
+    }
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    hourly = (
+        ev.select("event_type", us.alias("t_us"), "value")
+        .withColumn("hour", F.expr("t_us DIV 3600000000"))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.expr(
+                "ROUND(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)"
+                " / COUNT(*), 6)"
+            ).alias("y")
+        )
+    )
+    rows = hourly.collect()
+    max_hour = max(r["hour"] for r in rows)
+    series: dict = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["hour"])):
+        if r["hour"] > max_hour - 48:
+            series.setdefault(r["event_type"], []).append(r["y"])
+    for et, ys in series.items():
+        level = ys[0]
+        for y in ys[1:]:
+            level = 0.5 * y + 0.5 * level
+        n_hours, last_obs, ses = got[et]
+        assert n_hours == len(ys)
+        assert last_obs == ys[-1]
+        assert abs(ses - level) < 5e-6, (et, ses, level)
+
+
+def test_confusion_metrics_match_matrix(spark, sf_dir):
+    cm = QUERIES["ml_naive_bayes"](spark, sf_dir).collect()
+    per = QUERIES["ml_confusion_metrics"](spark, sf_dir).collect()
+    n_true: dict = {}
+    n_pred: dict = {}
+    tp: dict = {}
+    for r in cm:
+        n_true[r["lang_true"]] = n_true.get(r["lang_true"], 0) + r["n_docs"]
+        n_pred[r["lang_pred"]] = n_pred.get(r["lang_pred"], 0) + r["n_docs"]
+        if r["lang_true"] == r["lang_pred"]:
+            tp[r["lang_true"]] = r["n_docs"]
+    for r in per:
+        c = r["cls"]
+        assert r["n_true"] == n_true.get(c, 0)
+        assert r["n_pred"] == n_pred.get(c, 0)
+        assert r["tp"] == tp.get(c, 0)
+        p = tp.get(c, 0) / n_pred[c] if n_pred.get(c) else 0.0
+        rr = tp.get(c, 0) / n_true[c] if n_true.get(c) else 0.0
+        assert abs(r["precision"] - round(p, 6)) < 1e-9
+        assert abs(r["recall"] - round(rr, 6)) < 1e-9
+        f1 = 0.0 if r["precision"] + r["recall"] == 0 else (
+            2 * r["precision"] * r["recall"] / (r["precision"] + r["recall"])
+        )
+        assert abs(r["f1"] - round(f1, 6)) < 2e-6
