@@ -211,6 +211,8 @@ HEADLINE = [
     "ml_ridge_path",
     "ml_confusion_metrics",
     "ev_exp_smoothing",
+    "ml_decision_stump",
+    "ev_cusum_changepoint",
 ]
 
 

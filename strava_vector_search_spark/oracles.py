@@ -5795,3 +5795,86 @@ FROM terms
 GROUP BY event_type, t_n
 ORDER BY event_type
 """
+
+
+ORACLES["ml_decision_stump"] = """
+WITH feats AS (
+  SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x1,
+         ROUND(CAST(embedding[2] AS DOUBLE), 6) AS x2,
+         CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+per_v AS (
+  SELECT x1 AS v, COUNT(*) AS n_v,
+         SUM(CAST(y AS DECIMAL(38,12))) AS sy_v,
+         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy_v
+  FROM feats GROUP BY x1
+),
+cum AS (
+  SELECT v,
+         SUM(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+         SUM(sy_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS sl,
+         SUM(syy_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS syyl,
+         SUM(n_v) OVER () AS nt,
+         SUM(sy_v) OVER () AS st,
+         SUM(syy_v) OVER () AS syyt
+  FROM per_v
+),
+cand AS (
+  SELECT v AS threshold, nl, nt - nl AS nr,
+         CAST(sl AS DOUBLE) AS sld, CAST(st - sl AS DOUBLE) AS srd,
+         CAST(syyl AS DOUBLE) AS syyld,
+         CAST(syyt - syyl AS DOUBLE) AS syyrd,
+         CAST(st AS DOUBLE) AS tsum, CAST(syyt AS DOUBLE) AS syytd, nt
+  FROM cum WHERE nl < nt
+),
+scored AS (
+  SELECT *,
+         ROUND((syyld - sld * sld / CAST(nl AS DOUBLE))
+             + (syyrd - srd * srd / CAST(nr AS DOUBLE)), 10) AS sse
+  FROM cand
+),
+best AS (SELECT * FROM scored ORDER BY sse, threshold LIMIT 1)
+SELECT threshold, nl AS n_left, nr AS n_right,
+       ROUND(sld / CAST(nl AS DOUBLE), 6) AS mean_left,
+       ROUND(srd / CAST(nr AS DOUBLE), 6) AS mean_right,
+       ROUND(sse, 6) AS sse,
+       ROUND((syytd - tsum * tsum / CAST(nt AS DOUBLE)) - sse, 6) AS gain
+FROM best
+"""
+
+
+ORACLES["ev_cusum_changepoint"] = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(x) AS n_total, COUNT(*) AS n_days FROM daily),
+walk AS (
+  SELECT day, x,
+         ROW_NUMBER() OVER (ORDER BY day) AS i,
+         SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+         n_total, n_days
+  FROM daily CROSS JOIN tot
+),
+wk AS (
+  SELECT day, x,
+         ROUND(CAST(cum AS DOUBLE) - CAST(i AS DOUBLE)
+               * (CAST(n_total AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+           AS cusum
+  FROM walk
+),
+cp AS (
+  SELECT day AS cp_day, cusum AS cp_cusum
+  FROM wk ORDER BY ABS(cusum) DESC, day ASC LIMIT 1
+)
+SELECT cp_day, cp_cusum,
+       ROUND(CAST(SUM(CASE WHEN day <= cp_day THEN x END) AS DOUBLE)
+             / COUNT(CASE WHEN day <= cp_day THEN 1 END), 6) AS mean_before,
+       ROUND(CAST(SUM(CASE WHEN day > cp_day THEN x END) AS DOUBLE)
+             / COUNT(CASE WHEN day > cp_day THEN 1 END), 6) AS mean_after,
+       COUNT(*) AS n_days
+FROM wk CROSS JOIN cp
+GROUP BY cp_day, cp_cusum
+"""

@@ -8750,3 +8750,145 @@ def ev_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_exp_smoothing": ev_exp_smoothing})
+
+
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-split decision stump (depth-1 regression tree on the
+    probe's x1 -> y): the building block of boosted trees, trained the
+    distributed-exact way -- ONE aggregate folds the corpus to per-
+    distinct-value moments (n, sum y, sum y^2 as DECIMALs), cumulative
+    windows over that bounded table give every candidate split's
+    left/right SSE in closed form, and the argmin is a deterministic
+    (sse, threshold) sort. No per-split scan, no sampling: candidate
+    evaluation is O(|distinct values|), the XGBoost-style exact greedy
+    split finder. Output: the chosen threshold, child means, SSE and
+    variance gain vs the constant predictor."""
+    from strava_vector_search_spark.operators import linear as L
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = L.feature_frame(
+        emb,
+        F.col("embedding")[0],
+        F.col("embedding")[1],
+        F.coalesce((F.col("label") == 0).cast("int"), F.lit(0)),
+    )
+    per_v = feats.groupBy(F.col("x1").alias("v")).agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum(F.col("y").cast("decimal(38,12)")).alias("sy_v"),
+        F.sum(F.expr("CAST(y * y AS DECIMAL(38,12))")).alias("syy_v"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cand = (
+        per_v.withColumn("nl", F.sum("n_v").over(wcum))
+        .withColumn("sl", F.sum("sy_v").over(wcum))
+        .withColumn("syyl", F.sum("syy_v").over(wcum))
+        .withColumn("nt", F.sum("n_v").over(wtot))
+        .withColumn("st", F.sum("sy_v").over(wtot))
+        .withColumn("syyt", F.sum("syy_v").over(wtot))
+        .filter(F.col("nl") < F.col("nt"))  # right child must be non-empty
+        .select(
+            F.col("v").alias("threshold"),
+            "nl",
+            F.expr("nt - nl").alias("nr"),
+            F.expr("CAST(sl AS DOUBLE)").alias("sld"),
+            F.expr("CAST(st - sl AS DOUBLE)").alias("srd"),
+            F.expr("CAST(syyl AS DOUBLE)").alias("syyld"),
+            F.expr("CAST(syyt - syyl AS DOUBLE)").alias("syyrd"),
+            F.expr("CAST(st AS DOUBLE)").alias("tsum"),
+            F.expr("CAST(syyt AS DOUBLE)").alias("syytd"),
+            F.col("nt"),
+        )
+        .withColumn(
+            "sse",
+            F.expr(
+                "ROUND((syyld - sld * sld / CAST(nl AS DOUBLE))"
+                " + (syyrd - srd * srd / CAST(nr AS DOUBLE)), 10)"
+            ),
+        )
+    )
+    w = Window.orderBy("sse", "threshold")
+    best = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.select(
+        "threshold",
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.expr("ROUND(sld / CAST(nl AS DOUBLE), 6)").alias("mean_left"),
+        F.expr("ROUND(srd / CAST(nr AS DOUBLE), 6)").alias("mean_right"),
+        F.expr("ROUND(sse, 6)").alias("sse"),
+        F.expr(
+            "ROUND((syytd - tsum * tsum / CAST(nt AS DOUBLE)) - sse, 6)"
+        ).alias("gain"),
+    )
+
+
+QUERIES.update({"ml_decision_stump": ml_decision_stump})
+
+
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-volume series: the
+    classic mean-shift locator (argmax |cumulative deviation from the
+    global mean|) every pipeline-health monitor runs. The corpus-scale
+    work is ONE per-day count aggregate; the cusum walk, the argmax and
+    the before/after means are windows over the |days|-bounded series.
+    Deviations stay exact: cusum_i = cum_count_i - i*mean with mean the
+    one double division both engines share. Output: the flagged day,
+    its cusum, and the mean daily volume on each side of the break."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    daily = (
+        ev.select(us.alias("t_us"))
+        .withColumn("day", F.expr("t_us DIV 86400000000"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = daily.agg(
+        F.sum("x").alias("n_total"), F.count(F.lit(1)).alias("n_days")
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(Window.orderBy("day")))
+        .withColumn("cum", F.sum("x").over(wcum))
+        .withColumn(
+            "cusum",
+            F.expr(
+                "ROUND(CAST(cum AS DOUBLE) - CAST(i AS DOUBLE)"
+                " * (CAST(n_total AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wbest = Window.orderBy(F.desc(F.abs(F.col("cusum"))), F.asc("day"))
+    cp = (
+        walk.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(F.col("day").alias("cp_day"), F.col("cusum").alias("cp_cusum"))
+    )
+    sides = walk.crossJoin(F.broadcast(cp)).groupBy("cp_day", "cp_cusum").agg(
+        F.expr(
+            "ROUND(CAST(SUM(CASE WHEN day <= cp_day THEN x END) AS DOUBLE)"
+            " / COUNT(CASE WHEN day <= cp_day THEN 1 END), 6)"
+        ).alias("mean_before"),
+        F.expr(
+            "ROUND(CAST(SUM(CASE WHEN day > cp_day THEN x END) AS DOUBLE)"
+            " / COUNT(CASE WHEN day > cp_day THEN 1 END), 6)"
+        ).alias("mean_after"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return sides.select(
+        "cp_day", "cp_cusum", "mean_before", "mean_after", "n_days"
+    )
+
+
+QUERIES.update({"ev_cusum_changepoint": ev_cusum_changepoint})

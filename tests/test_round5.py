@@ -328,3 +328,66 @@ def test_confusion_metrics_match_matrix(spark, sf_dir):
             2 * r["precision"] * r["recall"] / (r["precision"] + r["recall"])
         )
         assert abs(r["f1"] - round(f1, 6)) < 2e-6
+
+
+def test_decision_stump_matches_brute_force(spark, sf_dir):
+    """The cumulative-moment split finder must equal a brute-force scan
+    over every candidate threshold in Python."""
+    from strava_vector_search_spark.io.tables import load_table
+    from strava_vector_search_spark.operators import linear as L
+
+    row = QUERIES["ml_decision_stump"](spark, sf_dir).head()
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = L.feature_frame(
+        emb,
+        F.col("embedding")[0],
+        F.col("embedding")[1],
+        F.coalesce((F.col("label") == 0).cast("int"), F.lit(0)),
+    ).collect()
+    pts = sorted((r["x1"], r["y"]) for r in feats)
+    xs = sorted({x for x, _ in pts})
+    best = None
+    for v in xs[:-1]:
+        left = [y for x, y in pts if x <= v]
+        right = [y for x, y in pts if x > v]
+        ml, mr = sum(left) / len(left), sum(right) / len(right)
+        sse = sum((y - ml) ** 2 for y in left) + sum(
+            (y - mr) ** 2 for y in right
+        )
+        if best is None or sse < best[0] - 1e-12:
+            best = (sse, v, len(left), len(right), ml, mr)
+    sse, v, nl, nr, ml, mr = best
+    assert row["threshold"] == v
+    assert (row["n_left"], row["n_right"]) == (nl, nr)
+    assert abs(row["mean_left"] - ml) < 1e-6
+    assert abs(row["mean_right"] - mr) < 1e-6
+    assert abs(row["sse"] - sse) < 1e-4
+    assert row["gain"] >= -1e-9
+
+
+def test_cusum_changepoint_matches_python(spark, sf_dir):
+    from strava_vector_search_spark.io.tables import load_events
+
+    row = QUERIES["ev_cusum_changepoint"](spark, sf_dir).head()
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    daily = sorted(
+        (r["day"], r["x"])
+        for r in ev.select(us.alias("t"))
+        .withColumn("day", F.expr("t DIV 86400000000"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    mean = sum(x for _, x in daily) / len(daily)
+    cum, best = 0.0, None
+    for i, (d, x) in enumerate(daily, 1):
+        cum += x
+        cusum = cum - i * mean
+        if best is None or abs(cusum) > abs(best[1]) + 1e-9:
+            best = (d, cusum)
+    assert row["cp_day"] == best[0]
+    assert abs(row["cp_cusum"] - best[1]) < 1e-4
+    assert row["n_days"] == len(daily)

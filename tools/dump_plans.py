@@ -555,6 +555,70 @@ EXPECTATIONS: dict[str, dict] = {
         "no_join": "!Join",
         "no_cartesian": "!CartesianProduct",
     },
+    # -- round 5 ------------------------------------------------------------
+    "tx_kneser_ney": {
+        # marginals join back onto the checkpointed bigram-count table;
+        # top-20 must be a heap, not a full sort
+        "partial_agg": "partial_count",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "flat_lineage": "ExistingRDD|LogicalRDD",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "ml_naive_bayes": {
+        # 5-row class table rides a broadcast nested-loop cross join;
+        # per-(doc, class) fold is map-side combined
+        "broadcast_classes": "BroadcastNestedLoopJoin",
+        "partial_agg": "partial_",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "g_triangle_count": {
+        # closing-edge probe is a semi join; wedge/edge aggregates are
+        # map-side combined; no cartesian anywhere in the wedge join
+        "semi_join": "LeftSemi",
+        "partial_agg": "partial_count",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "ev_max_concurrency": {
+        # the running sum is DAY-partitioned (parallel windows), the
+        # bounded carry joins back broadcast — the two-level design is
+        # visible in the plan
+        "day_partitioned_window": r"hashpartitioning\(day",
+        "broadcast_carry": "BroadcastHashJoin",
+        "partial_agg": "partial_",
+    },
+    "ivm_join_delta": {
+        # delta refresh joins broadcast dims; merge is a full-outer of
+        # |nations|-sized states
+        "broadcast_join": "BroadcastHashJoin",
+        "full_outer_merge": "FullOuter",
+        "partial_agg": "partial_",
+    },
+    "idx_phrase_search": {
+        # postings fan out via Generate (posexplode); the occurrence
+        # aggregate is map-side combined
+        "explode": "Generate",
+        "partial_agg": "partial_",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "a20_countmin_sketch": {
+        # the d*w-cell sketch broadcasts to the probe side; cell counts
+        # are map-side combined
+        "broadcast_sketch": "BroadcastHashJoin",
+        "partial_agg": "partial_",
+        "flat_lineage": "ExistingRDD|LogicalRDD",
+    },
+    "ml_ridge_path": {
+        # the 3-row coefficient table rides a broadcast nested loop; the
+        # scoring aggregate is map-side combined
+        "broadcast_coefs": "BroadcastNestedLoopJoin",
+        "partial_agg": "partial_",
+    },
+    "w_pareto_abc": {
+        # corpus-scale work is the per-part aggregate (partial); the
+        # cumulative window runs over aggregated rows only
+        "partial_agg": "partial_",
+        "no_cartesian": "!CartesianProduct",
+    },
 }
 
 
