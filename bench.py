@@ -213,6 +213,8 @@ HEADLINE = [
     "ev_exp_smoothing",
     "ml_decision_stump",
     "ev_cusum_changepoint",
+    "diag_join_explosion",
+    "ev_power_analysis",
 ]
 
 

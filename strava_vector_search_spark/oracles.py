@@ -5878,3 +5878,65 @@ SELECT cp_day, cp_cusum,
 FROM wk CROSS JOIN cp
 GROUP BY cp_day, cp_cusum
 """
+
+
+ORACLES["diag_join_explosion"] = """
+WITH co AS (
+  SELECT o_orderkey AS k, COUNT(*) AS c_r FROM orders GROUP BY o_orderkey
+),
+cl AS (
+  SELECT l_orderkey AS k, COUNT(*) AS c_s FROM lineitem GROUP BY l_orderkey
+),
+contrib AS (
+  SELECT co.k, c_r * c_s AS rows_out FROM co JOIN cl ON co.k = cl.k
+),
+top AS (SELECT k, rows_out FROM contrib ORDER BY rows_out DESC, k LIMIT 1),
+agg AS (
+  SELECT SUM(rows_out) AS predicted_rows, COUNT(*) AS n_join_keys
+  FROM contrib
+),
+probe AS (SELECT COUNT(*) AS probe_rows FROM lineitem)
+SELECT predicted_rows, n_join_keys,
+       k AS heaviest_key, rows_out AS heaviest_key_rows,
+       ROUND(CAST(predicted_rows AS DOUBLE)
+             / CAST(probe_rows AS DOUBLE), 6) AS fanout_vs_probe
+FROM agg CROSS JOIN top CROSS JOIN probe
+"""
+
+
+ORACLES["ev_power_analysis"] = """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 180.0
+             THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (SELECT user_id % 2 AS arm, converted FROM pu),
+agg AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS conv_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_b
+  FROM arms
+)
+SELECT n_a, n_b,
+       ROUND(CAST(conv_a + conv_b AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE), 6) AS pooled_rate,
+       ROUND((1.96 + 0.8416) * SQRT(2.0
+         * (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+         / CAST(n_a + n_b AS DOUBLE))
+         / (CAST(n_a + n_b AS DOUBLE) / 2.0)), 6) AS mde_80pct,
+       CASE WHEN CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              = CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) THEN NULL
+            ELSE CAST(CEIL(2.0
+         * (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+         / CAST(n_a + n_b AS DOUBLE))
+         * ((1.96 + 0.8416) / (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+         * ((1.96 + 0.8416) / (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)))) AS BIGINT) END
+         AS n_per_arm_for_observed
+FROM agg
+"""

@@ -8892,3 +8892,110 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_cusum_changepoint": ev_cusum_changepoint})
+
+
+def diag_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality diagnosis BEFORE the join runs: |R |><| S| on a
+    key equals sum_k cR(k)*cS(k), computable from two per-key count
+    aggregates joined on the key -- counts-sized work instead of
+    materializing the join. The report every planner consults before an
+    orders |><| lineitem at 100 TB: exact predicted output rows, the
+    heaviest contributing key (the skew candidate), and the multiplier
+    over the probe side. The oracle runs the identity in SQL -- and the
+    prediction being EXACT (not an estimate) is the point of the
+    histogram method. Companion to diag_key_skew."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    co = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_r")
+    )
+    cl = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+    contrib = co.join(cl, "k").select(
+        "k", (F.col("c_r") * F.col("c_s")).alias("rows_out")
+    )
+    top = contrib.orderBy(F.desc("rows_out"), "k").limit(1)
+    agg = contrib.agg(
+        F.sum("rows_out").alias("predicted_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+    )
+    probe = li.agg(F.count(F.lit(1)).alias("probe_rows"))
+    return (
+        agg.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "predicted_rows",
+            "n_join_keys",
+            F.col("k").alias("heaviest_key"),
+            F.col("rows_out").alias("heaviest_key_rows"),
+            F.expr(
+                "ROUND(CAST(predicted_rows AS DOUBLE)"
+                " / CAST(probe_rows AS DOUBLE), 6)"
+            ).alias("fanout_vs_probe"),
+        )
+    )
+
+
+QUERIES.update({"diag_join_explosion": diag_join_explosion})
+
+
+def ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis next to ab_proportion_ztest: from the
+    same one per-user aggregate, the minimum detectable effect at
+    80% power / 5% two-sided alpha (z constants 1.96, 0.8416 as shared
+    literals) and the per-arm sample size the OBSERVED effect would
+    need -- the two numbers that decide whether an experiment is worth
+    running at all. Pure 1-row arithmetic after the aggregate; the
+    rate gap is zero-guarded to NULL in both engines."""
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 180.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    agg = per_user.select(
+        F.expr("user_id % 2").alias("arm"), "converted"
+    ).groupBy().agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN converted ELSE 0 END")).alias(
+            "conv_a"
+        ),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n_b"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN converted ELSE 0 END")).alias(
+            "conv_b"
+        ),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "ROUND(CAST(conv_a + conv_b AS DOUBLE)"
+            " / CAST(n_a + n_b AS DOUBLE), 6)"
+        ).alias("pooled_rate"),
+        F.expr(
+            "ROUND((1.96 + 0.8416) * SQRT(2.0"
+            " * (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+            " * (1.0 - CAST(conv_a + conv_b AS DOUBLE)"
+            " / CAST(n_a + n_b AS DOUBLE))"
+            " / (CAST(n_a + n_b AS DOUBLE) / 2.0)), 6)"
+        ).alias("mde_80pct"),
+        F.expr(
+            "CASE WHEN CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            " = CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) THEN NULL"
+            " ELSE CAST(CEIL(2.0"
+            " * (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+            " * (1.0 - CAST(conv_a + conv_b AS DOUBLE)"
+            " / CAST(n_a + n_b AS DOUBLE))"
+            " * ((1.96 + 0.8416) / (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)))"
+            " * ((1.96 + 0.8416) / (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)))) AS BIGINT) END"
+        ).alias("n_per_arm_for_observed"),
+    )
+
+
+QUERIES.update({"ev_power_analysis": ev_power_analysis})

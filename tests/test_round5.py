@@ -353,10 +353,13 @@ def test_decision_stump_matches_brute_force(spark, sf_dir):
         left = [y for x, y in pts if x <= v]
         right = [y for x, y in pts if x > v]
         ml, mr = sum(left) / len(left), sum(right) / len(right)
-        sse = sum((y - ml) ** 2 for y in left) + sum(
-            (y - mr) ** 2 for y in right
+        # replicate the engine's 10-dp SSE rounding so tie-breaks agree
+        sse = round(
+            sum((y - ml) ** 2 for y in left)
+            + sum((y - mr) ** 2 for y in right),
+            10,
         )
-        if best is None or sse < best[0] - 1e-12:
+        if best is None or sse < best[0]:
             best = (sse, v, len(left), len(right), ml, mr)
     sse, v, nl, nr, ml, mr = best
     assert row["threshold"] == v
@@ -385,9 +388,44 @@ def test_cusum_changepoint_matches_python(spark, sf_dir):
     cum, best = 0.0, None
     for i, (d, x) in enumerate(daily, 1):
         cum += x
-        cusum = cum - i * mean
-        if best is None or abs(cusum) > abs(best[1]) + 1e-9:
+        # replicate the engine's 6-dp rounding before the argmax so the
+        # (|cusum| DESC, day ASC) tie-break agrees on near-ties
+        cusum = round(cum - i * mean, 6)
+        if best is None or abs(cusum) > abs(best[1]):
             best = (d, cusum)
     assert row["cp_day"] == best[0]
     assert abs(row["cp_cusum"] - best[1]) < 1e-4
     assert row["n_days"] == len(daily)
+
+
+def test_join_explosion_prediction_is_exact(spark, sf_dir):
+    """The histogram identity must predict the ACTUAL join cardinality."""
+    from strava_vector_search_spark.io.tables import load_table
+
+    row = QUERIES["diag_join_explosion"](spark, sf_dir).head()
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    actual = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).count()
+    assert row["predicted_rows"] == actual
+    assert row["heaviest_key_rows"] >= 1
+    assert row["fanout_vs_probe"] > 0
+
+
+def test_power_analysis_consistent_with_ztest(spark, sf_dir):
+    """MDE and required-n must be mutually consistent: running the
+    experiment at n_per_arm_for_observed makes the observed effect
+    detectable (|observed delta| >= the MDE at that n)."""
+    import math
+
+    row = QUERIES["ev_power_analysis"](spark, sf_dir).head()
+    z = QUERIES["ab_proportion_ztest"](spark, sf_dir).head()
+    p = row["pooled_rate"]
+    delta = abs(z["rate_a"] - z["rate_b"])
+    assert 0.0 < p < 1.0
+    assert row["mde_80pct"] > 0
+    if row["n_per_arm_for_observed"] is not None and delta > 0:
+        n_req = row["n_per_arm_for_observed"]
+        mde_at_req = (1.96 + 0.8416) * math.sqrt(2 * p * (1 - p) / n_req)
+        assert delta >= mde_at_req - 1e-6

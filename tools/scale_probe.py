@@ -773,13 +773,16 @@ def main() -> None:
     results.append((
         "sweep line two-level", f"{2 * n_b:,} boundaries / {n_days} days",
         sec_two,
-        f"day-partitioned running sums + bounded carry join vs the naive "
-        f"single-partition global window ({sec_naive:.1f}s): the two-level "
-        "prefix sum parallelizes, the global ORDER BY serializes every "
-        "boundary through one task — the gap widens linearly with data"))
+        f"day-partitioned running sums + bounded carry join; the naive "
+        f"single-partition global window ({sec_naive:.1f}s) is still FASTER "
+        "here — a one-task sort of in-memory longs is cheap on one box. "
+        "The metric that transfers is the per-task bound: the global window "
+        "forces ONE task to hold and sort ALL boundaries (impossible at "
+        "100 TB), while the two-level caps any task at one day's worth and "
+        "the carry at |days| rows"))
 
     # ---- round 5: IVM delta maintenance vs view recompute --------------
-    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    # (orders already bound above from the same path)
     cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
     reps_o = 20
@@ -806,12 +809,23 @@ def main() -> None:
                  F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
         )
 
-    base_state = _view(big_o.filter(F.expr("o_orderkey % 100 <> 7"))).cache()
+    # the realistic layout: the accumulated base and the arriving delta
+    # batch are SEPARATE disk-resident directories (a delta never requires
+    # filtering the base), and the base STATE (|nations| rows) is what the
+    # refresh holds — never the base facts
+    import shutil as _sh
+
+    base_dir, delta_dir = "/tmp/svs_ivm_base", "/tmp/svs_ivm_delta"
+    _sh.rmtree(base_dir, ignore_errors=True)
+    _sh.rmtree(delta_dir, ignore_errors=True)
+    big_o.filter(F.expr("o_orderkey % 100 <> 7")).write.parquet(base_dir)
+    big_o.filter(F.expr("o_orderkey % 100 = 7")).write.parquet(delta_dir)
+    big_o.unpersist()
+    base_state = _view(spark.read.parquet(base_dir)).cache()
     base_state.count()
-    delta = big_o.filter(F.expr("o_orderkey % 100 = 7"))
 
     def _ivm_refresh():
-        d = _view(delta)
+        d = _view(spark.read.parquet(delta_dir))
         return (
             base_state.alias("b")
             .join(d.alias("d"), "n_name", "full_outer")
@@ -823,17 +837,23 @@ def main() -> None:
             .count()
         )
 
+    def _ivm_recompute():
+        allrows = spark.read.parquet(base_dir).unionByName(
+            spark.read.parquet(delta_dir)
+        )
+        return _view(allrows).count()
+
     sec_delta, _ = t(_ivm_refresh)
-    sec_recompute, _ = t(lambda: _view(big_o).count())
+    sec_recompute, _ = t(_ivm_recompute)
     results.append((
         "IVM join-view delta refresh", f"{n_o:,} orders / 1% delta",
         sec_delta,
-        f"delta |><| broadcast dims + |nations|-row monoid merge vs full "
-        f"recompute ({sec_recompute:.1f}s): refresh cost tracks the delta "
-        "batch while the recompute rescans the accumulated facts — at "
-        "100 TB the base state is a few KB and the gap is the whole table"))
+        f"delta batch |><| broadcast dims + |nations|-row monoid merge, "
+        f"reading ONLY the delta directory, vs full recompute over "
+        f"base+delta ({sec_recompute:.1f}s): refresh I/O tracks the delta "
+        "while the recompute rescans the accumulated facts — the gap IS "
+        "the base/delta size ratio once the base leaves the page cache"))
     base_state.unpersist()
-    big_o.unpersist()
 
     # ---- round 5: Count-Min sketch build at scale ----------------------
     from strava_vector_search_spark.operators.cms import cms_cells
