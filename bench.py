@@ -215,6 +215,8 @@ HEADLINE = [
     "ev_cusum_changepoint",
     "diag_join_explosion",
     "ev_power_analysis",
+    "a21_histogram_quantile_union",
+    "ml_kmeans_step",
 ]
 
 

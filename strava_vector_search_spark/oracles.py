@@ -5940,3 +5940,64 @@ SELECT n_a, n_b,
          AS n_per_arm_for_observed
 FROM agg
 """
+
+
+ORACLES["a21_histogram_quantile_union"] = """
+WITH daily_hist AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         LEAST(799, GREATEST(0, CAST(FLOOR(value) AS INT))) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+merged AS (SELECT bin, SUM(cnt) AS cnt FROM daily_hist GROUP BY bin),
+tot AS (SELECT SUM(cnt) AS n_total FROM merged),
+walk AS (
+  SELECT bin, cnt, n_total,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM merged CROSS JOIN tot
+),
+qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+hits AS (
+  SELECT q, n_total, MIN(bin) AS est_bin
+  FROM qs CROSS JOIN walk
+  WHERE cum >= CAST(CEIL(q * CAST(n_total AS DOUBLE)) AS BIGINT)
+  GROUP BY q, n_total
+)
+SELECT q, n_total, est_bin,
+       ROUND(CAST(est_bin AS DOUBLE) + 0.5, 6) AS est_value
+FROM hits ORDER BY q
+"""
+
+
+ORACLES["ml_kmeans_step"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+  FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
+),
+scored AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], c.centroid), 6) AS sim
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.embedding IS NOT NULL
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cluster
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cid ASC
+    ) AS rn
+    FROM scored
+  )
+  WHERE rn = 1
+)
+SELECT cluster, COUNT(*) AS n_members,
+       ROUND(CAST(SUM(CAST(ROUND(v[1], 6) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS m0,
+       ROUND(CAST(SUM(CAST(ROUND(v[2], 6) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS m1,
+       ROUND(CAST(SUM(CAST(ROUND(v[3], 6) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS m2,
+       ROUND(CAST(SUM(CAST(ROUND(v[4], 6) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS m3
+FROM assigned GROUP BY cluster ORDER BY cluster
+"""

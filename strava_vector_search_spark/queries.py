@@ -1021,9 +1021,7 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk,
         kmeans_assign,
     )
-    from strava_vector_search_spark.functions.vector import (
-        cosine_similarity_rounded,
-    )
+    from strava_vector_search_spark.functions.vector import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
     clustered = kmeans_assign(emb, num_clusters=8, seed=42).localCheckpoint(
@@ -6804,9 +6802,7 @@ def vs_mean_pool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard sentence->document pooling step of an embedding pipeline,
     as one posexplode + partial-combined aggregate; the query scores 10
     pooled vectors, not the corpus."""
-    from strava_vector_search_spark.functions.vector import (
-        cosine_similarity_rounded,
-    )
+    from strava_vector_search_spark.functions.vector import similarity
     from strava_vector_search_spark.operators.ann import compute_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -8999,3 +8995,121 @@ def ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_power_analysis": ev_power_analysis})
+
+
+def a21_histogram_quantile_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile maintenance via fixed-width histograms: each
+    day keeps a bounded (bin, cnt) histogram of `value` (the per-
+    partition/per-batch summary); histograms MERGE by cell addition
+    (the CMS property applied to quantiles), and any quantile reads off
+    the merged cumulative walk -- estimate error is bounded by the bin
+    width by construction (pinned vs the exact percentile in tests).
+    This is how percentile dashboards stay incrementally maintainable
+    at 100 TB: the raw value stream never re-shuffles, only |days| x
+    |bins| cells do. The DAILY histogram stage is explicit in the plan
+    (not collapsed into a global count) because the per-day state is
+    the unit a streaming refresh would persist."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    daily_hist = (
+        ev.select(us.alias("t_us"), "value")
+        .select(
+            F.expr("t_us DIV 86400000000").alias("day"),
+            F.expr(
+                "LEAST(799, GREATEST(0, CAST(FLOOR(value) AS INT)))"
+            ).alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = daily_hist.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = (
+        merged.withColumn("cum", F.sum("cnt").over(wcum))
+        .crossJoin(
+            F.broadcast(merged.agg(F.sum("cnt").alias("n_total")))
+        )
+        .localCheckpoint(eager=False)
+    )
+    qs = spark.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "q double"
+    )
+    hits = (
+        qs.crossJoin(F.broadcast(walk))
+        .filter(
+            F.expr("cum >= CAST(CEIL(q * CAST(n_total AS DOUBLE)) AS BIGINT)")
+        )
+        .groupBy("q", "n_total")
+        .agg(F.min("bin").alias("est_bin"))
+    )
+    return hits.select(
+        "q",
+        "n_total",
+        "est_bin",
+        F.expr("ROUND(CAST(est_bin AS DOUBLE) + 0.5, 6)").alias("est_value"),
+    ).orderBy("q")
+
+
+QUERIES.update({"a21_histogram_quantile_union": a21_histogram_quantile_union})
+
+
+def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EXACT Lloyd's iteration, native (no MLlib, fully oracle-
+    checkable): hash-deterministic seeds (the first 8 vec_ids), every
+    vector assigned to its max-cosine centroid (6 dp-rounded score,
+    centroid-id tie-break) via an 8-row broadcast join + rank window,
+    new centroids as per-cluster exact DECIMAL dimension means. The
+    distributed cost is one scored scan + one partial-combined
+    aggregate per iteration -- the moments-then-update shape that makes
+    k-means a batch-refreshable index build (ann_kmeans_ivf_topk uses
+    the MLlib twin; this gate pins the arithmetic bit-for-bit).
+    Output: per-cluster sizes and the first 4 dims of the new mean."""
+    from strava_vector_search_spark.functions.vector import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        # stored vectors are L2-normalized, so the proven cross-engine
+        # score is the plain dot (list_dot_product twin), not the
+        # norm-dividing cosine
+        similarity(
+            F.col("embedding"), F.col("centroid"), assume_normalized=True
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            *[
+                F.expr(
+                    f"ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[{i}] AS"
+                    f" DOUBLE), 6) AS DECIMAL(38,12))) AS DOUBLE)"
+                    f" / COUNT(*), 6)"
+                ).alias(f"m{i}")
+                for i in range(4)
+            ],
+        )
+        .orderBy("cluster")
+    )
+
+
+QUERIES.update({"ml_kmeans_step": ml_kmeans_step})

@@ -429,3 +429,65 @@ def test_power_analysis_consistent_with_ztest(spark, sf_dir):
         n_req = row["n_per_arm_for_observed"]
         mde_at_req = (1.96 + 0.8416) * math.sqrt(2 * p * (1 - p) / n_req)
         assert delta >= mde_at_req - 1e-6
+
+
+def test_histogram_quantile_within_bin_width(spark, sf_dir):
+    """The binned estimate must sit within one bin width of the exact
+    percentile, and per-day histograms must merge to the direct one."""
+    from strava_vector_search_spark.io.tables import load_events
+
+    rows = QUERIES["a21_histogram_quantile_union"](spark, sf_dir).collect()
+    assert [r["q"] for r in rows] == [0.5, 0.9, 0.99]
+    ev = load_events(spark, sf_dir)
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    import math
+
+    for r in rows:
+        exact = vals[min(len(vals) - 1, math.ceil(r["q"] * len(vals)) - 1)]
+        assert abs(r["est_value"] - exact) <= 1.0 + 1e-9, (r, exact)
+    # merge property: per-day cells summed == direct global histogram
+    us = F.unix_micros(F.col("ts"))
+    b = ev.select(us.alias("t"), "value").select(
+        F.expr("t DIV 86400000000").alias("day"),
+        F.expr("LEAST(799, GREATEST(0, CAST(FLOOR(value) AS INT)))").alias(
+            "bin"
+        ),
+    )
+    direct = {
+        r["bin"]: r["cnt"]
+        for r in b.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    via_days = {}
+    for r in (
+        b.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    ):
+        via_days[r["bin"]] = via_days.get(r["bin"], 0) + r["cnt"]
+    assert via_days == direct
+
+
+def test_kmeans_step_matches_numpy(spark, sf_dir):
+    """Assignment + centroid update replayed with numpy."""
+    from strava_vector_search_spark.io.tables import load_table
+    import numpy as np
+
+    rows = QUERIES["ml_kmeans_step"](spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    data = [(r["vec_id"], np.array(r["embedding"], dtype="float64"))
+            for r in emb.collect()]
+    cents = {vid: v for vid, v in data if vid < 8}
+    agg = {}
+    for vid, v in data:
+        sims = sorted(
+            ((round(float(v @ c), 6), -cid) for cid, c in cents.items()),
+            reverse=True,
+        )
+        best_cid = -sims[0][1]
+        n, s = agg.get(best_cid, (0, np.zeros(4)))
+        agg[best_cid] = (n + 1, s + np.round(v[:4], 6))
+    for r in rows:
+        n, s = agg[r["cluster"]]
+        assert r["n_members"] == n
+        for i in range(4):
+            assert abs(r[f"m{i}"] - round(s[i] / n, 6)) < 2e-6
