@@ -5413,8 +5413,7 @@ FROM fin ORDER BY t
 """
 
 
-ORACLES["ab_proportion_ztest"] = """
-WITH pu AS (
+_AB_AGG_CTES = """pu AS (
   SELECT user_id,
          MAX(CASE WHEN event_type = 'purchase' AND value > 180.0
              THEN 1 ELSE 0 END) AS converted
@@ -5427,7 +5426,10 @@ agg AS (
          SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
          SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_b
   FROM arms
-)
+)"""
+
+ORACLES["ab_proportion_ztest"] = f"""
+WITH {_AB_AGG_CTES}
 SELECT n_a, conv_a, n_b, conv_b,
        ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
        ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
@@ -5904,21 +5906,8 @@ FROM agg CROSS JOIN top CROSS JOIN probe
 """
 
 
-ORACLES["ev_power_analysis"] = """
-WITH pu AS (
-  SELECT user_id,
-         MAX(CASE WHEN event_type = 'purchase' AND value > 180.0
-             THEN 1 ELSE 0 END) AS converted
-  FROM events GROUP BY user_id
-),
-arms AS (SELECT user_id % 2 AS arm, converted FROM pu),
-agg AS (
-  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
-         SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS conv_a,
-         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
-         SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_b
-  FROM arms
-)
+ORACLES["ev_power_analysis"] = f"""
+WITH {_AB_AGG_CTES}
 SELECT n_a, n_b,
        ROUND(CAST(conv_a + conv_b AS DOUBLE)
              / CAST(n_a + n_b AS DOUBLE), 6) AS pooled_rate,

@@ -86,21 +86,25 @@ def _cached_layout(sf_dir: str, table: str, kind: str, build_fn) -> str:
     path = prefix + _src_fingerprint(sf_dir, table)
     if os.path.isdir(path):
         return path
+    import re as _re
+
     tmp = f"{path}.tmp{os.getpid()}"
-    build_fn(tmp)
     try:
-        os.rename(tmp, path)
-    except OSError:
-        # a concurrent builder won the rename; its output is identical
-        shutil.rmtree(tmp, ignore_errors=True)
+        build_fn(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # a concurrent builder won the rename; its output is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)  # reclaim on failure too
+    # sweep ONLY finished sibling generations of this exact (kind, token):
+    # name must be prefix + a bare 16-hex fingerprint, so a token that
+    # happens to extend ours (or any in-flight .tmp dir) is never touched
+    gen = _re.compile(_re.escape(prefix) + r"[0-9a-f]{16}$")
     for name in os.listdir("/tmp"):
         full = os.path.join("/tmp", name)
-        if (
-            full.startswith(prefix)
-            and full != path
-            and ".tmp" not in name  # never touch a concurrent build in flight
-            and os.path.isdir(full)
-        ):
+        if gen.fullmatch(full) and full != path and os.path.isdir(full):
             shutil.rmtree(full, ignore_errors=True)
     return path
 
@@ -1021,7 +1025,9 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk,
         kmeans_assign,
     )
-    from strava_vector_search_spark.functions.vector import similarity
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     clustered = kmeans_assign(emb, num_clusters=8, seed=42).localCheckpoint(
@@ -6802,7 +6808,9 @@ def vs_mean_pool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard sentence->document pooling step of an embedding pipeline,
     as one posexplode + partial-combined aggregate; the query scores 10
     pooled vectors, not the corpus."""
-    from strava_vector_search_spark.functions.vector import similarity
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
     from strava_vector_search_spark.operators.ann import compute_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -7838,7 +7846,10 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return chi.withColumn(
         "chi2_total",
-        F.expr("ROUND(SUM(chi2_term) OVER (), 6)"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(chi2_term AS DECIMAL(38,12))) OVER ()"
+            " AS DOUBLE), 6)"
+        ),
     ).orderBy("digit")
 
 
@@ -8017,20 +8028,12 @@ def ev_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"ev_kaplan_meier": ev_kaplan_meier})
 
 
-def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample proportion z-test -- the experimentation readout every
-    large platform computes at warehouse scale: users split into arms by
-    id parity (hash-deterministic), conversion = any 'purchase' event;
-    arm sizes, conversion rates, and the pooled z statistic all fold out
-    of ONE per-user aggregate + one 2-row pivot (the decision threshold
-    |z| > 1.96 is a literal comparison). Everything after the per-user
-    pass is 1-row arithmetic with expression text identical in the
-    oracle."""
+def _ab_arm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared A/B experiment state: per-user high-value-purchase
+    conversion (value > 180 -- any-purchase is degenerate at p=1),
+    id-parity arms, folded to the ONE row (n_a, conv_a, n_b, conv_b)
+    that both ab_proportion_ztest and ev_power_analysis consume."""
     ev = load_events(spark, sf_dir)
-    # conversion = a HIGH-VALUE purchase (value > 180): over a month of
-    # activity every user purchases at least once, so the raw any-purchase
-    # rate is degenerate (p=1 makes the pooled variance 0); the value cut
-    # gives a ~25% rate at every sf
     per_user = ev.groupBy("user_id").agg(
         F.max(
             F.when(
@@ -8039,10 +8042,9 @@ def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("converted")
     )
-    arms = per_user.select(
+    return per_user.select(
         F.expr("user_id % 2").alias("arm"), "converted"
-    )
-    agg = arms.groupBy().agg(
+    ).groupBy().agg(
         F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n_a"),
         F.sum(F.expr("CASE WHEN arm = 0 THEN converted ELSE 0 END")).alias(
             "conv_a"
@@ -8052,6 +8054,18 @@ def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_b"
         ),
     )
+
+
+def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion z-test -- the experimentation readout every
+    large platform computes at warehouse scale: users split into arms by
+    id parity (hash-deterministic), conversion = any 'purchase' event;
+    arm sizes, conversion rates, and the pooled z statistic all fold out
+    of ONE per-user aggregate + one 2-row pivot (the decision threshold
+    |z| > 1.96 is a literal comparison). Everything after the per-user
+    pass is 1-row arithmetic with expression text identical in the
+    oracle."""
+    agg = _ab_arm_aggregate(spark, sf_dir)
     return agg.select(
         "n_a",
         "conv_a",
@@ -8287,7 +8301,7 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cn").alias("cn_lo"),
         F.col("cy").alias("cy_lo"),
     ).unionAll(
-        cums.limit(1).select(
+        spark.range(1).select(
             F.lit(1).alias("j"),
             F.lit(0).cast("bigint").alias("cn_lo"),
             F.lit(0).cast("bigint").alias("cy_lo"),
@@ -8944,27 +8958,7 @@ def ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     need -- the two numbers that decide whether an experiment is worth
     running at all. Pure 1-row arithmetic after the aggregate; the
     rate gap is zero-guarded to NULL in both engines."""
-    ev = load_events(spark, sf_dir)
-    per_user = ev.groupBy("user_id").agg(
-        F.max(
-            F.when(
-                (F.col("event_type") == "purchase") & (F.col("value") > 180.0),
-                1,
-            ).otherwise(0)
-        ).alias("converted")
-    )
-    agg = per_user.select(
-        F.expr("user_id % 2").alias("arm"), "converted"
-    ).groupBy().agg(
-        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n_a"),
-        F.sum(F.expr("CASE WHEN arm = 0 THEN converted ELSE 0 END")).alias(
-            "conv_a"
-        ),
-        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n_b"),
-        F.sum(F.expr("CASE WHEN arm = 1 THEN converted ELSE 0 END")).alias(
-            "conv_b"
-        ),
-    )
+    agg = _ab_arm_aggregate(spark, sf_dir)
     return agg.select(
         "n_a",
         "n_b",
