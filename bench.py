@@ -217,6 +217,9 @@ HEADLINE = [
     "ev_power_analysis",
     "a21_histogram_quantile_union",
     "ml_kmeans_step",
+    "ev_did_estimator",
+    "ml_cuped_adjustment",
+    "g_kcore",
 ]
 
 

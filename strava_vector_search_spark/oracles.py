@@ -5990,3 +5990,127 @@ SELECT cluster, COUNT(*) AS n_members,
              / COUNT(*), 6) AS m3
 FROM assigned GROUP BY cluster ORDER BY cluster
 """
+
+
+ORACLES["ev_did_estimator"] = """
+WITH days AS (
+  SELECT MIN(epoch_us(ts) // 86400000000) AS d_min,
+         MAX(epoch_us(ts) // 86400000000) AS d_max
+  FROM events
+),
+cells AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN epoch_us(ts) // 86400000000 < (d_min + d_max) // 2
+              THEN 'pre' ELSE 'post' END AS period,
+         COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_value
+  FROM events CROSS JOIN days
+  GROUP BY 1, 2
+),
+piv AS (
+  SELECT SUM(n) AS n_events,
+         MAX(CASE WHEN arm = 0 AND period = 'pre' THEN mean_value END)
+           AS ctrl_pre,
+         MAX(CASE WHEN arm = 0 AND period = 'post' THEN mean_value END)
+           AS ctrl_post,
+         MAX(CASE WHEN arm = 1 AND period = 'pre' THEN mean_value END)
+           AS treat_pre,
+         MAX(CASE WHEN arm = 1 AND period = 'post' THEN mean_value END)
+           AS treat_post
+  FROM cells
+)
+SELECT n_events, ctrl_pre, ctrl_post, treat_pre, treat_post,
+       ROUND((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 6)
+         AS did_estimate
+FROM piv
+"""
+
+
+ORACLES["ml_cuped_adjustment"] = """
+WITH days AS (
+  SELECT MIN(epoch_us(ts) // 86400000000) AS d_min,
+         MAX(epoch_us(ts) // 86400000000) AS d_max
+  FROM events
+),
+tagged AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) // 86400000000 < (d_min + d_max) // 2
+              THEN 0 ELSE 1 END AS half,
+         CAST(value AS DECIMAL(28,12)) AS v
+  FROM events CROSS JOIN days
+),
+halves AS (
+  SELECT user_id,
+         ROUND(CAST(SUM(CASE WHEN half = 0 THEN v END) AS DOUBLE)
+               / COUNT(CASE WHEN half = 0 THEN 1 END), 10) AS x,
+         ROUND(CAST(SUM(CASE WHEN half = 1 THEN v END) AS DOUBLE)
+               / COUNT(CASE WHEN half = 1 THEN 1 END), 10) AS y
+  FROM tagged GROUP BY user_id
+),
+fil AS (SELECT * FROM halves WHERE x IS NOT NULL AND y IS NOT NULL),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 10) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 10) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(y * y, 10) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM fil
+)
+SELECT n AS n_users,
+       ROUND((sxy - sx * sy / CAST(n AS DOUBLE))
+             / (sxx - sx * sx / CAST(n AS DOUBLE)), 6) AS theta,
+       ROUND((syy - sy * sy / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS var_y,
+       ROUND(((syy - sy * sy / CAST(n AS DOUBLE))
+             - (sxy - sx * sy / CAST(n AS DOUBLE))
+             * (sxy - sx * sy / CAST(n AS DOUBLE))
+             / (sxx - sx * sx / CAST(n AS DOUBLE)))
+             / CAST(n AS DOUBLE), 6) AS var_adjusted,
+       ROUND((sxy - sx * sy / CAST(n AS DOUBLE))
+             * (sxy - sx * sy / CAST(n AS DOUBLE))
+             / ((sxx - sx * sx / CAST(n AS DOUBLE))
+             * (syy - sy * sy / CAST(n AS DOUBLE))), 6)
+         AS variance_reduction
+FROM m
+"""
+
+
+def _kcore_sql(k: int = 3, rounds: int = 4) -> str:
+    # AS MATERIALIZED: each round's CTEs are referenced 2-3x by the next
+    # round; without the hint DuckDB inlines them and e0 re-executes
+    # O(3^rounds) times
+    ctes = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "e0 AS MATERIALIZED (\n  SELECT a.l_partkey AS u, b.l_partkey AS v\n"
+        "  FROM op a JOIN op b\n"
+        "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey\n"
+        "  GROUP BY 1, 2 HAVING COUNT(*) >= 2\n)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        ctes.append(
+            f"k{r} AS MATERIALIZED (\n  SELECT u FROM (\n"
+            f"    SELECT u FROM {prev} UNION ALL SELECT v AS u FROM {prev}\n"
+            f"  ) GROUP BY u HAVING COUNT(*) >= {k}\n)"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (\n  SELECT {prev}.u, {prev}.v FROM {prev}\n"
+            f"  JOIN k{r} a ON {prev}.u = a.u\n"
+            f"  JOIN k{r} b ON {prev}.v = b.u\n)"
+        )
+    sel = ", ".join(
+        f"(SELECT COUNT(*) FROM k{r}) AS r{r}_nodes"
+        for r in range(1, rounds + 1)
+    )
+    last = f"e{rounds}"
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT " + sel + ",\n"
+        f"  (SELECT COUNT(*) FROM (SELECT u FROM {last}"
+        f" UNION SELECT v FROM {last})) AS core_nodes,\n"
+        f"  (SELECT COUNT(*) FROM {last}) AS core_edges"
+    )
+
+
+ORACLES["g_kcore"] = _kcore_sql()

@@ -9107,3 +9107,233 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_kmeans_step": ml_kmeans_step})
+
+
+def ev_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate over the A/B arms around the
+    series midpoint -- the causal-inference workhorse for staged
+    rollouts: DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre)
+    cancels both the arm-level and the period-level confounds. The
+    corpus-scale work is ONE (arm, period) aggregate with DECIMAL-exact
+    cell means; the estimator is 4-cell arithmetic. Arms share
+    _ab_arm_aggregate's id-parity split; the period cut is the exact
+    midpoint of the observed day range."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    days = ev.select(us.alias("t_us")).agg(
+        F.expr("MIN(t_us DIV 86400000000)").alias("d_min"),
+        F.expr("MAX(t_us DIV 86400000000)").alias("d_max"),
+    )
+    cells = (
+        ev.select("user_id", "value", us.alias("t_us"))
+        .crossJoin(F.broadcast(days))
+        .select(
+            F.expr("user_id % 2").alias("arm"),
+            F.expr(
+                "CASE WHEN t_us DIV 86400000000 < (d_min + d_max) DIV 2"
+                " THEN 'pre' ELSE 'post' END"
+            ).alias("period"),
+            "value",
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)"
+                " / COUNT(*), 6)"
+            ).alias("mean_value"),
+        )
+    )
+    piv = cells.groupBy().agg(
+        *[
+            F.expr(
+                f"MAX(CASE WHEN arm = {a} AND period = '{p}'"
+                f" THEN mean_value END)"
+            ).alias(f"{'ctrl' if a == 0 else 'treat'}_{p}")
+            for a in (0, 1)
+            for p in ("pre", "post")
+        ],
+        F.expr("SUM(n)").alias("n_events"),
+    )
+    return piv.select(
+        "n_events",
+        "ctrl_pre",
+        "ctrl_post",
+        "treat_pre",
+        "treat_post",
+        F.expr(
+            "ROUND((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 6)"
+        ).alias("did_estimate"),
+    )
+
+
+QUERIES.update({"ev_did_estimator": ev_did_estimator})
+
+
+def ml_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for experiment metrics: per-user
+    pre-period covariate x (mean value, first half) against post-period
+    metric y (second half); theta = cov(x,y)/var(x) from exact
+    10 dp-rounded DECIMAL moments, and the adjusted metric
+    y - theta*(x - mean_x) has variance var_y - cov^2/var_x -- the
+    reduction every experimentation platform banks before running
+    z-tests. Two bounded aggregates (per-user halves -> one moment
+    fold); the whole estimator is 1-row closed-form arithmetic, the
+    moments-then-solve recipe applied to experiment analytics."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    days = ev.select(us.alias("t_us")).agg(
+        F.expr("MIN(t_us DIV 86400000000)").alias("d_min"),
+        F.expr("MAX(t_us DIV 86400000000)").alias("d_max"),
+    )
+    halves = (
+        ev.select("user_id", "value", us.alias("t_us"))
+        .crossJoin(F.broadcast(days))
+        .select(
+            "user_id",
+            F.expr(
+                "CASE WHEN t_us DIV 86400000000 < (d_min + d_max) DIV 2"
+                " THEN 0 ELSE 1 END"
+            ).alias("half"),
+            "value",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "ROUND(CAST(SUM(CASE WHEN half = 0 THEN"
+                " CAST(value AS DECIMAL(28,12)) END) AS DOUBLE)"
+                " / COUNT(CASE WHEN half = 0 THEN 1 END), 10)"
+            ).alias("x"),
+            F.expr(
+                "ROUND(CAST(SUM(CASE WHEN half = 1 THEN"
+                " CAST(value AS DECIMAL(28,12)) END) AS DOUBLE)"
+                " / COUNT(CASE WHEN half = 1 THEN 1 END), 10)"
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    m = halves.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)"
+        ).alias("sx"),
+        F.expr(
+            "CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE)"
+        ).alias("sy"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(x * x, 10) AS DECIMAL(38,12))) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(x * y, 10) AS DECIMAL(38,12))) AS DOUBLE)"
+        ).alias("sxy"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(y * y, 10) AS DECIMAL(38,12))) AS DOUBLE)"
+        ).alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.expr(
+            "ROUND((sxy - sx * sy / CAST(n AS DOUBLE))"
+            " / (sxx - sx * sx / CAST(n AS DOUBLE)), 6)"
+        ).alias("theta"),
+        F.expr(
+            "ROUND((syy - sy * sy / CAST(n AS DOUBLE))"
+            " / CAST(n AS DOUBLE), 6)"
+        ).alias("var_y"),
+        F.expr(
+            "ROUND(((syy - sy * sy / CAST(n AS DOUBLE))"
+            " - (sxy - sx * sy / CAST(n AS DOUBLE))"
+            " * (sxy - sx * sy / CAST(n AS DOUBLE))"
+            " / (sxx - sx * sx / CAST(n AS DOUBLE)))"
+            " / CAST(n AS DOUBLE), 6)"
+        ).alias("var_adjusted"),
+        F.expr(
+            "ROUND((sxy - sx * sy / CAST(n AS DOUBLE))"
+            " * (sxy - sx * sy / CAST(n AS DOUBLE))"
+            " / ((sxx - sx * sx / CAST(n AS DOUBLE))"
+            " * (syy - sy * sy / CAST(n AS DOUBLE))), 6)"
+        ).alias("variance_reduction"),
+    )
+
+
+QUERIES.update({"ml_cuped_adjustment": ml_cuped_adjustment})
+
+
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k=3, 4 rounds) of the part co-order
+    graph: each round computes degrees (one partial-combined aggregate),
+    drops nodes below k, and restricts edges to survivors (two
+    semi-joins) -- unrolled with localCheckpoint lineage truncation (the
+    PageRank/CC iterative pattern). Four rounds are the BOUNDED prefix
+    of the decomposition (production iterates to fixpoint; rounds is
+    the knob -- this data still sheds nodes at round 4, visible in the
+    output, and the sf0.1 graph's 3-core is EMPTY by round 2, which the
+    gate reports as zeros rather than hiding). Oracle replays the same
+    4 rounds as unrolled MATERIALIZED CTEs -- bit-exact because peeling
+    is pure integer set algebra; a Python replay pins it in tests.
+    Output: per-round surviving node counts + the round-4 subgraph's
+    node/edge totals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    k = 3
+    counts = []
+    cur = e
+    for _ in range(4):
+        und = cur.unionAll(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        keep = (
+            und.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+            .localCheckpoint(eager=False)
+        )
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        counts.append(keep.count())
+    core_nodes = (
+        cur.select("u")
+        .unionAll(cur.select(F.col("v").alias("u")))
+        .distinct()
+        .count()
+    )
+    core_edges = cur.count()
+    return spark.createDataFrame(
+        [
+            (
+                counts[0],
+                counts[1],
+                counts[2],
+                counts[3],
+                core_nodes,
+                core_edges,
+            )
+        ],
+        "r1_nodes bigint, r2_nodes bigint, r3_nodes bigint,"
+        " r4_nodes bigint, core_nodes bigint, core_edges bigint",
+    )
+
+
+QUERIES.update({"g_kcore": g_kcore})

@@ -491,3 +491,65 @@ def test_kmeans_step_matches_numpy(spark, sf_dir):
         assert r["n_members"] == n
         for i in range(4):
             assert abs(r[f"m{i}"] - round(s[i] / n, 6)) < 2e-6
+
+
+def test_kcore_matches_python_peeling(spark, sf_dir):
+    """4 bounded peeling rounds replayed in Python must agree exactly."""
+    from strava_vector_search_spark.io.tables import load_table
+    from collections import defaultdict
+    import itertools
+
+    row = QUERIES["g_kcore"](spark, sf_dir).head()
+    pairs = defaultdict(int)
+    orders = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    ):
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    for parts in orders.values():
+        for u, v in itertools.combinations(sorted(parts), 2):
+            pairs[(u, v)] += 1
+    edges = {e for e, w in pairs.items() if w >= 2}
+    expect = []
+    for _ in range(4):
+        deg = defaultdict(int)
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        expect.append(len(keep))
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    assert (
+        row["r1_nodes"],
+        row["r2_nodes"],
+        row["r3_nodes"],
+        row["r4_nodes"],
+    ) == tuple(expect)
+    nodes = {x for e in edges for x in e}
+    assert row["core_nodes"] == len(nodes)
+    assert row["core_edges"] == len(edges)
+
+
+def test_did_and_cuped_sanity(spark, sf_dir):
+    did = QUERIES["ev_did_estimator"](spark, sf_dir).head()
+    assert did["n_events"] > 0
+    for c in ("ctrl_pre", "ctrl_post", "treat_pre", "treat_post"):
+        assert did[c] is not None
+    expected = round(
+        (did["treat_post"] - did["treat_pre"])
+        - (did["ctrl_post"] - did["ctrl_pre"]),
+        6,
+    )
+    assert abs(did["did_estimate"] - expected) < 2e-6
+    cuped = QUERIES["ml_cuped_adjustment"](spark, sf_dir).head()
+    assert cuped["n_users"] > 0
+    assert 0.0 <= cuped["variance_reduction"] <= 1.0
+    assert cuped["var_adjusted"] <= cuped["var_y"] + 1e-9
+    # var_adjusted = var_y * (1 - R^2)
+    assert abs(
+        cuped["var_adjusted"]
+        - cuped["var_y"] * (1 - cuped["variance_reduction"])
+    ) < 1e-4
