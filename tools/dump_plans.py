@@ -619,6 +619,31 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_cartesian": "!CartesianProduct",
     },
+    "ml_kmeans_step": {
+        # 8-row centroid table broadcast; assignment rank window; the
+        # centroid-mean aggregate is map-side combined
+        "broadcast_centroids": "BroadcastNestedLoopJoin",
+        "partial_agg": "partial_",
+    },
+    "a21_histogram_quantile_union": {
+        # both histogram stages partial-combine; the quantile read joins
+        # the bounded walk broadcast
+        "partial_agg": "partial_",
+        "broadcast_walk": "Broadcast",
+        "flat_lineage": "ExistingRDD|LogicalRDD",
+    },
+    "ev_did_estimator": {
+        # one (arm, period) aggregate; day bounds ride a 1-row broadcast
+        "partial_agg": "partial_",
+        "broadcast_bounds": "BroadcastNestedLoopJoin",
+    },
+    "ml_cuped_adjustment": {
+        # per-user halves aggregate then one moment fold, both partial
+        "partial_agg": "partial_",
+    },
+    # (g_kcore is not auditable here: its peeling rounds run during gate
+    # construction and the returned frame is the driver-assembled 1-row
+    # LocalTableScan, like tx_bpe_merges' merge table)
 }
 
 
