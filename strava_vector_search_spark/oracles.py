@@ -5301,7 +5301,8 @@ chi AS (
   FROM scored
 )
 SELECT digit, n_obs, obs_share, benford_share, chi2_term,
-       ROUND(SUM(chi2_term) OVER (), 6) AS chi2_total
+       ROUND(CAST(SUM(CAST(chi2_term AS DECIMAL(38,12))) OVER ()
+             AS DOUBLE), 6) AS chi2_total
 FROM chi ORDER BY digit
 """
 
@@ -5936,7 +5937,7 @@ WITH daily_hist AS (
   SELECT epoch_us(ts) // 86400000000 AS day,
          LEAST(799, GREATEST(0, CAST(FLOOR(value) AS INT))) AS bin,
          COUNT(*) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 merged AS (SELECT bin, SUM(cnt) AS cnt FROM daily_hist GROUP BY bin),
 tot AS (SELECT SUM(cnt) AS n_total FROM merged),
@@ -5992,20 +5993,27 @@ FROM assigned GROUP BY cluster ORDER BY cluster
 """
 
 
-ORACLES["ev_did_estimator"] = """
-WITH days AS (
+_EV_HALF_CTES = """days AS (
   SELECT MIN(epoch_us(ts) // 86400000000) AS d_min,
          MAX(epoch_us(ts) // 86400000000) AS d_max
   FROM events
 ),
+tagged AS (
+  SELECT user_id, value,
+         CASE WHEN epoch_us(ts) // 86400000000 < (d_min + d_max) // 2
+              THEN 0 ELSE 1 END AS half
+  FROM events CROSS JOIN days
+)"""
+
+ORACLES["ev_did_estimator"] = f"""
+WITH {_EV_HALF_CTES},
 cells AS (
   SELECT user_id % 2 AS arm,
-         CASE WHEN epoch_us(ts) // 86400000000 < (d_min + d_max) // 2
-              THEN 'pre' ELSE 'post' END AS period,
+         CASE WHEN half = 0 THEN 'pre' ELSE 'post' END AS period,
          COUNT(*) AS n,
          ROUND(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
                / COUNT(*), 6) AS mean_value
-  FROM events CROSS JOIN days
+  FROM tagged
   GROUP BY 1, 2
 ),
 piv AS (
@@ -6027,18 +6035,10 @@ FROM piv
 """
 
 
-ORACLES["ml_cuped_adjustment"] = """
-WITH days AS (
-  SELECT MIN(epoch_us(ts) // 86400000000) AS d_min,
-         MAX(epoch_us(ts) // 86400000000) AS d_max
-  FROM events
-),
-tagged AS (
-  SELECT user_id,
-         CASE WHEN epoch_us(ts) // 86400000000 < (d_min + d_max) // 2
-              THEN 0 ELSE 1 END AS half,
-         CAST(value AS DECIMAL(28,12)) AS v
-  FROM events CROSS JOIN days
+ORACLES["ml_cuped_adjustment"] = f"""
+WITH {_EV_HALF_CTES},
+vtagged AS (
+  SELECT user_id, half, CAST(value AS DECIMAL(28,12)) AS v FROM tagged
 ),
 halves AS (
   SELECT user_id,
@@ -6046,7 +6046,7 @@ halves AS (
                / COUNT(CASE WHEN half = 0 THEN 1 END), 10) AS x,
          ROUND(CAST(SUM(CASE WHEN half = 1 THEN v END) AS DOUBLE)
                / COUNT(CASE WHEN half = 1 THEN 1 END), 10) AS y
-  FROM tagged GROUP BY user_id
+  FROM vtagged GROUP BY user_id
 ),
 fil AS (SELECT * FROM halves WHERE x IS NOT NULL AND y IS NOT NULL),
 m AS (

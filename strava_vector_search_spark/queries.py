@@ -8994,19 +8994,25 @@ QUERIES.update({"ev_power_analysis": ev_power_analysis})
 def a21_histogram_quantile_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile maintenance via fixed-width histograms: each
     day keeps a bounded (bin, cnt) histogram of `value` (the per-
-    partition/per-batch summary); histograms MERGE by cell addition
-    (the CMS property applied to quantiles), and any quantile reads off
-    the merged cumulative walk -- estimate error is bounded by the bin
-    width by construction (pinned vs the exact percentile in tests).
-    This is how percentile dashboards stay incrementally maintainable
-    at 100 TB: the raw value stream never re-shuffles, only |days| x
-    |bins| cells do. The DAILY histogram stage is explicit in the plan
-    (not collapsed into a global count) because the per-day state is
-    the unit a streaming refresh would persist."""
+    partition/per-batch summary; NULL values excluded by contract);
+    histograms MERGE by cell addition (the CMS property applied to
+    quantiles), and any quantile reads off the merged cumulative walk
+    via the SAME helper the live stream uses
+    (streaming/hist_stream.quantiles_from_histogram — one quantile rule,
+    batch and streaming) -- estimate error is bounded by the bin width
+    by construction (pinned vs the exact percentile in tests). This is
+    how percentile dashboards stay incrementally maintainable at
+    100 TB: the raw value stream never re-shuffles, only |days| x
+    |bins| cells do."""
+    from strava_vector_search_spark.streaming.hist_stream import (
+        quantiles_from_histogram,
+    )
+
     ev = load_events(spark, sf_dir)
     us = F.unix_micros(F.col("ts"))
     daily_hist = (
-        ev.select(us.alias("t_us"), "value")
+        ev.filter(F.col("value").isNotNull())
+        .select(us.alias("t_us"), "value")
         .select(
             F.expr("t_us DIV 86400000000").alias("day"),
             F.expr(
@@ -9016,34 +9022,17 @@ def a21_histogram_quantile_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    merged = daily_hist.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
-    wcum = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    walk = (
-        merged.withColumn("cum", F.sum("cnt").over(wcum))
-        .crossJoin(
-            F.broadcast(merged.agg(F.sum("cnt").alias("n_total")))
-        )
+    merged = (
+        daily_hist.groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    qs = spark.createDataFrame(
-        [(0.5,), (0.9,), (0.99,)], "q double"
-    )
-    hits = (
-        qs.crossJoin(F.broadcast(walk))
-        .filter(
-            F.expr("cum >= CAST(CEIL(q * CAST(n_total AS DOUBLE)) AS BIGINT)")
-        )
-        .groupBy("q", "n_total")
-        .agg(F.min("bin").alias("est_bin"))
-    )
-    return hits.select(
+    return quantiles_from_histogram(merged, [0.5, 0.9, 0.99]).select(
         "q",
         "n_total",
         "est_bin",
-        F.expr("ROUND(CAST(est_bin AS DOUBLE) + 0.5, 6)").alias("est_value"),
-    ).orderBy("q")
+        F.expr("ROUND(est_value, 6)").alias("est_value"),
+    )
 
 
 QUERIES.update({"a21_histogram_quantile_union": a21_histogram_quantile_union})
@@ -9109,6 +9098,33 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"ml_kmeans_step": ml_kmeans_step})
 
 
+def _events_with_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pre/post split for the causal gates: every event tagged
+    with half = 0 (before the exact midpoint of the observed day range)
+    or 1 -- ev_did_estimator and ml_cuped_adjustment must cut the
+    timeline identically or DiD and CUPED silently diverge (the
+    _ab_arm_aggregate sharing pattern applied to the period axis).
+    Oracle twin: _EV_HALF_CTES in oracles.py."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    days = ev.select(us.alias("t_us")).agg(
+        F.expr("MIN(t_us DIV 86400000000)").alias("d_min"),
+        F.expr("MAX(t_us DIV 86400000000)").alias("d_max"),
+    )
+    return (
+        ev.select("user_id", "value", us.alias("t_us"))
+        .crossJoin(F.broadcast(days))
+        .select(
+            "user_id",
+            "value",
+            F.expr(
+                "CASE WHEN t_us DIV 86400000000 < (d_min + d_max) DIV 2"
+                " THEN 0 ELSE 1 END"
+            ).alias("half"),
+        )
+    )
+
+
 def ev_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences estimate over the A/B arms around the
     series midpoint -- the causal-inference workhorse for staged
@@ -9118,21 +9134,13 @@ def ev_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell means; the estimator is 4-cell arithmetic. Arms share
     _ab_arm_aggregate's id-parity split; the period cut is the exact
     midpoint of the observed day range."""
-    ev = load_events(spark, sf_dir)
-    us = F.unix_micros(F.col("ts"))
-    days = ev.select(us.alias("t_us")).agg(
-        F.expr("MIN(t_us DIV 86400000000)").alias("d_min"),
-        F.expr("MAX(t_us DIV 86400000000)").alias("d_max"),
-    )
     cells = (
-        ev.select("user_id", "value", us.alias("t_us"))
-        .crossJoin(F.broadcast(days))
+        _events_with_half(spark, sf_dir)
         .select(
             F.expr("user_id % 2").alias("arm"),
-            F.expr(
-                "CASE WHEN t_us DIV 86400000000 < (d_min + d_max) DIV 2"
-                " THEN 'pre' ELSE 'post' END"
-            ).alias("period"),
+            F.expr("CASE WHEN half = 0 THEN 'pre' ELSE 'post' END").alias(
+                "period"
+            ),
             "value",
         )
         .groupBy("arm", "period")
@@ -9180,23 +9188,8 @@ def ml_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-tests. Two bounded aggregates (per-user halves -> one moment
     fold); the whole estimator is 1-row closed-form arithmetic, the
     moments-then-solve recipe applied to experiment analytics."""
-    ev = load_events(spark, sf_dir)
-    us = F.unix_micros(F.col("ts"))
-    days = ev.select(us.alias("t_us")).agg(
-        F.expr("MIN(t_us DIV 86400000000)").alias("d_min"),
-        F.expr("MAX(t_us DIV 86400000000)").alias("d_max"),
-    )
     halves = (
-        ev.select("user_id", "value", us.alias("t_us"))
-        .crossJoin(F.broadcast(days))
-        .select(
-            "user_id",
-            F.expr(
-                "CASE WHEN t_us DIV 86400000000 < (d_min + d_max) DIV 2"
-                " THEN 0 ELSE 1 END"
-            ).alias("half"),
-            "value",
-        )
+        _events_with_half(spark, sf_dir)
         .groupBy("user_id")
         .agg(
             F.expr(

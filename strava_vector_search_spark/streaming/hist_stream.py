@@ -24,9 +24,12 @@ from pyspark.sql import Window
 def value_histogram(
     df: DataFrame, value_col: str, n_bins: int = 800
 ) -> DataFrame:
-    """Fixed-width (bin, cnt) histogram — the mergeable summary."""
+    """Fixed-width (bin, cnt) histogram — the mergeable summary.
+    NULL values are excluded (a NULL bin would inflate quantile targets
+    and sort differently across engines)."""
     return (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             F.expr(
                 f"LEAST({n_bins - 1}, GREATEST(0,"
                 f" CAST(FLOOR({value_col}) AS INT)))"
