@@ -220,6 +220,12 @@ HEADLINE = [
     "ev_did_estimator",
     "ml_cuped_adjustment",
     "g_kcore",
+    "ev_acf_lags",
+    "ev_trend_robust",
+    "ab_welch_ttest",
+    "ab_mann_whitney_u",
+    "a23_chi_square",
+    "a24_gini_revenue",
 ]
 
 

@@ -6114,3 +6114,203 @@ def _kcore_sql(k: int = 3, rounds: int = 4) -> str:
 
 
 ORACLES["g_kcore"] = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
+# round-5 continued: statistical inference, robust trend, concentration
+# ---------------------------------------------------------------------------
+
+from strava_vector_search_spark.operators import stats as _ST
+
+ORACLES["ev_acf_lags"] = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(x) AS n_total, COUNT(*) AS n_days FROM daily),
+ser AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, n_days,
+         ROUND(CAST(x AS DOUBLE) - CAST(n_total AS DOUBLE)
+               / CAST(n_days AS DOUBLE), 6) AS d
+  FROM daily CROSS JOIN tot
+),
+den AS (
+  SELECT CAST(SUM(CAST(ROUND(d * d, 10) AS DECIMAL(38,12))) AS DOUBLE)
+           AS den
+  FROM ser
+),
+lags AS (SELECT CAST(r AS INT) AS lag FROM range(1, 8) t(r)),
+num AS (
+  SELECT lag, MAX(a.n_days) AS n_days,
+         CAST(SUM(CAST(ROUND(a.d * b.d, 10) AS DECIMAL(38,12))) AS DOUBLE)
+           AS num
+  FROM ser a CROSS JOIN lags JOIN ser b ON b.i = a.i - lag
+  GROUP BY lag
+)
+SELECT lag, n_days, ROUND(num / den, 6) AS acf
+FROM num CROSS JOIN den
+ORDER BY lag
+"""
+
+
+ORACLES["ev_trend_robust"] = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.day AS da, b.day AS db,
+         ROUND(CAST(b.x - a.x AS DOUBLE)
+               / CAST(b.day - a.day AS DOUBLE), 10) AS slope,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+           AS sgn
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+ranked AS (
+  SELECT slope,
+         ROW_NUMBER() OVER (ORDER BY slope, da, db) AS rn,
+         COUNT(*) OVER () AS cnt,
+         SUM(sgn) OVER () AS s_stat
+  FROM pairs
+),
+med AS (
+  SELECT cnt AS n_pairs, s_stat, slope AS sen_slope
+  FROM ranked WHERE rn = (cnt + 1) // 2
+),
+nd AS (SELECT COUNT(*) AS n_days FROM daily)
+SELECT n_days, n_pairs, s_stat,
+       ROUND(CAST(s_stat AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS tau_a,
+       sen_slope
+FROM med CROSS JOIN nd
+"""
+
+
+ORACLES["ab_welch_ttest"] = f"""
+WITH purch AS (
+  SELECT user_id % 2 AS arm, value
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+         SUM(CASE WHEN arm = 0
+             THEN CAST(value AS DECIMAL(28,12)) END) AS sy_a,
+         SUM(CASE WHEN arm = 0
+             THEN CAST(value * value AS DECIMAL(28,12)) END) AS syy_a,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+         SUM(CASE WHEN arm = 1
+             THEN CAST(value AS DECIMAL(28,12)) END) AS sy_b,
+         SUM(CASE WHEN arm = 1
+             THEN CAST(value * value AS DECIMAL(28,12)) END) AS syy_b
+  FROM purch
+),
+mom AS (
+  SELECT n_a, n_b,
+         {_ST.MOMENT_MEAN.format(a="a")} AS m_a,
+         {_ST.MOMENT_VAR.format(a="a")} AS v_a,
+         {_ST.MOMENT_MEAN.format(a="b")} AS m_b,
+         {_ST.MOMENT_VAR.format(a="b")} AS v_b
+  FROM agg
+)
+SELECT n_a, n_b, m_a, m_b, v_a, v_b,
+       {_ST.WELCH_T_EXPR} AS t_stat,
+       {_ST.WELCH_DF_EXPR} AS df_welch
+FROM mom
+"""
+
+
+ORACLES["ab_mann_whitney_u"] = f"""
+WITH purch AS (
+  SELECT user_id % 2 AS arm, ROUND(value, 2) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+kern AS (
+  SELECT v,
+         COUNT(CASE WHEN arm = 0 THEN 1 END) AS ca,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS cb
+  FROM purch GROUP BY v
+),
+per AS (
+  SELECT ca, cb,
+         ca * (2 * COALESCE(SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cb) AS u1x2_term,
+         (ca + cb) * (ca + cb) * (ca + cb) - (ca + cb) AS t3_term
+  FROM kern
+),
+agg AS (
+  SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+         SUM(u1x2_term) AS u1x2, SUM(t3_term) AS st3,
+         SUM(ca) + SUM(cb) AS n_tot
+  FROM per
+)
+SELECT n_a, n_b,
+       {_ST.MW_U1_EXPR} AS u1,
+       {_ST.MW_Z_EXPR} AS z_stat
+FROM agg
+"""
+
+
+ORACLES["a23_chi_square"] = f"""
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS n
+  FROM documents GROUP BY lang, source
+),
+rowt AS (SELECT lang, SUM(n) AS row_t FROM obs GROUP BY lang),
+colt AS (SELECT source, SUM(n) AS col_t FROM obs GROUP BY source),
+tot AS (SELECT SUM(n) AS n_tot FROM obs),
+grid AS (
+  SELECT rowt.lang, colt.source, row_t, col_t, n_tot,
+         COALESCE(obs.n, 0) AS n_obs
+  FROM rowt CROSS JOIN colt CROSS JOIN tot
+  LEFT JOIN obs ON obs.lang = rowt.lang AND obs.source = colt.source
+),
+cells AS (
+  SELECT lang, source, n_tot, {_ST.CHI2_TERM_EXPR} AS term
+  FROM grid
+),
+out AS (
+  SELECT COUNT(DISTINCT lang) AS r_levels,
+         COUNT(DISTINCT source) AS c_levels,
+         MAX(n_tot) AS n_tot,
+         ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS chi2
+  FROM cells
+)
+SELECT n_tot, r_levels, c_levels, chi2,
+       (r_levels - 1) * (c_levels - 1) AS dof,
+       ROUND(SQRT(chi2 / (CAST(n_tot AS DOUBLE)
+             * CAST(LEAST(r_levels - 1, c_levels - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM out
+"""
+
+
+ORACLES["a24_gini_revenue"] = f"""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,12)))
+              AS DECIMAL(28,6)) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev, o_custkey,
+         ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+         COUNT(*) OVER () AS n_c
+  FROM rev
+),
+agg AS (
+  SELECT n_c, SUM(rev) AS sx,
+         SUM(CAST(CAST(i AS DECIMAL(18,0)) * rev AS DECIMAL(38,6)))
+           AS swx,
+         SUM(CASE WHEN i <= n_c // 2 THEN rev END) AS s_bot50,
+         SUM(CASE WHEN i > n_c - n_c // 10 THEN rev END) AS s_top10
+  FROM ranked GROUP BY n_c
+)
+SELECT n_c AS n_customers,
+       {_ST.GINI_EXPR} AS gini,
+       ROUND(CAST(s_bot50 AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+         AS bot50_share,
+       ROUND(CAST(s_top10 AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+         AS top10_share
+FROM agg
+"""

@@ -9330,3 +9330,350 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"g_kcore": g_kcore})
+
+
+# ---------------------------------------------------------------------------
+# round-5 continued: statistical inference, robust trend, concentration
+# ---------------------------------------------------------------------------
+
+
+def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-volume series at lags 1..7 --
+    the seasonality probe behind every pipeline-health dashboard (a
+    weekly cycle shows up as a lag-7 peak). Corpus-scale work is ONE
+    per-day count aggregate; centering, the lag pairing (a bounded
+    self-join against a 7-row lag table) and the normalized products
+    are all |days|-bounded. Products are rounded to 10 dp and folded
+    through DECIMAL so partial-agg order never shifts the sum; ACF is
+    positional over the observed-day sequence (gaps collapse)."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    daily = (
+        ev.select(us.alias("t_us"))
+        .withColumn("day", F.expr("t_us DIV 86400000000"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = daily.agg(
+        F.sum("x").alias("n_total"), F.count(F.lit(1)).alias("n_days")
+    )
+    ser = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(Window.orderBy("day")))
+        .select(
+            "i",
+            "n_days",
+            F.expr(
+                "ROUND(CAST(x AS DOUBLE) - CAST(n_total AS DOUBLE)"
+                " / CAST(n_days AS DOUBLE), 6)"
+            ).alias("d"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    den = ser.agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(d * d, 10) AS DECIMAL(38,12))) AS DOUBLE)"
+        ).alias("den")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a, b = ser.alias("a"), ser.alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.i") == F.col("a.i") - F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.max(F.col("a.n_days")).alias("n_days"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(a.d * b.d, 10) AS DECIMAL(38,12)))"
+                " AS DOUBLE)"
+            ).alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select("lag", "n_days", F.expr("ROUND(num / den, 6)").alias("acf"))
+        .orderBy("lag")
+    )
+
+
+QUERIES.update({"ev_acf_lags": ev_acf_lags})
+
+
+def ev_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend readout on the daily event-volume series: the
+    Mann-Kendall S statistic / tau-a (pairwise sign counts -- exact
+    integers) and the Theil-Sen slope (median of pairwise per-day
+    slopes) -- the outlier-proof alternative to OLS every monitoring
+    stack wants. The corpus folds to |days| rows in ONE aggregate; the
+    |days|^2/2 pair table is bounded and never touches raw events.
+    Slopes are rounded to 10 dp BEFORE the (slope, day_i, day_j) sort
+    so near-ties rank identically in both engines; the median is the
+    deterministic lower median (rn == (cnt+1) DIV 2)."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    daily = (
+        ev.select(us.alias("t_us"))
+        .withColumn("day", F.expr("t_us DIV 86400000000"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("b.day") > F.col("a.day")).select(
+        F.col("a.day").alias("da"),
+        F.col("b.day").alias("db"),
+        F.expr(
+            "ROUND(CAST(b.x - a.x AS DOUBLE)"
+            " / CAST(b.day - a.day AS DOUBLE), 10)"
+        ).alias("slope"),
+        F.expr(
+            "CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1"
+            " ELSE 0 END"
+        ).alias("sgn"),
+    )
+    wrn = Window.orderBy("slope", "da", "db")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        pairs.withColumn("rn", F.row_number().over(wrn))
+        .withColumn("cnt", F.count(F.lit(1)).over(wall))
+        .withColumn("s_stat", F.sum("sgn").over(wall))
+        .filter(F.expr("rn = (cnt + 1) DIV 2"))
+        .select(
+            F.col("cnt").alias("n_pairs"),
+            "s_stat",
+            F.col("slope").alias("sen_slope"),
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return med.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        F.expr(
+            "ROUND(CAST(s_stat AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)"
+        ).alias("tau_a"),
+        "sen_slope",
+    )
+
+
+QUERIES.update({"ev_trend_robust": ev_trend_robust})
+
+
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on purchase value between the
+    id-parity experiment arms -- the continuous-metric companion to
+    ab_proportion_ztest (revenue-per-purchase readouts never satisfy
+    equal-variance, so Welch is the default every experimentation
+    platform ships). ONE map-side-combined pass folds the corpus to six
+    DECIMAL moments; means/variances are rounded closed forms and the
+    t statistic + Welch-Satterthwaite df are shared expression text
+    (operators/stats.WELCH_*), so both engines evaluate byte-identical
+    IEEE trees."""
+    from strava_vector_search_spark.operators import stats as S
+
+    ev = load_events(spark, sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr("user_id % 2").alias("arm"), "value"
+    )
+    agg = purch.groupBy().agg(
+        F.expr("COUNT(CASE WHEN arm = 0 THEN 1 END)").alias("n_a"),
+        F.expr(
+            "SUM(CASE WHEN arm = 0"
+            " THEN CAST(value AS DECIMAL(28,12)) END)"
+        ).alias("sy_a"),
+        F.expr(
+            "SUM(CASE WHEN arm = 0"
+            " THEN CAST(value * value AS DECIMAL(28,12)) END)"
+        ).alias("syy_a"),
+        F.expr("COUNT(CASE WHEN arm = 1 THEN 1 END)").alias("n_b"),
+        F.expr(
+            "SUM(CASE WHEN arm = 1"
+            " THEN CAST(value AS DECIMAL(28,12)) END)"
+        ).alias("sy_b"),
+        F.expr(
+            "SUM(CASE WHEN arm = 1"
+            " THEN CAST(value * value AS DECIMAL(28,12)) END)"
+        ).alias("syy_b"),
+    )
+    mom = agg.select(
+        "n_a",
+        "n_b",
+        F.expr(S.MOMENT_MEAN.format(a="a")).alias("m_a"),
+        F.expr(S.MOMENT_VAR.format(a="a")).alias("v_a"),
+        F.expr(S.MOMENT_MEAN.format(a="b")).alias("m_b"),
+        F.expr(S.MOMENT_VAR.format(a="b")).alias("v_b"),
+    )
+    return mom.select(
+        "n_a",
+        "n_b",
+        "m_a",
+        "m_b",
+        "v_a",
+        "v_b",
+        F.expr(S.WELCH_T_EXPR).alias("t_stat"),
+        F.expr(S.WELCH_DF_EXPR).alias("df_welch"),
+    )
+
+
+QUERIES.update({"ab_welch_ttest": ab_welch_ttest})
+
+
+def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test on purchase value between the
+    id-parity arms -- the nonparametric A/B readout for skewed revenue
+    distributions. Computed the distributed-exact way: values bin to
+    cents (the gate's documented granularity contract, which also
+    exercises the tie-corrected variance), ONE groupBy folds the corpus
+    to per-distinct-value arm counts, and U1 comes off a single
+    cumulative window over that bounded kernel --
+    2*U1 = sum cA(v) * (2*cumB(<v) + cB(v)), exact BIGINT throughout.
+    Normal approximation with tie correction, no continuity correction
+    (operators/stats.MW_*)."""
+    from strava_vector_search_spark.operators import stats as S
+
+    ev = load_events(spark, sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr("user_id % 2").alias("arm"),
+        F.expr("ROUND(value, 2)").alias("v"),
+    )
+    kern = purch.groupBy("v").agg(
+        F.expr("COUNT(CASE WHEN arm = 0 THEN 1 END)").alias("ca"),
+        F.expr("COUNT(CASE WHEN arm = 1 THEN 1 END)").alias("cb"),
+    )
+    wpre = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    per = kern.withColumn(
+        "cumb", F.coalesce(F.sum("cb").over(wpre), F.lit(0))
+    ).select(
+        "ca",
+        "cb",
+        F.expr("ca * (2 * cumb + cb)").alias("u1x2_term"),
+        F.expr(
+            "(ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)"
+        ).alias("t3_term"),
+    )
+    agg = per.groupBy().agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum("u1x2_term").alias("u1x2"),
+        F.sum("t3_term").alias("st3"),
+    ).withColumn("n_tot", F.expr("n_a + n_b"))
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr(S.MW_U1_EXPR).alias("u1"),
+        F.expr(S.MW_Z_EXPR).alias("z_stat"),
+    )
+
+
+QUERIES.update({"ab_mann_whitney_u": ab_mann_whitney_u})
+
+
+def a23_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence over the documents lang x source
+    contingency table (+ Cramer's V effect size) -- the categorical-
+    association audit a corpus curator runs before stratifying by
+    source. ONE groupBy folds the corpus to |langs x sources| observed
+    cells; margins are two aggregates of THAT table, and the full grid
+    (including zero-observed cells, which proper chi-square must count)
+    is a bounded margin x margin cross join with the observed cells
+    left-joined in. Cell terms round to 10 dp then fold through DECIMAL
+    (operators/stats.CHI2_*)."""
+    from strava_vector_search_spark.operators import stats as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rowt = obs.groupBy("lang").agg(F.sum("n").alias("row_t"))
+    colt = obs.groupBy("source").agg(F.sum("n").alias("col_t"))
+    tot = obs.agg(F.sum("n").alias("n_tot"))
+    grid = (
+        rowt.crossJoin(F.broadcast(colt))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["lang", "source"], "left")
+        .withColumn("n_obs", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    cells = grid.select(
+        "lang",
+        "source",
+        "n_tot",
+        F.expr(S.CHI2_TERM_EXPR).alias("term"),
+    )
+    out = cells.groupBy().agg(
+        F.countDistinct("lang").alias("r_levels"),
+        F.countDistinct("source").alias("c_levels"),
+        F.max("n_tot").alias("n_tot"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)"
+        ).alias("chi2"),
+    )
+    return out.select(
+        "n_tot",
+        "r_levels",
+        "c_levels",
+        "chi2",
+        F.expr("(r_levels - 1) * (c_levels - 1)").alias("dof"),
+        F.expr(
+            "ROUND(SQRT(chi2 / (CAST(n_tot AS DOUBLE)"
+            " * CAST(LEAST(r_levels - 1, c_levels - 1) AS DOUBLE))), 6)"
+        ).alias("cramers_v"),
+    )
+
+
+QUERIES.update({"a23_chi_square": a23_chi_square})
+
+
+def a24_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration: the Gini coefficient via the
+    sorted-rank identity plus two Lorenz-curve checkpoints (bottom-half
+    and top-decile revenue share) -- the inequality readout behind
+    corpus/source-concentration audits (same math as token-count
+    concentration over sources). ONE DECIMAL aggregate per customer,
+    then a global rank over the |customers|-bounded aggregate (at
+    cluster scale this rank is a range-partitioned sort, the same shape
+    w_pareto_abc documents); rank-weighted sums stay exact DECIMAL
+    until the single closing division (operators/stats.GINI_EXPR)."""
+    from strava_vector_search_spark.operators import stats as S
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,12)))"
+            " AS DECIMAL(28,6))"
+        ).alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = (
+        rev.withColumn("i", F.row_number().over(w))
+        .withColumn("n_c", F.count(F.lit(1)).over(wall))
+    )
+    agg = r.groupBy("n_c").agg(
+        F.sum("rev").alias("sx"),
+        F.sum(
+            F.expr("CAST(CAST(i AS DECIMAL(18,0)) * rev AS DECIMAL(38,6))")
+        ).alias("swx"),
+        F.sum(F.expr("CASE WHEN i <= n_c DIV 2 THEN rev END")).alias(
+            "s_bot50"
+        ),
+        F.sum(
+            F.expr("CASE WHEN i > n_c - n_c DIV 10 THEN rev END")
+        ).alias("s_top10"),
+    )
+    return agg.select(
+        F.col("n_c").alias("n_customers"),
+        F.expr(S.GINI_EXPR).alias("gini"),
+        F.expr(
+            "ROUND(CAST(s_bot50 AS DOUBLE) / CAST(sx AS DOUBLE), 6)"
+        ).alias("bot50_share"),
+        F.expr(
+            "ROUND(CAST(s_top10 AS DOUBLE) / CAST(sx AS DOUBLE), 6)"
+        ).alias("top10_share"),
+    )
+
+
+QUERIES.update({"a24_gini_revenue": a24_gini_revenue})

@@ -1,0 +1,155 @@
+"""Round-5 (continued) operator invariants: ACF, Mann-Kendall/Theil-Sen,
+Welch t, Mann-Whitney U, chi-square independence, and Gini concentration
+— each pinned against an independent pure-Python replay of the statistic
+(brute force where the operator is kernel/window based), not just the
+DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.io.tables import load_events, load_table
+from strava_vector_search_spark.queries import QUERIES
+
+
+def _daily_counts(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    rows = (
+        ev.select(F.expr("unix_micros(ts) DIV 86400000000").alias("day"))
+        .groupBy("day")
+        .count()
+        .orderBy("day")
+        .collect()
+    )
+    return [(r["day"], r["count"]) for r in rows]
+
+
+def _purchase_values(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    rows = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr("user_id % 2").alias("arm"), "value"
+    ).collect()
+    return [(r["arm"], r["value"]) for r in rows]
+
+
+def test_acf_matches_python(spark, sf_dir):
+    series = [x for _, x in _daily_counts(spark, sf_dir)]
+    n = len(series)
+    mean = sum(series) / n
+    d = [x - mean for x in series]
+    den = sum(v * v for v in d)
+    got = {
+        r["lag"]: r["acf"]
+        for r in QUERIES["ev_acf_lags"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(1, 8))
+    for k in range(1, 8):
+        exp = sum(d[i] * d[i - k] for i in range(k, n)) / den
+        assert abs(got[k] - exp) < 1e-4, (k, got[k], exp)
+    # a correlation is bounded
+    assert all(-1.001 <= v <= 1.001 for v in got.values())
+
+
+def test_trend_robust_matches_python(spark, sf_dir):
+    pts = _daily_counts(spark, sf_dir)
+    pairs = [
+        (pts[j][1] - pts[i][1], pts[j][0] - pts[i][0])
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+    ]
+    s = sum((dx > 0) - (dx < 0) for dx, _ in pairs)
+    slopes = sorted(round(dx / dd, 10) for dx, dd in pairs)
+    sen = slopes[(len(slopes) + 1) // 2 - 1]  # lower median, same rule
+    row = QUERIES["ev_trend_robust"](spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == len(pairs)
+    assert row["s_stat"] == s
+    assert abs(row["tau_a"] - s / len(pairs)) < 1e-6
+    assert abs(row["sen_slope"] - sen) < 1e-9
+
+
+def test_welch_matches_python(spark, sf_dir):
+    vals = _purchase_values(spark, sf_dir)
+    a = [v for arm, v in vals if arm == 0]
+    b = [v for arm, v in vals if arm == 1]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    se2 = va / len(a) + vb / len(b)
+    t = (ma - mb) / se2**0.5
+    df = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    row = QUERIES["ab_welch_ttest"](spark, sf_dir).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["t_stat"] - t) < 1e-3
+    assert abs(row["df_welch"] - df) < 0.5
+    # df bounded by the two-sample extremes
+    assert min(len(a), len(b)) - 1 <= row["df_welch"] <= len(a) + len(b) - 2
+
+
+def test_mann_whitney_matches_brute_force(spark, sf_dir):
+    vals = _purchase_values(spark, sf_dir)
+    a = [round(v, 2) for arm, v in vals if arm == 0]
+    b = [round(v, 2) for arm, v in vals if arm == 1]
+    u1 = sum(
+        1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b
+    )
+    row = QUERIES["ab_mann_whitney_u"](spark, sf_dir).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["u1"] - u1) < 1e-9
+    # z sign must agree with the mean-rank direction
+    mu = len(a) * len(b) / 2.0
+    assert (row["z_stat"] > 0) == (u1 > mu) or abs(u1 - mu) < 1e-9
+
+
+def test_chi_square_matches_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cells = {
+        (r["lang"], r["source"]): r["count"]
+        for r in docs.groupBy("lang", "source").count().collect()
+    }
+    langs = sorted({k[0] for k in cells})
+    sources = sorted({k[1] for k in cells})
+    n = sum(cells.values())
+    rowt = {l: sum(v for k, v in cells.items() if k[0] == l) for l in langs}
+    colt = {s: sum(v for k, v in cells.items() if k[1] == s) for s in sources}
+    chi2 = 0.0
+    for l in langs:
+        for s in sources:
+            e = rowt[l] * colt[s] / n
+            o = cells.get((l, s), 0)
+            chi2 += (o - e) ** 2 / e
+    row = QUERIES["a23_chi_square"](spark, sf_dir).collect()[0]
+    assert row["n_tot"] == n
+    assert row["r_levels"] == len(langs)
+    assert row["c_levels"] == len(sources)
+    assert row["dof"] == (len(langs) - 1) * (len(sources) - 1)
+    assert abs(row["chi2"] - chi2) < 1e-3
+    assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_gini_matches_python(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    rev = sorted(
+        (r["rev"], r["o_custkey"])
+        for r in orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .collect()
+    )
+    xs = [x for x, _ in rev]
+    n = len(xs)
+    sx = sum(xs)
+    swx = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = (2 * swx - (n + 1) * sx) / (n * sx)
+    row = QUERIES["a24_gini_revenue"](spark, sf_dir).collect()[0]
+    assert row["n_customers"] == n
+    assert abs(row["gini"] - gini) < 1e-5
+    assert 0.0 <= row["gini"] < 1.0
+    # Lorenz checkpoints: bottom half holds less than its population share,
+    # top decile more than its own
+    assert row["bot50_share"] < 0.5
+    assert row["top10_share"] > 0.1
+    bot = sum(xs[: n // 2]) / sx
+    top = sum(xs[n - n // 10 :]) / sx
+    assert abs(row["bot50_share"] - bot) < 1e-5
+    assert abs(row["top10_share"] - top) < 1e-5
