@@ -226,6 +226,12 @@ HEADLINE = [
     "ab_mann_whitney_u",
     "a23_chi_square",
     "a24_gini_revenue",
+    "w_skyline_2d",
+    "ev_interval_union_time",
+    "diag_distinct_estimate",
+    "lay_compaction_plan",
+    "tx_kl_divergence",
+    "ev_seasonal_decompose",
 ]
 
 

@@ -6314,3 +6314,163 @@ SELECT n_c AS n_customers,
          AS top10_share
 FROM agg
 """
+
+
+ORACLES["w_skyline_2d"] = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p_retailprice, p_partkey
+"""
+
+
+ORACLES["ev_interval_union_time"] = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts)) AS nxt,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts)) AS prv
+  FROM events
+),
+per AS (
+  SELECT user_id,
+         LEAST(COALESCE(nxt - t_us, 1800000000),
+               CAST(1800000000 AS BIGINT)) AS contrib,
+         CASE WHEN prv IS NULL OR t_us - prv >= 1800000000
+              THEN 1 ELSE 0 END AS starts
+  FROM t
+)
+SELECT user_id, COUNT(*) AS n_events, SUM(starts) AS n_intervals,
+       SUM(contrib) AS covered_us
+FROM per
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+ORACLES["diag_distinct_estimate"] = f"""
+WITH samp AS (
+  SELECT l_partkey
+  FROM lineitem
+  WHERE ({_md5i("l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")}
+         % 20) = 0
+),
+per_v AS (SELECT l_partkey, COUNT(*) AS c FROM samp GROUP BY l_partkey),
+sagg AS (
+  SELECT SUM(c) AS sample_rows, COUNT(*) AS d_sample,
+         COUNT(CASE WHEN c = 1 THEN 1 END) AS f1,
+         COUNT(CASE WHEN c = 2 THEN 1 END) AS f2
+  FROM per_v
+),
+exact AS (SELECT COUNT(DISTINCT l_partkey) AS exact_ndv FROM lineitem),
+est AS (
+  SELECT *, ROUND(CAST(d_sample AS DOUBLE)
+            + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+            / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1_est
+  FROM sagg CROSS JOIN exact
+)
+SELECT sample_rows, d_sample, f1, f2, chao1_est, exact_ndv,
+       ROUND(chao1_est / CAST(exact_ndv AS DOUBLE), 6) AS est_ratio
+FROM est
+"""
+
+
+ORACLES["lay_compaction_plan"] = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS est_bytes
+  FROM documents GROUP BY source
+),
+planned AS (
+  SELECT source, n_docs, est_bytes, est_bytes + 1024 AS cost,
+         SUM(est_bytes + 1024) OVER (ORDER BY source
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_src
+)
+SELECT (cum - cost) // 32768 AS bin, COUNT(*) AS n_sources,
+       SUM(n_docs) AS n_docs, SUM(est_bytes) AS est_bytes,
+       SUM(cost) AS total_cost
+FROM planned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+ORACLES["tx_kl_divergence"] = f"""
+WITH tok AS (
+  SELECT CAST(SUBSTRING(source, 4) AS INT) % 2 AS grp,
+         unnest({_TOKS}) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT token,
+         COUNT(CASE WHEN grp = 0 THEN 1 END) AS ca,
+         COUNT(CASE WHEN grp = 1 THEN 1 END) AS cb
+  FROM tok GROUP BY token
+),
+tot AS (
+  SELECT COUNT(*) AS v, SUM(ca) AS na, SUM(cb) AS nb FROM cnt
+),
+terms AS (
+  SELECT v, na, nb,
+         CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE) AS p,
+         CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE) AS q
+  FROM cnt CROSS JOIN tot
+)
+SELECT v AS vocab_size, na AS tokens_a, nb AS tokens_b,
+       ROUND(CAST(SUM(CAST(ROUND(p * LN(p / q), 10)
+             AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_ab,
+       ROUND(CAST(SUM(CAST(ROUND(q * LN(q / p), 10)
+             AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_ba,
+       ROUND(CAST(SUM(CAST(ROUND(
+             0.5 * p * LN(p / ((p + q) / 2.0))
+             + 0.5 * q * LN(q / ((p + q) / 2.0)), 10)
+             AS DECIMAL(38,12))) AS DOUBLE), 6) AS jsd
+FROM terms
+GROUP BY v, na, nb
+"""
+
+
+ORACLES["ev_seasonal_decompose"] = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+  FROM events GROUP BY 1
+),
+ma AS (
+  SELECT day, x,
+         COUNT(*) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+         SUM(x) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7
+  FROM daily
+),
+detr AS (
+  SELECT day % 7 AS dow,
+         ROUND(CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0, 6) AS detr
+  FROM ma WHERE n7 = 7
+),
+raw AS (
+  SELECT dow, COUNT(*) AS n_obs,
+         ROUND(CAST(SUM(CAST(detr AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*), 6) AS seasonal_raw
+  FROM detr GROUP BY dow
+),
+centered AS (
+  SELECT dow, n_obs, seasonal_raw,
+         ROUND(CAST(SUM(CAST(seasonal_raw AS DECIMAL(38,12)))
+               OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+               FOLLOWING) AS DOUBLE)
+               / COUNT(*) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND
+               UNBOUNDED FOLLOWING), 6) AS mean_raw
+  FROM raw
+)
+SELECT dow, n_obs, seasonal_raw,
+       ROUND(seasonal_raw - mean_raw, 6) AS seasonal_centered
+FROM centered
+ORDER BY dow
+"""

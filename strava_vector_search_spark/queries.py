@@ -9677,3 +9677,310 @@ def a24_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"a24_gini_revenue": a24_gini_revenue})
+
+
+def w_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: minimize p_retailprice,
+    maximize p_size -- the dominance query behind best-tradeoff
+    curation (cheapest doc per quality level, smallest model per
+    accuracy...). Computed WITHOUT the quadratic dominance join: fold
+    to per-price levels (max size per distinct price), one cumulative
+    window over that bounded level table gives the best size among all
+    strictly-cheaper levels, and a point survives iff it is its level's
+    max and beats every cheaper level. Two aggregates + one bounded
+    window = linear; skyline is also MERGEABLE (skyline of partition
+    skylines == global skyline), the 1000-executor path. The oracle is
+    the INDEPENDENT brute-force NOT EXISTS dominance definition, so
+    parity proves the window formulation correct."""
+    part = load_table(spark, sf_dir, "part")
+    levels = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("lmax")
+    )
+    wprev = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lv = levels.withColumn("prevmax", F.max("lmax").over(wprev))
+    sky = (
+        part.join(F.broadcast(lv), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("lmax"))
+            & (
+                F.col("prevmax").isNull()
+                | (F.col("prevmax") < F.col("p_size"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+    return sky.orderBy("p_retailprice", "p_partkey")
+
+
+QUERIES.update({"w_skyline_2d": w_skyline_2d})
+
+
+def ev_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage per user: each event opens a 30-min
+    activity lease [ts, ts+30min); overlapping leases merge and the
+    gate reports each user's total covered time and merged-interval
+    count -- the uptime/SLA primitive (and the time-on-site metric)
+    expressed as a per-key sweep. ONE lead/lag window partitioned by
+    user does everything: covered_us = sum min(next_ts - ts, L) with
+    the last event contributing L (exact BIGINT microseconds, zero
+    float risk); an event starts a new interval iff no predecessor
+    within L (touching leases do NOT merge: diff == L starts a new
+    interval, the documented boundary rule). Scales as a partitioned
+    sort, no global state."""
+    ev = load_events(spark, sf_dir)
+    lease = 1800_000_000  # 30 min in microseconds
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("t_us")
+    t = (
+        ev.select("user_id", us.alias("t_us"))
+        .withColumn("nxt", F.lead("t_us").over(w))
+        .withColumn("prv", F.lag("t_us").over(w))
+    )
+    per = t.select(
+        "user_id",
+        F.expr(
+            f"LEAST(COALESCE(nxt - t_us, {lease}),"
+            f" CAST({lease} AS BIGINT))"
+        ).alias("contrib"),
+        F.expr(
+            f"CASE WHEN prv IS NULL OR t_us - prv >= {lease}"
+            " THEN 1 ELSE 0 END"
+        ).alias("starts"),
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("starts").alias("n_intervals"),
+            F.sum("contrib").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES.update({"ev_interval_union_time": ev_interval_union_time})
+
+
+def diag_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner NDV estimation from a 5% deterministic hash sample: the
+    Chao1 abundance estimator (d + f1*(f1-1)/(2*(f2+1)), the
+    bias-corrected form that is defined even when no value repeats
+    twice) predicts the distinct l_partkey count of the FULL table from
+    singleton/doubleton counts in the sample -- what a query planner
+    does when a full NDV pass is too expensive at 100 TB. The sample
+    predicate is the portable 60-bit md5 bucket (admission is map-only
+    and re-runnable); f1/f2 fold out of one per-value count aggregate
+    over the sample. The exact NDV and the estimate/actual ratio are
+    reported side by side, so the gate pins BOTH the estimator
+    arithmetic and the sampling determinism."""
+    from strava_vector_search_spark.operators.dedup import md5_int
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    samp = li.withColumn("h", F.pmod(md5_int(rid), F.lit(20))).filter(
+        F.col("h") == 0
+    )
+    per_v = samp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    sagg = per_v.agg(
+        F.sum("c").alias("sample_rows"),
+        F.count(F.lit(1)).alias("d_sample"),
+        F.expr("COUNT(CASE WHEN c = 1 THEN 1 END)").alias("f1"),
+        F.expr("COUNT(CASE WHEN c = 2 THEN 1 END)").alias("f2"),
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_ndv"))
+    est = sagg.crossJoin(F.broadcast(exact)).withColumn(
+        "chao1_est",
+        F.expr(
+            "ROUND(CAST(d_sample AS DOUBLE)"
+            " + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)"
+            " / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6)"
+        ),
+    )
+    return est.select(
+        "sample_rows",
+        "d_sample",
+        "f1",
+        "f2",
+        "chao1_est",
+        "exact_ndv",
+        F.expr(
+            "ROUND(chao1_est / CAST(exact_ndv AS DOUBLE), 6)"
+        ).alias("est_ratio"),
+    )
+
+
+QUERIES.update({"diag_distinct_estimate": diag_distinct_estimate})
+
+
+def lay_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning (the OPTIMIZE/bin-packing step
+    of every lakehouse maintenance loop): estimate each source
+    partition's output bytes from its content, then pack partitions
+    into target-sized output files with Spark's own scan-packing rule
+    -- concatenate in order, charge an open-cost per input, cut a bin
+    every `target` cost units (FilePartition's maxPartitionBytes +
+    openCostInBytes). ONE per-source aggregate; the cumulative window
+    runs over the |sources|-bounded table; bin id = floor(start_offset
+    / target) is pure integer arithmetic, so the plan is deterministic
+    and identical across engines. Output: one row per planned output
+    file with its input count and estimated bytes."""
+    target, open_cost = 32768, 1024
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("est_bytes"),
+    )
+    wcum = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    planned = (
+        per_src.withColumn("cost", F.expr(f"est_bytes + {open_cost}"))
+        .withColumn("cum", F.sum("cost").over(wcum))
+        .withColumn("bin", F.expr(f"(cum - cost) DIV {target}"))
+    )
+    return (
+        planned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("est_bytes").alias("est_bytes"),
+            F.sum("cost").alias("total_cost"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES.update({"lay_compaction_plan": lay_compaction_plan})
+
+
+def tx_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shift between two corpus halves as unigram KL
+    divergence (both directions) + Jensen-Shannon -- the drift readout
+    a curation pipeline runs between crawl snapshots or source groups
+    (PSI's token-level sibling). Groups = even/odd source id; ONE
+    tokenize+aggregate pass folds the corpus to per-token counts for
+    both groups; add-1 smoothing over the shared vocab keeps every
+    term finite; p*ln(p/q) terms round to 10 dp and fold through
+    DECIMAL so the sum is order-insensitive. Work after the scan is
+    |vocab|-bounded."""
+    from strava_vector_search_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.expr("CAST(SUBSTRING(source, 4) AS INT) % 2").alias("grp"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    cnt = tok.groupBy("token").agg(
+        F.expr("COUNT(CASE WHEN grp = 0 THEN 1 END)").alias("ca"),
+        F.expr("COUNT(CASE WHEN grp = 1 THEN 1 END)").alias("cb"),
+    )
+    tot = cnt.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    )
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        F.expr(
+            "CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)"
+        ).alias("p"),
+        F.expr(
+            "CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)"
+        ).alias("q"),
+    )
+    folded = terms.groupBy("v", "na", "nb").agg(
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(p * LN(p / q), 10)"
+            " AS DECIMAL(38,12))) AS DOUBLE), 6)"
+        ).alias("kl_ab"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(q * LN(q / p), 10)"
+            " AS DECIMAL(38,12))) AS DOUBLE), 6)"
+        ).alias("kl_ba"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND("
+            "0.5 * p * LN(p / ((p + q) / 2.0))"
+            " + 0.5 * q * LN(q / ((p + q) / 2.0)), 10)"
+            " AS DECIMAL(38,12))) AS DOUBLE), 6)"
+        ).alias("jsd"),
+    )
+    return folded.select(
+        F.col("v").alias("vocab_size"),
+        F.col("na").alias("tokens_a"),
+        F.col("nb").alias("tokens_b"),
+        "kl_ab",
+        "kl_ba",
+        "jsd",
+    )
+
+
+QUERIES.update({"tx_kl_divergence": tx_kl_divergence})
+
+
+def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily volume
+    series: trend = centered 7-day moving average (full windows only),
+    day-of-week seasonal index = mean of the detrended series per
+    epoch-relative weekday (day % 7), centered so indices sum to ~0 --
+    the decomposition every capacity-planning dashboard applies before
+    anomaly thresholds. ONE per-day aggregate; the MA window, the
+    per-dow index and the centering all run over |days|- and 7-bounded
+    tables. Detrended values round to 6 dp, index means fold through
+    DECIMAL."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    daily = (
+        ev.select(us.alias("t_us"))
+        .withColumn("day", F.expr("t_us DIV 86400000000"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wma = Window.orderBy("day").rowsBetween(-3, 3)
+    detr = (
+        daily.withColumn("n7", F.count(F.lit(1)).over(wma))
+        .withColumn("s7", F.sum("x").over(wma))
+        .filter(F.col("n7") == 7)
+        .select(
+            F.expr("day % 7").alias("dow"),
+            F.expr(
+                "ROUND(CAST(x AS DOUBLE)"
+                " - CAST(s7 AS DOUBLE) / 7.0, 6)"
+            ).alias("detr"),
+        )
+    )
+    raw = detr.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(detr AS DECIMAL(38,12))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("seasonal_raw"),
+    )
+    centered = raw.withColumn(
+        "mean_raw",
+        F.expr(
+            "ROUND(CAST(SUM(CAST(seasonal_raw AS DECIMAL(38,12)))"
+            " OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+            " FOLLOWING) AS DOUBLE)"
+            " / COUNT(*) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " UNBOUNDED FOLLOWING), 6)"
+        ),
+    )
+    return centered.select(
+        "dow",
+        "n_obs",
+        "seasonal_raw",
+        F.expr("ROUND(seasonal_raw - mean_raw, 6)").alias(
+            "seasonal_centered"
+        ),
+    ).orderBy("dow")
+
+
+QUERIES.update({"ev_seasonal_decompose": ev_seasonal_decompose})

@@ -153,3 +153,156 @@ def test_gini_matches_python(spark, sf_dir):
     top = sum(xs[n - n // 10 :]) / sx
     assert abs(row["bot50_share"] - bot) < 1e-5
     assert abs(row["top10_share"] - top) < 1e-5
+
+
+def test_skyline_matches_brute_force_and_merges(spark, sf_dir):
+    parts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(p, pts):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts
+        )
+
+    def skyline(pts):
+        return sorted(p for p in pts if not dominated(p, pts))
+
+    expected = skyline(parts)
+    got = sorted(
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in QUERIES["w_skyline_2d"](spark, sf_dir).collect()
+    )
+    assert got == expected
+    # mergeability: skyline of partition skylines == global skyline
+    half = len(parts) // 2
+    merged = skyline(skyline(parts[:half]) + skyline(parts[half:]))
+    assert merged == expected
+
+
+def test_interval_union_matches_python_merge(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    lease = 1_800_000_000
+    rows = ev.select(
+        "user_id", F.expr("unix_micros(ts)").alias("t")
+    ).collect()
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["t"])
+    got = {
+        r["user_id"]: (r["n_events"], r["n_intervals"], r["covered_us"])
+        for r in QUERIES["ev_interval_union_time"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_user)
+    for uid, ts in by_user.items():
+        ts.sort()
+        covered, n_int = 0, 0
+        cur_end = None
+        for t in ts:
+            if cur_end is None or t >= cur_end:
+                n_int += 1
+                covered += lease
+                cur_end = t + lease
+            else:
+                covered += t + lease - cur_end
+                cur_end = t + lease
+        assert got[uid] == (len(ts), n_int, covered), uid
+
+
+def test_chao1_sample_and_estimator(spark, sf_dir):
+    import hashlib
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select("l_orderkey", "l_linenumber", "l_partkey").collect()
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sample = [
+        r["l_partkey"]
+        for r in rows
+        if md5i(f"{r['l_orderkey']}:{r['l_linenumber']}") % 20 == 0
+    ]
+    from collections import Counter
+
+    c = Counter(sample)
+    f1 = sum(1 for v in c.values() if v == 1)
+    f2 = sum(1 for v in c.values() if v == 2)
+    est = len(c) + f1 * (f1 - 1) / (2.0 * (f2 + 1))
+    row = QUERIES["diag_distinct_estimate"](spark, sf_dir).collect()[0]
+    assert row["sample_rows"] == len(sample)
+    assert row["d_sample"] == len(c)
+    assert (row["f1"], row["f2"]) == (f1, f2)
+    assert abs(row["chao1_est"] - est) < 1e-6
+    assert row["exact_ndv"] == len({r["l_partkey"] for r in rows})
+
+
+def test_compaction_plan_replay(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = sorted(
+        (r["source"], r["count"], r["bytes"])
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("count"), F.sum("n_chars").alias("bytes"))
+        .collect()
+    )
+    target, open_cost = 32768, 1024
+    bins: dict[int, list[int]] = {}
+    cum = 0
+    for _, n, b in per_src:
+        cost = b + open_cost
+        bin_id = cum // target
+        cum += cost
+        agg = bins.setdefault(bin_id, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += n
+        agg[2] += b
+        agg[3] += cost
+    got = {
+        r["bin"]: [r["n_sources"], r["n_docs"], r["est_bytes"], r["total_cost"]]
+        for r in QUERIES["lay_compaction_plan"](spark, sf_dir).collect()
+    }
+    assert got == bins
+    # every input lands in exactly one bin
+    assert sum(v[1] for v in got.values()) == docs.count()
+
+
+def test_kl_divergence_properties(spark, sf_dir):
+    row = QUERIES["tx_kl_divergence"](spark, sf_dir).collect()[0]
+    import math
+
+    # KL is non-negative; JSD bounded by ln 2 and symmetric-positive
+    assert row["kl_ab"] >= 0.0
+    assert row["kl_ba"] >= 0.0
+    assert 0.0 <= row["jsd"] <= math.log(2) + 1e-9
+    # JSD <= half the sum of the two KLs (mixture convexity)
+    assert row["jsd"] <= 0.5 * (row["kl_ab"] + row["kl_ba"]) + 1e-9
+    assert row["tokens_a"] > 0 and row["tokens_b"] > 0
+
+
+def test_seasonal_decompose_replay(spark, sf_dir):
+    pts = _daily_counts(spark, sf_dir)
+    days = [d for d, _ in pts]
+    xs = [x for _, x in pts]
+    detr: dict[int, list[float]] = {}
+    for i in range(len(xs)):
+        if i - 3 < 0 or i + 3 >= len(xs):
+            continue
+        trend = sum(xs[i - 3 : i + 4]) / 7.0
+        detr.setdefault(days[i] % 7, []).append(xs[i] - trend)
+    raw = {k: sum(v) / len(v) for k, v in detr.items()}
+    mean_raw = sum(raw.values()) / len(raw)
+    rows = QUERIES["ev_seasonal_decompose"](spark, sf_dir).collect()
+    got = {r["dow"]: r for r in rows}
+    assert set(got) == set(raw)
+    for k in raw:
+        assert got[k]["n_obs"] == len(detr[k])
+        assert abs(got[k]["seasonal_raw"] - raw[k]) < 1e-4
+        assert abs(
+            got[k]["seasonal_centered"] - (raw[k] - mean_raw)
+        ) < 1e-4
+    # centered indices sum to ~0
+    assert abs(sum(r["seasonal_centered"] for r in rows)) < 1e-3
