@@ -644,6 +644,46 @@ EXPECTATIONS: dict[str, dict] = {
     # (g_kcore is not auditable here: its peeling rounds run during gate
     # construction and the returned frame is the driver-assembled 1-row
     # LocalTableScan, like tx_bpe_merges' merge table)
+    "ev_acf_lags": {
+        # corpus folds in the per-day partial aggregate; the 7-row lag
+        # table rides a broadcast; no quadratic anything
+        "partial_agg": "partial_",
+        "broadcast_lags": "BroadcastNestedLoopJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "ev_trend_robust": {
+        # pair table is a range self-join of the bounded daily aggregate
+        # on a broadcast side, never a shuffle of raw events
+        "partial_agg": "partial_",
+        "broadcast_pairs": "BroadcastNestedLoopJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "ab_welch_ttest": {"partial_agg": "partial_"},
+    "ab_mann_whitney_u": {"partial_agg": "partial_"},
+    "a23_chi_square": {
+        # margins and the grid are broadcast-joined aggregates
+        "partial_agg": "partial_",
+        "broadcast_margins": "Broadcast",
+    },
+    "a24_gini_revenue": {"partial_agg": "partial_"},
+    "w_skyline_2d": {
+        # level table joins back to part via an explicit broadcast hash
+        # join; level aggregate partial-combines
+        "partial_agg": "partial_",
+        "broadcast_levels": "BroadcastHashJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "ev_interval_union_time": {"partial_agg": "partial_"},
+    "diag_distinct_estimate": {
+        "partial_agg": "partial_",
+        "broadcast_exact": "BroadcastNestedLoopJoin",
+    },
+    "lay_compaction_plan": {"partial_agg": "partial_"},
+    "tx_kl_divergence": {
+        "partial_agg": "partial_",
+        "broadcast_totals": "BroadcastNestedLoopJoin",
+    },
+    "ev_seasonal_decompose": {"partial_agg": "partial_"},
 }
 
 
