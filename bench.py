@@ -232,6 +232,8 @@ HEADLINE = [
     "lay_compaction_plan",
     "tx_kl_divergence",
     "ev_seasonal_decompose",
+    "t_keyset_page",
+    "ev_seasonal_anomaly",
 ]
 
 

@@ -6474,3 +6474,83 @@ SELECT dow, n_obs, seasonal_raw,
 FROM centered
 ORDER BY dow
 """
+
+
+ORACLES["t_keyset_page"] = """
+WITH ranked AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+),
+cursor AS (
+  SELECT c_acctbal AS kb, c_custkey AS kk FROM ranked WHERE rn = 40
+)
+SELECT c_custkey, c_name, c_acctbal
+FROM customer CROSS JOIN cursor
+WHERE c_acctbal < kb OR (c_acctbal = kb AND c_custkey > kk)
+ORDER BY c_acctbal DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+ORACLES["ev_seasonal_anomaly"] = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+  FROM events GROUP BY 1
+),
+ma AS (
+  SELECT day, x,
+         COUNT(*) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+         SUM(x) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7
+  FROM daily
+),
+detr AS (
+  SELECT day, x, day % 7 AS dow,
+         ROUND(CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0, 6) AS detr
+  FROM ma WHERE n7 = 7
+),
+seas AS (
+  SELECT dow,
+         ROUND(CAST(SUM(CAST(detr AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*), 6) AS seasonal_raw
+  FROM detr GROUP BY dow
+),
+resid AS (
+  SELECT d.day, d.x, ROUND(d.detr - s.seasonal_raw, 6) AS resid
+  FROM detr d JOIN seas s ON d.dow = s.dow
+),
+med AS (
+  SELECT resid AS med FROM (
+    SELECT resid, ROW_NUMBER() OVER (ORDER BY resid, day) AS rn,
+           COUNT(*) OVER () AS cnt
+    FROM resid
+  ) WHERE rn = (cnt + 1) // 2
+),
+dev AS (
+  SELECT day, x, resid, med, ROUND(ABS(resid - med), 6) AS adev
+  FROM resid CROSS JOIN med
+),
+mad AS (
+  SELECT adev AS mad FROM (
+    SELECT adev, ROW_NUMBER() OVER (ORDER BY adev, day) AS rn,
+           COUNT(*) OVER () AS cnt
+    FROM dev
+  ) WHERE rn = (cnt + 1) // 2
+),
+scored AS (
+  SELECT day, x, resid,
+         ROUND((resid - med) / NULLIF(1.4826 * mad, 0.0), 6) AS score
+  FROM dev CROSS JOIN mad
+),
+top5 AS (
+  SELECT day, x, resid, score,
+         ROW_NUMBER() OVER (ORDER BY ABS(score) DESC, day ASC) AS rk
+  FROM scored
+)
+SELECT day, x, resid, score,
+       CASE WHEN ABS(score) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
+FROM top5 WHERE rk <= 5
+ORDER BY day
+"""

@@ -9692,24 +9692,11 @@ def w_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     skylines == global skyline), the 1000-executor path. The oracle is
     the INDEPENDENT brute-force NOT EXISTS dominance definition, so
     parity proves the window formulation correct."""
+    from strava_vector_search_spark.operators.skyline import skyline_2d
+
     part = load_table(spark, sf_dir, "part")
-    levels = part.groupBy("p_retailprice").agg(
-        F.max("p_size").alias("lmax")
-    )
-    wprev = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    lv = levels.withColumn("prevmax", F.max("lmax").over(wprev))
-    sky = (
-        part.join(F.broadcast(lv), "p_retailprice")
-        .filter(
-            (F.col("p_size") == F.col("lmax"))
-            & (
-                F.col("prevmax").isNull()
-                | (F.col("prevmax") < F.col("p_size"))
-            )
-        )
-        .select("p_partkey", "p_retailprice", "p_size")
+    sky = skyline_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
     )
     return sky.orderBy("p_retailprice", "p_partkey")
 
@@ -9984,3 +9971,134 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_seasonal_decompose": ev_seasonal_decompose})
+
+
+def t_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: page 3 of the balance-ranked customer
+    list fetched by CURSOR PREDICATE instead of OFFSET -- the export-
+    scale pagination pattern t_offset_page's docstring prescribes.
+    The cursor (last row of page 2) folds to ONE broadcast row; the
+    page itself is filter + TakeOrderedAndProject, so at 100 TB the
+    scan prunes with the predicate and never materializes-and-skips
+    40 rows per executor the way a global OFFSET must. Returns the
+    same 20 rows as the OFFSET formulation (pinned in tests)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    wc = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    cursor = (
+        cust.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 40)
+        .select(
+            F.col("c_acctbal").alias("kb"), F.col("c_custkey").alias("kk")
+        )
+    )
+    page = cust.crossJoin(F.broadcast(cursor)).filter(
+        (F.col("c_acctbal") < F.col("kb"))
+        | (
+            (F.col("c_acctbal") == F.col("kb"))
+            & (F.col("c_custkey") > F.col("kk"))
+        )
+    )
+    return (
+        page.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+QUERIES.update({"t_keyset_page": t_keyset_page})
+
+
+def ev_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly scoring: remove the 7-day MA trend and
+    the weekday index from the daily series (the ev_seasonal_decompose
+    pipeline), then score residuals with the robust z-score
+    (resid - median) / (1.4826 * MAD) -- the outlier rule monitoring
+    stacks prefer because one bad day cannot inflate its own
+    threshold. Medians are the deterministic lower median over the
+    |days|-bounded residual table (the repo's one-quantile rule).
+    Reports the top-5 most anomalous days with their scores and the
+    |score| > 3 flag, so the output is non-empty whether or not the
+    series contains a true anomaly."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    daily = (
+        ev.select(us.alias("t_us"))
+        .withColumn("day", F.expr("t_us DIV 86400000000"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wma = Window.orderBy("day").rowsBetween(-3, 3)
+    detr = (
+        daily.withColumn("n7", F.count(F.lit(1)).over(wma))
+        .withColumn("s7", F.sum("x").over(wma))
+        .filter(F.col("n7") == 7)
+        .select(
+            "day",
+            "x",
+            F.expr("day % 7").alias("dow"),
+            F.expr(
+                "ROUND(CAST(x AS DOUBLE)"
+                " - CAST(s7 AS DOUBLE) / 7.0, 6)"
+            ).alias("detr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    seas = detr.groupBy("dow").agg(
+        F.expr(
+            "ROUND(CAST(SUM(CAST(detr AS DECIMAL(38,12))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("seasonal_raw")
+    )
+    resid = detr.join(F.broadcast(seas), "dow").select(
+        "day",
+        "x",
+        F.expr("ROUND(detr - seasonal_raw, 6)").alias("resid"),
+    ).localCheckpoint(eager=False)
+    wmed = Window.orderBy("resid", "day")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        resid.withColumn("rn", F.row_number().over(wmed))
+        .withColumn("cnt", F.count(F.lit(1)).over(wall))
+        .filter(F.expr("rn = (cnt + 1) DIV 2"))
+        .select(F.col("resid").alias("med"))
+    )
+    dev = resid.crossJoin(F.broadcast(med)).withColumn(
+        "adev", F.expr("ROUND(ABS(resid - med), 6)")
+    )
+    wmad = Window.orderBy("adev", "day")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wmad))
+        .withColumn("cnt", F.count(F.lit(1)).over(wall))
+        .filter(F.expr("rn = (cnt + 1) DIV 2"))
+        .select(F.col("adev").alias("mad"))
+    )
+    scored = dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "x",
+        "resid",
+        F.expr(
+            "ROUND((resid - med) / NULLIF(1.4826 * mad, 0.0), 6)"
+        ).alias("score"),
+    )
+    wtop = Window.orderBy(F.desc(F.abs(F.col("score"))), F.asc("day"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "day",
+            "x",
+            "resid",
+            "score",
+            F.expr(
+                "CASE WHEN ABS(score) > 3.0 THEN 1 ELSE 0 END"
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES.update({"ev_seasonal_anomaly": ev_seasonal_anomaly})

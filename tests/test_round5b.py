@@ -306,3 +306,47 @@ def test_seasonal_decompose_replay(spark, sf_dir):
         ) < 1e-4
     # centered indices sum to ~0
     assert abs(sum(r["seasonal_centered"] for r in rows)) < 1e-3
+
+
+def test_keyset_page_equals_offset_page(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    offset_page = (
+        cust.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .offset(40)
+        .limit(20)
+        .collect()
+    )
+    keyset_page = QUERIES["t_keyset_page"](spark, sf_dir).collect()
+    assert [tuple(r) for r in keyset_page] == [tuple(r) for r in offset_page]
+    assert len(keyset_page) == 20
+
+
+def test_seasonal_anomaly_matches_python(spark, sf_dir):
+    pts = _daily_counts(spark, sf_dir)
+    days = [d for d, _ in pts]
+    xs = [x for _, x in pts]
+    rows_detr = []
+    for i in range(3, len(xs) - 3):
+        trend = sum(xs[i - 3 : i + 4]) / 7.0
+        rows_detr.append((days[i], xs[i], days[i] % 7, xs[i] - trend))
+    seas = {}
+    for _, _, dow, dt in rows_detr:
+        seas.setdefault(dow, []).append(dt)
+    seas = {k: sum(v) / len(v) for k, v in seas.items()}
+    resid = [(d, x, dt - seas[dow]) for d, x, dow, dt in rows_detr]
+    rs = sorted(r for _, _, r in resid)
+    med = rs[(len(rs) + 1) // 2 - 1]
+    ads = sorted(abs(r - med) for _, _, r in resid)
+    mad = ads[(len(ads) + 1) // 2 - 1]
+    scored = sorted(
+        ((d, x, r, (r - med) / (1.4826 * mad)) for d, x, r in resid),
+        key=lambda t: (-abs(t[3]), t[0]),
+    )[:5]
+    got = QUERIES["ev_seasonal_anomaly"](spark, sf_dir).collect()
+    assert len(got) == 5
+    exp = {d: s for d, _, _, s in scored}
+    for r in got:
+        assert r["day"] in exp
+        assert abs(r["score"] - exp[r["day"]]) < 1e-3, (r, exp[r["day"]])
+        assert r["is_anomaly"] == (1 if abs(r["score"]) > 3.0 else 0)
