@@ -234,6 +234,7 @@ HEADLINE = [
     "ev_seasonal_decompose",
     "t_keyset_page",
     "ev_seasonal_anomaly",
+    "ev_asof_directions",
 ]
 
 

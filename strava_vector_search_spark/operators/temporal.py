@@ -42,20 +42,34 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` within the same ``on`` key (backward-inclusive,
-    pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics).
+    """For each left row, attach one right row within the same ``on`` key:
+
+    - ``direction="backward"`` (default): the latest right row with
+      ``right_ts <= left_ts`` — pandas ``merge_asof`` / DuckDB ``ASOF
+      JOIN`` semantics;
+    - ``direction="forward"``: the earliest right row with
+      ``right_ts >= left_ts``;
+    - ``direction="nearest"``: whichever of the two is closer in time,
+      ties (equal distance) resolved backward, pandas' rule.
+
+    All directions run as the same union trick: ONE shuffle on the key;
+    nearest adds a second in-partition window sort, never a second
+    shuffle.
 
     Output: every left column, plus each ``value_cols`` entry as
     ``<col><suffix>`` and ``<right_ts><suffix>`` (the matched timestamp) —
     all NULL when no right row qualifies (left join semantics). With
-    ``tolerance_seconds``, matches older than the tolerance are nulled.
+    ``tolerance_seconds``, matches farther than the tolerance (in the
+    match direction) are nulled.
 
-    If several right rows share (key, ts), the one latest in the
-    DataFrame's deterministic sort order of ``value_cols`` wins; pre-dedupe
-    the right side when that matters.
+    If several right rows share (key, ts), backward picks the row LAST in
+    the deterministic sort order of ``value_cols`` and forward the row
+    FIRST in it; pre-dedupe the right side when that matters.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
@@ -89,6 +103,16 @@ def asof_join(
         .orderBy("_us", "_side", *[f"_rv_{c}" for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward frame: right rows must sort AFTER left rows at equal ts so an
+    # equal-ts right row lands inside [current, following] (inclusive
+    # forward), hence the descending side key
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(
+            "_us", F.desc("_side"), *[f"_rv_{c}" for c in value_cols]
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     payload = F.when(
         F.col("_side") == 0,
         F.struct(
@@ -96,20 +120,39 @@ def asof_join(
             *[F.col(f"_rv_{c}").alias(c) for c in value_cols],
         ),
     )
-    out = (
-        u.select(
-            *left.columns,
-            "_us",
-            "_side",
-            F.last(payload, ignorenulls=True).over(w).alias("_m"),
+    matches = []
+    if direction in ("backward", "nearest"):
+        matches.append(
+            F.last(payload, ignorenulls=True).over(w).alias("_mb")
         )
-        .filter(F.col("_side") == 1)
-    )
+    if direction in ("forward", "nearest"):
+        matches.append(
+            F.first(payload, ignorenulls=True).over(w_fwd).alias("_mf")
+        )
+    picked = u.select(*left.columns, "_us", "_side", *matches)
+    if direction == "backward":
+        picked = picked.withColumn("_m", F.col("_mb"))
+    elif direction == "forward":
+        picked = picked.withColumn("_m", F.col("_mf"))
+    else:
+        picked = picked.withColumn(
+            "_m",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(
+                F.col("_us") - F.col("_mb._mus")
+                <= F.col("_mf._mus") - F.col("_us"),
+                F.col("_mb"),
+            )
+            .otherwise(F.col("_mf")),
+        )
+    out = picked.filter(F.col("_side") == 1)
 
     in_tol: Column = F.col("_m").isNotNull()
     if tolerance_seconds is not None:
         in_tol = in_tol & (
-            F.col("_us") - F.col("_m._mus") <= tolerance_seconds * 1_000_000
+            F.abs(F.col("_us") - F.col("_m._mus"))
+            <= tolerance_seconds * 1_000_000
         )
     keep = [
         F.when(in_tol, F.col(f"_m.{c}")).alias(f"{c}{suffix}")

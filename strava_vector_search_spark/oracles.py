@@ -6554,3 +6554,33 @@ SELECT day, x, resid, score,
 FROM top5 WHERE rk <= 5
 ORDER BY day
 """
+
+
+ORACLES["ev_asof_directions"] = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS r_us, value
+  FROM events WHERE event_type = 'error'
+)
+SELECT l.event_id, l.user_id, l.t_us,
+       f.r_us AS fwd_us, f.value AS fwd_value,
+       n.r_us AS near_us, n.value AS near_value
+FROM l
+LEFT JOIN LATERAL (
+  SELECT r_us, value FROM r
+  WHERE r.user_id = l.user_id AND r.r_us >= l.t_us
+  ORDER BY r_us ASC, value ASC LIMIT 1
+) f ON TRUE
+LEFT JOIN LATERAL (
+  SELECT r_us, value FROM r
+  WHERE r.user_id = l.user_id
+  ORDER BY ABS(r_us - l.t_us) ASC,
+           (CASE WHEN r_us <= l.t_us THEN 0 ELSE 1 END) ASC,
+           (CASE WHEN r_us <= l.t_us THEN -value ELSE value END) ASC
+  LIMIT 1
+) n ON TRUE
+ORDER BY event_id
+"""

@@ -10102,3 +10102,63 @@ def ev_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_seasonal_anomaly": ev_seasonal_anomaly})
+
+
+def ev_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward and nearest as-of joins -- the two merge_asof directions
+    the backward-only ev_asof_join gate leaves out (kdb wj / pandas
+    direction='forward'/'nearest'). For every purchase event, attach
+    the next error event of the same user (forward-inclusive) and the
+    closest error event either way (ties resolved backward, pandas'
+    rule). Both run as operators/temporal.asof_join's union trick: ONE
+    shuffle on user_id; nearest adds only a second in-partition window
+    sort. The oracle is the INDEPENDENT correlated-lateral argmin
+    formulation, so parity proves the window machinery implements the
+    direction semantics."""
+    from strava_vector_search_spark.operators.temporal import asof_join
+
+    ev = load_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    fwd = asof_join(
+        left, right, ["user_id"], value_cols=["value"],
+        direction="forward",
+    ).select(
+        "event_id",
+        F.unix_micros(F.col("ts_right").cast("timestamp")).alias(
+            "fwd_us"
+        ),
+        F.col("value_right").alias("fwd_value"),
+    )
+    near = asof_join(
+        left, right, ["user_id"], value_cols=["value"],
+        direction="nearest",
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.unix_micros(F.col("ts_right").cast("timestamp")).alias(
+            "near_us"
+        ),
+        F.col("value_right").alias("near_value"),
+    )
+    return (
+        near.join(fwd, "event_id")
+        .select(
+            "event_id",
+            "user_id",
+            "t_us",
+            "fwd_us",
+            "fwd_value",
+            "near_us",
+            "near_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+QUERIES.update({"ev_asof_directions": ev_asof_directions})

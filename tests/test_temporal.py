@@ -138,3 +138,43 @@ def test_asof_plan_has_no_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """forward/nearest/backward all pinned against pandas merge_asof,
+    the reference implementation of the direction semantics."""
+    import pandas as pd
+
+    left = [
+        (1, "a", 100), (2, "a", 250), (3, "a", 400),
+        (4, "b", 50), (5, "b", 500), (6, "c", 10),
+    ]
+    right = [
+        ("a", 100, 1.0), ("a", 300, 2.0),
+        ("b", 49, 3.0), ("b", 700, 4.0),
+        # c has no right rows at all -> NULLs in every direction
+    ]
+    ldf = spark.createDataFrame(left, "id bigint, k string, ts bigint")
+    rdf = spark.createDataFrame(right, "k string, ts bigint, v double")
+    # operator expects timestamp-castable ts columns
+    lts = ldf.select("id", "k", F.timestamp_micros(F.col("ts")).alias("ts"))
+    rts = rdf.select("k", F.timestamp_micros(F.col("ts")).alias("ts"), "v")
+
+    lp = pd.DataFrame(left, columns=["id", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["k", "ts", "v"]).sort_values("ts")
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["id"]: r["v_right"]
+            for r in asof_join(
+                lts, rts, ["k"], value_cols=["v"], direction=direction
+            ).collect()
+        }
+        exp_df = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction=direction
+        )
+        exp = dict(zip(exp_df["id"], exp_df["v"]))
+        for i in exp:
+            if pd.isna(exp[i]):
+                assert got[i] is None, (direction, i, got[i])
+            else:
+                assert got[i] == exp[i], (direction, i, got[i], exp[i])
