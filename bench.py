@@ -235,6 +235,7 @@ HEADLINE = [
     "t_keyset_page",
     "ev_seasonal_anomaly",
     "ev_asof_directions",
+    "ml_gbt_rounds",
 ]
 
 

@@ -6584,3 +6584,72 @@ LEFT JOIN LATERAL (
 ) n ON TRUE
 ORDER BY event_id
 """
+
+
+def _stump_ctes(src: str, p: str) -> str:
+    """CTE chain for one exact-stump round over (v, r) rows in CTE
+    ``src`` -> 1-row CTE ``{p}best`` (thr, wl, wr, sse); mirrors
+    queries._best_stump text-for-text."""
+    return f"""
+{p}per AS (
+  SELECT v, COUNT(*) AS n_v,
+         SUM(CAST(r AS DECIMAL(38,12))) AS sr_v,
+         SUM(CAST(r * r AS DECIMAL(38,12))) AS srr_v
+  FROM {src} GROUP BY v
+),
+{p}cum AS (
+  SELECT v,
+         SUM(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+         SUM(sr_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS sl,
+         SUM(srr_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS srrl,
+         SUM(n_v) OVER () AS nt,
+         SUM(sr_v) OVER () AS st,
+         SUM(srr_v) OVER () AS srrt
+  FROM {p}per
+),
+{p}cand AS (
+  SELECT v AS thr, nl, nt - nl AS nr,
+         CAST(sl AS DOUBLE) AS sld, CAST(st - sl AS DOUBLE) AS srd,
+         CAST(srrl AS DOUBLE) AS srrld,
+         CAST(srrt - srrl AS DOUBLE) AS srrrd
+  FROM {p}cum WHERE nl < nt
+),
+{p}scored AS (
+  SELECT *,
+         ROUND((srrld - sld * sld / CAST(nl AS DOUBLE))
+             + (srrrd - srd * srd / CAST(nr AS DOUBLE)), 10) AS sse
+  FROM {p}cand
+),
+{p}best AS (
+  SELECT thr, ROUND(sld / CAST(nl AS DOUBLE), 6) AS wl,
+         ROUND(srd / CAST(nr AS DOUBLE), 6) AS wr,
+         ROUND(sse, 6) AS sse
+  FROM {p}scored ORDER BY sse, thr LIMIT 1
+)"""
+
+
+ORACLES["ml_gbt_rounds"] = f"""
+WITH feats AS (
+  SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS v,
+         CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+f0t AS (
+  SELECT ROUND(CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*), 6) AS f0
+  FROM feats
+),
+d1 AS (
+  SELECT v, ROUND(y - f0, 6) AS r FROM feats CROSS JOIN f0t
+),{_stump_ctes("d1", "s1")},
+d2 AS (
+  SELECT v, ROUND(r - CASE WHEN v <= thr THEN wl ELSE wr END, 6) AS r
+  FROM d1 CROSS JOIN s1best
+),{_stump_ctes("d2", "s2")}
+SELECT f0,
+       s1best.thr AS thr_1, s1best.wl AS wl_1, s1best.wr AS wr_1,
+       s1best.sse AS sse_1,
+       s2best.thr AS thr_2, s2best.wl AS wl_2, s2best.wr AS wr_2,
+       s2best.sse AS sse_2
+FROM f0t CROSS JOIN s1best CROSS JOIN s2best
+"""

@@ -10162,3 +10162,127 @@ def ev_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_asof_directions": ev_asof_directions})
+
+
+def _best_stump(df: DataFrame) -> DataFrame:
+    """Exact best split of residual column ``r`` on feature ``v``: ONE
+    per-distinct-value moment aggregate + cumulative windows (the
+    ml_decision_stump kernel, factored so boosting rounds can reuse it).
+    Returns 1 row (thr, wl, wr, sse) — child means are the squared-loss
+    optimal leaf weights."""
+    per_v = df.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum(F.col("r").cast("decimal(38,12)")).alias("sr_v"),
+        F.sum(F.expr("CAST(r * r AS DECIMAL(38,12))")).alias("srr_v"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cand = (
+        per_v.withColumn("nl", F.sum("n_v").over(wcum))
+        .withColumn("sl", F.sum("sr_v").over(wcum))
+        .withColumn("srrl", F.sum("srr_v").over(wcum))
+        .withColumn("nt", F.sum("n_v").over(wtot))
+        .withColumn("st", F.sum("sr_v").over(wtot))
+        .withColumn("srrt", F.sum("srr_v").over(wtot))
+        .filter(F.col("nl") < F.col("nt"))
+        .select(
+            F.col("v").alias("thr"),
+            "nl",
+            F.expr("nt - nl").alias("nr"),
+            F.expr("CAST(sl AS DOUBLE)").alias("sld"),
+            F.expr("CAST(st - sl AS DOUBLE)").alias("srd"),
+            F.expr("CAST(srrl AS DOUBLE)").alias("srrld"),
+            F.expr("CAST(srrt - srrl AS DOUBLE)").alias("srrrd"),
+        )
+        .withColumn(
+            "sse",
+            F.expr(
+                "ROUND((srrld - sld * sld / CAST(nl AS DOUBLE))"
+                " + (srrrd - srd * srd / CAST(nr AS DOUBLE)), 10)"
+            ),
+        )
+    )
+    w = Window.orderBy("sse", "thr")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "thr",
+            F.expr("ROUND(sld / CAST(nl AS DOUBLE), 6)").alias("wl"),
+            F.expr("ROUND(srd / CAST(nr AS DOUBLE), 6)").alias("wr"),
+            F.expr("ROUND(sse, 6)").alias("sse"),
+        )
+    )
+
+
+def ml_gbt_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of squared-loss gradient boosting with stump base
+    learners -- the distributed-exact core of the GBT/XGBoost training
+    loop: F0 = global mean, each round fits the EXACT best split on the
+    current residuals (one moment aggregate + cumulative windows, the
+    ml_decision_stump kernel via _best_stump) and the new residuals are
+    a map-only broadcast-model subtraction. Per round the corpus is
+    scanned once and the candidate evaluation is O(|distinct feature
+    values|); residuals round to 6 dp at each handoff so both engines
+    chain bit-identically. Output: F0, both stumps' (threshold, leaf
+    weights, post-round SSE) -- SSE must be non-increasing across
+    rounds (pinned in tests along with a two-round numpy replay)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = emb.select(
+        F.expr("ROUND(CAST(embedding[0] AS DOUBLE), 6)").alias("v"),
+        F.expr(
+            "CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE)"
+        ).alias("y"),
+    ).localCheckpoint(eager=False)
+    f0row = feats.agg(
+        F.expr(
+            "ROUND(CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("f0")
+    )
+    d1 = feats.crossJoin(F.broadcast(f0row)).select(
+        "v", F.expr("ROUND(y - f0, 6)").alias("r")
+    )
+    s1 = _best_stump(d1)
+    d2 = d1.crossJoin(
+        F.broadcast(
+            s1.select(
+                F.col("thr").alias("t1"),
+                F.col("wl").alias("l1"),
+                F.col("wr").alias("r1"),
+            )
+        )
+    ).select(
+        "v",
+        F.expr(
+            "ROUND(r - CASE WHEN v <= t1 THEN l1 ELSE r1 END, 6)"
+        ).alias("r"),
+    )
+    s2 = _best_stump(d2)
+    return (
+        f0row.crossJoin(
+            s1.select(
+                F.col("thr").alias("thr_1"),
+                F.col("wl").alias("wl_1"),
+                F.col("wr").alias("wr_1"),
+                F.col("sse").alias("sse_1"),
+            )
+        )
+        .crossJoin(
+            s2.select(
+                F.col("thr").alias("thr_2"),
+                F.col("wl").alias("wl_2"),
+                F.col("wr").alias("wr_2"),
+                F.col("sse").alias("sse_2"),
+            )
+        )
+    )
+
+
+QUERIES.update({"ml_gbt_rounds": ml_gbt_rounds})

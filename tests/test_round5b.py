@@ -350,3 +350,62 @@ def test_seasonal_anomaly_matches_python(spark, sf_dir):
         assert r["day"] in exp
         assert abs(r["score"] - exp[r["day"]]) < 1e-3, (r, exp[r["day"]])
         assert r["is_anomaly"] == (1 if abs(r["score"]) > 3.0 else 0)
+
+
+def test_gbt_rounds_matches_python_and_improves(spark, sf_dir):
+    """Two-round boosting replay: greedy exact stump on residuals, with
+    the same 6 dp residual-handoff rounding; SSE must not increase."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    rows = emb.select(
+        F.expr("ROUND(CAST(embedding[0] AS DOUBLE), 6)").alias("v"),
+        F.expr(
+            "CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE)"
+        ).alias("y"),
+    ).collect()
+    pts = [(r["v"], r["y"]) for r in rows]
+
+    def best_stump(data):
+        from collections import defaultdict
+
+        mom = defaultdict(lambda: [0, 0.0, 0.0])
+        for v, r in data:
+            m = mom[v]
+            m[0] += 1
+            m[1] += r
+            m[2] += r * r
+        vs = sorted(mom)
+        nt = sum(mom[v][0] for v in vs)
+        st = sum(mom[v][1] for v in vs)
+        srrt = sum(mom[v][2] for v in vs)
+        nl = sl = srrl = 0.0
+        best = None
+        for v in vs[:-1]:
+            nl += mom[v][0]
+            sl += mom[v][1]
+            srrl += mom[v][2]
+            nr, sr, srrr = nt - nl, st - sl, srrt - srrl
+            sse = round(
+                (srrl - sl * sl / nl) + (srrr - sr * sr / nr), 10
+            )
+            if best is None or (sse, v) < best[:2]:
+                best = (sse, v, sl / nl, sr / nr)
+        return best[1], best[2], best[3], best[0]
+
+    f0 = round(sum(y for _, y in pts) / len(pts), 6)
+    d1 = [(v, round(y - f0, 6)) for v, y in pts]
+    t1, wl1, wr1, sse1 = best_stump(d1)
+    d2 = [
+        (v, round(r - (wl1 if v <= t1 else wr1), 6)) for v, r in d1
+    ]
+    t2, wl2, wr2, sse2 = best_stump(d2)
+    row = QUERIES["ml_gbt_rounds"](spark, sf_dir).collect()[0]
+    assert abs(row["f0"] - f0) < 1e-9
+    assert row["thr_1"] == t1 and row["thr_2"] == t2
+    assert abs(row["wl_1"] - wl1) < 1e-4 and abs(row["wr_1"] - wr1) < 1e-4
+    assert abs(row["wl_2"] - wl2) < 1e-4 and abs(row["wr_2"] - wr2) < 1e-4
+    assert abs(row["sse_1"] - sse1) < 1e-2
+    assert abs(row["sse_2"] - sse2) < 1e-2
+    # boosting never increases training SSE
+    assert row["sse_2"] <= row["sse_1"] + 1e-9
