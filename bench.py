@@ -236,6 +236,7 @@ HEADLINE = [
     "ev_seasonal_anomaly",
     "ev_asof_directions",
     "ml_gbt_rounds",
+    "er_fs_match_weights",
 ]
 
 

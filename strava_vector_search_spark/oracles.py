@@ -6653,3 +6653,61 @@ SELECT f0,
        s2best.sse AS sse_2
 FROM f0t CROSS JOIN s1best CROSS JOIN s2best
 """
+
+
+ORACLES["er_fs_match_weights"] = """
+WITH base AS (
+  SELECT p_partkey AS rec_id, p_brand AS block, p_name AS name,
+         p_retailprice AS q, p_size AS s
+  FROM part
+),
+dirty AS (
+  SELECT p_partkey + 10000000 AS rec_id, p_brand AS block,
+         SUBSTR(p_name, 2) AS name, p_retailprice - 0.01 AS q,
+         p_size AS s
+  FROM part WHERE p_partkey % 5 = 0
+),
+contacts AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+reps AS (
+  SELECT block, name, MIN(rec_id) AS rep
+  FROM contacts GROUP BY block, name
+),
+attrs AS (
+  SELECT r.block, r.name, r.rep, c.q, c.s
+  FROM reps r JOIN contacts c ON c.rec_id = r.rep
+),
+cand AS (
+  SELECT a.r1, a.n1, a.q1, a.s1, b.rep AS r2, b.name AS n2,
+         b.q AS q2, b.s AS s2
+  FROM (SELECT block, name AS n1, rep AS r1, q AS q1, s AS s1
+        FROM attrs) a
+  JOIN (SELECT block, name, rep, q, s FROM attrs) b USING (block)
+  WHERE a.r1 < b.rep AND levenshtein(a.n1, b.name) <= 3
+),
+scored AS (
+  SELECT r1, r2,
+         CASE WHEN levenshtein(n1, n2) <= 1 THEN 1 ELSE 0 END
+           AS agree_name,
+         CASE WHEN ABS(q1 - q2) <= 0.05 THEN 1 ELSE 0 END
+           AS agree_price,
+         CASE WHEN s1 = s2 THEN 1 ELSE 0 END AS agree_size
+  FROM cand
+),
+weighted AS (
+  SELECT *,
+         ROUND(
+           (CASE WHEN agree_name = 1 THEN ROUND(LN(CAST(0.95 AS DOUBLE) / CAST(0.05 AS DOUBLE)), 10)
+                 ELSE ROUND(LN(CAST(0.05 AS DOUBLE) / CAST(0.95 AS DOUBLE)), 10) END)
+         + (CASE WHEN agree_price = 1 THEN ROUND(LN(CAST(0.9 AS DOUBLE) / CAST(0.1 AS DOUBLE)), 10)
+                 ELSE ROUND(LN(CAST(0.1 AS DOUBLE) / CAST(0.9 AS DOUBLE)), 10) END)
+         + (CASE WHEN agree_size = 1 THEN ROUND(LN(CAST(0.85 AS DOUBLE) / CAST(0.15 AS DOUBLE)), 10)
+                 ELSE ROUND(LN(CAST(0.15 AS DOUBLE) / CAST(0.85 AS DOUBLE)), 10) END), 6) AS weight
+  FROM scored
+)
+SELECT r1, r2, agree_name, agree_price, agree_size, weight,
+       CASE WHEN weight >= 4.0 THEN 'link'
+            WHEN weight >= 0.0 THEN 'possible'
+            ELSE 'nonlink' END AS decision
+FROM weighted
+ORDER BY r1, r2
+"""

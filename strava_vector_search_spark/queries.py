@@ -10286,3 +10286,101 @@ def ml_gbt_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_gbt_rounds": ml_gbt_rounds})
+
+
+def er_fs_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring (the Splink
+    model) over the ER candidate pairs: per-field binary agreement
+    (name within edit distance 1, price within 5 cents, size equal)
+    turns into log-likelihood-ratio weights ln(m/u) vs ln((1-m)/(1-u))
+    with pinned (m, u) per field, and the summed weight classifies the
+    pair link / possible / nonlink -- the decision layer between
+    er-blocking and er_golden_record's transitive closure. Candidates
+    come from the same bounded kernel as er_resolve: one representative
+    per DISTINCT (brand, name), pairs within block at edit distance
+    <= 3, never all-pairs. Weight terms are ROUND(LN(const), 10) --
+    identical literal text in both engines."""
+    part = load_table(spark, sf_dir, "part")
+    base = part.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.col("p_brand").alias("block"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").alias("q"),
+        F.col("p_size").alias("s"),
+    )
+    dirty = part.filter(F.col("p_partkey") % 5 == 0).select(
+        (F.col("p_partkey") + 10_000_000).alias("rec_id"),
+        F.col("p_brand").alias("block"),
+        F.expr("substr(p_name, 2)").alias("name"),
+        (F.col("p_retailprice") - 0.01).alias("q"),
+        F.col("p_size").alias("s"),
+    )
+    contacts = base.unionByName(dirty)
+    reps = contacts.groupBy("block", "name").agg(
+        F.min("rec_id").alias("rep")
+    )
+    attrs = reps.join(
+        contacts.select(F.col("rec_id").alias("rep"), "q", "s"), "rep"
+    )
+    a = attrs.select(
+        "block",
+        F.col("name").alias("n1"),
+        F.col("rep").alias("r1"),
+        F.col("q").alias("q1"),
+        F.col("s").alias("s1"),
+    )
+    b = attrs.select(
+        "block",
+        F.col("name").alias("n2"),
+        F.col("rep").alias("r2"),
+        F.col("q").alias("q2"),
+        F.col("s").alias("s2"),
+    )
+    cand = (
+        a.join(b, "block")
+        .filter(F.col("r1") < F.col("r2"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("n1"), F.col("n2"), 3)
+        )
+        .filter(F.col("dist") >= 0)
+    )
+    scored = cand.select(
+        "r1",
+        "r2",
+        F.expr("CASE WHEN dist <= 1 THEN 1 ELSE 0 END").alias(
+            "agree_name"
+        ),
+        F.expr(
+            "CASE WHEN ABS(q1 - q2) <= 0.05 THEN 1 ELSE 0 END"
+        ).alias("agree_price"),
+        F.expr("CASE WHEN s1 = s2 THEN 1 ELSE 0 END").alias(
+            "agree_size"
+        ),
+    ).withColumn(
+        "weight",
+        F.expr(
+            "ROUND("
+            "(CASE WHEN agree_name = 1 THEN ROUND(LN(CAST(0.95 AS DOUBLE) / CAST(0.05 AS DOUBLE)), 10)"
+            " ELSE ROUND(LN(CAST(0.05 AS DOUBLE) / CAST(0.95 AS DOUBLE)), 10) END)"
+            " + (CASE WHEN agree_price = 1 THEN ROUND(LN(CAST(0.9 AS DOUBLE) / CAST(0.1 AS DOUBLE)), 10)"
+            " ELSE ROUND(LN(CAST(0.1 AS DOUBLE) / CAST(0.9 AS DOUBLE)), 10) END)"
+            " + (CASE WHEN agree_size = 1 THEN ROUND(LN(CAST(0.85 AS DOUBLE) / CAST(0.15 AS DOUBLE)), 10)"
+            " ELSE ROUND(LN(CAST(0.15 AS DOUBLE) / CAST(0.85 AS DOUBLE)), 10) END), 6)"
+        ),
+    )
+    return scored.select(
+        "r1",
+        "r2",
+        "agree_name",
+        "agree_price",
+        "agree_size",
+        "weight",
+        F.expr(
+            "CASE WHEN weight >= 4.0 THEN 'link'"
+            " WHEN weight >= 0.0 THEN 'possible'"
+            " ELSE 'nonlink' END"
+        ).alias("decision"),
+    ).orderBy("r1", "r2")
+
+
+QUERIES.update({"er_fs_match_weights": er_fs_match_weights})

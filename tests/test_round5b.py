@@ -409,3 +409,37 @@ def test_gbt_rounds_matches_python_and_improves(spark, sf_dir):
     assert abs(row["sse_2"] - sse2) < 1e-2
     # boosting never increases training SSE
     assert row["sse_2"] <= row["sse_1"] + 1e-9
+
+
+def test_fs_weights_axioms(spark, sf_dir):
+    """Fellegi-Sunter score axioms: planted dirty duplicates (name one
+    edit away, price 1 cent off, same size) must score as links; weight
+    is monotone in agreements; decisions partition by threshold."""
+    import math
+
+    rows = QUERIES["er_fs_match_weights"](spark, sf_dir).collect()
+    assert rows
+    w_name = math.log(0.95 / 0.05)
+    w_price = math.log(0.9 / 0.1)
+    w_size = math.log(0.85 / 0.15)
+    for r in rows:
+        exp = (
+            (w_name if r["agree_name"] else -w_name)
+            + (w_price if r["agree_price"] else -w_price)
+            + (w_size if r["agree_size"] else -w_size)
+        )
+        assert abs(r["weight"] - exp) < 1e-4
+        if r["weight"] >= 4.0:
+            assert r["decision"] == "link"
+        elif r["weight"] >= 0.0:
+            assert r["decision"] == "possible"
+        else:
+            assert r["decision"] == "nonlink"
+    # every planted dirty pair (rec, rec+10M) agrees on all three fields
+    planted = [r for r in rows if r["r2"] - r["r1"] == 10_000_000]
+    assert planted
+    assert all(
+        r["agree_name"] and r["agree_price"] and r["agree_size"]
+        and r["decision"] == "link"
+        for r in planted
+    )
