@@ -684,6 +684,34 @@ EXPECTATIONS: dict[str, dict] = {
         "broadcast_totals": "BroadcastNestedLoopJoin",
     },
     "ev_seasonal_decompose": {"partial_agg": "partial_"},
+    "t_keyset_page": {
+        # THE keyset property: the page is top-k, not global skip
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "broadcast_cursor": "BroadcastNestedLoopJoin",
+    },
+    "ev_seasonal_anomaly": {
+        # the daily aggregate runs inside the localCheckpoint'd subtree;
+        # the visible plan starts from the truncated lineage
+        "flat_lineage": "ExistingRDD|LogicalRDD",
+        "broadcast_stats": "BroadcastNestedLoopJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "ev_asof_directions": {
+        # both directions are the one-shuffle union trick: no range
+        # join, no nested-loop explosion anywhere
+        "no_cartesian": "!CartesianProduct",
+        "no_bnlj": "!BroadcastNestedLoopJoin",
+    },
+    "ml_gbt_rounds": {
+        "partial_agg": "partial_",
+        "broadcast_model": "BroadcastNestedLoopJoin",
+    },
+    "er_fs_match_weights": {
+        # candidate generation is the block equi-join over the bounded
+        # rep kernel — a hash join, never a cartesian
+        "block_equi_join": "Join",
+        "no_cartesian": "!CartesianProduct",
+    },
 }
 
 

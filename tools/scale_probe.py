@@ -867,6 +867,101 @@ def main() -> None:
         "sketches merge by cell addition, so the distinct-key space "
         "(100K here) never shuffles and the summary stays 512 cells at "
         "any cardinality"))
+    # ---- round 5b: skyline, interval union, rank-test kernel at ~3M ----
+    from strava_vector_search_spark.operators.skyline import skyline_2d
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    reps_p = 150
+    big_part = (
+        part.select("p_retailprice", "p_size")
+        .crossJoin(spark.range(reps_p).select(F.col("id").alias("rep")))
+        .select(
+            # jitter price per replica so the level table grows 100x too
+            # (identical replicas would leave the bounded kernel unchanged
+            # and under-state the work)
+            F.expr(
+                "ROUND(p_retailprice + (rep % 100) * 0.01, 2)"
+            ).alias("price"),
+            "p_size",
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_p = big_part.count()
+    n_lvl = big_part.select("price").distinct().count()
+    sec_sky, n_sky = t(
+        lambda: skyline_2d(big_part, "price", "p_size").count()
+    )
+    results.append((
+        "2-D skyline (window form)",
+        f"{n_p:,} pts / {n_lvl:,} levels -> {n_sky} frontier",
+        sec_sky,
+        "per-level max partial-combines map-side; the only global state "
+        "is the |levels|-bounded table the cumulative window walks — no "
+        "dominance self-join at any N, and the frontier is mergeable "
+        "for per-partition pre-pruning"))
+    big_part.unpersist()
+
+    ev_iu = big_b.select(
+        (F.col("t") % 100000).alias("user_id"), F.col("t").alias("t_us")
+    )
+
+    def _interval_union():
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("t_us")
+        tt = ev_iu.withColumn("nxt", F.lead("t_us").over(w)).withColumn(
+            "prv", F.lag("t_us").over(w)
+        )
+        return (
+            tt.select(
+                "user_id",
+                F.expr(
+                    "LEAST(COALESCE(nxt - t_us, 1800000000),"
+                    " CAST(1800000000 AS BIGINT))"
+                ).alias("contrib"),
+            )
+            .groupBy("user_id")
+            .agg(F.sum("contrib").alias("covered_us"))
+            .count()
+        )
+
+    sec_iu, n_users = t(_interval_union)
+    results.append((
+        "interval-union coverage",
+        f"{n_b:,} leases / {n_users:,} users",
+        sec_iu,
+        "one partitioned lead/lag window + partial-agg: a per-key sort, "
+        "never a global one; exact BIGINT arithmetic, zero driver state"))
+
+    mw = big_b.select(
+        (F.col("t") % 2).alias("arm"),
+        F.expr("CAST(t % 50000 AS DOUBLE) / 100.0").alias("v"),
+    )
+
+    def _mann_whitney():
+        from pyspark.sql import Window as W
+
+        kern = mw.groupBy("v").agg(
+            F.expr("COUNT(CASE WHEN arm = 0 THEN 1 END)").alias("ca"),
+            F.expr("COUNT(CASE WHEN arm = 1 THEN 1 END)").alias("cb"),
+        )
+        wpre = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+        per = kern.withColumn(
+            "cumb", F.coalesce(F.sum("cb").over(wpre), F.lit(0))
+        )
+        return per.groupBy().agg(
+            F.sum(F.expr("ca * (2 * cumb + cb)")).alias("u1x2")
+        ).count()
+
+    sec_mw, _ = t(_mann_whitney)
+    results.append((
+        "Mann-Whitney distinct kernel",
+        f"{n_b:,} rows / 50,000 distinct values",
+        sec_mw,
+        "rank statistics WITHOUT ranking rows: the corpus folds to the "
+        "distinct-value kernel in one partial-combined pass; the window "
+        "walks only the bounded kernel (50K rows however large N gets)"))
     big_b.unpersist()
 
     # ---- write SCALE.md
