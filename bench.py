@@ -237,6 +237,8 @@ HEADLINE = [
     "ev_asof_directions",
     "ml_gbt_rounds",
     "er_fs_match_weights",
+    "g_bfs_hops",
+    "ev_sequence_pattern",
 ]
 
 

@@ -6711,3 +6711,72 @@ SELECT r1, r2, agree_name, agree_price, agree_size, weight,
 FROM weighted
 ORDER BY r1, r2
 """
+
+
+def _bfs_sql(hops: int = 3) -> str:
+    # MATERIALIZED for the same reason as _kcore_sql: each level is
+    # referenced by every later level's reached-set union
+    ctes = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey"
+        " FROM lineitem)",
+        "e0 AS MATERIALIZED (\n  SELECT a.l_partkey AS u, b.l_partkey AS v\n"
+        "  FROM op a JOIN op b\n"
+        "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey\n"
+        "  GROUP BY 1, 2 HAVING COUNT(*) >= 2\n)",
+        "und AS MATERIALIZED (SELECT u, v FROM e0"
+        " UNION ALL SELECT v AS u, u AS v FROM e0)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)",
+        "f0 AS MATERIALIZED (SELECT MIN(node) AS node FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT node FROM f0)",
+    ]
+    for h in range(1, hops + 1):
+        ctes.append(
+            f"f{h} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT und.v AS node\n"
+            f"  FROM f{h - 1} JOIN und ON und.u = f{h - 1}.node\n"
+            f"  WHERE und.v NOT IN (SELECT node FROM r{h - 1})\n)"
+        )
+        ctes.append(
+            f"r{h} AS MATERIALIZED (SELECT node FROM r{h - 1}"
+            f" UNION ALL SELECT node FROM f{h})"
+        )
+    levels = "\nUNION ALL ".join(
+        f"SELECT {h} AS dist, (SELECT COUNT(*) FROM f{h}) AS n_nodes"
+        for h in range(0, hops + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{levels}\nUNION ALL "
+        f"SELECT -1 AS dist, (SELECT COUNT(*) FROM nodes)"
+        f" - (SELECT COUNT(*) FROM r{hops}) AS n_nodes\n)"
+        # Spark's groupBy(dist) emits no row for an empty frontier; the
+        # unreached row (dist = -1) is emitted unconditionally by both
+        " WHERE n_nodes > 0 OR dist = -1 ORDER BY dist"
+    )
+
+
+ORACLES["g_bfs_hops"] = _bfs_sql()
+
+
+ORACLES["ev_sequence_pattern"] = """
+WITH coded AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id,
+         SUBSTRING(event_type, 1, 1) AS code
+  FROM events
+),
+seqs AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         STRING_AGG(code, '' ORDER BY t_us, event_id) AS seq
+  FROM coded GROUP BY user_id
+)
+SELECT user_id, n_events, LENGTH(seq) AS seq_len,
+       CASE WHEN regexp_matches(seq, 'v[^e]*c[^e]*p') THEN 1 ELSE 0 END
+         AS converted_clean,
+       CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END
+         AS converted_any,
+       CASE WHEN regexp_matches(seq, 'ee') THEN 1 ELSE 0 END
+         AS double_error
+FROM seqs
+ORDER BY user_id
+"""

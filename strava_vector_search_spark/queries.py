@@ -10384,3 +10384,108 @@ def er_fs_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"er_fs_match_weights": er_fs_match_weights})
+
+
+def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS (3 hops) over the part co-order graph from its
+    minimum-id node -- the shortest-path primitive the graph family
+    (CC, PageRank, k-core, triangles) still lacked. Per hop: ONE
+    equi-join of the current frontier against the edge list + an
+    anti-join against already-reached nodes, lineage truncated with
+    localCheckpoint (the iterative pattern shared with PageRank/CC).
+    Three hops are the BOUNDED prefix (production iterates to fixpoint;
+    hops is the knob). Output: nodes reached at each distance plus the
+    still-unreached count (dist = -1) -- pure integer set algebra, so
+    the unrolled MATERIALIZED-CTE oracle is bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    src = nodes.agg(F.min("node").alias("node"))
+    dist = F.broadcast(src).withColumn("dist", F.lit(0))
+    for h in (1, 2, 3):
+        frontier = dist.filter(F.col("dist") == h - 1)
+        nxt = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(h))
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+    reached = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+    totals = nodes.agg(F.count(F.lit(1)).alias("n_total")).crossJoin(
+        F.broadcast(dist.agg(F.count(F.lit(1)).alias("n_reached")))
+    )
+    unreached = totals.select(
+        F.lit(-1).alias("dist"),
+        F.expr("n_total - n_reached").alias("n_nodes"),
+    )
+    return reached.unionByName(unreached).orderBy("dist")
+
+
+QUERIES.update({"g_bfs_hops": g_bfs_hops})
+
+
+def ev_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (the MATCH_RECOGNIZE / CEP surface) per
+    user: events collapse to an initials string in (ts, event_id) order
+    -- v(iew) c(lick) p(urchase) s(ignup) e(rror) -- and a regex over
+    THAT string answers ordered-with-exclusion questions no plain
+    aggregate can: did the user convert view -> click -> purchase with
+    no error anywhere between? One groupBy builds the per-user sequence
+    (map-side partial via collect_list, sorted deterministically inside
+    the aggregate); the regex evaluates map-only on |users| bounded
+    rows. Existence flags only (engine regex dialects agree on WHETHER
+    a match exists; span extraction would pin one backtracking
+    strategy)."""
+    ev = load_events(spark, sf_dir)
+    coded = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "event_id",
+        F.expr("SUBSTRING(event_type, 1, 1)").alias("code"),
+    )
+    seqs = coded.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "concat_ws('', transform("
+            "array_sort(collect_list(struct(t_us, event_id, code))),"
+            " x -> x.code))"
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.expr("LENGTH(seq)").alias("seq_len"),
+        F.expr(
+            "CASE WHEN seq RLIKE 'v[^e]*c[^e]*p' THEN 1 ELSE 0 END"
+        ).alias("converted_clean"),
+        F.expr(
+            "CASE WHEN seq RLIKE 'v.*c.*p' THEN 1 ELSE 0 END"
+        ).alias("converted_any"),
+        F.expr(
+            "CASE WHEN seq RLIKE 'ee' THEN 1 ELSE 0 END"
+        ).alias("double_error"),
+    ).orderBy("user_id")
+
+
+QUERIES.update({"ev_sequence_pattern": ev_sequence_pattern})

@@ -443,3 +443,88 @@ def test_fs_weights_axioms(spark, sf_dir):
         and r["decision"] == "link"
         for r in planted
     )
+
+
+def test_bfs_hops_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().collect()
+    by_order = defaultdict(list)
+    for r in op:
+        by_order[r["l_orderkey"]].append(r["l_partkey"])
+    pair_counts = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_counts[(ps[i], ps[j])] += 1
+    adj = defaultdict(set)
+    for (u, v), c in pair_counts.items():
+        if c >= 2:
+            adj[u].add(v)
+            adj[v].add(u)
+    nodes = set(adj)
+    if not nodes:
+        return
+    src = min(nodes)
+    dist = {src: 0}
+    frontier = [src]
+    for h in (1, 2, 3):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = h
+        frontier = sorted(nxt)
+    exp = defaultdict(int)
+    for d in dist.values():
+        exp[d] += 1
+    exp[-1] = len(nodes) - len(dist)
+    got = {
+        r["dist"]: r["n_nodes"]
+        for r in QUERIES["g_bfs_hops"](spark, sf_dir).collect()
+    }
+    for d, n in exp.items():
+        if n > 0 or d == -1:
+            assert got.get(d) == n, (d, got.get(d), n)
+
+
+def test_sequence_pattern_matches_python(spark, sf_dir):
+    import re
+
+    ev = load_events(spark, sf_dir)
+    rows = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        "event_id",
+        F.expr("SUBSTRING(event_type, 1, 1)").alias("c"),
+    ).collect()
+    seqs: dict[int, list] = {}
+    for r in rows:
+        seqs.setdefault(r["user_id"], []).append(
+            (r["t"], r["event_id"], r["c"])
+        )
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["ev_sequence_pattern"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(seqs)
+    for uid, evs in seqs.items():
+        s = "".join(c for _, _, c in sorted(evs))
+        g = got[uid]
+        assert g["n_events"] == len(evs) and g["seq_len"] == len(s)
+        assert g["converted_clean"] == int(
+            re.search("v[^e]*c[^e]*p", s) is not None
+        )
+        assert g["converted_any"] == int(
+            re.search("v.*c.*p", s) is not None
+        )
+        assert g["double_error"] == int("ee" in s)
+    # exclusion must bite somewhere: clean conversions are a strict
+    # subset of any-order conversions on this data
+    n_clean = sum(r["converted_clean"] for r in got.values())
+    n_any = sum(r["converted_any"] for r in got.values())
+    assert 0 < n_clean < n_any
