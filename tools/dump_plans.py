@@ -712,6 +712,17 @@ EXPECTATIONS: dict[str, dict] = {
         "block_equi_join": "Join",
         "no_cartesian": "!CartesianProduct",
     },
+    "g_bfs_hops": {
+        # hops run inside localCheckpoint'd subtrees; the visible plan
+        # aggregates the truncated lineage — and must stay join-light
+        "flat_lineage": "ExistingRDD|LogicalRDD",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "ev_sequence_pattern": {
+        # collect_list partial-aggregates map-side (ObjectHashAggregate)
+        "partial_agg": "partial_",
+        "no_cartesian": "!CartesianProduct",
+    },
 }
 
 
