@@ -32,7 +32,14 @@ def skyline_2d(
     A row p is dominated iff some q has q.min <= p.min and q.max >= p.max
     with at least one strict. Points tied on BOTH dimensions survive
     together (neither dominates). Output keeps all input columns.
+
+    NULL contract: dominance is undefined on NULL coordinates, so rows
+    with a NULL in either dimension are excluded up front (otherwise the
+    NULL level would sort first under Spark's NULLS FIRST and its max
+    would poison ``_prevmax`` for every real level while the NULL rows
+    themselves vanish in the equi-join — a silently wrong frontier).
     """
+    df = df.filter(F.col(min_col).isNotNull() & F.col(max_col).isNotNull())
     levels = df.groupBy(min_col).agg(F.max(max_col).alias("_lmax"))
     wprev = Window.orderBy(min_col).rowsBetween(
         Window.unboundedPreceding, -1

@@ -8784,58 +8784,25 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding")[1],
         F.coalesce((F.col("label") == 0).cast("int"), F.lit(0)),
     )
-    per_v = feats.groupBy(F.col("x1").alias("v")).agg(
-        F.count(F.lit(1)).alias("n_v"),
-        F.sum(F.col("y").cast("decimal(38,12)")).alias("sy_v"),
-        F.sum(F.expr("CAST(y * y AS DECIMAL(38,12))")).alias("syy_v"),
+    # one split kernel, two consumers: _stump_candidates (shared with
+    # ml_gbt_rounds) scores every candidate; this gate adds the
+    # variance-gain readout from the carried totals
+    cand = _stump_candidates(
+        feats.select(F.col("x1").alias("v"), F.col("y").alias("r"))
     )
-    wcum = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wtot = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cand = (
-        per_v.withColumn("nl", F.sum("n_v").over(wcum))
-        .withColumn("sl", F.sum("sy_v").over(wcum))
-        .withColumn("syyl", F.sum("syy_v").over(wcum))
-        .withColumn("nt", F.sum("n_v").over(wtot))
-        .withColumn("st", F.sum("sy_v").over(wtot))
-        .withColumn("syyt", F.sum("syy_v").over(wtot))
-        .filter(F.col("nl") < F.col("nt"))  # right child must be non-empty
-        .select(
-            F.col("v").alias("threshold"),
-            "nl",
-            F.expr("nt - nl").alias("nr"),
-            F.expr("CAST(sl AS DOUBLE)").alias("sld"),
-            F.expr("CAST(st - sl AS DOUBLE)").alias("srd"),
-            F.expr("CAST(syyl AS DOUBLE)").alias("syyld"),
-            F.expr("CAST(syyt - syyl AS DOUBLE)").alias("syyrd"),
-            F.expr("CAST(st AS DOUBLE)").alias("tsum"),
-            F.expr("CAST(syyt AS DOUBLE)").alias("syytd"),
-            F.col("nt"),
-        )
-        .withColumn(
-            "sse",
-            F.expr(
-                "ROUND((syyld - sld * sld / CAST(nl AS DOUBLE))"
-                " + (syyrd - srd * srd / CAST(nr AS DOUBLE)), 10)"
-            ),
-        )
-    )
-    w = Window.orderBy("sse", "threshold")
+    w = Window.orderBy("sse", "thr")
     best = cand.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
     return best.select(
-        "threshold",
+        F.col("thr").alias("threshold"),
         F.col("nl").alias("n_left"),
         F.col("nr").alias("n_right"),
         F.expr("ROUND(sld / CAST(nl AS DOUBLE), 6)").alias("mean_left"),
         F.expr("ROUND(srd / CAST(nr AS DOUBLE), 6)").alias("mean_right"),
         F.expr("ROUND(sse, 6)").alias("sse"),
         F.expr(
-            "ROUND((syytd - tsum * tsum / CAST(nt AS DOUBLE)) - sse, 6)"
+            "ROUND((srrtd - tsum * tsum / CAST(nt AS DOUBLE)) - sse, 6)"
         ).alias("gain"),
     )
 
@@ -10164,12 +10131,13 @@ def ev_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"ev_asof_directions": ev_asof_directions})
 
 
-def _best_stump(df: DataFrame) -> DataFrame:
-    """Exact best split of residual column ``r`` on feature ``v``: ONE
-    per-distinct-value moment aggregate + cumulative windows (the
-    ml_decision_stump kernel, factored so boosting rounds can reuse it).
-    Returns 1 row (thr, wl, wr, sse) — child means are the squared-loss
-    optimal leaf weights."""
+def _stump_candidates(df: DataFrame) -> DataFrame:
+    """Every candidate split of target column ``r`` on feature ``v``,
+    scored in closed form: ONE per-distinct-value moment aggregate +
+    cumulative windows (the exact greedy split kernel shared by
+    ml_decision_stump and ml_gbt_rounds — one copy, two consumers).
+    Columns: thr, nl, nr, child sums, 10 dp sse, plus the totals
+    (tsum, srrtd, nt) a consumer needs for the variance-gain readout."""
     per_v = df.groupBy("v").agg(
         F.count(F.lit(1)).alias("n_v"),
         F.sum(F.col("r").cast("decimal(38,12)")).alias("sr_v"),
@@ -10181,7 +10149,7 @@ def _best_stump(df: DataFrame) -> DataFrame:
     wtot = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    cand = (
+    return (
         per_v.withColumn("nl", F.sum("n_v").over(wcum))
         .withColumn("sl", F.sum("sr_v").over(wcum))
         .withColumn("srrl", F.sum("srr_v").over(wcum))
@@ -10197,6 +10165,9 @@ def _best_stump(df: DataFrame) -> DataFrame:
             F.expr("CAST(st - sl AS DOUBLE)").alias("srd"),
             F.expr("CAST(srrl AS DOUBLE)").alias("srrld"),
             F.expr("CAST(srrt - srrl AS DOUBLE)").alias("srrrd"),
+            F.expr("CAST(st AS DOUBLE)").alias("tsum"),
+            F.expr("CAST(srrt AS DOUBLE)").alias("srrtd"),
+            F.col("nt"),
         )
         .withColumn(
             "sse",
@@ -10206,9 +10177,15 @@ def _best_stump(df: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def _best_stump(df: DataFrame) -> DataFrame:
+    """Argmin over :func:`_stump_candidates` — 1 row (thr, wl, wr, sse);
+    child means are the squared-loss optimal leaf weights."""
     w = Window.orderBy("sse", "thr")
     return (
-        cand.withColumn("rn", F.row_number().over(w))
+        _stump_candidates(df)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "thr",
@@ -10249,7 +10226,11 @@ def ml_gbt_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = feats.crossJoin(F.broadcast(f0row)).select(
         "v", F.expr("ROUND(y - f0, 6)").alias("r")
     )
-    s1 = _best_stump(d1)
+    # both s1 consumers (round-2 residuals AND the final output row) and
+    # both d1 consumers reuse the same subtree — truncate lineage so the
+    # stump kernel and residual projection run once, not twice
+    d1 = d1.localCheckpoint(eager=False)
+    s1 = _best_stump(d1).localCheckpoint(eager=False)
     d2 = d1.crossJoin(
         F.broadcast(
             s1.select(

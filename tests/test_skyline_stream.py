@@ -121,3 +121,16 @@ def test_live_stream_two_waves(spark, tmp_path):
         assert (9, 11.0, 8) in got and (2, 12.0, 7) not in got
     finally:
         q.stop()
+
+
+def test_skyline_null_coordinates_excluded(spark):
+    """NULL contract: rows with a NULL coordinate are excluded up front —
+    previously a NULL price level poisoned _prevmax (NULLS FIRST) and the
+    operator returned an EMPTY frontier for this input."""
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, 1.0, 5), (3, 2.0, None), (4, 3.0, 7)],
+        "id bigint, price double, size int",
+    )
+    got = _front_set(skyline_2d(df, "price", "size"))
+    # among non-NULL rows {(1.0,5), (3.0,7)} neither dominates the other
+    assert got == [(2, 1.0, 5), (4, 3.0, 7)]
