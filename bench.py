@@ -239,6 +239,7 @@ HEADLINE = [
     "er_fs_match_weights",
     "g_bfs_hops",
     "ev_sequence_pattern",
+    "ml_tree_depth2",
 ]
 
 

@@ -6780,3 +6780,72 @@ SELECT user_id, n_events, LENGTH(seq) AS seq_len,
 FROM seqs
 ORDER BY user_id
 """
+
+
+ORACLES["ml_tree_depth2"] = f"""
+WITH feats AS (
+  SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS v,
+         CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS r
+  FROM embeddings WHERE embedding IS NOT NULL
+),{_stump_ctes("feats", "rt")},
+sided AS (
+  SELECT CASE WHEN v <= thr THEN 'L' ELSE 'R' END AS side, v, r
+  FROM feats CROSS JOIN rtbest
+),
+per2 AS (
+  SELECT side, v, COUNT(*) AS n_v,
+         SUM(CAST(r AS DECIMAL(38,12))) AS sr_v,
+         SUM(CAST(r * r AS DECIMAL(38,12))) AS srr_v
+  FROM sided GROUP BY side, v
+),
+cum2 AS (
+  SELECT side, v,
+         SUM(n_v) OVER (PARTITION BY side ORDER BY v
+             ROWS UNBOUNDED PRECEDING) AS nl,
+         SUM(sr_v) OVER (PARTITION BY side ORDER BY v
+             ROWS UNBOUNDED PRECEDING) AS sl,
+         SUM(srr_v) OVER (PARTITION BY side ORDER BY v
+             ROWS UNBOUNDED PRECEDING) AS srrl,
+         SUM(n_v) OVER (PARTITION BY side) AS nt,
+         SUM(sr_v) OVER (PARTITION BY side) AS st,
+         SUM(srr_v) OVER (PARTITION BY side) AS srrt
+  FROM per2
+),
+cand2 AS (
+  SELECT side, v AS thr, nl, nt - nl AS nr,
+         CAST(sl AS DOUBLE) AS sld, CAST(st - sl AS DOUBLE) AS srd,
+         CAST(srrl AS DOUBLE) AS srrld,
+         CAST(srrt - srrl AS DOUBLE) AS srrrd
+  FROM cum2 WHERE nl < nt
+),
+scored2 AS (
+  SELECT *,
+         ROUND((srrld - sld * sld / CAST(nl AS DOUBLE))
+             + (srrrd - srd * srd / CAST(nr AS DOUBLE)), 10) AS sse
+  FROM cand2
+),
+best2 AS (
+  SELECT side, thr,
+         ROUND(sld / CAST(nl AS DOUBLE), 6) AS wl,
+         ROUND(srd / CAST(nr AS DOUBLE), 6) AS wr,
+         ROUND(sse, 6) AS sse
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY side
+               ORDER BY sse, thr) AS rn
+    FROM scored2
+  ) WHERE rn = 1
+),
+wide AS (
+  SELECT MAX(CASE WHEN side = 'L' THEN thr END) AS left_thr,
+         MAX(CASE WHEN side = 'L' THEN wl END) AS left_wl,
+         MAX(CASE WHEN side = 'L' THEN wr END) AS left_wr,
+         MAX(CASE WHEN side = 'R' THEN thr END) AS right_thr,
+         MAX(CASE WHEN side = 'R' THEN wl END) AS right_wl,
+         MAX(CASE WHEN side = 'R' THEN wr END) AS right_wr,
+         ROUND(CAST(SUM(CAST(sse AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS sse_depth2
+  FROM best2
+)
+SELECT rtbest.thr AS root_thr, rtbest.sse AS root_sse, wide.*
+FROM rtbest CROSS JOIN wide
+"""

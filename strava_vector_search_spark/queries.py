@@ -10131,22 +10131,30 @@ def ev_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"ev_asof_directions": ev_asof_directions})
 
 
-def _stump_candidates(df: DataFrame) -> DataFrame:
+def _stump_candidates(
+    df: DataFrame, by: list[str] | None = None
+) -> DataFrame:
     """Every candidate split of target column ``r`` on feature ``v``,
     scored in closed form: ONE per-distinct-value moment aggregate +
     cumulative windows (the exact greedy split kernel shared by
-    ml_decision_stump and ml_gbt_rounds — one copy, two consumers).
-    Columns: thr, nl, nr, child sums, 10 dp sse, plus the totals
+    ml_decision_stump, ml_gbt_rounds and ml_tree_depth2 — one copy,
+    three consumers). With ``by`` the kernel runs independently per
+    group (windows partition on it), which is how the depth-2 tree
+    trains both children from ONE aggregate.
+    Columns: (*by), thr, nl, nr, child sums, 10 dp sse, plus the totals
     (tsum, srrtd, nt) a consumer needs for the variance-gain readout."""
-    per_v = df.groupBy("v").agg(
+    by = by or []
+    per_v = df.groupBy(*by, "v").agg(
         F.count(F.lit(1)).alias("n_v"),
         F.sum(F.col("r").cast("decimal(38,12)")).alias("sr_v"),
         F.sum(F.expr("CAST(r * r AS DECIMAL(38,12))")).alias("srr_v"),
     )
-    wcum = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    wcum = (
+        Window.partitionBy(*by)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wtot = Window.rowsBetween(
+    wtot = Window.partitionBy(*by).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
@@ -10158,6 +10166,7 @@ def _stump_candidates(df: DataFrame) -> DataFrame:
         .withColumn("srrt", F.sum("srr_v").over(wtot))
         .filter(F.col("nl") < F.col("nt"))
         .select(
+            *by,
             F.col("v").alias("thr"),
             "nl",
             F.expr("nt - nl").alias("nr"),
@@ -10470,3 +10479,72 @@ def ev_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_sequence_pattern": ev_sequence_pattern})
+
+
+def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 regression tree, trained distributed-exact: the root is
+    the greedy best split (_best_stump), then BOTH children train from
+    ONE grouped aggregate -- _stump_candidates(by=['side']) runs the
+    split kernel per child with windows partitioned on the side, so
+    adding a tree level costs one more scan + one bounded kernel, not
+    a per-node pass (the level-synchronous layout XGBoost's exact mode
+    uses). Leaf weights are child means; depth-2 SSE = sum of the two
+    children's best SSEs; a side with fewer than two distinct feature
+    values yields NULL split columns (documented). Pinned by a Python
+    replay and sse_depth2 <= root sse in tests."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = emb.select(
+        F.expr("ROUND(CAST(embedding[0] AS DOUBLE), 6)").alias("v"),
+        F.expr(
+            "CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE)"
+        ).alias("r"),
+    ).localCheckpoint(eager=False)
+    root = _best_stump(feats).localCheckpoint(eager=False)
+    sided = feats.crossJoin(
+        F.broadcast(root.select(F.col("thr").alias("t0")))
+    ).select(
+        F.expr("CASE WHEN v <= t0 THEN 'L' ELSE 'R' END").alias("side"),
+        "v",
+        "r",
+    )
+    cand2 = _stump_candidates(sided, by=["side"])
+    w2 = Window.partitionBy("side").orderBy("sse", "thr")
+    best2 = (
+        cand2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "side",
+            "thr",
+            F.expr("ROUND(sld / CAST(nl AS DOUBLE), 6)").alias("wl"),
+            F.expr("ROUND(srd / CAST(nr AS DOUBLE), 6)").alias("wr"),
+            F.expr("ROUND(sse, 6)").alias("sse"),
+        )
+    )
+    wide = best2.groupBy().agg(
+        F.expr("MAX(CASE WHEN side = 'L' THEN thr END)").alias(
+            "left_thr"
+        ),
+        F.expr("MAX(CASE WHEN side = 'L' THEN wl END)").alias("left_wl"),
+        F.expr("MAX(CASE WHEN side = 'L' THEN wr END)").alias("left_wr"),
+        F.expr("MAX(CASE WHEN side = 'R' THEN thr END)").alias(
+            "right_thr"
+        ),
+        F.expr("MAX(CASE WHEN side = 'R' THEN wl END)").alias(
+            "right_wl"
+        ),
+        F.expr("MAX(CASE WHEN side = 'R' THEN wr END)").alias(
+            "right_wr"
+        ),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(sse AS DECIMAL(38,12))) AS DOUBLE), 6)"
+        ).alias("sse_depth2"),
+    )
+    return root.select(
+        F.col("thr").alias("root_thr"),
+        F.col("sse").alias("root_sse"),
+    ).crossJoin(F.broadcast(wide))
+
+
+QUERIES.update({"ml_tree_depth2": ml_tree_depth2})

@@ -528,3 +528,66 @@ def test_sequence_pattern_matches_python(spark, sf_dir):
     n_clean = sum(r["converted_clean"] for r in got.values())
     n_any = sum(r["converted_any"] for r in got.values())
     assert 0 < n_clean < n_any
+
+
+def test_tree_depth2_matches_python(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    rows = emb.select(
+        F.expr("ROUND(CAST(embedding[0] AS DOUBLE), 6)").alias("v"),
+        F.expr(
+            "CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE)"
+        ).alias("r"),
+    ).collect()
+    pts = [(r["v"], r["r"]) for r in rows]
+
+    def best_stump(data):
+        from collections import defaultdict
+
+        mom = defaultdict(lambda: [0, 0.0, 0.0])
+        for v, r in data:
+            m = mom[v]
+            m[0] += 1
+            m[1] += r
+            m[2] += r * r
+        vs = sorted(mom)
+        if len(vs) < 2:
+            return None
+        nt = sum(mom[v][0] for v in vs)
+        st = sum(mom[v][1] for v in vs)
+        srrt = sum(mom[v][2] for v in vs)
+        nl = sl = srrl = 0.0
+        best = None
+        for v in vs[:-1]:
+            nl += mom[v][0]
+            sl += mom[v][1]
+            srrl += mom[v][2]
+            nr, sr, srrr = nt - nl, st - sl, srrt - srrl
+            sse = round(
+                (srrl - sl * sl / nl) + (srrr - sr * sr / nr), 10
+            )
+            if best is None or (sse, v) < best[:2]:
+                best = (sse, v, sl / nl, sr / nr)
+        return best[1], best[2], best[3], best[0]
+
+    t0, _, _, sse0 = best_stump(pts)
+    left = [p for p in pts if p[0] <= t0]
+    right = [p for p in pts if p[0] > t0]
+    bl, br = best_stump(left), best_stump(right)
+    row = QUERIES["ml_tree_depth2"](spark, sf_dir).collect()[0]
+    assert row["root_thr"] == t0
+    if bl:
+        assert row["left_thr"] == bl[0]
+        assert abs(row["left_wl"] - bl[1]) < 1e-4
+    else:
+        assert row["left_thr"] is None
+    if br:
+        assert row["right_thr"] == br[0]
+        assert abs(row["right_wl"] - br[1]) < 1e-4
+    else:
+        assert row["right_thr"] is None
+    exp_sse2 = round((bl[3] if bl else 0.0) + (br[3] if br else 0.0), 6)
+    assert abs(row["sse_depth2"] - exp_sse2) < 1e-2
+    # a deeper tree never fits worse on train
+    assert row["sse_depth2"] <= row["root_sse"] + 1e-9

@@ -723,6 +723,12 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_cartesian": "!CartesianProduct",
     },
+    "ml_tree_depth2": {
+        # root rides a broadcast; the per-side kernel partial-combines
+        "partial_agg": "partial_",
+        "broadcast_root": "BroadcastNestedLoopJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
 }
 
 
