@@ -240,6 +240,7 @@ HEADLINE = [
     "g_bfs_hops",
     "ev_sequence_pattern",
     "ml_tree_depth2",
+    "dq_fd_violations",
 ]
 
 

@@ -6849,3 +6849,31 @@ wide AS (
 SELECT rtbest.thr AS root_thr, rtbest.sse AS root_sse, wide.*
 FROM rtbest CROSS JOIN wide
 """
+
+
+def _fd_sql(name: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{name}' AS fd, COUNT(*) AS n_lhs,
+       COUNT(CASE WHEN n_rhs > 1 THEN 1 END) AS n_violating,
+       MAX(n_rhs) AS max_fanout,
+       CAST(MAX(n_rhs) = 1 AS INT) AS holds
+FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs
+      FROM {table} GROUP BY {lhs})"""
+
+
+ORACLES["dq_fd_violations"] = (
+    _fd_sql("c_custkey->c_nationkey", "customer", "c_custkey",
+            "c_nationkey")
+    + "\nUNION ALL"
+    + _fd_sql("n_nationkey->n_regionkey", "nation", "n_nationkey",
+              "n_regionkey")
+    + "\nUNION ALL"
+    + _fd_sql("o_custkey->o_orderpriority", "orders", "o_custkey",
+              "o_orderpriority")
+    + "\nUNION ALL"
+    + _fd_sql("l_partkey->l_suppkey", "lineitem", "l_partkey",
+              "l_suppkey")
+    + "\nUNION ALL"
+    + _fd_sql("lang->source", "documents", "lang", "source")
+    + "\nORDER BY fd"
+)

@@ -10548,3 +10548,52 @@ def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ml_tree_depth2": ml_tree_depth2})
+
+
+def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (the Deequ/metanome-style schema
+    audit): for each candidate FD lhs -> rhs, ONE groupBy(lhs) counts
+    distinct rhs values, and the FD report (distinct lhs, violating lhs,
+    worst fan-out, holds flag) folds out of an aggregate of THAT bounded
+    table -- how a curator discovers which columns are safe dedup /
+    partition keys. Five candidates across the star schema: two true
+    FDs (key -> attribute) and three expected violations. Linear scans,
+    map-side combined, no joins."""
+    def fd(df: DataFrame, name: str, lhs: str, rhs: str) -> DataFrame:
+        per = df.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        return per.groupBy().agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.expr("COUNT(CASE WHEN n_rhs > 1 THEN 1 END)").alias(
+                "n_violating"
+            ),
+            F.max("n_rhs").alias("max_fanout"),
+            F.expr(
+                "CAST(MAX(n_rhs) = 1 AS INT)"
+            ).alias("holds"),
+        )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        fd(cust, "c_custkey->c_nationkey", "c_custkey", "c_nationkey")
+        .unionByName(
+            fd(nation, "n_nationkey->n_regionkey", "n_nationkey",
+               "n_regionkey")
+        )
+        .unionByName(
+            fd(orders, "o_custkey->o_orderpriority", "o_custkey",
+               "o_orderpriority")
+        )
+        .unionByName(fd(li, "l_partkey->l_suppkey", "l_partkey",
+                        "l_suppkey"))
+        .unionByName(fd(docs, "lang->source", "lang", "source"))
+    )
+    return out.orderBy("fd")
+
+
+QUERIES.update({"dq_fd_violations": dq_fd_violations})

@@ -591,3 +591,31 @@ def test_tree_depth2_matches_python(spark, sf_dir):
     assert abs(row["sse_depth2"] - exp_sse2) < 1e-2
     # a deeper tree never fits worse on train
     assert row["sse_depth2"] <= row["root_sse"] + 1e-9
+
+
+def test_fd_violations_expected_structure(spark, sf_dir):
+    rows = {r["fd"]: r for r in QUERIES["dq_fd_violations"](spark, sf_dir).collect()}
+    assert len(rows) == 5
+    # key -> attribute FDs hold by construction
+    assert rows["c_custkey->c_nationkey"]["holds"] == 1
+    assert rows["n_nationkey->n_regionkey"]["holds"] == 1
+    assert rows["c_custkey->c_nationkey"]["n_violating"] == 0
+    # the synthetic non-FDs must actually violate
+    assert rows["o_custkey->o_orderpriority"]["holds"] == 0
+    assert rows["o_custkey->o_orderpriority"]["max_fanout"] > 1
+    # replay one FD by brute force
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = {
+        (r["lang"], r["source"])
+        for r in docs.select("lang", "source").distinct().collect()
+    }
+    langs = {}
+    for l, s in pairs:
+        langs.setdefault(l, set()).add(s)
+    assert rows["lang->source"]["n_lhs"] == len(langs)
+    assert rows["lang->source"]["n_violating"] == sum(
+        1 for v in langs.values() if len(v) > 1
+    )
+    assert rows["lang->source"]["max_fanout"] == max(
+        len(v) for v in langs.values()
+    )
