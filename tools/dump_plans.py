@@ -729,6 +729,11 @@ EXPECTATIONS: dict[str, dict] = {
         "broadcast_root": "BroadcastNestedLoopJoin",
         "no_cartesian": "!CartesianProduct",
     },
+    "dq_fd_violations": {
+        # five linear profile scans, unioned; no joins anywhere
+        "partial_agg": "partial_",
+        "no_join": "!Join",
+    },
 }
 
 
