@@ -6317,9 +6317,13 @@ FROM agg
 
 
 ORACLES["w_skyline_2d"] = """
+-- NULL contract mirrored from operators/skyline.skyline_2d: rows with a
+-- NULL coordinate are excluded up front (without the outer filter a
+-- NULL-coordinate row would survive NOT EXISTS via UNKNOWN dominance)
 SELECT p.p_partkey, p.p_retailprice, p.p_size
 FROM part p
-WHERE NOT EXISTS (
+WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+  AND NOT EXISTS (
   SELECT 1 FROM part q
   WHERE q.p_retailprice <= p.p_retailprice
     AND q.p_size >= p.p_size

@@ -10409,7 +10409,12 @@ def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     nodes = und.select(F.col("u").alias("node")).distinct()
-    src = nodes.agg(F.min("node").alias("node"))
+    # one distinct pass serves both the seed and the final total (the
+    # two consumers otherwise re-run the distinct over the edge list)
+    stats = nodes.agg(
+        F.min("node").alias("node"), F.count("node").alias("n_total")
+    ).localCheckpoint(eager=False)
+    src = stats.select("node")
     dist = F.broadcast(src).withColumn("dist", F.lit(0))
     for h in (1, 2, 3):
         frontier = dist.filter(F.col("dist") == h - 1)
@@ -10422,7 +10427,7 @@ def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dist = dist.unionByName(nxt).localCheckpoint(eager=False)
     reached = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
-    totals = nodes.agg(F.count(F.lit(1)).alias("n_total")).crossJoin(
+    totals = stats.select("n_total").crossJoin(
         F.broadcast(dist.agg(F.count(F.lit(1)).alias("n_reached")))
     )
     unreached = totals.select(

@@ -487,9 +487,10 @@ def test_bfs_hops_matches_python(spark, sf_dir):
         r["dist"]: r["n_nodes"]
         for r in QUERIES["g_bfs_hops"](spark, sf_dir).collect()
     }
-    for d, n in exp.items():
-        if n > 0 or d == -1:
-            assert got.get(d) == n, (d, got.get(d), n)
+    expected_keys = {d for d, n in exp.items() if n > 0 or d == -1}
+    assert set(got) == expected_keys  # no spurious extra levels either
+    for d in expected_keys:
+        assert got[d] == exp[d], (d, got[d], exp[d])
 
 
 def test_sequence_pattern_matches_python(spark, sf_dir):

@@ -910,9 +910,7 @@ def main() -> None:
         from pyspark.sql import Window as W
 
         w = W.partitionBy("user_id").orderBy("t_us")
-        tt = ev_iu.withColumn("nxt", F.lead("t_us").over(w)).withColumn(
-            "prv", F.lag("t_us").over(w)
-        )
+        tt = ev_iu.withColumn("nxt", F.lead("t_us").over(w))
         return (
             tt.select(
                 "user_id",
