@@ -241,6 +241,7 @@ HEADLINE = [
     "ev_sequence_pattern",
     "ml_tree_depth2",
     "dq_fd_violations",
+    "a25_hdr_histogram",
 ]
 
 

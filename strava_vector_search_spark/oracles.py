@@ -6881,3 +6881,72 @@ ORACLES["dq_fd_violations"] = (
     + _fd_sql("lang->source", "documents", "lang", "source")
     + "\nORDER BY fd"
 )
+
+
+ORACLES["a25_hdr_histogram"] = """
+WITH vals AS (
+  SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM events
+  WHERE CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) >= 1
+),
+tq AS (
+  SELECT COUNT(*) AS n_values,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(CEIL(COUNT(*) * 0.5) AS BIGINT)) AS k50,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(CEIL(COUNT(*) * 0.9) AS BIGINT)) AS k90,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(CEIL(COUNT(*) * 0.99) AS BIGINT)) AS k99
+  FROM vals
+),
+kern AS (
+  SELECT vc, COUNT(*) AS c,
+         SUM(COUNT(*)) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vals GROUP BY vc
+),
+buck AS (
+  SELECT b, COUNT(*) AS c,
+         SUM(COUNT(*)) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT CAST(LENGTH(BIN(vc)) - 1 AS BIGINT) AS b FROM vals)
+  GROUP BY b
+),
+bq AS (
+  SELECT n_values, k50, k90, k99,
+         MIN(CASE WHEN cum >= k50 THEN b END) AS b50,
+         MIN(CASE WHEN cum >= k90 THEN b END) AS b90,
+         MIN(CASE WHEN cum >= k99 THEN b END) AS b99
+  FROM buck CROSS JOIN tq
+  GROUP BY n_values, k50, k90, k99
+),
+eq AS (
+  SELECT n_values,
+         MIN(CASE WHEN cum >= k50 THEN vc END) AS x50,
+         MIN(CASE WHEN cum >= k90 THEN vc END) AS x90,
+         MIN(CASE WHEN cum >= k99 THEN vc END) AS x99
+  FROM kern CROSS JOIN tq
+  GROUP BY n_values
+)
+SELECT bq.n_values,
+       b50,
+       CAST(3 * (CAST(1 AS BIGINT) << CAST(b50 AS INT)) AS DOUBLE) / 2.0
+         AS est50_cents,
+       x50 AS exact50_cents,
+       ROUND(ABS(CAST(3 * (CAST(1 AS BIGINT) << CAST(b50 AS INT))
+             AS DOUBLE) / 2.0 - CAST(x50 AS DOUBLE))
+             / CAST(x50 AS DOUBLE), 6) AS relerr50,
+       b90,
+       CAST(3 * (CAST(1 AS BIGINT) << CAST(b90 AS INT)) AS DOUBLE) / 2.0
+         AS est90_cents,
+       x90 AS exact90_cents,
+       ROUND(ABS(CAST(3 * (CAST(1 AS BIGINT) << CAST(b90 AS INT))
+             AS DOUBLE) / 2.0 - CAST(x90 AS DOUBLE))
+             / CAST(x90 AS DOUBLE), 6) AS relerr90,
+       b99,
+       CAST(3 * (CAST(1 AS BIGINT) << CAST(b99 AS INT)) AS DOUBLE) / 2.0
+         AS est99_cents,
+       x99 AS exact99_cents,
+       ROUND(ABS(CAST(3 * (CAST(1 AS BIGINT) << CAST(b99 AS INT))
+             AS DOUBLE) / 2.0 - CAST(x99 AS DOUBLE))
+             / CAST(x99 AS DOUBLE), 6) AS relerr99
+FROM bq JOIN eq USING (n_values)
+"""

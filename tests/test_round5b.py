@@ -620,3 +620,30 @@ def test_fd_violations_expected_structure(spark, sf_dir):
     assert rows["lang->source"]["max_fanout"] == max(
         len(v) for v in langs.values()
     )
+
+
+def test_hdr_histogram_bounds_and_replay(spark, sf_dir):
+    row = QUERIES["a25_hdr_histogram"](spark, sf_dir).collect()[0]
+    ev = load_events(spark, sf_dir)
+    cents = sorted(
+        r["vc"]
+        for r in ev.select(
+            F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("vc")
+        )
+        .filter(F.col("vc") >= 1)
+        .collect()
+    )
+    n = len(cents)
+    assert row["n_values"] == n
+    import math
+
+    for q, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99")):
+        k = max(1, math.ceil(q * n))
+        exact = cents[k - 1]
+        assert row[f"exact{tag}_cents"] == exact
+        b = exact.bit_length() - 1
+        assert row[f"b{tag}"] == b
+        est = 3 * (1 << b) / 2.0
+        assert row[f"est{tag}_cents"] == est
+        # log2 buckets with midpoint estimate: relative error <= 50%
+        assert row[f"relerr{tag}"] <= 0.5 + 1e-9

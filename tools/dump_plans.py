@@ -734,6 +734,12 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_join": "!Join",
     },
+    "a25_hdr_histogram": {
+        # both walks fold the stream map-side; ranks ride a broadcast
+        "partial_agg": "partial_",
+        "broadcast_ranks": "BroadcastNestedLoopJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
 }
 
 
