@@ -242,6 +242,7 @@ HEADLINE = [
     "ml_tree_depth2",
     "dq_fd_violations",
     "a25_hdr_histogram",
+    "ev_rfm_segments",
 ]
 
 

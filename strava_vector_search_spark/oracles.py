@@ -6950,3 +6950,41 @@ SELECT bq.n_values,
              / CAST(x99 AS DOUBLE), 6) AS relerr99
 FROM bq JOIN eq USING (n_values)
 """
+
+
+ORACLES["ev_rfm_segments"] = """
+WITH per_c AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,12)))
+              AS DECIMAL(28,6)) AS money
+  FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT MAX(last_d) AS max_d FROM per_c),
+base AS (
+  SELECT o_custkey, DATEDIFF('day', last_d, max_d) AS rec_days,
+         freq, money
+  FROM per_c CROSS JOIN mx
+),
+scored AS (
+  SELECT o_custkey, money,
+         NTILE(5) OVER (ORDER BY rec_days DESC, o_custkey ASC) AS r_score,
+         NTILE(5) OVER (ORDER BY freq ASC, o_custkey ASC) AS f_score,
+         NTILE(5) OVER (ORDER BY money ASC, o_custkey ASC) AS m_score
+  FROM base
+),
+segs AS (
+  SELECT r_score, f_score, m_score,
+         COUNT(*) AS n_customers, SUM(money) AS seg_money
+  FROM scored GROUP BY r_score, f_score, m_score
+),
+tot AS (SELECT SUM(seg_money) AS tot_money FROM segs)
+SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment,
+       n_customers,
+       ROUND(CAST(seg_money AS DOUBLE) / CAST(tot_money AS DOUBLE), 6)
+         AS money_share
+FROM segs CROSS JOIN tot
+ORDER BY segment
+"""

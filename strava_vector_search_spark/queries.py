@@ -10687,3 +10687,63 @@ def a25_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"a25_hdr_histogram": a25_hdr_histogram})
+
+
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation -- the CRM workhorse: per customer
+    Recency (days since last order, against the corpus max date),
+    Frequency (order count) and Monetary (DECIMAL revenue) fold out of
+    ONE orders aggregate; each dimension maps to a 1..5 NTILE score
+    (ties broken by customer id so both engines rank identically), and
+    customers roll up by the 3-digit segment. The NTILE windows run
+    over the |customers|-bounded aggregate, never raw orders -- at
+    cluster scale that rank is a range-partitioned sort. Output: one
+    row per observed segment with population and money share."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.max(F.expr("CAST(o_orderdate AS DATE)")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,12)))"
+            " AS DECIMAL(28,6))"
+        ).alias("money"),
+    )
+    mx = per_c.agg(F.max("last_d").alias("max_d"))
+    base = per_c.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.expr("DATEDIFF(max_d, last_d)").alias("rec_days"),
+        "freq",
+        "money",
+    )
+    # recency: smaller is better -> score 5 for the most recent quintile
+    wr = Window.orderBy(F.desc("rec_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.asc("freq"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.asc("money"), F.asc("o_custkey"))
+    scored = (
+        base.withColumn("r_score", F.ntile(5).over(wr))
+        .withColumn("f_score", F.ntile(5).over(wf))
+        .withColumn("m_score", F.ntile(5).over(wm))
+    )
+    segs = scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("money").alias("seg_money"),
+    )
+    tot = segs.agg(F.sum("seg_money").alias("tot_money"))
+    return (
+        segs.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CONCAT(CAST(r_score AS STRING), CAST(f_score AS STRING),"
+                " CAST(m_score AS STRING))"
+            ).alias("segment"),
+            "n_customers",
+            F.expr(
+                "ROUND(CAST(seg_money AS DOUBLE)"
+                " / CAST(tot_money AS DOUBLE), 6)"
+            ).alias("money_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+QUERIES.update({"ev_rfm_segments": ev_rfm_segments})

@@ -647,3 +647,24 @@ def test_hdr_histogram_bounds_and_replay(spark, sf_dir):
         assert row[f"est{tag}_cents"] == est
         # log2 buckets with midpoint estimate: relative error <= 50%
         assert row[f"relerr{tag}"] <= 0.5 + 1e-9
+
+
+def test_rfm_segments_axioms(spark, sf_dir):
+    rows = QUERIES["ev_rfm_segments"](spark, sf_dir).collect()
+    assert rows
+    orders = load_table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    import math
+
+    assert math.isclose(
+        sum(r["money_share"] for r in rows), 1.0, abs_tol=1e-3
+    )
+    # every segment digit is a quintile score 1..5
+    for r in rows:
+        assert len(r["segment"]) == 3
+        assert all(c in "12345" for c in r["segment"])
+    # top-monetary segments (m=5) must hold outsized money share:
+    # 5 of 125 possible cells cover ~20% of customers but more revenue
+    m5 = sum(r["money_share"] for r in rows if r["segment"][2] == "5")
+    assert m5 > 0.2

@@ -740,6 +740,13 @@ EXPECTATIONS: dict[str, dict] = {
         "broadcast_ranks": "BroadcastNestedLoopJoin",
         "no_cartesian": "!CartesianProduct",
     },
+    "ev_rfm_segments": {
+        # quintile windows run over the customer aggregate (partial);
+        # max-date and totals ride broadcasts
+        "partial_agg": "partial_",
+        "broadcast_scalars": "BroadcastNestedLoopJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
 }
 
 
