@@ -6889,25 +6889,25 @@ WITH vals AS (
   FROM events
   WHERE CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) >= 1
 ),
-tq AS (
-  SELECT COUNT(*) AS n_values,
-         GREATEST(CAST(1 AS BIGINT),
-                  CAST(CEIL(COUNT(*) * 0.5) AS BIGINT)) AS k50,
-         GREATEST(CAST(1 AS BIGINT),
-                  CAST(CEIL(COUNT(*) * 0.9) AS BIGINT)) AS k90,
-         GREATEST(CAST(1 AS BIGINT),
-                  CAST(CEIL(COUNT(*) * 0.99) AS BIGINT)) AS k99
-  FROM vals
-),
 kern AS (
   SELECT vc, COUNT(*) AS c,
          SUM(COUNT(*)) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS cum
   FROM vals GROUP BY vc
 ),
+tq AS (
+  SELECT SUM(c) AS n_values,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(CEIL(SUM(c) * 0.5) AS BIGINT)) AS k50,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(CEIL(SUM(c) * 0.9) AS BIGINT)) AS k90,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(CEIL(SUM(c) * 0.99) AS BIGINT)) AS k99
+  FROM kern
+),
 buck AS (
-  SELECT b, COUNT(*) AS c,
-         SUM(COUNT(*)) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
-  FROM (SELECT CAST(LENGTH(BIN(vc)) - 1 AS BIGINT) AS b FROM vals)
+  SELECT b, SUM(c) AS c,
+         SUM(SUM(c)) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT CAST(LENGTH(BIN(vc)) - 1 AS BIGINT) AS b, c FROM kern)
   GROUP BY b
 ),
 bq AS (

@@ -10610,31 +10610,16 @@ def a25_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log range) buckets whatever the cardinality, buckets merge by
     addition (the a21 mergeability story at logarithmic size), and the
     estimate's RELATIVE error is bounded by the bucket ratio (midpoint
-    estimate -> = 50%; pinned vs the exact percentile computed from
+    estimate -> <= 50%; pinned vs the exact percentile computed from
     the distinct-cents kernel in the same query). Bucket = binary digit
     count (length(bin(cents)) - 1) so no libm log2 can move a boundary;
     ranks use ceil(q*n), quantile = first bucket/cent whose cumulative
-    count reaches the rank. Exactly two bounded walks -- the raw stream
-    never re-shuffles."""
+    count reaches the rank. ONE corpus pass: totals, ranks AND the
+    bucket walk all fold from the bounded distinct-cents kernel."""
     ev = load_events(spark, sf_dir)
     vals = ev.select(
         F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("vc")
     ).filter(F.col("vc") >= 1)
-    tq = vals.agg(
-        F.count(F.lit(1)).alias("n_values"),
-        F.expr(
-            "GREATEST(CAST(1 AS BIGINT),"
-            " CAST(CEIL(COUNT(*) * 0.5) AS BIGINT))"
-        ).alias("k50"),
-        F.expr(
-            "GREATEST(CAST(1 AS BIGINT),"
-            " CAST(CEIL(COUNT(*) * 0.9) AS BIGINT))"
-        ).alias("k90"),
-        F.expr(
-            "GREATEST(CAST(1 AS BIGINT),"
-            " CAST(CEIL(COUNT(*) * 0.99) AS BIGINT))"
-        ).alias("k99"),
-    )
     wv = Window.orderBy("vc").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -10642,16 +10627,32 @@ def a25_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals.groupBy("vc")
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("cum", F.sum("c").over(wv))
+        .localCheckpoint(eager=False)
+    )
+    tq = kern.agg(
+        F.sum("c").alias("n_values"),
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT),"
+            " CAST(CEIL(SUM(c) * 0.5) AS BIGINT))"
+        ).alias("k50"),
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT),"
+            " CAST(CEIL(SUM(c) * 0.9) AS BIGINT))"
+        ).alias("k90"),
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT),"
+            " CAST(CEIL(SUM(c) * 0.99) AS BIGINT))"
+        ).alias("k99"),
     )
     wb = Window.orderBy("b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     buck = (
-        vals.withColumn(
+        kern.withColumn(
             "b", F.expr("CAST(LENGTH(BIN(vc)) - 1 AS BIGINT)")
         )
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("c"))
         .withColumn("cum", F.sum("c").over(wb))
     )
     bq = buck.crossJoin(F.broadcast(tq)).groupBy(
@@ -10666,22 +10667,21 @@ def a25_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("MIN(CASE WHEN cum >= k90 THEN vc END)").alias("x90"),
         F.expr("MIN(CASE WHEN cum >= k99 THEN vc END)").alias("x99"),
     )
-    est = (
-        "CAST(3 * SHIFTLEFT(CAST(1 AS BIGINT), CAST(b{q} AS INT))"
-        " AS DOUBLE) / 2.0"
-    )
-    err = (
-        f"ROUND(ABS({est} - CAST(x{{q}} AS DOUBLE))"
-        f" / CAST(x{{q}} AS DOUBLE), 6)"
-    ).replace("{q}", "{q}")
     out = bq.join(eq, "n_values")
-    cols = ["n_values"]
+    cols = [F.col("n_values")]
     for q in ("50", "90", "99"):
+        est = (
+            f"CAST(3 * SHIFTLEFT(CAST(1 AS BIGINT), CAST(b{q} AS INT))"
+            " AS DOUBLE) / 2.0"
+        )
         cols += [
             F.col(f"b{q}"),
-            F.expr(est.format(q=q) ).alias(f"est{q}_cents"),
+            F.expr(est).alias(f"est{q}_cents"),
             F.col(f"x{q}").alias(f"exact{q}_cents"),
-            F.expr(err.format(q=q)).alias(f"relerr{q}"),
+            F.expr(
+                f"ROUND(ABS({est} - CAST(x{q} AS DOUBLE))"
+                f" / CAST(x{q} AS DOUBLE), 6)"
+            ).alias(f"relerr{q}"),
         ]
     return out.select(*cols)
 
