@@ -243,6 +243,7 @@ HEADLINE = [
     "dq_fd_violations",
     "a25_hdr_histogram",
     "ev_rfm_segments",
+    "smp_neyman_allocation",
 ]
 
 

@@ -6988,3 +6988,75 @@ SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
 FROM segs CROSS JOIN tot
 ORDER BY segment
 """
+
+
+ORACLES["smp_neyman_allocation"] = f"""
+WITH strata AS (
+  SELECT lang, COUNT(*) AS n_pop,
+         SUM(CAST(n_chars AS DECIMAL(28,12))) AS sy,
+         SUM(CAST(n_chars * n_chars AS DECIMAL(38,12))) AS syy
+  FROM documents GROUP BY lang
+),
+sized AS (
+  SELECT lang, n_pop,
+         ROUND(SQRT((CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+               / CAST(n_pop AS DOUBLE))
+               / CAST(n_pop - 1 AS DOUBLE)), 6) AS s_h
+  FROM strata
+),
+weighted AS (
+  SELECT *, ROUND(CAST(n_pop AS DOUBLE) * s_h, 6) AS w_h FROM sized
+),
+alloc0 AS (
+  SELECT *,
+         CAST(SUM(CAST(w_h AS DECIMAL(38,12))) OVER () AS DOUBLE)
+           AS w_tot
+  FROM weighted
+),
+alloc1 AS (
+  SELECT *, 200 * w_h / w_tot AS exact_h FROM alloc0
+),
+alloc2 AS (
+  SELECT *,
+         CAST(FLOOR(exact_h) AS BIGINT) AS floor_h,
+         ROUND(exact_h - FLOOR(exact_h), 10) AS rem_h
+  FROM alloc1
+),
+alloc3 AS (
+  SELECT *,
+         SUM(floor_h) OVER () AS sum_floor,
+         ROW_NUMBER() OVER (ORDER BY rem_h DESC, lang ASC) AS rem_rank
+  FROM alloc2
+),
+alloc AS (
+  SELECT lang, n_pop, s_h,
+         floor_h + CASE WHEN rem_rank <= 200 - sum_floor
+                        THEN 1 ELSE 0 END AS n_alloc,
+         LEAST(floor_h + CASE WHEN rem_rank <= 200 - sum_floor
+                              THEN 1 ELSE 0 END, n_pop) AS n_take
+  FROM alloc3
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY {_md5i("doc_id::VARCHAR")}, doc_id) AS rn
+  FROM documents
+),
+sampled AS (
+  SELECT r.lang, r.n_chars
+  FROM ranked r JOIN alloc a ON r.lang = a.lang
+  WHERE r.rn <= a.n_take
+),
+means AS (
+  SELECT lang, COUNT(*) AS n_sampled,
+         ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*), 6) AS sample_mean_chars
+  FROM sampled GROUP BY lang
+)
+SELECT a.lang, a.n_pop, a.s_h, a.n_alloc,
+       COALESCE(m.n_sampled, 0) AS n_sampled,
+       m.sample_mean_chars
+FROM alloc a LEFT JOIN means m ON a.lang = m.lang
+ORDER BY a.lang
+"""

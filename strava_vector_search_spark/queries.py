@@ -10747,3 +10747,112 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_rfm_segments": ev_rfm_segments})
+
+
+def smp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation -- the survey-
+    sampling rule (n_h proportional to N_h * S_h) that beats proportional
+    allocation whenever strata differ in variance: high-variance language
+    strata earn more of the 200-doc labeling budget. ONE moment aggregate
+    per stratum gives (N_h, S_h); the allocation arithmetic runs on the
+    |strata|-bounded table (floor + largest-remainder integerization,
+    remainders rounded to 10 dp BEFORE the tie-ranked distribution of
+    leftovers); admission is the deterministic per-stratum md5 rank, so
+    membership is stable under repartitioning and replay. Output per
+    stratum: population, stddev, integer allocation, and the sampled
+    mean as the readout."""
+    from strava_vector_search_spark.operators.dedup import md5_int
+
+    budget = 200
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.expr(
+            "SUM(CAST(n_chars AS DECIMAL(28,12)))"
+        ).alias("sy"),
+        F.expr(
+            "SUM(CAST(n_chars * n_chars AS DECIMAL(38,12)))"
+        ).alias("syy"),
+    ).withColumn(
+        "s_h",
+        F.expr(
+            "ROUND(SQRT((CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+            " / CAST(n_pop AS DOUBLE))"
+            " / CAST(n_pop - 1 AS DOUBLE)), 6)"
+        ),
+    ).withColumn(
+        "w_h", F.expr("ROUND(CAST(n_pop AS DOUBLE) * s_h, 6)")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    alloc = (
+        strata.withColumn(
+            "w_tot",
+            F.expr(
+                "CAST(SUM(CAST(w_h AS DECIMAL(38,12))) OVER"
+                " (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+                " FOLLOWING) AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "exact_h", F.expr(f"{budget} * w_h / w_tot")
+        )
+        .withColumn(
+            "floor_h", F.expr("CAST(FLOOR(exact_h) AS BIGINT)")
+        )
+        .withColumn(
+            "rem_h", F.expr("ROUND(exact_h - FLOOR(exact_h), 10)")
+        )
+        .withColumn("sum_floor", F.sum("floor_h").over(wall))
+        .withColumn(
+            "rem_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("rem_h"), F.asc("lang"))
+            ),
+        )
+        .withColumn(
+            "n_alloc",
+            F.expr(
+                f"floor_h + CASE WHEN rem_rank <= {budget} - sum_floor"
+                " THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn("n_take", F.expr("LEAST(n_alloc, n_pop)"))
+        .select("lang", "n_pop", "s_h", "n_alloc", "n_take")
+        .localCheckpoint(eager=False)
+    )
+    ranked = docs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                md5_int(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        ),
+    )
+    sampled = ranked.join(F.broadcast(alloc), "lang").filter(
+        F.col("rn") <= F.col("n_take")
+    )
+    means = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(28,12)))"
+            " AS DOUBLE) / COUNT(*), 6)"
+        ).alias("sample_mean_chars"),
+    )
+    return (
+        alloc.join(means, "lang", "left")
+        .select(
+            "lang",
+            "n_pop",
+            "s_h",
+            "n_alloc",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            "sample_mean_chars",
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES.update({"smp_neyman_allocation": smp_neyman_allocation})

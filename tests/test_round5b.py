@@ -668,3 +668,23 @@ def test_rfm_segments_axioms(spark, sf_dir):
     # 5 of 125 possible cells cover ~20% of customers but more revenue
     m5 = sum(r["money_share"] for r in rows if r["segment"][2] == "5")
     assert m5 > 0.2
+
+
+def test_neyman_allocation_axioms(spark, sf_dir):
+    rows = QUERIES["smp_neyman_allocation"](spark, sf_dir).collect()
+    assert rows
+    # the budget is spent exactly (unless capped by a stratum population)
+    total_alloc = sum(r["n_alloc"] for r in rows)
+    capped = any(r["n_alloc"] > r["n_pop"] for r in rows)
+    if not capped:
+        assert total_alloc == 200
+    for r in rows:
+        assert r["n_sampled"] == min(r["n_alloc"], r["n_pop"])
+        assert r["s_h"] >= 0
+    # Neyman beats proportional: the allocation must order by N_h * S_h
+    weights = sorted(rows, key=lambda r: r["n_pop"] * r["s_h"])
+    allocs = [r["n_alloc"] for r in weights]
+    assert all(a <= b + 1 for a, b in zip(allocs, allocs[1:]))
+    # deterministic admission: rerunning yields the identical sample
+    again = QUERIES["smp_neyman_allocation"](spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))

@@ -747,6 +747,13 @@ EXPECTATIONS: dict[str, dict] = {
         "broadcast_scalars": "BroadcastNestedLoopJoin",
         "no_cartesian": "!CartesianProduct",
     },
+    "smp_neyman_allocation": {
+        # moment aggregate partial-combines; the bounded allocation
+        # table broadcasts into the admission join
+        "partial_agg": "partial_",
+        "broadcast_alloc": "BroadcastHashJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
 }
 
 
