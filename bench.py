@@ -244,6 +244,7 @@ HEADLINE = [
     "a25_hdr_histogram",
     "ev_rfm_segments",
     "smp_neyman_allocation",
+    "ab_ks_test",
 ]
 
 

@@ -7060,3 +7060,38 @@ SELECT a.lang, a.n_pop, a.s_h, a.n_alloc,
 FROM alloc a LEFT JOIN means m ON a.lang = m.lang
 ORDER BY a.lang
 """
+
+
+ORACLES["ab_ks_test"] = """
+WITH purch AS (
+  SELECT user_id % 2 AS arm, ROUND(value, 2) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+kern AS (
+  SELECT v,
+         COUNT(CASE WHEN arm = 0 THEN 1 END) AS ca,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS cb
+  FROM purch GROUP BY v
+),
+steps AS (
+  SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+         SUM(ca) OVER () AS n_a,
+         SUM(cb) OVER () AS n_b
+  FROM kern
+),
+gaps AS (
+  SELECT n_a, n_b,
+         ROUND(ABS(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE)), 10) AS gap
+  FROM steps
+),
+agg AS (
+  SELECT n_a, n_b, ROUND(MAX(gap), 6) AS d_stat, MAX(gap) AS d_raw
+  FROM gaps GROUP BY n_a, n_b
+)
+SELECT n_a, n_b, d_stat,
+       ROUND(d_raw * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE)), 6) AS d_scaled
+FROM agg
+"""

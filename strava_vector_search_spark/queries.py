@@ -10856,3 +10856,60 @@ def smp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"smp_neyman_allocation": smp_neyman_allocation})
+
+
+def ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the id-parity
+    arms' purchase values -- the distribution-shape companion to
+    ab_mann_whitney_u (U shifts in location; KS sees ANY divergence).
+    Identical distributed shape: values bin to cents, ONE groupBy folds
+    the corpus to per-distinct-value arm counts, and D = max |F_A - F_B|
+    comes off a single cumulative window over that bounded kernel --
+    the empirical CDFs are exact integer ratios, rounded to 10 dp
+    before the max so both engines pick the same supremum. Also
+    reports the scaled statistic D * sqrt(nA*nB/(nA+nB)) that the KS
+    tables threshold."""
+    ev = load_events(spark, sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr("user_id % 2").alias("arm"),
+        F.expr("ROUND(value, 2)").alias("v"),
+    )
+    kern = purch.groupBy("v").agg(
+        F.expr("COUNT(CASE WHEN arm = 0 THEN 1 END)").alias("ca"),
+        F.expr("COUNT(CASE WHEN arm = 1 THEN 1 END)").alias("cb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    steps = (
+        kern.withColumn("cuma", F.sum("ca").over(wcum))
+        .withColumn("cumb", F.sum("cb").over(wcum))
+        .withColumn("n_a", F.sum("ca").over(wall))
+        .withColumn("n_b", F.sum("cb").over(wall))
+        .withColumn(
+            "gap",
+            F.expr(
+                "ROUND(ABS(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)"
+                " - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE)), 10)"
+            ),
+        )
+    )
+    out = steps.groupBy("n_a", "n_b").agg(
+        F.expr("ROUND(MAX(gap), 6)").alias("d_stat"),
+        F.max("gap").alias("_d_raw"),
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "d_stat",
+        F.expr(
+            "ROUND(_d_raw * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+            " / CAST(n_a + n_b AS DOUBLE)), 6)"
+        ).alias("d_scaled"),
+    )
+
+
+QUERIES.update({"ab_ks_test": ab_ks_test})

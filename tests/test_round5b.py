@@ -688,3 +688,25 @@ def test_neyman_allocation_axioms(spark, sf_dir):
     # deterministic admission: rerunning yields the identical sample
     again = QUERIES["smp_neyman_allocation"](spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_ks_test_matches_brute_force(spark, sf_dir):
+    vals = _purchase_values(spark, sf_dir)
+    a = sorted(round(v, 2) for arm, v in vals if arm == 0)
+    b = sorted(round(v, 2) for arm, v in vals if arm == 1)
+    grid = sorted(set(a) | set(b))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in grid
+    )
+    row = QUERIES["ab_ks_test"](spark, sf_dir).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["d_stat"] - d) < 1e-6
+    assert 0.0 <= row["d_stat"] <= 1.0
+    scale = (len(a) * len(b) / (len(a) + len(b))) ** 0.5
+    assert abs(row["d_scaled"] - d * scale) < 1e-4

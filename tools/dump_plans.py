@@ -754,6 +754,12 @@ EXPECTATIONS: dict[str, dict] = {
         "broadcast_alloc": "BroadcastHashJoin",
         "no_cartesian": "!CartesianProduct",
     },
+    "ab_ks_test": {
+        # the MW distinct-value kernel shape: one partial-combined
+        # fold, windows over the bounded kernel, no joins
+        "partial_agg": "partial_",
+        "no_join": "!Join",
+    },
 }
 
 
