@@ -1,0 +1,189 @@
+"""Distributed global total-order primitives: rank / running sum / NTILE
+over an arbitrary sort order WITHOUT a single-partition window.
+
+The problem: ``Window.orderBy(...)`` with no partitionBy moves the whole
+table into one task ("No Partition Defined for Window operation" — the
+scale-killer for curriculum ordering, budget admission, and interleave
+schedules at 100 TB: one executor must hold and sort the corpus).
+
+The fix is the classic two-level prefix-sum (the same recipe
+``ev_max_concurrency`` uses for its sweep line, applied to rank):
+
+1. ``repartitionByRange`` on the order keys — Spark's RangePartitioner
+   assigns ascending key ranges to ascending partition ids, so partition
+   p holds exactly the rows whose global position precedes everything in
+   partition p+1 (the order keys include a unique tie-breaker, so the
+   order is strict and range splits cannot separate "equal" rows).
+2. Per-partition ``row_number`` / running sums — parallel windows keyed
+   by the materialized ``spark_partition_id()``.
+3. Per-partition totals (|partitions| rows) come back to the driver via
+   Arrow; exclusive prefix offsets are computed in plain Python and
+   broadcast-joined back. Global pos = offset + local rank; global
+   running sum = carry + local running sum.
+
+Doing step 3 driver-side (instead of a window over the totals table) is
+deliberate: it keeps the EXECUTED PLAN free of any
+``Exchange SinglePartition`` / unpartitioned WindowExec — the plan
+property PLANS.md asserts for the dm_* global-order gates. The collect
+is |shuffle partitions| rows (32 locally, a few thousand on a real
+cluster), the same bounded-driver-table class as centroids and zonemap
+file lists.
+
+Correctness hinges on one subtlety: the pid column and the totals must
+be computed from the SAME physical partitioning. ``localCheckpoint
+(eager=False)`` on the partitioned projection pins it — both consumers
+(the local-rank window and the totals aggregate) read the checkpointed
+partitions, so a re-sampled RangePartitioner boundary can never put the
+offsets and the local ranks in different worlds.
+
+Reference provenance: the reference's curation queries express global
+order as a plain ORDER BY over the result (01_data_exploration.sql:
+145-153 ordering style); this module is the Spark-scale re-expression.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_go_pid"
+_RN = "_go_rn"
+
+
+def attach_global_order(
+    df: DataFrame,
+    order: Sequence[Column],
+    rank_col: Optional[str] = "pos",
+    running_sums: Optional[dict] = None,
+    num_partitions: Optional[int] = None,
+    total_count_col: Optional[str] = None,
+) -> DataFrame:
+    """Attach a global 1-based rank (``rank_col``) and optional inclusive
+    running sums (``running_sums``: {out_col: source_col_name}) under the
+    total order ``order``, with no single-partition stage.
+
+    ``order`` MUST be a strict total order (include a unique tie-breaker
+    column) — range partitioning splits at sampled key boundaries, and
+    only strictness guarantees the per-partition ranks + offsets compose
+    to the exact global row_number a plain window (or the DuckDB oracle)
+    would produce.
+
+    ``total_count_col``: if set, the global row count (already known on
+    the driver as the sum of per-partition counts — no extra scan) is
+    attached as a literal column under that name.
+    """
+    running_sums = running_sums or {}
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    order = list(order)
+
+    part = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+    aggs = [F.count(F.lit(1)).alias("_go_cnt")] + [
+        F.sum(F.col(src).cast("bigint")).alias(f"_go_t_{out}")
+        for out, src in running_sums.items()
+    ]
+    totals = part.groupBy(_PID).agg(*aggs).toPandas()
+    totals = totals.sort_values(_PID).reset_index(drop=True)
+
+    # exclusive prefix offsets, plain Python over |partitions| rows
+    rows = []
+    rank_off = 0
+    sum_off = {out: 0 for out in running_sums}
+    for _, r in totals.iterrows():
+        row = {_PID: int(r[_PID]), "_go_off": rank_off}
+        rank_off += int(r["_go_cnt"])
+        for out in running_sums:
+            row[f"_go_c_{out}"] = sum_off[out]
+            v = r[f"_go_t_{out}"]
+            sum_off[out] += int(v) if v == v else 0  # NaN-safe
+        rows.append(row)
+    if rows:
+        offsets = spark.createDataFrame(rows)
+    else:
+        schema = f"{_PID} int, _go_off bigint" + "".join(
+            f", _go_c_{out} bigint" for out in running_sums
+        )
+        offsets = spark.createDataFrame([], schema)
+
+    wloc = Window.partitionBy(_PID).orderBy(*order)
+    wrun = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out_df = part.withColumn(_RN, F.row_number().over(wloc))
+    for out, src in running_sums.items():
+        out_df = out_df.withColumn(
+            f"_go_s_{out}", F.sum(F.col(src).cast("bigint")).over(wrun)
+        )
+
+    out_df = out_df.join(F.broadcast(offsets), _PID)
+    if total_count_col is not None:
+        out_df = out_df.withColumn(
+            total_count_col, F.lit(rank_off).cast("bigint")
+        )
+    if rank_col is not None:
+        out_df = out_df.withColumn(
+            rank_col,
+            (F.col("_go_off") + F.col(_RN)).cast("bigint"),
+        )
+    for out in running_sums:
+        out_df = out_df.withColumn(
+            out,
+            (F.col(f"_go_c_{out}") + F.col(f"_go_s_{out}")).cast("bigint"),
+        )
+    drop = [_PID, _RN, "_go_off"] + [
+        c
+        for out in running_sums
+        for c in (f"_go_c_{out}", f"_go_s_{out}")
+    ]
+    return out_df.drop(*drop)
+
+
+def global_ntile(
+    df: DataFrame,
+    order: Sequence[Column],
+    k: int,
+    tile_col: str = "tile",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """NTILE(k) over a global order, built from the two-level rank.
+
+    SQL NTILE semantics: with n rows, q = n div k and r = n mod k, the
+    first r tiles get q+1 rows and the rest get q. The tile is a pure
+    expression of the global row number rn and the total n, so once
+    ``attach_global_order`` has produced rn distributively, the tile
+    assignment is map-only (n rides in as a literal — it is already on
+    the driver as the sum of the per-partition counts).
+    """
+    ranked = attach_global_order(
+        df,
+        order,
+        rank_col="_go_ntile_rn",
+        num_partitions=num_partitions,
+        total_count_col="_go_ntile_n",
+    )
+    # n is a literal (driver-known), so q/r/cut fold to constants and the
+    # tile assignment is a pure map-side expression — integer DIV only
+    # (no double round-trip; floor-vs-truncate parity is moot on
+    # non-negative operands but DIV keeps it exact at any scale).
+    rn = "_go_ntile_rn"
+    tile = F.expr(
+        f"""CASE
+              WHEN _go_ntile_n DIV {k} = 0 THEN {rn}
+              WHEN {rn} <= (_go_ntile_n % {k}) * (_go_ntile_n DIV {k} + 1)
+                THEN ({rn} - 1) DIV (_go_ntile_n DIV {k} + 1) + 1
+              ELSE (_go_ntile_n % {k})
+                   + ({rn} - 1 - (_go_ntile_n % {k}) * (_go_ntile_n DIV {k} + 1))
+                     DIV (_go_ntile_n DIV {k}) + 1
+            END"""
+    )
+    return ranked.withColumn(tile_col, tile.cast("int")).drop(
+        "_go_ntile_rn", "_go_ntile_n"
+    )

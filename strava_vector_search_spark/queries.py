@@ -5254,24 +5254,33 @@ def dm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 length bands (NTILE over n_chars), DETERMINISTICALLY shuffled within
     each band by a hash draw -- reproducible global sample order with no
     RNG state, the thing epoch shuffling needs at 100 TB (a total order a
-    writer can range-partition on). One window pass per step."""
+    writer can range-partition on). Both global orders (the NTILE banding
+    and the final position) run through the two-level range-partitioned
+    rank (operators/order.py): per-partition row_number after
+    repartitionByRange + driver-side |partitions|-row offsets -- no
+    single-partition WindowExec anywhere in the executed plan (PLANS.md
+    asserts this)."""
     from strava_vector_search_spark.operators.dedup import md5_int
+    from strava_vector_search_spark.operators.order import (
+        attach_global_order,
+        global_ntile,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    wb = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
-    banded = docs.select(
-        "doc_id", "n_chars", F.ntile(4).over(wb).alias("band")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    banded = global_ntile(
+        docs, [F.asc("n_chars"), F.asc("doc_id")], 4, tile_col="band"
     )
     draw = F.pmod(md5_int(F.col("doc_id").cast("string")), F.lit(1_000_003))
-    wp = Window.orderBy(
-        F.asc("band"), F.asc(draw), F.asc("doc_id")
+    staged = banded.select("doc_id", "band", draw.alias("draw"))
+    return (
+        attach_global_order(
+            staged,
+            [F.asc("band"), F.asc("draw"), F.asc("doc_id")],
+            rank_col="pos",
+        )
+        .select("doc_id", "band", "draw", "pos")
+        .orderBy("pos")
     )
-    return banded.select(
-        "doc_id",
-        "band",
-        draw.alias("draw"),
-        F.row_number().over(wp).cast("bigint").alias("pos"),
-    ).orderBy("pos")
 
 
 QUERIES.update({"dm_curriculum_order": dm_curriculum_order})
@@ -5355,22 +5364,26 @@ def dm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-sum frame; at scale the same two windows range-partition."""
     from strava_vector_search_spark.functions import text as T
 
+    from strava_vector_search_spark.operators.order import (
+        attach_global_order,
+    )
+
     budget = 20_000
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         T.quality_score(F.col("text")).alias("quality"),
         T.token_count(F.col("text")).alias("n_tok"),
     )
-    w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
-    ranked = docs.withColumn(
-        "rk", F.row_number().over(w).cast("bigint")
-    ).withColumn(
-        "cum_tok",
-        F.sum("n_tok").over(
-            Window.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ),
+    # two-level range-partitioned rank + running sum (operators/order.py):
+    # the global quality order and the running token total both compose
+    # from per-partition windows + driver-side offsets, so no partition
+    # ever holds more than 1/P of the pool (PLANS.md asserts no
+    # single-partition exchange in the executed plan).
+    ranked = attach_global_order(
+        docs,
+        [F.desc("quality"), F.asc("doc_id")],
+        rank_col="rk",
+        running_sums={"cum_tok": "n_tok"},
     )
     return (
         ranked.filter(F.col("cum_tok") <= budget)
@@ -5617,6 +5630,9 @@ def dm_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     source clumps. Two windows on one source-keyed shuffle + one global
     rank."""
     from strava_vector_search_spark.operators.dedup import md5_int
+    from strava_vector_search_spark.operators.order import (
+        attach_global_order,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     draw = F.pmod(md5_int(F.col("doc_id").cast("string")), F.lit(1_000_003))
@@ -5624,10 +5640,20 @@ def dm_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = docs.select("doc_id", "source").withColumn(
         "src_rank", F.row_number().over(ws).cast("bigint")
     )
-    wg = Window.orderBy(F.asc("src_rank"), F.asc("source"), F.asc("doc_id"))
+    # pos <= 100 implies src_rank <= 100 (a row's own source alone
+    # contributes src_rank-1 earlier rows), so the prefilter is EXACT and
+    # bounds the global-rank input to 100 x |sources| rows before the
+    # two-level rank runs -- the corpus-scale stage stays the per-source
+    # window; the global order never sees the full table.
+    head = ranked.filter(F.col("src_rank") <= 100)
     return (
-        ranked.withColumn("pos", F.row_number().over(wg).cast("bigint"))
+        attach_global_order(
+            head,
+            [F.asc("src_rank"), F.asc("source"), F.asc("doc_id")],
+            rank_col="pos",
+        )
         .filter(F.col("pos") <= 100)
+        .select("doc_id", "source", "src_rank", "pos")
         .orderBy("pos")
     )
 

@@ -1,0 +1,97 @@
+"""operators/order.py — two-level global rank / running sum / NTILE.
+
+Parity model: the helper must reproduce EXACTLY what a plain
+unpartitioned window produces (that is the semantics the DuckDB oracles
+check), while its executed plan contains no Exchange SinglePartition —
+the scale property the dm_* global-order gates are graded on.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.operators.order import (
+    attach_global_order,
+    global_ntile,
+)
+
+
+@pytest.fixture(scope="module")
+def pool(spark):
+    # deterministic, with heavy ties on the primary key so range splits
+    # land inside tie runs (the tie-breaker column must resolve them)
+    df = spark.range(2003).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.hash(F.col("id")), F.lit(37)).alias("q"),
+        (F.pmod(F.hash(F.col("id") * 7), F.lit(50)) + 1).alias("tok"),
+    )
+    return df.repartition(4).localCheckpoint(eager=False)
+
+
+def _order():
+    # built lazily: Column construction needs an active SparkContext
+    return [F.desc("q"), F.asc("doc_id")]
+
+
+def _expected(pool):
+    w = Window.orderBy(*_order())
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return pool.select(
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("epos"),
+        F.sum(F.col("tok").cast("bigint")).over(wrun).alias("ecum"),
+    )
+
+
+def test_rank_and_running_sum_match_plain_window(spark, pool):
+    got = attach_global_order(
+        pool, _order(), rank_col="pos", running_sums={"cum": "tok"},
+        total_count_col="n",
+    )
+    j = got.join(_expected(pool), "doc_id")
+    assert (
+        j.filter(
+            (F.col("pos") != F.col("epos"))
+            | (F.col("cum") != F.col("ecum"))
+            | (F.col("n") != 2003)
+        ).count()
+        == 0
+    )
+
+
+def test_no_single_partition_exchange(spark, pool):
+    got = attach_global_order(pool, _order(), rank_col="pos")
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    # the range exchange itself hides behind the localCheckpoint lineage
+    # cut; what must be visible is the PARTITIONED window (keyed by the
+    # materialized pid), never an unpartitioned one
+    assert "hashpartitioning(_go_pid" in plan
+
+
+@pytest.mark.parametrize("k", [1, 3, 4, 7])
+def test_global_ntile_matches_builtin(spark, pool, k):
+    got = global_ntile(pool, _order(), k, tile_col="t")
+    exp = pool.withColumn("et", F.ntile(k).over(Window.orderBy(*_order())))
+    j = got.join(exp.select("doc_id", "et"), "doc_id")
+    assert j.filter(F.col("t") != F.col("et")).count() == 0
+
+
+def test_global_ntile_fewer_rows_than_tiles(spark, pool):
+    small = pool.filter(F.col("doc_id") < 3)
+    got = global_ntile(small, _order(), 5, tile_col="t")
+    exp = small.withColumn("et", F.ntile(5).over(Window.orderBy(*_order())))
+    j = got.join(exp.select("doc_id", "et"), "doc_id")
+    assert j.filter(F.col("t") != F.col("et")).count() == 0
+
+
+def test_empty_input(spark, pool):
+    empty = pool.filter(F.lit(False))
+    got = attach_global_order(
+        empty, _order(), rank_col="pos", running_sums={"cum": "tok"}
+    )
+    assert got.count() == 0
+    assert {"pos", "cum"} <= set(got.columns)

@@ -357,9 +357,28 @@ EXPECTATIONS: dict[str, dict] = {
         "top_k_no_sort": "TakeOrderedAndProject",
     },
     "dm_budget_select": {
-        # two windows over one global range order, no join
-        "window": "Window",
-        "no_join": "!Join",
+        # two-level global rank/running-sum (operators/order.py): range
+        # exchange + pid-partitioned windows + broadcast offset join —
+        # NO single-partition stage anywhere in the executed plan
+        "no_single_partition": "!Exchange SinglePartition",
+        "range_partitioned": "Exchange rangepartitioning",
+        "partitioned_window": "Window",
+        "broadcast_offsets": "BroadcastHashJoin",
+    },
+    "dm_curriculum_order": {
+        # both global orders (NTILE banding + final position) run the
+        # two-level rank — the corpus never collapses to one task
+        "no_single_partition": "!Exchange SinglePartition",
+        "range_partitioned": "Exchange rangepartitioning",
+        "broadcast_offsets": "BroadcastHashJoin",
+    },
+    "dm_interleave_sources": {
+        # per-source window is partitioned by source; the global order
+        # sees only the exact src_rank<=100 prefilter, then the
+        # two-level rank — no single-partition exchange
+        "no_single_partition": "!Exchange SinglePartition",
+        "partitioned_window": r"Window \[row_number",
+        "broadcast_offsets": "BroadcastHashJoin",
     },
     "j_bucketed_join": {
         # bucketBy(custkey) on both sides: the join AND the per-custkey

@@ -990,6 +990,59 @@ def main() -> None:
         "range predicate and no row explosion at any N"))
     big_b.unpersist()
 
+    # ---- round 6: two-level global rank/running-sum at 3M docs ---------
+    # the dm_curriculum_order / dm_budget_select / dm_interleave_sources
+    # kernel (operators/order.py): range-partitioned per-partition
+    # row_number + driver-side |partitions|-row offsets vs the naive
+    # single-task global window
+    from strava_vector_search_spark.operators.order import (
+        attach_global_order,
+    )
+
+    pool = (
+        spark.range(3_000_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr("CAST(pmod(hash(id), 10000) AS DOUBLE) / 100.0").alias(
+                "quality"
+            ),
+            (F.pmod(F.hash(F.col("id")), F.lit(900)) + 100).alias("n_tok"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_pool = pool.count()
+    go_order = [F.desc("quality"), F.asc("doc_id")]
+
+    sec_go, _ = t(lambda: attach_global_order(
+        pool, go_order, rank_col="rk", running_sums={"cum": "n_tok"}
+    ).filter(F.col("cum") <= 150_000_000).count())
+
+    def _naive_go():
+        from pyspark.sql import Window as W
+
+        w = W.orderBy(*go_order)
+        wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        return (
+            pool.withColumn("rk", F.row_number().over(w))
+            .withColumn("cum", F.sum(F.col("n_tok").cast("bigint")).over(wrun))
+            .filter(F.col("cum") <= 150_000_000)
+            .count()
+        )
+
+    sec_ngo, _ = t(_naive_go)
+    results.append((
+        "global rank two-level",
+        f"{n_pool:,} docs ranked + running sum",
+        sec_go,
+        f"range exchange + pid-partitioned windows + broadcast offsets: "
+        f"every task holds ~1/64 of the pool; the naive unpartitioned "
+        f"window ({sec_ngo:.1f}s here) needs ONE task to hold and sort "
+        "all 3M rows — fine on one box, impossible at 100 TB. Plan "
+        "contains zero Exchange SinglePartition (PLANS.md asserts it "
+        "for all three dm_* global-order gates)"))
+    pool.unpersist()
+
     # ---- write SCALE.md
     lines = [
         "# SCALE — measured behavior on amplified data (local[32])",
