@@ -285,6 +285,14 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # per-query records carry their OWN lean flag (VERDICT r05 item 7): a
+    # reader of the snapshot can never mistake an operator-path twin's
+    # time for the full gate's. The top-level "lean" list stays for
+    # stdout-line compatibility.
+    per_query = {
+        name: {"sec": sec, "lean": name in LEAN_BENCH}
+        for name, sec in timings.items()
+    }
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -294,7 +302,7 @@ def main() -> None:
         "reps": reps,
         "protocol": "median_low_of_reps",
         "lean": lean_used,
-        "queries": timings,
+        "queries": per_query,
     }
     snap_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "bench_snapshots"
@@ -303,6 +311,21 @@ def main() -> None:
     try:
         os.makedirs(snap_dir, exist_ok=True)
         with open(snap_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+        # round-stamped copy so the FULL map gets committed with the round
+        # (VERDICT r05 item 2): infer the upcoming round number from the
+        # BENCH_r{N}.json files the driver has recorded so far.
+        import re as _re
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        seen = [
+            int(m.group(1))
+            for f in os.listdir(root)
+            for m in [_re.fullmatch(r"BENCH_r(\d+)\.json", f)]
+            if m
+        ]
+        rnd = (max(seen) + 1) if seen else 0
+        with open(os.path.join(snap_dir, f"r{rnd:02d}.json"), "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
     except OSError:
         snap_path = "(unwritable)"

@@ -45,8 +45,13 @@ def skyline_2d(
         Window.unboundedPreceding, -1
     )
     lv = levels.withColumn("_prevmax", F.max("_lmax").over(wprev))
+    # No forced broadcast (ADVICE r05): the level table is bounded by
+    # |distinct min_col|, which for a continuous minimized column can
+    # approach full-table size — AQE broadcasts it when it is actually
+    # small and falls back to a shuffle join when it is not, instead of
+    # blowing the driver's broadcast limit at scale.
     return (
-        df.join(F.broadcast(lv), min_col)
+        df.join(lv, min_col)
         .filter(
             (F.col(max_col) == F.col("_lmax"))
             & (

@@ -100,11 +100,22 @@ def _cached_layout(sf_dir: str, table: str, kind: str, build_fn) -> str:
         shutil.rmtree(tmp, ignore_errors=True)  # reclaim on failure too
     # sweep ONLY finished sibling generations of this exact (kind, token):
     # name must be prefix + a bare 16-hex fingerprint, so a token that
-    # happens to extend ours (or any in-flight .tmp dir) is never touched
+    # happens to extend ours (or any in-flight .tmp dir) is never touched.
+    # AGE-GATED (ADVICE r05): a concurrent process (bench overlapping
+    # check_correctness) that resolved the older fingerprint may be
+    # mid-scan on that directory — only generations quiet for >30 min are
+    # reclaimed, long past any single job's scan window.
+    import time as _time
+
     gen = _re.compile(_re.escape(prefix) + r"[0-9a-f]{16}$")
+    cutoff = _time.time() - 1800
     for name in os.listdir("/tmp"):
         full = os.path.join("/tmp", name)
-        if gen.fullmatch(full) and full != path and os.path.isdir(full):
+        try:
+            old = os.path.getmtime(full) < cutoff
+        except OSError:
+            continue
+        if gen.fullmatch(full) and full != path and old and os.path.isdir(full):
             shutil.rmtree(full, ignore_errors=True)
     return path
 

@@ -7,9 +7,15 @@ batch-id-keyed overwrite partition (the cms_stream/heavy_stream
 idempotent-commit pattern); histograms merge by cell ADDITION, so the
 merged store is bit-identical to histogramming the accumulated feed,
 and any quantile reads off the merged cumulative walk at query time.
-Estimate error stays bounded by the bin width forever — streaming
-changes WHEN cells are produced, never their values (asserted in
-tests/test_hist_stream.py).
+Streaming changes WHEN cells are produced, never their values
+(asserted in tests/test_hist_stream.py).
+
+Error contract (ADVICE r05): values are clamped into the configured
+[0, n_bins) range, so the bin-width error bound holds only INSIDE that
+range — the two edge bins absorb all out-of-range mass and have
+unbounded width. Size n_bins to the data's domain (or pre-scale the
+value expression) when quantiles near the extremes matter; quantile
+estimates between the clamp points are still bin-width-exact.
 
 State size: batches x |bins| cells, independent of row count;
 compaction = rewrite the merged cells as one generation.

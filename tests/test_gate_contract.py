@@ -28,3 +28,33 @@ def test_entry_points_importable():
     assert set(qs) == set(QUERIES)
     assert set(os_) == set(ORACLES)
     assert callable(qs["vs_topk_filtered"])
+
+
+def test_coverage_gate_index_matches_registry():
+    """COVERAGE.md's "Complete gate index" is generated from QUERIES by
+    tools/gen_gate_index.py; this pins the committed file to exactly what
+    the generator emits so the index can never drift again (it went 4
+    entries stale in round 5)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from gen_gate_index import HEADER, render_index
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "COVERAGE.md",
+    )
+    with open(path) as f:
+        text = f.read()
+    _, sep, tail = text.partition(HEADER)
+    assert sep, "Complete gate index section missing from COVERAGE.md"
+    assert (HEADER + tail) == render_index(), (
+        "COVERAGE.md gate index is stale — run tools/gen_gate_index.py"
+    )

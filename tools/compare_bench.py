@@ -24,6 +24,12 @@ def load(path: str) -> dict:
         d = json.loads(line)
     if "parsed" in d:
         d = d["parsed"]
+    # normalize the round-6+ per-query record format ({"sec": s, "lean":
+    # bool}) back to bare seconds for the diff
+    q = d.get("queries", {})
+    d["queries"] = {
+        k: (v["sec"] if isinstance(v, dict) else v) for k, v in q.items()
+    }
     return d
 
 
