@@ -245,6 +245,8 @@ HEADLINE = [
     "ev_rfm_segments",
     "smp_neyman_allocation",
     "ab_ks_test",
+    # round 6
+    "s7_model_embed_contract",
 ]
 
 

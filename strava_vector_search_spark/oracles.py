@@ -7095,3 +7095,20 @@ SELECT n_a, n_b, d_stat,
              / CAST(n_a + n_b AS DOUBLE)), 6) AS d_scaled
 FROM agg
 """
+
+
+# -- model-embed lane contract (execution properties of the pandas-UDF
+# -- transformer path; vector VALUES are model weights, not SQL) -------------
+
+ORACLES["s7_model_embed_contract"] = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(768 AS INTEGER) AS min_dim,
+       CAST(768 AS INTEGER) AS max_dim,
+       CAST(1.0 AS DOUBLE) AS min_norm,
+       CAST(1.0 AS DOUBLE) AS max_norm
+FROM documents
+WHERE doc_id % 20 = 0 AND text IS NOT NULL
+GROUP BY lang
+ORDER BY lang
+"""

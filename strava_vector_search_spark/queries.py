@@ -10950,3 +10950,54 @@ def ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ab_ks_test": ab_ks_test})
+
+
+def s7_model_embed_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBED_TEXT_768 model lane (02:168-171) executed DISTRIBUTED
+    with real tensor math: model_embedder's Arrow-batched pandas UDF runs
+    the numpy transformer encoder (functions/minilm.py -- multi-head
+    attention, GELU FFN, masked mean pooling; deterministic weights, 768
+    dims like e5-base-v2) over a corpus slice, one model construction per
+    worker process. The oracle pins the lane's execution contract: row
+    coverage per language, exact 768-dim output, unit L2 norm for every
+    document. (Semantic quality needs trained weights -- the opt-in
+    tests/test_embed_model_real.py lane; SERVING.md documents why the
+    real model cannot load in this container.)"""
+    from strava_vector_search_spark.functions.embed import model_embedder
+    from strava_vector_search_spark.functions.minilm import (
+        numpy_model_factory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 20 == 0) & F.col("text").isNotNull()
+    )
+    embed = model_embedder(model_factory=numpy_model_factory)
+    emb = docs.select("lang", embed(F.col("text")).alias("e"))
+    per = emb.select(
+        "lang",
+        F.size("e").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "e",
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ),
+            4,
+        ).alias("norm"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES.update({"s7_model_embed_contract": s7_model_embed_contract})
