@@ -105,11 +105,19 @@ def asof_join(
     )
     # forward frame: right rows must sort AFTER left rows at equal ts so an
     # equal-ts right row lands inside [current, following] (inclusive
-    # forward), hence the descending side key
+    # forward), hence the descending side key. Value tie-break is
+    # asc_nulls_last to match SQL's default ASC NULLS LAST (round-6
+    # self-review finding #4): with Spark's NULLS-FIRST default, a
+    # NULL-valued right row at a duplicate (key, ts) would win `first`
+    # while the SQL formulation picks the min non-NULL value. (The
+    # backward window needs no change: `last` under NULLS-FIRST ascending
+    # already lands on the max value, same as ORDER BY -value NULLS LAST.)
     w_fwd = (
         Window.partitionBy(*on)
         .orderBy(
-            "_us", F.desc("_side"), *[f"_rv_{c}" for c in value_cols]
+            "_us",
+            F.desc("_side"),
+            *[F.asc_nulls_last(f"_rv_{c}") for c in value_cols],
         )
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )

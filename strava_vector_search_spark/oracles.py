@@ -6272,7 +6272,7 @@ out AS (
   SELECT COUNT(DISTINCT lang) AS r_levels,
          COUNT(DISTINCT source) AS c_levels,
          MAX(n_tot) AS n_tot,
-         ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+         CAST(ROUND(SUM(CAST(term AS DECIMAL(38,12))), 6) AS DOUBLE)
            AS chi2
   FROM cells
 )
@@ -6427,21 +6427,22 @@ terms AS (
   FROM cnt CROSS JOIN tot
 )
 SELECT v AS vocab_size, na AS tokens_a, nb AS tokens_b,
-       ROUND(CAST(SUM(CAST(ROUND(p * LN(p / q), 10)
-             AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_ab,
-       ROUND(CAST(SUM(CAST(ROUND(q * LN(q / p), 10)
-             AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_ba,
-       ROUND(CAST(SUM(CAST(ROUND(
+       CAST(ROUND(SUM(CAST(ROUND(p * LN(p / q), 10)
+             AS DECIMAL(38,12))), 6) AS DOUBLE) AS kl_ab,
+       CAST(ROUND(SUM(CAST(ROUND(q * LN(q / p), 10)
+             AS DECIMAL(38,12))), 6) AS DOUBLE) AS kl_ba,
+       CAST(ROUND(SUM(CAST(ROUND(
              0.5 * p * LN(p / ((p + q) / 2.0))
              + 0.5 * q * LN(q / ((p + q) / 2.0)), 10)
-             AS DECIMAL(38,12))) AS DOUBLE), 6) AS jsd
+             AS DECIMAL(38,12))), 6) AS DOUBLE) AS jsd
 FROM terms
 GROUP BY v, na, nb
 """
 
 
-ORACLES["ev_seasonal_decompose"] = """
-WITH daily AS (
+# shared trend kernel for the two seasonal gates — textual twin of
+# queries._seasonal_detrended (change BOTH together)
+_SEASONAL_DETR_CTES = """daily AS (
   SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
   FROM events GROUP BY 1
 ),
@@ -6454,10 +6455,13 @@ ma AS (
   FROM daily
 ),
 detr AS (
-  SELECT day % 7 AS dow,
+  SELECT day, x, day % 7 AS dow,
          ROUND(CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0, 6) AS detr
   FROM ma WHERE n7 = 7
-),
+)"""
+
+ORACLES["ev_seasonal_decompose"] = f"""
+WITH {_SEASONAL_DETR_CTES},
 raw AS (
   SELECT dow, COUNT(*) AS n_obs,
          ROUND(CAST(SUM(CAST(detr AS DECIMAL(38,12))) AS DOUBLE)
@@ -6497,24 +6501,8 @@ LIMIT 20
 """
 
 
-ORACLES["ev_seasonal_anomaly"] = """
-WITH daily AS (
-  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
-  FROM events GROUP BY 1
-),
-ma AS (
-  SELECT day, x,
-         COUNT(*) OVER (ORDER BY day
-             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
-         SUM(x) OVER (ORDER BY day
-             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7
-  FROM daily
-),
-detr AS (
-  SELECT day, x, day % 7 AS dow,
-         ROUND(CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0, 6) AS detr
-  FROM ma WHERE n7 = 7
-),
+ORACLES["ev_seasonal_anomaly"] = f"""
+WITH {_SEASONAL_DETR_CTES},
 seas AS (
   SELECT dow,
          ROUND(CAST(SUM(CAST(detr AS DECIMAL(38,12))) AS DOUBLE)
@@ -6846,7 +6834,7 @@ wide AS (
          MAX(CASE WHEN side = 'R' THEN thr END) AS right_thr,
          MAX(CASE WHEN side = 'R' THEN wl END) AS right_wl,
          MAX(CASE WHEN side = 'R' THEN wr END) AS right_wr,
-         ROUND(CAST(SUM(CAST(sse AS DECIMAL(38,12))) AS DOUBLE), 6)
+         CAST(ROUND(SUM(CAST(sse AS DECIMAL(38,12))), 6) AS DOUBLE)
            AS sse_depth2
   FROM best2
 )
@@ -6999,10 +6987,10 @@ WITH strata AS (
 ),
 sized AS (
   SELECT lang, n_pop,
-         ROUND(SQRT((CAST(syy AS DOUBLE)
+         ROUND(SQRT(GREATEST((CAST(syy AS DOUBLE)
                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
                / CAST(n_pop AS DOUBLE))
-               / CAST(n_pop - 1 AS DOUBLE)), 6) AS s_h
+               / CAST(n_pop - 1 AS DOUBLE), CAST(0 AS DOUBLE))), 6) AS s_h
   FROM strata
 ),
 weighted AS (

@@ -9589,7 +9589,7 @@ def a23_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     obs = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=False)  # 4 consumers: one corpus scan, not 4
     rowt = obs.groupBy("lang").agg(F.sum("n").alias("row_t"))
     colt = obs.groupBy("source").agg(F.sum("n").alias("col_t"))
     tot = obs.agg(F.sum("n").alias("n_tot"))
@@ -9610,7 +9610,7 @@ def a23_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("c_levels"),
         F.max("n_tot").alias("n_tot"),
         F.expr(
-            "ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)"
+            "CAST(ROUND(SUM(CAST(term AS DECIMAL(38,12))), 6) AS DOUBLE)"
         ).alias("chi2"),
     )
     return out.select(
@@ -9870,7 +9870,9 @@ def tx_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = tok.groupBy("token").agg(
         F.expr("COUNT(CASE WHEN grp = 0 THEN 1 END)").alias("ca"),
         F.expr("COUNT(CASE WHEN grp = 1 THEN 1 END)").alias("cb"),
-    )
+        # two consumers (tot + terms): checkpoint or the corpus
+        # tokenize+explode runs twice (the KN/NB lesson)
+    ).localCheckpoint(eager=False)
     tot = cnt.agg(
         F.count(F.lit(1)).alias("v"),
         F.sum("ca").alias("na"),
@@ -9889,18 +9891,18 @@ def tx_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     folded = terms.groupBy("v", "na", "nb").agg(
         F.expr(
-            "ROUND(CAST(SUM(CAST(ROUND(p * LN(p / q), 10)"
-            " AS DECIMAL(38,12))) AS DOUBLE), 6)"
+            "CAST(ROUND(SUM(CAST(ROUND(p * LN(p / q), 10)"
+            " AS DECIMAL(38,12))), 6) AS DOUBLE)"
         ).alias("kl_ab"),
         F.expr(
-            "ROUND(CAST(SUM(CAST(ROUND(q * LN(q / p), 10)"
-            " AS DECIMAL(38,12))) AS DOUBLE), 6)"
+            "CAST(ROUND(SUM(CAST(ROUND(q * LN(q / p), 10)"
+            " AS DECIMAL(38,12))), 6) AS DOUBLE)"
         ).alias("kl_ba"),
         F.expr(
-            "ROUND(CAST(SUM(CAST(ROUND("
+            "CAST(ROUND(SUM(CAST(ROUND("
             "0.5 * p * LN(p / ((p + q) / 2.0))"
             " + 0.5 * q * LN(q / ((p + q) / 2.0)), 10)"
-            " AS DECIMAL(38,12))) AS DOUBLE), 6)"
+            " AS DECIMAL(38,12))), 6) AS DOUBLE)"
         ).alias("jsd"),
     )
     return folded.select(
@@ -9916,6 +9918,40 @@ def tx_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"tx_kl_divergence": tx_kl_divergence})
 
 
+def _seasonal_detrended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared trend kernel for ev_seasonal_decompose / ev_seasonal_anomaly
+    (round-6 self-review finding #5 — the pipeline was duplicated
+    verbatim in both gates and both oracles): per-day counts, centered
+    7-day MA over the |days|-bounded table, interior days only (n7 == 7),
+    detrended values rounded to 6 dp. Columns (day, x, dow, detr);
+    checkpointed because the anomaly gate consumes it twice. The oracle
+    twin is oracles._SEASONAL_DETR_CTES — change BOTH together."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    daily = (
+        ev.select(us.alias("t_us"))
+        .withColumn("day", F.expr("t_us DIV 86400000000"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wma = Window.orderBy("day").rowsBetween(-3, 3)
+    return (
+        daily.withColumn("n7", F.count(F.lit(1)).over(wma))
+        .withColumn("s7", F.sum("x").over(wma))
+        .filter(F.col("n7") == 7)
+        .select(
+            "day",
+            "x",
+            F.expr("day % 7").alias("dow"),
+            F.expr(
+                "ROUND(CAST(x AS DOUBLE)"
+                " - CAST(s7 AS DOUBLE) / 7.0, 6)"
+            ).alias("detr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of the daily volume
     series: trend = centered 7-day moving average (full windows only),
@@ -9926,27 +9962,7 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dow index and the centering all run over |days|- and 7-bounded
     tables. Detrended values round to 6 dp, index means fold through
     DECIMAL."""
-    ev = load_events(spark, sf_dir)
-    us = F.unix_micros(F.col("ts"))
-    daily = (
-        ev.select(us.alias("t_us"))
-        .withColumn("day", F.expr("t_us DIV 86400000000"))
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
-    wma = Window.orderBy("day").rowsBetween(-3, 3)
-    detr = (
-        daily.withColumn("n7", F.count(F.lit(1)).over(wma))
-        .withColumn("s7", F.sum("x").over(wma))
-        .filter(F.col("n7") == 7)
-        .select(
-            F.expr("day % 7").alias("dow"),
-            F.expr(
-                "ROUND(CAST(x AS DOUBLE)"
-                " - CAST(s7 AS DOUBLE) / 7.0, 6)"
-            ).alias("detr"),
-        )
-    )
+    detr = _seasonal_detrended(spark, sf_dir)
     raw = detr.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.expr(
@@ -10025,30 +10041,7 @@ def ev_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reports the top-5 most anomalous days with their scores and the
     |score| > 3 flag, so the output is non-empty whether or not the
     series contains a true anomaly."""
-    ev = load_events(spark, sf_dir)
-    us = F.unix_micros(F.col("ts"))
-    daily = (
-        ev.select(us.alias("t_us"))
-        .withColumn("day", F.expr("t_us DIV 86400000000"))
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
-    wma = Window.orderBy("day").rowsBetween(-3, 3)
-    detr = (
-        daily.withColumn("n7", F.count(F.lit(1)).over(wma))
-        .withColumn("s7", F.sum("x").over(wma))
-        .filter(F.col("n7") == 7)
-        .select(
-            "day",
-            "x",
-            F.expr("day % 7").alias("dow"),
-            F.expr(
-                "ROUND(CAST(x AS DOUBLE)"
-                " - CAST(s7 AS DOUBLE) / 7.0, 6)"
-            ).alias("detr"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    detr = _seasonal_detrended(spark, sf_dir)
     seas = detr.groupBy("dow").agg(
         F.expr(
             "ROUND(CAST(SUM(CAST(detr AS DECIMAL(38,12))) AS DOUBLE)"
@@ -10580,7 +10573,7 @@ def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "right_wr"
         ),
         F.expr(
-            "ROUND(CAST(SUM(CAST(sse AS DECIMAL(38,12))) AS DOUBLE), 6)"
+            "CAST(ROUND(SUM(CAST(sse AS DECIMAL(38,12))), 6) AS DOUBLE)"
         ).alias("sse_depth2"),
     )
     return root.select(
@@ -10744,7 +10737,7 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,12)))"
             " AS DECIMAL(28,6))"
         ).alias("money"),
-    )
+    ).localCheckpoint(eager=False)  # two consumers (mx + base): one scan
     mx = per_c.agg(F.max("last_d").alias("max_d"))
     base = per_c.crossJoin(F.broadcast(mx)).select(
         "o_custkey",
@@ -10811,12 +10804,16 @@ def smp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SUM(CAST(n_chars * n_chars AS DECIMAL(38,12)))"
         ).alias("syy"),
     ).withColumn(
+        # GREATEST(...,0): an all-equal stratum's true variance is 0 but
+        # the cancellation-prone double expression can land at ~-1e-9 —
+        # DuckDB aborts on SQRT(negative) while Spark yields NaN, a
+        # crash-vs-value divergence (round-6 self-review finding #2)
         "s_h",
         F.expr(
-            "ROUND(SQRT((CAST(syy AS DOUBLE)"
+            "ROUND(SQRT(GREATEST((CAST(syy AS DOUBLE)"
             " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
             " / CAST(n_pop AS DOUBLE))"
-            " / CAST(n_pop - 1 AS DOUBLE)), 6)"
+            " / CAST(n_pop - 1 AS DOUBLE), CAST(0 AS DOUBLE))), 6)"
         ),
     ).withColumn(
         "w_h", F.expr("ROUND(CAST(n_pop AS DOUBLE) * s_h, 6)")

@@ -178,3 +178,27 @@ def test_asof_directions_match_pandas_merge_asof(spark):
                 assert got[i] is None, (direction, i, got[i])
             else:
                 assert got[i] == exp[i], (direction, i, got[i], exp[i])
+
+
+def test_asof_forward_null_value_tie_matches_sql_nulls_last(spark):
+    """Duplicate (key, ts) on the right with one NULL-valued row: forward
+    must pick the min non-NULL value (SQL ASC NULLS LAST), never the
+    NULL-valued row (Spark's NULLS-FIRST default would — round-6
+    self-review finding #4)."""
+    from strava_vector_search_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100)], "k int, lts long"
+    ).select("k", F.timestamp_micros(F.col("lts")).alias("lts"))
+    right = spark.createDataFrame(
+        [(1, 200, None), (1, 200, 7.0), (1, 200, 3.0)],
+        "k int, rts long, v double",
+    ).select(
+        "k", F.timestamp_micros(F.col("rts")).alias("rts"), "v"
+    )
+    out = asof_join(
+        left, right, ["k"], left_ts="lts", right_ts="rts",
+        value_cols=["v"], direction="forward",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["v_right"] == 3.0
