@@ -247,6 +247,7 @@ HEADLINE = [
     "ab_ks_test",
     # round 6
     "s7_model_embed_contract",
+    "dm_curriculum_write",
 ]
 
 

@@ -7100,3 +7100,29 @@ WHERE doc_id % 20 = 0 AND text IS NOT NULL
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# -- curriculum writer: the read-back rollup must equal the schedule
+# -- definition (write/read is value-invisible) ------------------------------
+
+ORACLES["dm_curriculum_write"] = f"""
+WITH banded AS (
+  SELECT doc_id, n_chars,
+         NTILE(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS band,
+         ({_md5i('doc_id::VARCHAR')}) % 1000003 AS draw
+  FROM documents
+),
+sched AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY band ASC, draw ASC, doc_id ASC) AS pos
+  FROM banded
+)
+SELECT CAST((pos - 1) // 100 AS INTEGER) AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(pos) AS min_pos,
+       MAX(pos) AS max_pos,
+       CAST(CASE WHEN MAX(pos) - MIN(pos) + 1 = COUNT(*)
+            THEN 1 ELSE 0 END AS INTEGER) AS contiguous
+FROM sched
+GROUP BY 1
+ORDER BY 1
+"""

@@ -10998,3 +10998,50 @@ def s7_model_embed_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"s7_model_embed_contract": s7_model_embed_contract})
+
+
+def dm_curriculum_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last inch of curriculum ordering (VERDICT r05 stretch): the
+    schedule is actually WRITTEN as trainer-consumable parquet and read
+    back. Layout: bucket = (pos-1) DIV 100 as a partition directory,
+    rows sorted by pos within each bucket's single file -- a trainer
+    streams bucket 0, 1, 2, ... and sees the exact global order without
+    ever issuing a global sort (the read plan per bucket is one file
+    scan). The gate reads the ARTIFACT back and reports per-bucket
+    coverage: row count, pos range, and a contiguity flag; the oracle
+    recomputes the same rollup from the schedule definition, so any
+    write/read corruption (lost rows, split buckets, duplicated pos)
+    reds the gate. Physical within-file ordering is pinned separately in
+    tests/test_curriculum_write.py (parquet row order vs pos)."""
+    chunk = 100
+
+    def _build(tmp: str) -> None:
+        sched = dm_curriculum_order(spark, sf_dir).withColumn(
+            "bucket", F.expr(f"CAST((pos - 1) DIV {chunk} AS INT)")
+        )
+        (
+            sched.repartition("bucket")
+            .sortWithinPartitions("bucket", "pos")
+            .write.partitionBy("bucket")
+            .parquet(tmp)
+        )
+
+    path = _cached_layout(sf_dir, "documents", "curric", _build)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+            F.expr(
+                "CAST(CASE WHEN MAX(pos) - MIN(pos) + 1 = COUNT(*)"
+                " THEN 1 ELSE 0 END AS INTEGER)"
+            ).alias("contiguous"),
+        )
+        .withColumn("bucket", F.col("bucket").cast("int"))
+        .orderBy("bucket")
+    )
+
+
+QUERIES.update({"dm_curriculum_write": dm_curriculum_write})
