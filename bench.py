@@ -248,6 +248,11 @@ HEADLINE = [
     # round 6
     "s7_model_embed_contract",
     "dm_curriculum_write",
+    "ab_sequential_sprt",
+    "a26_weighted_median",
+    "dq_referential_integrity",
+    "dm_source_token_caps",
+    "dq_profile_drift",
 ]
 
 

@@ -7126,3 +7126,161 @@ FROM sched
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# -- round 6 batch: SPRT, weighted median, referential integrity,
+# -- per-source caps, profile drift -----------------------------------------
+
+from strava_vector_search_spark.queries import (  # noqa: E402
+    _SPRT_LA,
+    _SPRT_LB,
+    _SPRT_LOWER,
+    _SPRT_UPPER,
+)
+
+ORACLES["ab_sequential_sprt"] = f"""
+WITH obs AS (
+  SELECT epoch_us(ts) AS t_us, event_id,
+         CASE WHEN value > 50 THEN CAST({_SPRT_LA} AS BIGINT)
+              ELSE CAST({_SPRT_LB} AS BIGINT) END AS term_s
+  FROM events
+),
+r AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY t_us, event_id) AS n,
+         SUM(term_s) OVER (ORDER BY t_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM obs
+),
+f AS (
+  SELECT n, cum,
+         CASE WHEN cum >= {_SPRT_UPPER} OR cum <= {_SPRT_LOWER}
+              THEN 1 ELSE 0 END AS is_cross
+  FROM r
+)
+SELECT n,
+       ROUND(CAST(cum AS DOUBLE) / CAST(10000000000 AS DOUBLE), 6) AS llr,
+       CASE WHEN cum >= {_SPRT_UPPER} THEN 'accept_h1'
+            WHEN cum <= {_SPRT_LOWER} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM f
+ORDER BY is_cross DESC, CASE WHEN is_cross = 1 THEN n ELSE -n END
+LIMIT 1
+"""
+
+ORACLES["a26_weighted_median"] = """
+WITH kern AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS w
+  FROM lineitem GROUP BY 1
+),
+walk AS (
+  SELECT qty, w,
+         SUM(w) OVER (ORDER BY qty
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         SUM(w) OVER () AS totw
+  FROM kern
+)
+SELECT qty AS weighted_median_qty,
+       CAST(totw AS DOUBLE) AS total_weight,
+       ROUND(CAST(cumw AS DOUBLE) / CAST(totw AS DOUBLE), 6)
+         AS cum_share_at_median
+FROM walk
+WHERE cumw * 2 >= totw
+ORDER BY qty
+LIMIT 1
+"""
+
+ORACLES["dq_referential_integrity"] = """
+WITH e1 AS (
+  SELECT 'lineitem->orders' AS relation,
+         (SELECT COUNT(*) FROM lineitem) AS n_child,
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+),
+e2 AS (
+  SELECT 'orders->customer' AS relation,
+         (SELECT COUNT(*) FROM orders) AS n_child,
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+),
+u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+SELECT relation, n_child, n_orphans,
+       CAST(ROUND(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+            * 1000000, 0) AS BIGINT) AS orphan_ppm
+FROM u
+ORDER BY relation
+"""
+
+ORACLES["dm_source_token_caps"] = f"""
+WITH scored AS (
+  SELECT doc_id, source, {_QS} AS quality, {_NTOK} AS n_tok
+  FROM documents
+),
+run AS (
+  SELECT source,
+         SUM(CAST(n_tok AS BIGINT)) OVER (PARTITION BY source
+             ORDER BY quality DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM scored
+)
+SELECT source,
+       COUNT(*) AS n_admitted,
+       MAX(cum_tok) AS tokens_used,
+       ROUND(CAST(MAX(cum_tok) AS DOUBLE) / CAST(5000 AS DOUBLE), 6)
+         AS utilization
+FROM run
+WHERE cum_tok <= 5000
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLES["dq_profile_drift"] = """
+WITH d AS (SELECT *, CAST(doc_id % 2 AS INTEGER) AS par FROM documents),
+prof AS (
+  SELECT
+    CAST(COUNT(CASE WHEN par = 0 THEN 1 END) AS DOUBLE) AS rows_a,
+    CAST(COUNT(CASE WHEN par = 1 THEN 1 END) AS DOUBLE) AS rows_b,
+    ROUND(CAST(COUNT(CASE WHEN par = 0 AND n_chars IS NULL THEN 1 END)
+          AS DOUBLE)
+          / CAST(COUNT(CASE WHEN par = 0 THEN 1 END) AS DOUBLE), 6)
+      AS null_a,
+    ROUND(CAST(COUNT(CASE WHEN par = 1 AND n_chars IS NULL THEN 1 END)
+          AS DOUBLE)
+          / CAST(COUNT(CASE WHEN par = 1 THEN 1 END) AS DOUBLE), 6)
+      AS null_b,
+    ROUND(CAST(SUM(CASE WHEN par = 0 THEN CAST(n_chars AS DECIMAL(28,6))
+          END) AS DOUBLE)
+          / COUNT(CASE WHEN par = 0 THEN n_chars END), 6) AS mean_a,
+    ROUND(CAST(SUM(CASE WHEN par = 1 THEN CAST(n_chars AS DECIMAL(28,6))
+          END) AS DOUBLE)
+          / COUNT(CASE WHEN par = 1 THEN n_chars END), 6) AS mean_b,
+    CAST(MIN(CASE WHEN par = 0 THEN n_chars END) AS DOUBLE) AS min_a,
+    CAST(MIN(CASE WHEN par = 1 THEN n_chars END) AS DOUBLE) AS min_b,
+    CAST(MAX(CASE WHEN par = 0 THEN n_chars END) AS DOUBLE) AS max_a,
+    CAST(MAX(CASE WHEN par = 1 THEN n_chars END) AS DOUBLE) AS max_b,
+    CAST(COUNT(DISTINCT CASE WHEN par = 0 THEN lang END) AS DOUBLE)
+      AS ndv_a,
+    CAST(COUNT(DISTINCT CASE WHEN par = 1 THEN lang END) AS DOUBLE)
+      AS ndv_b
+  FROM d
+),
+unp AS (
+  SELECT 'rows' AS metric, rows_a AS val_a, rows_b AS val_b FROM prof
+  UNION ALL
+  SELECT 'n_chars_null_rate', null_a, null_b FROM prof
+  UNION ALL
+  SELECT 'n_chars_mean', mean_a, mean_b FROM prof
+  UNION ALL
+  SELECT 'n_chars_min', min_a, min_b FROM prof
+  UNION ALL
+  SELECT 'n_chars_max', max_a, max_b FROM prof
+  UNION ALL
+  SELECT 'lang_ndv', ndv_a, ndv_b FROM prof
+)
+SELECT metric, val_a, val_b,
+       ROUND(ABS(val_a - val_b), 6) AS abs_drift
+FROM unp
+ORDER BY metric
+"""

@@ -11045,3 +11045,300 @@ def dm_curriculum_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dm_curriculum_write": dm_curriculum_write})
+
+
+# shared integer constants for the SPRT gate (python round(ln(...)*1e10) —
+# one source of truth injected as literals into BOTH engines, so no
+# cross-engine libm/decimal-literal risk ever enters the running sum)
+_SPRT_LA = 3364722366       # ln(0.35/0.25) * 1e10  (outcome = 1)
+_SPRT_LB = -1431008436      # ln(0.65/0.75) * 1e10  (outcome = 0)
+_SPRT_UPPER = 27725887222   # ln((1-beta)/alpha) = ln(0.8/0.05)
+_SPRT_LOWER = -15581446180  # ln(beta/(1-alpha)) = ln(0.2/0.95)
+
+
+def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test over the event stream -- the
+    always-valid A/B monitor that stops the moment the evidence crosses
+    a Wald boundary instead of waiting for a fixed horizon. Outcomes
+    (value > 50) stream in (ts, event_id) order; the running
+    log-likelihood ratio is an EXACT scaled-BIGINT sum of two
+    pre-computed integer constants (module literals, same in the
+    oracle), accumulated with the two-level range-partitioned running
+    sum (operators/order.py) -- the same no-single-partition plan as the
+    dm_* global-order gates, because a sequential test at 100 TB is
+    exactly a global running sum. Output: the FIRST boundary crossing
+    (n, llr, decision), or the final state with decision 'continue' if
+    the stream never crosses. Headroom: |term| < 3.4e9, so bigint holds
+    ~2.7e9 observations -- partition the test per experiment key beyond
+    that."""
+    from strava_vector_search_spark.operators.order import (
+        attach_global_order,
+    )
+
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    obs = ev.select(
+        us.alias("t_us"),
+        "event_id",
+        F.expr(
+            f"CASE WHEN value > 50 THEN CAST({_SPRT_LA} AS BIGINT)"
+            f" ELSE CAST({_SPRT_LB} AS BIGINT) END"
+        ).alias("term_s"),
+    )
+    ranked = attach_global_order(
+        obs,
+        [F.asc("t_us"), F.asc("event_id")],
+        rank_col="n",
+        running_sums={"cum": "term_s"},
+    )
+    flagged = ranked.select(
+        "n",
+        "cum",
+        F.expr(
+            f"CASE WHEN cum >= {_SPRT_UPPER} OR cum <= {_SPRT_LOWER}"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_cross"),
+    )
+    return (
+        flagged.orderBy(
+            F.desc("is_cross"),
+            F.expr("CASE WHEN is_cross = 1 THEN n ELSE -n END"),
+        )
+        .limit(1)
+        .select(
+            "n",
+            F.expr(
+                "ROUND(CAST(cum AS DOUBLE)"
+                " / CAST(10000000000 AS DOUBLE), 6)"
+            ).alias("llr"),
+            F.expr(
+                f"CASE WHEN cum >= {_SPRT_UPPER} THEN 'accept_h1'"
+                f" WHEN cum <= {_SPRT_LOWER} THEN 'accept_h0'"
+                " ELSE 'continue' END"
+            ).alias("decision"),
+        )
+    )
+
+
+QUERIES.update({"ab_sequential_sprt": ab_sequential_sprt})
+
+
+def a26_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median without ranking rows: the Mann-Whitney
+    distinct-value recipe applied to an aggregate -- lineitem quantity
+    weighted by revenue folds to the |distinct quantities|-bounded
+    kernel (one partial-combined aggregate), the cumulative-weight walk
+    runs over that bounded table, and the weighted median is the
+    smallest value whose cumulative weight reaches half the total.
+    All comparisons in exact DECIMAL; no doubles until the readout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kern = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("qty")
+    ).agg(
+        F.expr(
+            "SUM(CAST(l_extendedprice AS DECIMAL(28,2)))"
+        ).alias("w")
+    )
+    wcum = Window.orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    walk = kern.withColumn("cumw", F.sum("w").over(wcum)).withColumn(
+        "totw", F.sum("w").over(wall)
+    )
+    hit = walk.filter(
+        F.expr("cumw * 2 >= totw")
+    )
+    return (
+        hit.orderBy("qty")
+        .limit(1)
+        .select(
+            F.col("qty").alias("weighted_median_qty"),
+            F.expr("CAST(totw AS DOUBLE)").alias("total_weight"),
+            F.expr(
+                "ROUND(CAST(cumw AS DOUBLE) / CAST(totw AS DOUBLE), 6)"
+            ).alias("cum_share_at_median"),
+        )
+    )
+
+
+QUERIES.update({"a26_weighted_median": a26_weighted_median})
+
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the TPC-H spine: orphaned
+    children per FK edge (lineitem->orders, orders->customer) via
+    LEFT ANTI joins -- at scale each is one broadcast- or
+    shuffle-hash anti join that AQE picks by parent size, and the
+    child table is scanned once per edge with only the key column
+    read. Output one row per relation: child rows, orphans, orphan
+    ppm (exact integer arithmetic until the readout)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def _edge(name, child, key, parent, pkey):
+        n = child.select(F.col(key)).count()
+        orphans = (
+            child.select(F.col(key).alias("_k"))
+            .join(
+                parent.select(F.col(pkey).alias("_k")),
+                "_k",
+                "left_anti",
+            )
+            .count()
+        )
+        return spark.createDataFrame(
+            [(name, n, orphans)],
+            "relation string, n_child bigint, n_orphans bigint",
+        )
+    a = _edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+    b = _edge("orders->customer", orders, "o_custkey", cust, "c_custkey")
+    return (
+        a.unionByName(b)
+        .select(
+            "relation",
+            "n_child",
+            "n_orphans",
+            F.expr(
+                "CAST(ROUND(CAST(n_orphans AS DOUBLE)"
+                " / CAST(n_child AS DOUBLE) * 1000000, 0) AS BIGINT)"
+            ).alias("orphan_ppm"),
+        )
+        .orderBy("relation")
+    )
+
+
+QUERIES.update({"dq_referential_integrity": dq_referential_integrity})
+
+
+def dm_source_token_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgeting: within each source, documents are
+    admitted best-quality-first while that source's running token total
+    stays under a 5000-token cap -- the per-domain mixing cap a
+    pretraining pipeline applies before the global mix. All windows are
+    PARTITIONED by source (never global), so the plan scales as one
+    source-keyed shuffle however many sources exist; contrast
+    dm_budget_select, whose single global budget needs the two-level
+    rank. Output per source: admitted docs, tokens used, utilization."""
+    from strava_vector_search_spark.functions import text as T
+
+    cap = 5000
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.token_count(F.col("text")).alias("n_tok"),
+    )
+    wrun = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    admitted = docs.withColumn(
+        "cum_tok", F.sum(F.col("n_tok").cast("bigint")).over(wrun)
+    ).filter(F.col("cum_tok") <= cap)
+    return (
+        admitted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.max("cum_tok").alias("tokens_used"),
+        )
+        .select(
+            "source",
+            "n_admitted",
+            "tokens_used",
+            F.expr(
+                f"ROUND(CAST(tokens_used AS DOUBLE)"
+                f" / CAST({cap} AS DOUBLE), 6)"
+            ).alias("utilization"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES.update({"dm_source_token_caps": dm_source_token_caps})
+
+
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-profile drift between two corpus halves (doc_id parity
+    standing in for crawl snapshots): per-column profile metrics --
+    row count, null rate, exact DECIMAL-routed mean, min/max, distinct
+    count -- computed for both halves in ONE conditional aggregate over
+    one corpus scan (no per-half scan, no join), then unpivoted to one
+    row per metric with the absolute drift. The shape monitoring stacks
+    run nightly: columnar profile deltas, not row diffs."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "par", F.expr("CAST(doc_id % 2 AS INT)")
+    )
+    prof = docs.agg(
+        F.expr("CAST(COUNT(CASE WHEN par = 0 THEN 1 END) AS DOUBLE)").alias(
+            "rows_a"
+        ),
+        F.expr("CAST(COUNT(CASE WHEN par = 1 THEN 1 END) AS DOUBLE)").alias(
+            "rows_b"
+        ),
+        F.expr(
+            "ROUND(CAST(COUNT(CASE WHEN par = 0 AND n_chars IS NULL"
+            " THEN 1 END) AS DOUBLE)"
+            " / CAST(COUNT(CASE WHEN par = 0 THEN 1 END) AS DOUBLE), 6)"
+        ).alias("null_a"),
+        F.expr(
+            "ROUND(CAST(COUNT(CASE WHEN par = 1 AND n_chars IS NULL"
+            " THEN 1 END) AS DOUBLE)"
+            " / CAST(COUNT(CASE WHEN par = 1 THEN 1 END) AS DOUBLE), 6)"
+        ).alias("null_b"),
+        F.expr(
+            "ROUND(CAST(SUM(CASE WHEN par = 0 THEN"
+            " CAST(n_chars AS DECIMAL(28,6)) END) AS DOUBLE)"
+            " / COUNT(CASE WHEN par = 0 THEN n_chars END), 6)"
+        ).alias("mean_a"),
+        F.expr(
+            "ROUND(CAST(SUM(CASE WHEN par = 1 THEN"
+            " CAST(n_chars AS DECIMAL(28,6)) END) AS DOUBLE)"
+            " / COUNT(CASE WHEN par = 1 THEN n_chars END), 6)"
+        ).alias("mean_b"),
+        F.expr(
+            "CAST(MIN(CASE WHEN par = 0 THEN n_chars END) AS DOUBLE)"
+        ).alias("min_a"),
+        F.expr(
+            "CAST(MIN(CASE WHEN par = 1 THEN n_chars END) AS DOUBLE)"
+        ).alias("min_b"),
+        F.expr(
+            "CAST(MAX(CASE WHEN par = 0 THEN n_chars END) AS DOUBLE)"
+        ).alias("max_a"),
+        F.expr(
+            "CAST(MAX(CASE WHEN par = 1 THEN n_chars END) AS DOUBLE)"
+        ).alias("max_b"),
+        F.expr(
+            "CAST(COUNT(DISTINCT CASE WHEN par = 0 THEN lang END)"
+            " AS DOUBLE)"
+        ).alias("ndv_a"),
+        F.expr(
+            "CAST(COUNT(DISTINCT CASE WHEN par = 1 THEN lang END)"
+            " AS DOUBLE)"
+        ).alias("ndv_b"),
+    )
+    unp = prof.select(
+        F.expr(
+            "stack(6,"
+            " 'rows', rows_a, rows_b,"
+            " 'n_chars_null_rate', null_a, null_b,"
+            " 'n_chars_mean', mean_a, mean_b,"
+            " 'n_chars_min', min_a, min_b,"
+            " 'n_chars_max', max_a, max_b,"
+            " 'lang_ndv', ndv_a, ndv_b"
+            ") AS (metric, val_a, val_b)"
+        )
+    )
+    return unp.select(
+        "metric",
+        "val_a",
+        "val_b",
+        F.expr("ROUND(ABS(val_a - val_b), 6)").alias("abs_drift"),
+    ).orderBy("metric")
+
+
+QUERIES.update({"dq_profile_drift": dq_profile_drift})
