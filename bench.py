@@ -253,6 +253,8 @@ HEADLINE = [
     "dq_referential_integrity",
     "dm_source_token_caps",
     "dq_profile_drift",
+    "g_label_propagation",
+    "a27_group_percentiles",
 ]
 
 

@@ -7284,3 +7284,90 @@ SELECT metric, val_a, val_b,
 FROM unp
 ORDER BY metric
 """
+
+
+ORACLES["g_label_propagation"] = """
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+und AS MATERIALIZED (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS lbl FROM und
+),
+v1 AS MATERIALIZED (
+  SELECT u.u AS node, p.lbl, COUNT(*) AS votes
+  FROM und u JOIN l0 p ON u.v = p.node
+  GROUP BY u.u, p.lbl
+),
+l1 AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY votes DESC, lbl ASC) AS rk
+    FROM v1
+  ) WHERE rk = 1
+),
+v2 AS MATERIALIZED (
+  SELECT u.u AS node, p.lbl, COUNT(*) AS votes
+  FROM und u JOIN l1 p ON u.v = p.node
+  GROUP BY u.u, p.lbl
+),
+l2 AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY votes DESC, lbl ASC) AS rk
+    FROM v2
+  ) WHERE rk = 1
+),
+v3 AS MATERIALIZED (
+  SELECT u.u AS node, p.lbl, COUNT(*) AS votes
+  FROM und u JOIN l2 p ON u.v = p.node
+  GROUP BY u.u, p.lbl
+),
+l3 AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY votes DESC, lbl ASC) AS rk
+    FROM v3
+  ) WHERE rk = 1
+)
+SELECT lbl AS community_label, COUNT(*) AS community_size
+FROM l3
+GROUP BY lbl
+ORDER BY community_size DESC, lbl ASC
+LIMIT 20
+"""
+
+ORACLES["a27_group_percentiles"] = """
+WITH kern AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+walk AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM kern
+),
+percs AS (SELECT UNNEST([50, 90, 99]) AS pct)
+SELECT event_type, pct,
+       MAX(n) AS n_values,
+       ROUND(MIN(v), 6) AS value_at_pct
+FROM walk CROSS JOIN percs
+WHERE 100 * cum >= pct * n
+GROUP BY event_type, pct
+ORDER BY event_type, pct
+"""

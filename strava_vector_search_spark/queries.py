@@ -11342,3 +11342,107 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dq_profile_drift": dq_profile_drift})
+
+
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous majority-vote label propagation
+    (3 unrolled rounds) over the part co-order graph (the g_kcore /
+    g_triangle_count edge kernel, w>=2). Every round is ONE edge-labels
+    join + ONE (node, label) vote count + a per-node rank window --
+    deterministic because ties break (votes DESC, label ASC), so both
+    engines converge identically. Iterative-Spark hygiene: labels are
+    localCheckpoint'ed per round (the PageRank/CC lineage rule). Unlike
+    dd_connected_components (min-label fixpoint = exact components), LPA
+    finds DENSE communities inside a component; the oracle replays the
+    same 3 rounds as unrolled MATERIALIZED CTEs. Output: top-20
+    communities by size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    und = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=False)
+    wpick = Window.partitionBy("node").orderBy(
+        F.desc("votes"), F.asc("lbl")
+    )
+    for _ in range(3):
+        votes = (
+            und.join(labels, und["v"] == labels["node"])
+            .select(F.col("u").alias("node2"), "lbl")
+            .groupBy(F.col("node2").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(wpick))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("community_size"))
+        .orderBy(F.desc("community_size"), F.asc("lbl"))
+        .limit(20)
+        .select(F.col("lbl").alias("community_label"), "community_size")
+    )
+
+
+QUERIES.update({"g_label_propagation": g_label_propagation})
+
+
+def a27_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group nearest-rank percentiles (p50/p90/p99 of event
+    value per event type) WITHOUT ranking rows: the corpus folds to the
+    per-(type, distinct value) kernel in one partial-combined aggregate;
+    the cumulative walk and the percentile picks run over that bounded
+    kernel with windows PARTITIONED by type. The rank condition is pure
+    integer arithmetic (100*cum >= p*n, exact for integer cum -- no
+    ceil-of-double), so the result is bit-deterministic at any scale."""
+    ev = load_events(spark, sf_dir)
+    kern = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("value").cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    walk = kern.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    percs = spark.createDataFrame([(50,), (90,), (99,)], "pct int")
+    return (
+        walk.crossJoin(F.broadcast(percs))
+        .filter(F.expr("100 * cum >= pct * n"))
+        .groupBy("event_type", "pct")
+        .agg(
+            F.max("n").alias("n_values"),
+            F.round(F.min("v"), 6).alias("value_at_pct"),
+        )
+        .orderBy("event_type", "pct")
+    )
+
+
+QUERIES.update({"a27_group_percentiles": a27_group_percentiles})
