@@ -202,3 +202,92 @@ def neighborhood_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def personalized_pagerank_fixedpoint(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 4,
+    damping_pct: int = DAMPING_PCT,
+    scale: int = SCALE,
+    broadcast_ranks: bool | None = None,
+) -> DataFrame:
+    """Personalized PageRank: the restart mass lands ONLY on ``seeds``
+    (rank' = (1-d)·e_S + d·A·rank), so rank measures proximity to the seed
+    set — the random-walk-with-restart recommender / local-community
+    kernel, vs global authority in :func:`pagerank_fixedpoint`.
+
+    Same execution shape and same exact fixed-point integer contract as
+    the global variant (one join + one partial-combined aggregate per
+    iteration, scaled-BIGINT arithmetic, bit-reproducible under any
+    partitioning — the DuckDB oracle replays it bit-for-bit). Seeds
+    init at ``scale``, non-seeds at 0; per iteration seeds add the full
+    restart base ``(100-d)·scale/100`` and non-seeds get damped inflow
+    only. Dangling leakage as in the global variant.
+
+    Returns ``(node, rank_fp, is_seed)``.
+    """
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    edeg = e.join(deg, "_src").localCheckpoint(eager=False)
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
+        "_sflag", F.lit(1)
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .join(sd, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("_sflag"), F.lit(0)).alias("is_seed")
+        )
+        .localCheckpoint(eager=False)
+    )
+    if broadcast_ranks is None:
+        broadcast_ranks = nodes.count() <= BROADCAST_NODES_THRESHOLD
+
+    def _maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_ranks else df
+
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn(
+        "rank_fp",
+        F.when(F.col("is_seed") == 1, F.lit(scale))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    for _ in range(iterations):
+        r = _maybe_bcast(
+            ranks.select(
+                F.col("node").alias("_src"), F.col("rank_fp").alias("_r")
+            )
+        )
+        contrib = edeg.join(r, "_src").select(
+            F.col("_dst").alias("node"),
+            F.expr("_r div _deg").alias("_c"),
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("_c").alias("_inflow"))
+        ranks = (
+            nodes.join(_maybe_bcast(inflow), "node", "left")
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.when(F.col("is_seed") == 1, F.lit(base)).otherwise(
+                        F.lit(0)
+                    )
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_inflow, 0L)) div 100"
+                    )
+                )
+                .cast("bigint")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -7096,7 +7096,7 @@ SELECT lang,
        CAST(1.0 AS DOUBLE) AS min_norm,
        CAST(1.0 AS DOUBLE) AS max_norm
 FROM documents
-WHERE doc_id % 20 = 0 AND text IS NOT NULL
+WHERE doc_id % 20 = 0 AND doc_id < 4000 AND text IS NOT NULL
 GROUP BY lang
 ORDER BY lang
 """
@@ -7370,4 +7370,303 @@ FROM walk CROSS JOIN percs
 WHERE 100 * cum >= pct * n
 GROUP BY event_type, pct
 ORDER BY event_type, pct
+"""
+
+
+# -- personalized PageRank (seed-restart fixed point, unrolled) ---------------
+
+
+def _ppr_oracle(iterations: int = 4) -> str:
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)""",
+        """edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+)""",
+        """seeds AS (
+  SELECT DISTINCT 'c' || o_custkey AS node FROM orders
+  WHERE o_custkey % 100 = 0
+)""",
+        """nodes AS (
+  SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+  FROM (SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst AS node FROM edges) n
+  LEFT JOIN seeds s ON s.node = n.node
+)""",
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
+        """r0 AS (
+  SELECT node, is_seed,
+         CAST(CASE WHEN is_seed = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+  FROM nodes
+)""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""i{i} AS (
+  SELECT e.dst AS node, SUM(r.r // d.d) AS inflow
+  FROM edges e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node, n.is_seed,
+         CAST(CASE WHEN n.is_seed = 1 THEN 150000 ELSE 0 END
+              + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN i{i} i ON i.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, ROUND(CAST(r AS DOUBLE) / 1000000.0, 6) AS rank
+FROM r{iterations}
+WHERE is_seed = 0
+ORDER BY rank DESC, node ASC
+LIMIT 20
+"""
+    )
+
+
+ORACLES["g_ppr"] = _ppr_oracle()
+
+
+# -- exact tie-corrected Spearman over the distinct-value kernels --------------
+
+ORACLES["ab_spearman_corr"] = """
+WITH rows_ AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+n_ AS (SELECT COUNT(*) AS n FROM rows_),
+kx AS (SELECT x, COUNT(*) AS c FROM rows_ GROUP BY x),
+kxr AS (
+  SELECT x,
+         2 * SUM(c) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - c - (SELECT n FROM n_) AS d2x
+  FROM kx
+),
+ky AS (SELECT y, COUNT(*) AS c FROM rows_ GROUP BY y),
+kyr AS (
+  SELECT y,
+         2 * SUM(c) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - c - (SELECT n FROM n_) AS d2y
+  FROM ky
+),
+joint AS (SELECT x, y, COUNT(*) AS cj FROM rows_ GROUP BY x, y),
+j AS (
+  SELECT cj, d2x, d2y
+  FROM joint JOIN kxr USING (x) JOIN kyr USING (y)
+),
+m AS (
+  SELECT CAST(SUM(cj) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(cj AS DECIMAL(12,0)) * CAST(d2x AS DECIMAL(13,0))
+                  * CAST(d2y AS DECIMAL(13,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(cj AS DECIMAL(12,0)) * CAST(d2x AS DECIMAL(13,0))
+                  * CAST(d2x AS DECIMAL(13,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(cj AS DECIMAL(12,0)) * CAST(d2y AS DECIMAL(13,0))
+                  * CAST(d2y AS DECIMAL(13,0))) AS DOUBLE) AS syy
+  FROM j
+)
+SELECT n_rows, ROUND(sxy / SQRT(sxx * syy), 6) AS spearman_rho FROM m
+"""
+
+
+# -- T-learner uplift (two linear probes from one grouped Gram pass) ----------
+
+ORACLES["ml_uplift_tlearner"] = f"""
+WITH feats AS (
+  SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x1,
+         ROUND(CAST(embedding[2] AS DOUBLE), 6) AS x2,
+         CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y,
+         ({_md5i("CAST(vec_id AS VARCHAR)")} % 2) AS treat,
+         COALESCE(label, -1) AS label_segment
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+m AS (
+  SELECT treat, COUNT(*) AS n,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(y  AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(38,12))) AS DOUBLE) AS s2y
+  FROM feats GROUP BY treat
+),
+md AS (SELECT *, CAST(n AS DOUBLE) AS n_d FROM m),
+dets AS (
+  SELECT treat,
+         {_DET["det"]} AS det,
+         {_DET["det0"]} AS det0,
+         {_DET["det1"]} AS det1,
+         {_DET["det2"]} AS det2
+  FROM md
+),
+c AS (
+  SELECT treat,
+         ROUND(det0 / det, 6) AS b0,
+         ROUND(det1 / det, 6) AS b1,
+         ROUND(det2 / det, 6) AS b2
+  FROM dets
+),
+cp AS (
+  SELECT MAX(CASE WHEN treat = 1 THEN b0 END) AS tb0,
+         MAX(CASE WHEN treat = 1 THEN b1 END) AS tb1,
+         MAX(CASE WHEN treat = 1 THEN b2 END) AS tb2,
+         MAX(CASE WHEN treat = 0 THEN b0 END) AS cb0,
+         MAX(CASE WHEN treat = 0 THEN b1 END) AS cb1,
+         MAX(CASE WHEN treat = 0 THEN b2 END) AS cb2
+  FROM c
+),
+scored AS (
+  SELECT f.label_segment, f.treat,
+         (tb0 + tb1 * x1 + tb2 * x2) - (cb0 + cb1 * x1 + cb2 * x2) AS uplift
+  FROM feats f CROSS JOIN cp
+)
+SELECT label_segment, COUNT(*) AS n,
+       ROUND(CAST(SUM(treat) AS DOUBLE) / COUNT(*), 6) AS treated_frac,
+       ROUND(CAST(SUM(CAST(ROUND(uplift, 10) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_uplift
+FROM scored GROUP BY label_segment ORDER BY label_segment
+"""
+
+
+# -- Bloom-filter decontamination (bit-identical filter + verdicts) -----------
+
+ORACLES["dd_bloom_decontaminate"] = f"""
+WITH {_SHINGLE_CTES},
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 41 = 0),
+evp AS (
+  SELECT {_md5i("s || '#' || CAST(i AS VARCHAR)")} % 16384 AS p
+  FROM ev CROSS JOIN range(4) t(i)
+),
+words AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+  FROM evp GROUP BY 1
+),
+cp AS (
+  SELECT a.doc_id, a.s,
+         {_md5i("a.s || '#' || CAST(i AS VARCHAR)")} % 16384 AS p
+  FROM sh a CROSS JOIN range(4) t(i)
+  WHERE a.doc_id % 41 <> 0
+),
+ch AS (
+  SELECT doc_id, s,
+         bool_and((COALESCE(w.word, 0)
+                   & (CAST(1 AS BIGINT) << CAST(c.p % 32 AS INT)))
+                  = (CAST(1 AS BIGINT) << CAST(c.p % 32 AS INT))) AS maybe
+  FROM (SELECT doc_id, s, p, p // 32 AS word_idx FROM cp) c
+  LEFT JOIN words w USING (word_idx)
+  GROUP BY doc_id, s
+),
+agg AS (
+  SELECT h.doc_id, MAX(z.n_sh) AS n_sh,
+         CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_hits
+  FROM ch h JOIN sz z USING (doc_id)
+  GROUP BY h.doc_id
+)
+SELECT doc_id, n_sh, n_bloom_hits,
+       ROUND(n_bloom_hits / n_sh, 6) AS bloom_frac,
+       (ROUND(n_bloom_hits / n_sh, 6) >= 0.1) AS contaminated
+FROM agg ORDER BY doc_id
+"""
+
+
+# -- association rules with the Apriori frequency prune ------------------------
+
+ORACLES["ml_assoc_rules"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+stats AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+item AS (SELECT l_partkey, COUNT(*) AS s_i FROM li GROUP BY 1),
+freq AS (
+  SELECT l_partkey, s_i FROM item CROSS JOIN stats
+  WHERE s_i >= greatest(5, n_baskets // 500)
+),
+fi AS (
+  SELECT li.l_orderkey, li.l_partkey, f.s_i
+  FROM li JOIN freq f USING (l_partkey)
+),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         a.s_i AS sa, b.s_i AS sb, COUNT(*) AS s_ab
+  FROM fi a JOIN fi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2, 3, 4
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, s_ab,
+         sa AS s_ante, sb AS s_cons
+  FROM pair
+  UNION ALL
+  SELECT pb, pa, s_ab, sb, sa FROM pair
+)
+SELECT antecedent, consequent,
+       s_ab AS support_pair, s_ante AS support_ante, s_cons AS support_cons,
+       ROUND(CAST(s_ab AS DOUBLE) / CAST(s_ante AS DOUBLE), 6) AS confidence,
+       ROUND(CAST(s_ab * n_baskets AS DOUBLE)
+             / CAST(s_ante * s_cons AS DOUBLE), 6) AS lift
+FROM rules CROSS JOIN stats
+ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC
+LIMIT 20
+"""
+
+
+# -- perceptual-hash near-dup (banded average hash + exact Hamming verify) ----
+
+ORACLES["mm_phash_near_dup"] = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE length(text) > 0
+),
+g AS (
+  SELECT doc_id,
+         [ascii(substr(text, (i * n) // 64 + 1, 1))
+          FOR i IN range(0, 64)] AS vals
+  FROM d
+),
+t AS (SELECT doc_id, vals, list_sum(vals) AS total FROM g),
+bitrows AS (
+  SELECT doc_id, i,
+         CASE WHEN 64 * vals[i + 1] > total THEN 1 ELSE 0 END AS bit
+  FROM t CROSS JOIN range(0, 64) r(i)
+),
+bandrows AS (
+  SELECT doc_id, i // 16 AS band,
+         SUM(bit * (CAST(1 AS BIGINT) << CAST(i % 16 AS INT))) AS bval
+  FROM bitrows GROUP BY doc_id, i // 16
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+),
+bitsets AS (
+  SELECT doc_id, list(bit ORDER BY i) AS bits FROM bitrows GROUP BY doc_id
+),
+ham AS (
+  SELECT doc_a, doc_b,
+         list_sum([CASE WHEN x.bits[i] <> y.bits[i] THEN 1 ELSE 0 END
+                   FOR i IN range(1, 65)]) AS hamming
+  FROM cand
+  JOIN bitsets x ON x.doc_id = doc_a
+  JOIN bitsets y ON y.doc_id = doc_b
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM ham WHERE hamming <= 16
+ORDER BY hamming, doc_a, doc_b
+LIMIT 50
 """

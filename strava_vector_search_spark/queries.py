@@ -10965,8 +10965,15 @@ def s7_model_embed_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         numpy_model_factory,
     )
 
+    # bounded slice (<=200 docs at any sf): this gate evidences the
+    # distributed model lane's CONTRACT — full-corpus embedding throughput
+    # belongs to the refresh pipeline (streaming/refresh.py), not a
+    # per-round bench where 15 ms/doc of honest attention math would
+    # drown every other query's signal
     docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 20 == 0) & F.col("text").isNotNull()
+        (F.col("doc_id") % 20 == 0)
+        & (F.col("doc_id") < 4000)
+        & F.col("text").isNotNull()
     )
     embed = model_embedder(model_factory=numpy_model_factory)
     emb = docs.select("lang", embed(F.col("text")).alias("e"))
@@ -11446,3 +11453,435 @@ def a27_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"a27_group_percentiles": a27_group_percentiles})
+
+
+def g_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) over the
+    customer<->supplier trade graph: the restart mass is pinned to a seed
+    cohort (customers with custkey % 100 == 0), so rank measures
+    PROXIMITY to the cohort rather than global authority (g_pagerank) --
+    the recommendation / local-community kernel. 4 iterations of the
+    exact fixed-point integer recurrence (operators/graph.py: one join +
+    one partial-combined aggregate per iteration, scaled-BIGINT
+    arithmetic, bit-reproducible under any partitioning; the DuckDB
+    oracle unrolls it bit-for-bit). Output: top-20 NON-seed nodes --
+    'which suppliers/customers sit closest to this cohort'."""
+    from strava_vector_search_spark.operators.graph import (
+        personalized_pagerank_fixedpoint,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    seeds = (
+        o.filter(F.col("o_custkey") % 100 == 0)
+        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("node"))
+        .distinct()
+    )
+    ranks = personalized_pagerank_fixedpoint(edges, seeds, iterations=4)
+    return (
+        ranks.filter(F.col("is_seed") == 0)
+        .select(
+            "node",
+            F.round(
+                F.col("rank_fp").cast("double") / F.lit(1000000.0), 6
+            ).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+QUERIES.update({"g_ppr": g_ppr})
+
+
+def ab_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation of line-item quantity
+    vs extended price WITHOUT ranking rows and WITHOUT a single-partition
+    window: each column folds to its distinct-value kernel (one
+    partial-combined aggregate -- the Mann-Whitney/KS kernel trick), the
+    kernel's cumulative counts come from the two-level range-partitioned
+    global order (operators/order.attach_global_order -- zero Exchange
+    SinglePartition), and the Pearson-on-ranks moments accumulate over the
+    JOINT distinct kernel in exact DECIMAL. Doubled centered average
+    ranks are exact integers: avg ranks are half-integers whose mean is
+    exactly (N+1)/2, so d2 = 2*cum - c - N and rho's numerator/denominator
+    sums are order-insensitive integers; the only floating point is the
+    final rho expression, whose text the DuckDB oracle shares."""
+    from strava_vector_search_spark.operators.order import (
+        attach_global_order,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+
+    def _rank_kernel(col: str) -> DataFrame:
+        kern = rows.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        # N is the CORPUS row count (sum of kernel counts), not the kernel
+        # row count — a 1-row broadcast over the bounded kernel, never a
+        # corpus-side scan
+        n_tot = kern.agg(F.sum("c").alias("n_tot"))
+        ranked = attach_global_order(
+            kern,
+            [F.col(col)],
+            rank_col=None,
+            running_sums={"cum": "c"},
+        )
+        return ranked.crossJoin(F.broadcast(n_tot)).select(
+            col,
+            (
+                F.lit(2) * F.col("cum") - F.col("c") - F.col("n_tot")
+            ).alias(f"d2{col}"),
+        )
+
+    joint = rows.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cj"))
+    j = joint.join(_rank_kernel("x"), "x").join(_rank_kernel("y"), "y")
+    cj = F.col("cj").cast("decimal(12,0)")
+    d2x = F.col("d2x").cast("decimal(13,0)")
+    d2y = F.col("d2y").cast("decimal(13,0)")
+    m = j.agg(
+        F.sum("cj").alias("n_rows"),
+        F.sum(cj * d2x * d2y).cast("double").alias("sxy"),
+        F.sum(cj * d2x * d2x).cast("double").alias("sxx"),
+        F.sum(cj * d2y * d2y).cast("double").alias("syy"),
+    )
+    return m.select(
+        "n_rows",
+        F.expr("ROUND(sxy / SQRT(sxx * syy), 6)").alias("spearman_rho"),
+    )
+
+
+QUERIES.update({"ab_spearman_corr": ab_spearman_corr})
+
+
+def ml_uplift_tlearner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-model (T-learner) uplift estimation at normal-equations cost:
+    a deterministic hash split assigns pseudo-treatment, ONE grouped
+    moment aggregate fits BOTH arms' linear probes (the per-arm Gram rows
+    share the scan; operators/linear.py), the two 6-dp coefficient sets
+    pivot into a single broadcast row, and one scoring pass emits
+    tau(x) = f1(x) - f0(x) averaged per true-label segment (exact: per-row
+    uplift rounded to 10 dp then DECIMAL-accumulated -- the repo's
+    order-insensitive double-sum contract). Same Cramer expression text
+    as every probe gate, evaluated once per arm."""
+    from strava_vector_search_spark.operators import linear as L
+    from strava_vector_search_spark.operators.dedup import md5_int
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    feats = emb.select(
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("x1"),
+        F.round(F.col("embedding")[1].cast("double"), 6).alias("x2"),
+        F.coalesce((F.col("label") == 0).cast("int"), F.lit(0))
+        .cast("double")
+        .alias("y"),
+        F.pmod(md5_int(F.col("vec_id").cast("string")), F.lit(2)).alias(
+            "treat"
+        ),
+        F.coalesce(F.col("label"), F.lit(-1)).alias("label_segment"),
+    ).localCheckpoint(eager=False)
+
+    mom = feats.groupBy("treat").agg(*L._moment_agg_cols())
+    md = mom.select(
+        "treat",
+        "n",
+        *[F.col(c).cast("double").alias(c) for c in L.MOMENT_COLS],
+    ).withColumn("n_d", F.col("n").cast("double"))
+    for name, text in L.DET_EXPRS.items():
+        md = md.withColumn(name, F.expr(text))
+    coef = md.select(
+        "treat",
+        F.round(F.expr("det0 / det"), 6).alias("b0"),
+        F.round(F.expr("det1 / det"), 6).alias("b1"),
+        F.round(F.expr("det2 / det"), 6).alias("b2"),
+    )
+    piv = coef.agg(
+        *[
+            F.max(F.when(F.col("treat") == t, F.col(b))).alias(f"{p}{b}")
+            for t, p in ((1, "t"), (0, "c"))
+            for b in ("b0", "b1", "b2")
+        ]
+    )
+    scored = feats.crossJoin(F.broadcast(piv)).withColumn(
+        "uplift",
+        F.expr("(tb0 + tb1 * x1 + tb2 * x2) - (cb0 + cb1 * x1 + cb2 * x2)"),
+    )
+    return (
+        scored.groupBy("label_segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("treat")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("treated_frac"),
+            F.round(
+                F.sum(
+                    F.expr("cast(round(uplift, 10) as decimal(38,12))")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_uplift"),
+        )
+        .orderBy("label_segment")
+    )
+
+
+QUERIES.update({"ml_uplift_tlearner": ml_uplift_tlearner})
+
+
+def dd_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a Bloom-filter membership probe instead of the
+    broadcast semi-join (dd_decontaminate): the eval set's distinct
+    3-gram shingles fold into a FIXED 16384-bit filter (512 32-bit words,
+    one map-side-combined bit_or aggregate -- constant size however large
+    the reference set grows), and the corpus side is a map-only probe
+    against the broadcast words. Zero false negatives by construction;
+    false positives are deterministic (portable md5 bit positions), so
+    the DuckDB oracle reproduces the verdicts bit-for-bit, FPs included.
+    operators/bloom.py documents when to prefer this over the exact
+    semi-join at 100 TB."""
+    from strava_vector_search_spark.operators.bloom import (
+        build_filter,
+        probe_membership,
+    )
+    from strava_vector_search_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles(F.col("text")).alias("_sh")
+    ).localCheckpoint(eager=False)
+    ev_keys = (
+        sh.filter(F.col("doc_id") % 41 == 0)
+        .select(F.explode("_sh").alias("s"))
+        .distinct()
+    )
+    filt = build_filter(ev_keys, "s")
+    corpus = sh.filter(F.col("doc_id") % 41 != 0).select(
+        "doc_id",
+        F.size("_sh").alias("n_sh"),
+        F.explode("_sh").alias("s"),
+    )
+    flags = probe_membership(corpus, "s", filt)
+    frac = F.round(
+        F.col("n_bloom_hits").cast("double") / F.col("n_sh"), 6
+    )
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.max("n_sh").alias("n_sh"),
+            F.sum(F.col("maybe_member").cast("int"))
+            .cast("bigint")
+            .alias("n_bloom_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_bloom_hits",
+            frac.alias("bloom_frac"),
+            (frac >= 0.1).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"dd_bloom_decontaminate": dd_bloom_decontaminate})
+
+
+def ml_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets with the Apriori
+    frequency prune: item supports aggregate first (one pass), only
+    frequent items (support >= max(5, |baskets|/500)) enter the
+    within-basket self-join, so candidate pairs are bounded by frequent
+    per-basket degree squared -- never the item-pair cross product -- and
+    the pair aggregate shuffles only surviving (a, b) keys. Rules emit in
+    both directions with confidence and lift from the SAME division text
+    both engines compile. Top-20 by lift."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stats = li.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s_i"))
+    freq = (
+        item.crossJoin(F.broadcast(stats))
+        .filter(F.expr("s_i >= greatest(5, n_baskets DIV 500)"))
+        .select("l_partkey", "s_i")
+        .localCheckpoint(eager=False)
+    )
+    fi = li.join(freq, "l_partkey").select(
+        "l_orderkey", "l_partkey", "s_i"
+    )
+    a, b = fi.alias("a"), fi.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+            F.col("a.s_i").alias("sa"),
+            F.col("b.s_i").alias("sb"),
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+    )
+    rules = pair.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "s_ab",
+        F.col("sa").alias("s_ante"),
+        F.col("sb").alias("s_cons"),
+    ).unionAll(
+        pair.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "s_ab",
+            F.col("sb").alias("s_ante"),
+            F.col("sa").alias("s_cons"),
+        )
+    )
+    return (
+        rules.crossJoin(F.broadcast(stats))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s_ab").alias("support_pair"),
+            F.col("s_ante").alias("support_ante"),
+            F.col("s_cons").alias("support_cons"),
+            F.expr(
+                "ROUND(CAST(s_ab AS DOUBLE) / CAST(s_ante AS DOUBLE), 6)"
+            ).alias("confidence"),
+            F.expr(
+                "ROUND(CAST(s_ab * n_baskets AS DOUBLE)"
+                " / CAST(s_ante * s_cons AS DOUBLE), 6)"
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("lift"),
+            F.desc("confidence"),
+            F.asc("antecedent"),
+            F.asc("consequent"),
+        )
+        .limit(20)
+    )
+
+
+QUERIES.update({"ml_assoc_rules": ml_assoc_rules})
+
+
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for multimodal payloads:
+    a 64-position average-hash grid sampled evenly across the payload
+    (value > mean -> bit set), the 64 bits split into 4 x 16-bit BAND
+    keys, candidates found by band-bucket equality join (the LSH-banding
+    shape -- never all pairs), exact 64-bit Hamming verify on candidates
+    only. Everything up to the band explode is ONE codegen expression
+    per row (no Python). The 'pixel' sampler reads characters of the
+    text payload because this container ships no image codecs
+    (operators/multimodal.py documents the real_decoder seam); a real
+    deployment swaps the sampler for decoded grayscale pixels and keeps
+    the banding + verify stages unchanged."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    vals = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.ascii(
+            F.col("text").substr(
+                ((i * F.col("n")) / F.lit(64)).cast("int") + 1, F.lit(1)
+            )
+        ),
+    )
+    g = docs.select("doc_id", vals.alias("vals")).withColumn(
+        "total",
+        F.aggregate(
+            F.col("vals"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ),
+    )
+    bits = F.transform(
+        F.col("vals"),
+        lambda v: (v.cast("bigint") * 64 > F.col("total")).cast("int"),
+    )
+    gb = g.select("doc_id", bits.alias("bits")).localCheckpoint(
+        eager=False
+    )
+    pow2 = F.array(*[F.lit(1 << j).cast("bigint") for j in range(16)])
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda b: F.aggregate(
+            F.sequence(F.lit(0), F.lit(15)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: acc
+            + F.element_at(F.col("bits"), (b * 16 + j + 1).cast("int")).cast(
+                "bigint"
+            )
+            * F.element_at(pow2, (j + 1).cast("int")),
+        ),
+    )
+    br = gb.select(
+        "doc_id", F.posexplode(bands).alias("band", "bval")
+    )
+    x, yb = br.alias("x"), br.alias("y")
+    cand = (
+        x.join(
+            yb,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ba = gb.select(
+        F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a")
+    )
+    bb = gb.select(
+        F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("bits_a"),
+            F.col("bits_b"),
+            lambda p, q: (p != q).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        cand.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 16)
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+QUERIES.update({"mm_phash_near_dup": mm_phash_near_dup})

@@ -779,6 +779,52 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_join": "!Join",
     },
+    "ab_spearman_corr": {
+        # rank kernels ride the two-level global order: range exchange +
+        # pid-partitioned windows + broadcast offsets — the corpus never
+        # collapses to one task for ranking
+        "no_single_partition": "!Exchange SinglePartition",
+        "range_partitioned": "Exchange rangepartitioning",
+        "broadcast_offsets": "BroadcastHashJoin",
+        "partial_agg": "partial_",
+    },
+    "dd_bloom_decontaminate": {
+        # filter words broadcast to the corpus probe; the corpus side
+        # never sort-merge-joins the reference set
+        "broadcast_words": "BroadcastHashJoin",
+        "partial_agg": "partial_",
+        "no_merge_join": "!SortMergeJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "ml_assoc_rules": {
+        # Apriori: frequent items join the basket list before the
+        # within-basket self-join; pair counts partial-combine
+        "partial_agg": "partial_count",
+        "no_cartesian": "!CartesianProduct",
+        "top_k_no_sort": "TakeOrderedAndProject",
+    },
+    "g_ppr": {
+        # per-iteration rank table broadcasts (edges never shuffle in
+        # the join); inflow aggregate partial-combines
+        "broadcast_ranks": "BroadcastHashJoin",
+        "partial_agg": "partial_sum",
+        "top_k_no_sort": "TakeOrderedAndProject",
+    },
+    "ml_uplift_tlearner": {
+        # ONE grouped Gram aggregate fits both arms; the 1-row pivoted
+        # coefficient table broadcasts into the scoring scan
+        "partial_agg": "partial_",
+        "broadcast_coef": "BroadcastNestedLoopJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "mm_phash_near_dup": {
+        # hash grid + banding are pure codegen expressions — zero Python
+        # eval anywhere; candidates come from the band equality join and
+        # the verified output is a bounded top-k
+        "no_python": "!BatchEvalPython",
+        "no_arrow_python": "!MapInPandas",
+        "top_k_no_sort": "TakeOrderedAndProject",
+    },
 }
 
 
