@@ -7670,3 +7670,111 @@ FROM ham WHERE hamming <= 16
 ORDER BY hamming, doc_a, doc_b
 LIMIT 50
 """
+
+
+# -- exact Bayesian A/B via integer log-factorial series ----------------------
+
+ORACLES["ab_bayesian_beta"] = """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 180.0
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events
+  GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+              AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END)
+              AS BIGINT) AS conv_b
+  FROM pu
+),
+pars AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         conv_a + 1 AS aa, n_a - conv_a + 1 AS ba,
+         conv_b + 1 AS ab_, n_b - conv_b + 1 AS bb
+  FROM agg
+),
+kser AS (
+  SELECT k FROM pars CROSS JOIN range(0, 500000) r(k)
+  WHERE k <= aa + ba + ab_ + bb
+),
+lfw AS (
+  SELECT k,
+         SUM(CASE WHEN k >= 2 THEN ln(CAST(k AS DOUBLE)) ELSE 0.0 END)
+           OVER (ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+  FROM kser
+),
+arr_row AS (SELECT list(lf ORDER BY k) AS arr FROM lfw),
+series AS (
+  SELECT p.*, a.arr, i
+  FROM pars p CROSS JOIN arr_row a CROSS JOIN range(0, 500000) r(i)
+  WHERE i < p.ab_
+),
+terms AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         EXP(
+           (arr[CAST(aa + i AS INT)] + arr[CAST(ba + bb AS INT)]
+            - arr[CAST(aa + i + ba + bb AS INT)])
+           - LN(CAST(bb + i AS DOUBLE))
+           - (arr[CAST(1 + i AS INT)] + arr[CAST(bb AS INT)]
+              - arr[CAST(1 + i + bb AS INT)])
+           - (arr[CAST(aa AS INT)] + arr[CAST(ba AS INT)]
+              - arr[CAST(aa + ba AS INT)])
+         ) AS term
+  FROM series
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       ROUND(CAST(SUM(CAST(ROUND(term, 12) AS DECIMAL(38,18))) AS DOUBLE),
+             6) AS prob_b_beats_a
+FROM terms GROUP BY n_a, conv_a, n_b, conv_b
+"""
+
+
+# -- HITS hubs & authorities (sum-normalized fixed point, unrolled) -----------
+
+ORACLES["g_hits"] = """
+WITH e AS (
+  SELECT DISTINCT 'c' || o_custkey AS hub, 's' || l_suppkey AS auth
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+h0 AS (SELECT DISTINCT hub, CAST(1000000 AS BIGINT) AS hs FROM e),
+a1r AS (
+  SELECT auth, SUM(hs) AS araw FROM e JOIN h0 USING (hub) GROUP BY auth
+),
+a1d AS (SELECT greatest(SUM(araw) // 1000000, 1) AS d FROM a1r),
+a1 AS (SELECT auth, araw // d AS as_ FROM a1r CROSS JOIN a1d),
+h1r AS (
+  SELECT hub, SUM(as_) AS hraw FROM e JOIN a1 USING (auth) GROUP BY hub
+),
+h1d AS (SELECT greatest(SUM(hraw) // 1000000, 1) AS d FROM h1r),
+h1 AS (SELECT hub, hraw // d AS hs FROM h1r CROSS JOIN h1d),
+a2r AS (
+  SELECT auth, SUM(hs) AS araw FROM e JOIN h1 USING (hub) GROUP BY auth
+),
+a2d AS (SELECT greatest(SUM(araw) // 1000000, 1) AS d FROM a2r),
+a2 AS (SELECT auth, araw // d AS as_ FROM a2r CROSS JOIN a2d),
+h2r AS (
+  SELECT hub, SUM(as_) AS hraw FROM e JOIN a2 USING (auth) GROUP BY hub
+),
+h2d AS (SELECT greatest(SUM(hraw) // 1000000, 1) AS d FROM h2r),
+h2 AS (SELECT hub, hraw // d AS hs FROM h2r CROSS JOIN h2d),
+top_a AS (
+  SELECT 'authority' AS role, auth AS node,
+         ROUND(CAST(as_ AS DOUBLE) / 1000000, 6) AS score
+  FROM a2 ORDER BY score DESC, node ASC LIMIT 10
+),
+top_h AS (
+  SELECT 'hub' AS role, hub AS node,
+         ROUND(CAST(hs AS DOUBLE) / 1000000, 6) AS score
+  FROM h2 ORDER BY score DESC, node ASC LIMIT 10
+)
+SELECT role, node, score FROM (
+  SELECT * FROM top_a UNION ALL SELECT * FROM top_h
+) ORDER BY role ASC, score DESC, node ASC
+"""

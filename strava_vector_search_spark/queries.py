@@ -11885,3 +11885,195 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"mm_phash_near_dup": mm_phash_near_dup})
+
+
+def ab_bayesian_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Bayesian A/B readout P(rate_B > rate_A) under Beta(1+conv,
+    1+n-conv) posteriors, computed WITHOUT any incomplete-beta library:
+    for integer parameters the closed-form series
+    P = sum_i exp(lnB(aA+i, bA+bB) - ln(bB+i) - lnB(1+i, bB) - lnB(aA, bA))
+    needs only log-factorials, and ln(k!) comes from ONE running sum of
+    ln(k) over an ordered integer series -- both engines fold the
+    identical sequence in the identical order, so every lgamma value is
+    bit-equal. Series terms are rounded to 12 dp then DECIMAL-accumulated
+    (the order-insensitive double-sum contract). Scope note: the exact
+    series is the SMALL-SAMPLE tool (this corpus's full user population
+    IS small-sample, the regime where z-tests misbehave); at huge n the
+    z-test gate (ab_proportion_ztest) is the right readout and this
+    one's series length (conv_b terms) would be the wrong shape. The
+    lgamma table is |users|-bounded, carried as ONE array row,
+    broadcast."""
+    ev = load_events(spark, sf_dir)
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 180.0),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    agg = (
+        per_user.select(F.expr("user_id % 2").alias("arm"), "converted")
+        .groupBy()
+        .agg(
+            F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n_a"),
+            F.sum(
+                F.expr("CASE WHEN arm = 0 THEN converted ELSE 0 END")
+            ).alias("conv_a"),
+            F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n_b"),
+            F.sum(
+                F.expr("CASE WHEN arm = 1 THEN converted ELSE 0 END")
+            ).alias("conv_b"),
+        )
+    )
+    pars = agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        (F.col("conv_a") + 1).alias("aa"),
+        (F.col("n_a") - F.col("conv_a") + 1).alias("ba"),
+        (F.col("conv_b") + 1).alias("ab_"),
+        (F.col("n_b") - F.col("conv_b") + 1).alias("bb"),
+    ).localCheckpoint(eager=False)
+    # ln(k!) for k = 0..maxn as ONE ordered running sum; the series table
+    # is cohort-bounded (documented), so the single-partition window walks
+    # thousands of rows, never the corpus
+    kser = pars.select(
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("aa") + F.col("ba") + F.col("ab_") + F.col("bb")
+            )
+        ).alias("k")
+    )
+    wk = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lfact = kser.withColumn(
+        "lf",
+        F.sum(
+            F.when(F.col("k") >= 2, F.log(F.col("k").cast("double")))
+            .otherwise(F.lit(0.0))
+        ).over(wk),
+    )
+    arr_row = lfact.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("k"), F.col("lf")))
+            ),
+            lambda s: s["lf"],
+        ).alias("arr")
+    )
+    series = pars.crossJoin(F.broadcast(arr_row)).select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("ab_") - 1)).alias("i")
+    )
+    # element_at is 1-based and arr[pos] = ln((pos-1)!), so
+    # lnB(x, y) = arr[x] + arr[y] - arr[x + y]   with x,y >= 1
+    ln_term = (
+        "(element_at(arr, cast(aa + i as int))"
+        " + element_at(arr, cast(ba + bb as int))"
+        " - element_at(arr, cast(aa + i + ba + bb as int)))"
+        " - LN(CAST(bb + i AS DOUBLE))"
+        " - (element_at(arr, cast(1 + i as int))"
+        " + element_at(arr, cast(bb as int))"
+        " - element_at(arr, cast(1 + i + bb as int)))"
+        " - (element_at(arr, cast(aa as int))"
+        " + element_at(arr, cast(ba as int))"
+        " - element_at(arr, cast(aa + ba as int)))"
+    )
+    return (
+        series.withColumn("term", F.expr(f"EXP({ln_term})"))
+        .groupBy("n_a", "conv_a", "n_b", "conv_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr("cast(round(term, 12) as decimal(38,18))")
+                ).cast("double"),
+                6,
+            ).alias("prob_b_beats_a")
+        )
+    )
+
+
+QUERIES.update({"ab_bayesian_beta": ab_bayesian_beta})
+
+
+def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the bipartite customer->supplier
+    trade graph (customers = hubs, suppliers = authorities), 2 unrolled
+    iterations of the exact fixed-point integer recurrence: each half-step
+    is ONE join + ONE partial-combined aggregate (the g_pagerank shape),
+    and normalization is integer sum-scaling
+    (x * ~scale/total via x DIV greatest(total DIV scale, 1)) so every
+    score stays a bounded BIGINT and the DuckDB oracle replays the run
+    bit-for-bit -- floating-point HITS cannot promise that (Kleinberg
+    1999 is the public method). Output: top-10 authorities and top-10
+    hubs, role-labelled."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("hub"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("auth"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    scale = 1_000_000
+    h = e.select("hub").distinct().withColumn(
+        "hs", F.lit(scale).cast("bigint")
+    )
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(
+            F.expr(f"greatest(sum({col}) DIV {scale}, 1L)").alias("_d")
+        )
+        return df.crossJoin(F.broadcast(tot)).select(
+            *[c for c in df.columns if c != col],
+            F.expr(f"{col} DIV _d").alias(col),
+        )
+
+    for _ in range(2):
+        a = _norm(
+            e.join(h, "hub")
+            .groupBy("auth")
+            .agg(F.sum("hs").alias("as_")),
+            "as_",
+        ).localCheckpoint(eager=False)
+        h = _norm(
+            e.join(a, "auth")
+            .groupBy("hub")
+            .agg(F.sum("as_").alias("hs")),
+            "hs",
+        ).localCheckpoint(eager=False)
+    top_a = (
+        a.select(
+            F.lit("authority").alias("role"),
+            F.col("auth").alias("node"),
+            F.round(F.col("as_").cast("double") / scale, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(10)
+    )
+    top_h = (
+        h.select(
+            F.lit("hub").alias("role"),
+            F.col("hub").alias("node"),
+            F.round(F.col("hs").cast("double") / scale, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(10)
+    )
+    return top_a.unionAll(top_h).orderBy(
+        "role", F.desc("score"), F.asc("node")
+    )
+
+
+QUERIES.update({"g_hits": g_hits})

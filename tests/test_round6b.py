@@ -318,3 +318,118 @@ def test_phash_matches_python(spark, sf_dir):
             for b in range(4)
         )
         assert shared >= 1
+
+
+# -- exact Bayesian A/B -------------------------------------------------------
+
+
+def test_bayesian_beta_matches_lgamma_series_and_quadrature(spark, sf_dir):
+    import math
+
+    from strava_vector_search_spark.io.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 180.0),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .collect()
+    )
+    n_a = sum(1 for r in pu if r["user_id"] % 2 == 0)
+    conv_a = sum(r["conv"] for r in pu if r["user_id"] % 2 == 0)
+    n_b = len(pu) - n_a
+    conv_b = sum(r["conv"] for r in pu) - conv_a
+    aa, ba = conv_a + 1, n_a - conv_a + 1
+    ab, bb = conv_b + 1, n_b - conv_b + 1
+
+    def lnB(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    # independent replay of the closed-form series with C lgamma
+    p_series = sum(
+        math.exp(
+            lnB(aa + i, ba + bb)
+            - math.log(bb + i)
+            - lnB(1 + i, bb)
+            - lnB(aa, ba)
+        )
+        for i in range(ab)
+    )
+    # second independent method: quadrature of pdf_B(x) * CDF_A(x)
+    m = 20000
+    h = 1.0 / m
+
+    def beta_pdf(x, a, b):
+        if x <= 0.0 or x >= 1.0:
+            return 0.0
+        return math.exp(
+            (a - 1) * math.log(x) + (b - 1) * math.log1p(-x) - lnB(a, b)
+        )
+
+    cdf_a, p_quad, acc = 0.0, 0.0, 0.0
+    for j in range(1, m):
+        x = j * h
+        acc += beta_pdf(x, aa, ba) * h
+        p_quad += beta_pdf(x, ab, bb) * acc * h
+    row = QUERIES["ab_bayesian_beta"](spark, sf_dir).collect()[0]
+    assert (row["n_a"], row["conv_a"], row["n_b"], row["conv_b"]) == (
+        n_a,
+        conv_a,
+        n_b,
+        conv_b,
+    )
+    assert abs(row["prob_b_beats_a"] - p_series) < 1e-6
+    assert abs(row["prob_b_beats_a"] - p_quad) < 2e-3  # O(h) quadrature
+    assert 0.0 <= row["prob_b_beats_a"] <= 1.0
+
+
+# -- HITS ----------------------------------------------------------------------
+
+
+def test_hits_matches_python(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = {
+        (f"c{r['o_custkey']}", f"s{r['l_suppkey']}")
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"]).collect()
+    }
+    hubs = {h for h, _ in e}
+    scale = 1_000_000
+    h = {x: scale for x in hubs}
+    a = {}
+    for _ in range(2):
+        araw = defaultdict(int)
+        for hu, au in e:
+            araw[au] += h[hu]
+        d = max(sum(araw.values()) // scale, 1)
+        a = {k: v // d for k, v in araw.items()}
+        hraw = defaultdict(int)
+        for hu, au in e:
+            hraw[hu] += a[au]
+        d = max(sum(hraw.values()) // scale, 1)
+        h = {k: v // d for k, v in hraw.items()}
+    top_a = sorted(
+        ((round(v / scale, 6), k) for k, v in a.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    top_h = sorted(
+        ((round(v / scale, 6), k) for k, v in h.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    exp = [("authority", n, s) for s, n in top_a] + [
+        ("hub", n, s) for s, n in top_h
+    ]
+    got = [
+        (r["role"], r["node"], r["score"])
+        for r in QUERIES["g_hits"](spark, sf_dir).collect()
+    ]
+    assert got == exp

@@ -817,6 +817,22 @@ EXPECTATIONS: dict[str, dict] = {
         "broadcast_coef": "BroadcastNestedLoopJoin",
         "no_cartesian": "!CartesianProduct",
     },
+    "ab_bayesian_beta": {
+        # corpus work is ONE per-user partial-combined aggregate; the
+        # lgamma array rides a broadcast 1-row cross join; the only
+        # window walks the |users|-bounded integer series
+        "partial_agg": "partial_",
+        "broadcast_arr": "BroadcastNestedLoopJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "g_hits": {
+        # per half-step one join + one partial-combined aggregate; the
+        # 1-row normalization totals broadcast; top-k never full-sorts
+        "partial_agg": "partial_sum",
+        "broadcast_total": "BroadcastNestedLoopJoin",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_cartesian": "!CartesianProduct",
+    },
     "mm_phash_near_dup": {
         # hash grid + banding are pure codegen expressions — zero Python
         # eval anywhere; candidates come from the band equality join and
