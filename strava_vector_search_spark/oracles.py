@@ -7778,3 +7778,60 @@ SELECT role, node, score FROM (
   SELECT * FROM top_a UNION ALL SELECT * FROM top_h
 ) ORDER BY role ASC, score DESC, node ASC
 """
+
+
+# -- IVF over the materialized cluster-partitioned layout ----------------------
+# Identical ranking contract to ann_ivf_topk: the layout changes WHAT IS READ
+# (PartitionFilters prune k - nprobe clusters at the scan), never the answer.
+
+ORACLES["ann_ivf_partition_pruned"] = ORACLES["ann_ivf_topk"]
+
+
+# -- ordered-corpus n-gram novelty ---------------------------------------------
+
+ORACLES["tx_ngram_novelty"] = f"""
+WITH {_SHINGLE_CTES},
+firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+nov AS (
+  SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM firsts GROUP BY 1
+)
+SELECT z.doc_id, z.n_sh,
+       COALESCE(n.n_novel, 0) AS n_novel,
+       ROUND(COALESCE(n.n_novel, 0) / z.n_sh, 6) AS novelty_frac
+FROM sz z LEFT JOIN nov n USING (doc_id)
+ORDER BY z.doc_id
+"""
+
+
+# -- cohort LTV curves ---------------------------------------------------------
+
+ORACLES["ev_cohort_ltv"] = """
+WITH first_ AS (
+  SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS cw
+  FROM events GROUP BY user_id
+),
+n_users AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_users FROM first_ GROUP BY cw),
+pur AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS w,
+         SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS rev
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT f.cw, p.w - f.cw AS age_weeks, SUM(p.rev) AS rev
+  FROM pur p JOIN first_ f USING (user_id)
+  GROUP BY 1, 2
+),
+walk AS (
+  SELECT cw, age_weeks,
+         SUM(rev) OVER (PARTITION BY cw ORDER BY age_weeks
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM grid
+)
+SELECT w.cw AS cohort_week, w.age_weeks, u.n_users,
+       ROUND(CAST(w.cum_rev AS DOUBLE) / u.n_users, 6) AS avg_cum_ltv
+FROM walk w JOIN n_users u USING (cw)
+ORDER BY cohort_week, age_weeks
+"""

@@ -12077,3 +12077,145 @@ def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"g_hits": g_hits})
+
+
+def ann_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the physical index layout MATERIALIZED: embeddings
+    written cluster-partitioned (operators/ann.write_ivf_index -- the
+    layout ann_ivf_topk's docstring and SCALE.md promise), so the probe
+    filter lands in the scan as PartitionFilters and the skipped
+    k - nprobe clusters are never READ, not merely filtered (PLANS.md
+    asserts the executed scan). The probe list is a |clusters|-bounded
+    driver computation (the centroid-table class); ranking contract and
+    oracle are identical to ann_ivf_topk. Layout cached under the
+    fingerprinted /tmp generation protocol (_cached_layout)."""
+    from strava_vector_search_spark.operators.ann import (
+        compute_centroids,
+        write_ivf_index,
+    )
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
+    from strava_vector_search_spark.operators.search import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build(tmp: str) -> None:
+        write_ivf_index(emb, tmp)
+
+    path = _cached_layout(sf_dir, "embeddings", "ivfpart", _build)
+    part = spark.read.parquet(path)
+    qv = _query_vec(spark, sf_dir, 11)
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    probes = [
+        r["cluster"]
+        for r in compute_centroids(emb)
+        .withColumn("cdist", cosine_similarity_rounded(F.col("centroid"), qcol))
+        .orderBy(F.desc("cdist"), F.asc("cluster"))
+        .limit(2)
+        .collect()
+    ]
+    cand = part.filter(F.col("label").isin(probes))
+    out = brute_force_topk(cand, qv, k=10, id_col="vec_id")
+    return out.select(
+        "vec_id", F.col("label").cast("int").alias("label"), "similarity"
+    )
+
+
+QUERIES.update({"ann_ivf_partition_pruned": ann_ivf_partition_pruned})
+
+
+def tx_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-corpus novelty scoring -- for each document, the fraction
+    of its distinct 3-gram shingles appearing for the FIRST time in the
+    corpus order (min doc_id owns the shingle). The curation signal
+    behind dedup-aware data valuation: a low-novelty doc restates earlier
+    data. Two aggregates and one doc-keyed left join -- the shingle
+    strings shuffle ONCE for the global min and never join back (novel
+    counts come from grouping the firsts table by its owner doc), so the
+    expensive key space moves exactly one time at any corpus size."""
+    from strava_vector_search_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles(F.col("text")).alias("_sh")
+    ).localCheckpoint(eager=False)
+    sz = sh.select("doc_id", F.size("_sh").alias("n_sh"))
+    rows = sh.select("doc_id", F.explode("_sh").alias("s"))
+    firsts = rows.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    nov = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return (
+        sz.join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_sh"), 6
+            ).alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"tx_ngram_novelty": tx_ngram_novelty})
+
+
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users grouped by first-seen week, cumulative
+    purchase value per cohort member as the cohort ages -- the
+    retention-economics readout (and the curation shape for 'value of
+    data by acquisition wave'). Corpus work is two partial-combined
+    aggregates (per-user first event; per (user-week) purchase value);
+    the cumulative walk runs over the bounded (cohort x age) grid with a
+    window PARTITIONED by cohort. Value sums are DECIMAL-routed
+    (order-insensitive), divided once per grid row."""
+    ev = load_events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.expr("MIN(unix_micros(ts) DIV 604800000000)").alias("cw")
+    )
+    n_users = first.groupBy("cw").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    pur = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 604800000000").alias("w"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(round(value, 2) as decimal(18,2))")
+            ).alias("rev")
+        )
+    )
+    grid = (
+        pur.join(first, "user_id")
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("age_weeks"))
+        .agg(F.sum("rev").alias("rev"))
+    )
+    wcum = (
+        Window.partitionBy("cw")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.withColumn("cum_rev", F.sum("rev").over(wcum))
+        .join(n_users, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "age_weeks",
+            "n_users",
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("n_users"), 6
+            ).alias("avg_cum_ltv"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+QUERIES.update({"ev_cohort_ltv": ev_cohort_ltv})

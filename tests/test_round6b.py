@@ -433,3 +433,79 @@ def test_hits_matches_python(spark, sf_dir):
         for r in QUERIES["g_hits"](spark, sf_dir).collect()
     ]
     assert got == exp
+
+
+# -- IVF partition-pruned layout ----------------------------------------------
+
+
+def test_ivf_partition_pruned_same_answer_and_prunes(spark, sf_dir):
+    base = QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    pruned_df = QUERIES["ann_ivf_partition_pruned"](spark, sf_dir)
+    pruned = pruned_df.collect()
+    # query vectors differ (11 in both) -> identical ranking contract
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in base]
+    pruned_df.collect()
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [label" in plan and " IN " in plan
+
+
+# -- n-gram novelty -----------------------------------------------------------
+
+
+def test_ngram_novelty_matches_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    first = {}
+    per_doc = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        sh = _shingles(r["text"])
+        per_doc[r["doc_id"]] = sh
+        for s in sh:
+            first.setdefault(s, r["doc_id"])
+    got = QUERIES["tx_ngram_novelty"](spark, sf_dir).collect()
+    assert len(got) == len(per_doc)
+    total_novel = 0
+    for row in got:
+        sh = per_doc[row["doc_id"]]
+        novel = sum(1 for s in sh if first[s] == row["doc_id"])
+        assert (row["n_sh"], row["n_novel"]) == (len(sh), novel)
+        assert abs(row["novelty_frac"] - round(novel / len(sh), 6)) < 1e-9
+        total_novel += novel
+    assert total_novel == len(first)  # every shingle has exactly one owner
+
+
+# -- cohort LTV ----------------------------------------------------------------
+
+
+def test_cohort_ltv_matches_python(spark, sf_dir):
+    from strava_vector_search_spark.io.tables import load_events
+
+    rows = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("unix_micros(ts) DIV 604800000000").alias("w"),
+    ).collect()
+    first = {}
+    for r in rows:
+        first[r["user_id"]] = min(first.get(r["user_id"], r["w"]), r["w"])
+    cohort_users = Counter(first.values())
+    rev = defaultdict(float)
+    for r in rows:
+        if r["event_type"] == "purchase" and r["value"] is not None:
+            rev[(first[r["user_id"]], r["w"] - first[r["user_id"]])] += round(
+                r["value"], 2
+            )
+    got = QUERIES["ev_cohort_ltv"](spark, sf_dir).collect()
+    seen = set()
+    cum = defaultdict(float)
+    for row in sorted(got, key=lambda r: (r["cohort_week"], r["age_weeks"])):
+        key = (row["cohort_week"], row["age_weeks"])
+        assert key in rev and key not in seen
+        seen.add(key)
+        cum[row["cohort_week"]] += rev[key]
+        assert row["n_users"] == cohort_users[row["cohort_week"]]
+        exp = cum[row["cohort_week"]] / cohort_users[row["cohort_week"]]
+        assert abs(row["avg_cum_ltv"] - exp) < 1e-4
+    assert seen == set(rev)

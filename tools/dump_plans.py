@@ -817,6 +817,26 @@ EXPECTATIONS: dict[str, dict] = {
         "broadcast_coef": "BroadcastNestedLoopJoin",
         "no_cartesian": "!CartesianProduct",
     },
+    "ann_ivf_partition_pruned": {
+        # the probe filter prunes cluster DIRECTORIES at the scan — the
+        # skipped k - nprobe clusters are never read
+        "partition_pruned": r"PartitionFilters: \[label#\d+ IN",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_join": "!Join",
+    },
+    "tx_ngram_novelty": {
+        # the shingle key space shuffles exactly once (global min), the
+        # novel counts group the firsts table — no shingle join-back
+        "partial_agg": "partial_min",
+        "doc_keyed_join": "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+    },
+    "ev_cohort_ltv": {
+        # two partial-combined corpus aggregates; the cumulative window
+        # is PARTITIONED by cohort (never a global sort)
+        "partial_agg": "partial_",
+        "partitioned_window": "Window",
+        "no_single_partition": "!Exchange SinglePartition",
+    },
     "ab_bayesian_beta": {
         # corpus work is ONE per-user partial-combined aggregate; the
         # lgamma array rides a broadcast 1-row cross join; the only
