@@ -9,7 +9,9 @@ eval set, wrong when the reference side is itself large (a multi-billion
 REGARDLESS of reference cardinality: the reference side folds into
 ``m / 32`` integer words with ONE map-side-combined ``bit_or`` aggregate
 (bitwise OR is a monoid — partial filters from any partitioning merge
-exactly), and the probe side stays map-only against the broadcast words.
+exactly), and the probe side is GENUINELY map-only: the words fold into
+one broadcast map row and every row's k bit tests are pure expressions —
+no explode, no shuffle, no regroup (PLANS.md asserts the probe plan).
 The price is a bounded, quantifiable false-positive rate
 (``(1 - e^{-kn/m})^k``) and zero false negatives — the right trade for
 admission-control-style filtering, with the exact semi-join kept for the
@@ -18,9 +20,11 @@ final verify pass when one is needed.
 Determinism contract: the ``k`` bit positions come from the repo's
 portable 60-bit md5 idiom (`operators/dedup.md5_int`) salted with the
 hash index, so Spark and the DuckDB oracle compute bit-identical filters
-and bit-identical membership verdicts — false positives included. Words
-are 32-bit values carried in BIGINT (bit 63 two's-complement wrap is the
-one cross-engine shift hazard; 32-bit words never reach it).
+and bit-identical membership verdicts — false positives included. A NULL
+key probes NULL everywhere and resolves to ``false`` (not a member), the
+same verdict the oracle's CASE-guarded sum produces. Words are 32-bit
+values carried in BIGINT (bit 63 two's-complement wrap is the one
+cross-engine shift hazard; 32-bit words never reach it).
 
 Reference scope: none — engine completion beyond
 `aryeung0/strava_vector_search` (SURVEY §2 training-pipeline family).
@@ -38,34 +42,19 @@ N_HASHES = 4  # k
 WORD_BITS = 32  # 32-bit words in BIGINT: shifts never touch the sign bit
 
 
-def _positioned(df: DataFrame, key: Column, m_bits: int) -> DataFrame:
-    """Explode each key into its ``N_HASHES`` (word_idx, mask) probes.
+def _pow2() -> Column:
+    """2^j lookup array so a column-valued shift needs no shiftleft
+    (whose pyspark wrapper takes only literal shifts). Built lazily —
+    Column construction needs an active SparkContext, which import time
+    (pytest collection) does not have."""
+    return F.array(*[F.lit(1 << j).cast("bigint") for j in range(WORD_BITS)])
 
-    The salted-hash expression text matches the oracle byte-for-byte:
-    ``md5(key || '#' || i) % m`` (md5_int is non-negative, so ``pmod``
-    and plain ``%`` agree across engines).
-    """
-    exploded = df.withColumn(
-        "_bf_i", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1)))
-    ).withColumn(
-        "_bf_pos",
-        F.pmod(
-            md5_int(
-                F.concat(key, F.lit("#"), F.col("_bf_i").cast("string"))
-            ),
-            F.lit(m_bits),
-        ),
-    )
-    return exploded.withColumn(
-        "_bf_widx", F.expr(f"_bf_pos DIV {WORD_BITS}")
-    ).withColumn(
-        # F.shiftleft only takes a literal shift — the SQL form accepts a
-        # column (shift < 32, so the BIGINT sign bit is never touched)
-        "_bf_mask",
-        F.expr(
-            f"shiftleft(1L, cast(pmod(_bf_pos, {WORD_BITS}) as int))"
-        ),
-    )
+
+def _position(key: Column, i: int, m_bits: int) -> Column:
+    """Bit position of hash ``i`` for ``key`` — the expression text the
+    oracle mirrors: ``md5(key || '#i') % m`` (md5_int is non-negative, so
+    ``pmod`` and plain ``%`` agree across engines)."""
+    return F.pmod(md5_int(F.concat(key, F.lit(f"#{i}"))), F.lit(m_bits))
 
 
 def build_filter(
@@ -74,12 +63,29 @@ def build_filter(
     """Fold a key set into Bloom-filter words: ``(word_idx, word)`` rows,
     at most ``m_bits / 32`` of them, via one map-side-combined ``bit_or``
     aggregate. The result is the broadcastable constant-size summary —
-    words absent from the output are all-zero.
-    """
-    pos = _positioned(keys.select(F.col(key_col).alias("_bf_key")),
-                      F.col("_bf_key"), m_bits)
+    words absent from the output are all-zero. Row form (not a packed
+    array) so streaming maintenance can OR-merge partial filters
+    (streaming/bloom_stream.py)."""
+    exploded = keys.select(F.col(key_col).alias("_bf_key")).withColumn(
+        "_bf_i", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1)))
+    )
+    pos = F.pmod(
+        md5_int(
+            F.concat(
+                F.col("_bf_key"), F.lit("#"), F.col("_bf_i").cast("string")
+            )
+        ),
+        F.lit(m_bits),
+    )
     return (
-        pos.groupBy(F.col("_bf_widx").alias("word_idx"))
+        exploded.withColumn("_bf_pos", pos)
+        .select(
+            F.expr(f"_bf_pos DIV {WORD_BITS}").alias("word_idx"),
+            F.element_at(
+                _pow2(), F.pmod(F.col("_bf_pos"), F.lit(WORD_BITS)).cast("int") + 1
+            ).alias("_bf_mask"),
+        )
+        .groupBy("word_idx")
         .agg(F.expr("bit_or(_bf_mask)").alias("word"))
     )
 
@@ -91,21 +97,33 @@ def probe_membership(
     m_bits: int = M_BITS,
     out_col: str = "maybe_member",
 ) -> DataFrame:
-    """Map-only membership probe: for each input row, true iff ALL k bit
-    positions of ``key_col`` are set in ``filt`` (broadcast). No false
-    negatives; false positives at the filter's designed rate. All other
-    columns of ``pairs`` pass through.
+    """Map-only membership probe: true iff ALL k bit positions of
+    ``key_col`` are set in ``filt``. The sparse word rows fold into ONE
+    broadcast map row; each input row evaluates k pure bit-test
+    expressions — no explode, no shuffle, no regroup. NULL keys probe to
+    false. No false negatives; false positives at the filter's designed
+    rate. All other columns pass through unchanged.
     """
-    cols = [c for c in pairs.columns]
-    pos = _positioned(pairs, F.col(key_col), m_bits)
-    probed = pos.join(
-        F.broadcast(filt), pos["_bf_widx"] == filt["word_idx"], "left"
-    ).withColumn(
-        "_bf_hit",
-        F.coalesce(F.col("word"), F.lit(0).cast("bigint"))
-        .bitwiseAND(F.col("_bf_mask"))
-        == F.col("_bf_mask"),
+    word_map = filt.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("_bf_words")
     )
-    return probed.groupBy(*[F.col(c) for c in cols]).agg(
-        F.expr("bool_and(_bf_hit)").alias(out_col)
-    )
+    out = pairs.crossJoin(F.broadcast(word_map))
+    cond = F.lit(True)
+    for i in range(N_HASHES):
+        pos = _position(F.col(key_col), i, m_bits)
+        word = F.coalesce(
+            F.element_at(
+                F.col("_bf_words"),
+                F.floor(pos / F.lit(WORD_BITS)).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+        )
+        mask = F.element_at(
+            _pow2(), F.pmod(pos, F.lit(WORD_BITS)).cast("int") + 1
+        )
+        cond = cond & (word.bitwiseAND(mask) == mask)
+    return out.withColumn(
+        out_col, F.coalesce(cond, F.lit(False))
+    ).drop("_bf_words")

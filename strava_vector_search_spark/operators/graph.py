@@ -48,6 +48,96 @@ SCALE = 1_000_000  # rank fixed-point scale: 1.0 == 1e6
 BROADCAST_NODES_THRESHOLD = 1_000_000
 
 
+def _pagerank_core(
+    edges: DataFrame,
+    seeds: DataFrame | None,
+    src: str,
+    dst: str,
+    seed_col: str,
+    iterations: int,
+    damping_pct: int,
+    scale: int,
+    broadcast_ranks: bool | None,
+) -> DataFrame:
+    """Shared fixed-point PageRank loop (one definition — the global and
+    personalized variants differ ONLY in where the restart mass lands, so
+    the join/aggregate/checkpoint discipline can never drift between
+    them). ``seeds is None`` = every node restarts (global PageRank);
+    otherwise only seed nodes do (random walk with restart). Returns
+    ``(node, is_seed, rank_fp)``.
+    """
+    # checkpoint the edge projection: deg, edeg and nodes each read it (the
+    # union in nodes twice), so an un-checkpointed upstream derivation
+    # (join + distinct in g_pagerank) would recompute ~6x
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # edges-with-degree and the node set are reused every iteration:
+    # materialize once, keep lineage flat
+    edeg = e.join(deg, "_src").localCheckpoint(eager=False)
+    base_nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    if seeds is None:
+        nodes = base_nodes.withColumn("is_seed", F.lit(1))
+    else:
+        sd = (
+            seeds.select(F.col(seed_col).alias("node"))
+            .distinct()
+            .withColumn("_sflag", F.lit(1))
+        )
+        nodes = base_nodes.join(sd, "node", "left").select(
+            "node", F.coalesce(F.col("_sflag"), F.lit(0)).alias("is_seed")
+        )
+    nodes = nodes.localCheckpoint(eager=False)
+    if broadcast_ranks is None:
+        broadcast_ranks = nodes.count() <= BROADCAST_NODES_THRESHOLD
+
+    def _maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_ranks else df
+
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn(
+        "rank_fp",
+        F.when(F.col("is_seed") == 1, F.lit(scale))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    for _ in range(iterations):
+        r = _maybe_bcast(
+            ranks.select(
+                F.col("node").alias("_src"), F.col("rank_fp").alias("_r")
+            )
+        )
+        contrib = edeg.join(r, "_src").select(
+            F.col("_dst").alias("node"),
+            F.expr("_r div _deg").alias("_c"),
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("_c").alias("_inflow"))
+        ranks = (
+            nodes.join(_maybe_bcast(inflow), "node", "left")
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.when(F.col("is_seed") == 1, F.lit(base)).otherwise(
+                        F.lit(0)
+                    )
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_inflow, 0L)) div 100"
+                    )
+                )
+                .cast("bigint")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 def pagerank_fixedpoint(
     edges: DataFrame,
     src: str = "src",
@@ -77,57 +167,10 @@ def pagerank_fixedpoint(
     at billion-node scale, pre-bucketing ``edeg`` on ``_src`` restores
     co-location there too.
     """
-    # checkpoint the edge projection: deg, edeg and nodes each read it (the
-    # union in nodes twice), so an un-checkpointed upstream derivation
-    # (join + distinct in g_pagerank) would recompute ~6x
-    e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).localCheckpoint(eager=False)
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    # edges-with-degree and the node set are reused every iteration:
-    # materialize once, keep lineage flat
-    edeg = e.join(deg, "_src").localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("_src").alias("node"))
-        .union(e.select(F.col("_dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    if broadcast_ranks is None:
-        broadcast_ranks = nodes.count() <= BROADCAST_NODES_THRESHOLD
-
-    def _maybe_bcast(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if broadcast_ranks else df
-
-    base = (100 - damping_pct) * scale // 100
-    ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("bigint"))
-    for _ in range(iterations):
-        r = _maybe_bcast(
-            ranks.select(
-                F.col("node").alias("_src"), F.col("rank_fp").alias("_r")
-            )
-        )
-        contrib = edeg.join(r, "_src").select(
-            F.col("_dst").alias("node"),
-            F.expr("_r div _deg").alias("_c"),
-        )
-        inflow = contrib.groupBy("node").agg(F.sum("_c").alias("_inflow"))
-        ranks = (
-            nodes.join(_maybe_bcast(inflow), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(_inflow, 0L)) div 100"
-                    )
-                )
-                .cast("bigint")
-                .alias("rank_fp"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return ranks
+    return _pagerank_core(
+        edges, None, src, dst, "node", iterations, damping_pct, scale,
+        broadcast_ranks,
+    ).select("node", "rank_fp")
 
 
 def top_ranked(ranks: DataFrame, k: int = 20, scale: int = SCALE) -> DataFrame:
@@ -221,73 +264,15 @@ def personalized_pagerank_fixedpoint(
     kernel, vs global authority in :func:`pagerank_fixedpoint`.
 
     Same execution shape and same exact fixed-point integer contract as
-    the global variant (one join + one partial-combined aggregate per
-    iteration, scaled-BIGINT arithmetic, bit-reproducible under any
-    partitioning — the DuckDB oracle replays it bit-for-bit). Seeds
-    init at ``scale``, non-seeds at 0; per iteration seeds add the full
-    restart base ``(100-d)·scale/100`` and non-seeds get damped inflow
-    only. Dangling leakage as in the global variant.
+    the global variant — literally the same loop (``_pagerank_core``),
+    parameterized only by where the restart base applies. Seeds init at
+    ``scale``, non-seeds at 0; per iteration seeds add the full restart
+    base ``(100-d)·scale/100`` and non-seeds get damped inflow only.
+    Dangling leakage as in the global variant.
 
-    Returns ``(node, rank_fp, is_seed)``.
+    Returns ``(node, is_seed, rank_fp)``.
     """
-    e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).localCheckpoint(eager=False)
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    edeg = e.join(deg, "_src").localCheckpoint(eager=False)
-    sd = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
-        "_sflag", F.lit(1)
+    return _pagerank_core(
+        edges, seeds, src, dst, seed_col, iterations, damping_pct, scale,
+        broadcast_ranks,
     )
-    nodes = (
-        e.select(F.col("_src").alias("node"))
-        .union(e.select(F.col("_dst").alias("node")))
-        .distinct()
-        .join(sd, "node", "left")
-        .select(
-            "node", F.coalesce(F.col("_sflag"), F.lit(0)).alias("is_seed")
-        )
-        .localCheckpoint(eager=False)
-    )
-    if broadcast_ranks is None:
-        broadcast_ranks = nodes.count() <= BROADCAST_NODES_THRESHOLD
-
-    def _maybe_bcast(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if broadcast_ranks else df
-
-    base = (100 - damping_pct) * scale // 100
-    ranks = nodes.withColumn(
-        "rank_fp",
-        F.when(F.col("is_seed") == 1, F.lit(scale))
-        .otherwise(F.lit(0))
-        .cast("bigint"),
-    )
-    for _ in range(iterations):
-        r = _maybe_bcast(
-            ranks.select(
-                F.col("node").alias("_src"), F.col("rank_fp").alias("_r")
-            )
-        )
-        contrib = edeg.join(r, "_src").select(
-            F.col("_dst").alias("node"),
-            F.expr("_r div _deg").alias("_c"),
-        )
-        inflow = contrib.groupBy("node").agg(F.sum("_c").alias("_inflow"))
-        ranks = (
-            nodes.join(_maybe_bcast(inflow), "node", "left")
-            .select(
-                "node",
-                "is_seed",
-                (
-                    F.when(F.col("is_seed") == 1, F.lit(base)).otherwise(
-                        F.lit(0)
-                    )
-                    + F.expr(
-                        f"({damping_pct} * coalesce(_inflow, 0L)) div 100"
-                    )
-                )
-                .cast("bigint")
-                .alias("rank_fp"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return ranks

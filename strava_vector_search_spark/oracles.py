@@ -7617,8 +7617,8 @@ rules AS (
 SELECT antecedent, consequent,
        s_ab AS support_pair, s_ante AS support_ante, s_cons AS support_cons,
        ROUND(CAST(s_ab AS DOUBLE) / CAST(s_ante AS DOUBLE), 6) AS confidence,
-       ROUND(CAST(s_ab * n_baskets AS DOUBLE)
-             / CAST(s_ante * s_cons AS DOUBLE), 6) AS lift
+       ROUND((CAST(s_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+             / (CAST(s_ante AS DOUBLE) * CAST(s_cons AS DOUBLE)), 6) AS lift
 FROM rules CROSS JOIN stats
 ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC
 LIMIT 20
@@ -7696,7 +7696,11 @@ agg AS (
 pars AS (
   SELECT n_a, conv_a, n_b, conv_b,
          conv_a + 1 AS aa, n_a - conv_a + 1 AS ba,
-         conv_b + 1 AS ab_, n_b - conv_b + 1 AS bb
+         conv_b + 1 AS ab_, n_b - conv_b + 1 AS bb,
+         CASE WHEN n_a + n_b + 4 >= 500000
+              THEN error('ab_bayesian_beta oracle: series cap exceeded — '
+                         || 'raise the bounded range() to cover the cohort')
+              ELSE 0 END AS _cap_guard
   FROM agg
 ),
 kser AS (

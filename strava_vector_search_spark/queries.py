@@ -11773,9 +11773,12 @@ def ml_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "ROUND(CAST(s_ab AS DOUBLE) / CAST(s_ante AS DOUBLE), 6)"
             ).alias("confidence"),
+            # factors cast to DOUBLE before multiplying: BIGINT
+            # products of corpus-scale supports would wrap silently in
+            # Spark (and error in DuckDB) past 2^63
             F.expr(
-                "ROUND(CAST(s_ab * n_baskets AS DOUBLE)"
-                " / CAST(s_ante * s_cons AS DOUBLE), 6)"
+                "ROUND((CAST(s_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))"
+                " / (CAST(s_ante AS DOUBLE) * CAST(s_cons AS DOUBLE)), 6)"
             ).alias("lift"),
         )
         .orderBy(
@@ -11810,9 +11813,15 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vals = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
+        # 64-bit position arithmetic: INT i*n wraps for >34M-char docs
         lambda i: F.ascii(
             F.col("text").substr(
-                ((i * F.col("n")) / F.lit(64)).cast("int") + 1, F.lit(1)
+                (
+                    (i.cast("bigint") * F.col("n").cast("bigint"))
+                    / F.lit(64)
+                ).cast("int")
+                + 1,
+                F.lit(1),
             )
         ),
     )

@@ -789,9 +789,11 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
     },
     "dd_bloom_decontaminate": {
-        # filter words broadcast to the corpus probe; the corpus side
-        # never sort-merge-joins the reference set
-        "broadcast_words": "BroadcastHashJoin",
+        # the filter folds to ONE broadcast map row; the corpus-side
+        # probe is pure expressions (no explode/regroup) and the corpus
+        # never sort-merge-joins the reference set — the only corpus
+        # shuffle left is the per-doc hit count
+        "broadcast_words": "BroadcastNestedLoopJoin",
         "partial_agg": "partial_",
         "no_merge_join": "!SortMergeJoin",
         "no_cartesian": "!CartesianProduct",
