@@ -7839,3 +7839,15 @@ SELECT w.cw AS cohort_week, w.age_weeks, u.n_users,
 FROM walk w JOIN n_users u USING (cw)
 ORDER BY cohort_week, age_weeks
 """
+
+
+# -- two-stage Bloom-prefilter decontamination: same answer, cheaper plan ------
+# Zero false negatives => identical verdicts to the pure-exact semi-join; the
+# Bloom stage only shrinks the exact join's input.
+
+ORACLES["dd_bloom_prefilter_exact"] = ORACLES["dd_decontaminate"]
+
+
+# -- incremental novelty == from-scratch novelty (the append-order invariant) --
+
+ORACLES["tx_novelty_incremental"] = ORACLES["tx_ngram_novelty"]

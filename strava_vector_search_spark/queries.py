@@ -12228,3 +12228,121 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_cohort_ltv": ev_cohort_ltv})
+
+
+def dd_bloom_prefilter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage admission design the Bloom module promises: the
+    map-only Bloom probe PREFILTERS corpus shingles (definite non-members
+    never reach a join — at a 1% eval-overlap corpus that is ~99% of the
+    join input gone), and only maybe-hits enter the exact broadcast
+    semi-join verify. Zero false negatives means the output is IDENTICAL
+    to the pure-exact dd_decontaminate (the oracle is literally reused);
+    what changes is the plan: the expensive stage's input is cut by the
+    true-negative fraction. Per-doc hit counts then need the maybe rows
+    only -- non-members contribute 0 by construction."""
+    from strava_vector_search_spark.operators.bloom import (
+        build_filter,
+        probe_membership,
+    )
+    from strava_vector_search_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles(F.col("text")).alias("_sh")
+    ).localCheckpoint(eager=False)
+    ev_keys = (
+        sh.filter(F.col("doc_id") % 41 == 0)
+        .select(F.explode("_sh").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    filt = build_filter(ev_keys, "s")
+    corpus = sh.filter(F.col("doc_id") % 41 != 0).select(
+        "doc_id", F.explode("_sh").alias("s")
+    )
+    maybes = probe_membership(corpus, "s", filt).filter(
+        F.col("maybe_member")
+    )
+    verified = maybes.join(F.broadcast(ev_keys), "s", "left_semi")
+    hits = verified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    sz = sh.filter(F.col("doc_id") % 41 != 0).select(
+        "doc_id", F.size("_sh").alias("n_sh")
+    )
+    frac = F.round(
+        F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh"), 6
+    )
+    return (
+        sz.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias(
+                "n_hit"
+            ),
+            frac.alias("contaminated_frac"),
+            (frac >= 0.1).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"dd_bloom_prefilter_exact": dd_bloom_prefilter_exact})
+
+
+def tx_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the novelty scoring (tx_ngram_novelty)
+    under an appending corpus: the base's firsts table (shingle ->
+    earliest owner) is IMMUTABLE when corpus order is the append order --
+    new docs can never displace an earlier owner -- so a delta commits in
+    O(delta): delta shingle rows take their own within-delta min, one
+    anti-join against base firsts discards already-owned shingles, and
+    base novel counts are reused untouched (only delta docs gain rows).
+    Final output == the from-scratch tx_ngram_novelty over base+delta
+    (the oracle is literally that gate's); the incremental-vs-rebuild
+    equality is the dd_cc_incremental pin applied to text curation."""
+    from strava_vector_search_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles(F.col("text")).alias("_sh")
+    ).localCheckpoint(eager=False)
+    sz = sh.select("doc_id", F.size("_sh").alias("n_sh"))
+    cut = docs.agg(
+        F.expr("percentile_approx(doc_id, 0.8, 100000)").alias("c")
+    ).head()[0]
+    rows = sh.select("doc_id", F.explode("_sh").alias("s"))
+    base_firsts = (
+        rows.filter(F.col("doc_id") <= cut)
+        .groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .localCheckpoint(eager=False)
+    )
+    delta_firsts = (
+        rows.filter(F.col("doc_id") > cut)
+        .groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .join(base_firsts.select("s"), "s", "left_anti")
+    )
+    nov = (
+        base_firsts.select("first_doc")
+        .unionAll(delta_firsts.select("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        sz.join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_sh"), 6
+            ).alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"tx_novelty_incremental": tx_novelty_incremental})

@@ -509,3 +509,18 @@ def test_cohort_ltv_matches_python(spark, sf_dir):
         exp = cum[row["cohort_week"]] / cohort_users[row["cohort_week"]]
         assert abs(row["avg_cum_ltv"] - exp) < 1e-4
     assert seen == set(rev)
+
+
+# -- composition gates: prefilter and incremental must equal their exact twins
+
+
+def test_bloom_prefilter_equals_exact(spark, sf_dir):
+    exact = QUERIES["dd_decontaminate"](spark, sf_dir).collect()
+    two_stage = QUERIES["dd_bloom_prefilter_exact"](spark, sf_dir).collect()
+    assert [tuple(r) for r in two_stage] == [tuple(r) for r in exact]
+
+
+def test_novelty_incremental_equals_batch(spark, sf_dir):
+    batch = QUERIES["tx_ngram_novelty"](spark, sf_dir).collect()
+    inc = QUERIES["tx_novelty_incremental"](spark, sf_dir).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in batch]

@@ -839,6 +839,20 @@ EXPECTATIONS: dict[str, dict] = {
         "partitioned_window": "Window",
         "no_single_partition": "!Exchange SinglePartition",
     },
+    "dd_bloom_prefilter_exact": {
+        # stage 1 is the expression-only Bloom probe (broadcast map row);
+        # stage 2's exact semi-join sees only maybe-hits and broadcasts
+        # the eval keys — the corpus never sort-merge-joins anything
+        "broadcast_probe": "BroadcastNestedLoopJoin",
+        "exact_semi": "BroadcastHashJoin.*LeftSemi|LeftSemi.*Broadcast",
+        "no_merge_join": "!SortMergeJoin",
+    },
+    "tx_novelty_incremental": {
+        # delta firsts anti-join base firsts; every count partial-combines
+        "partial_agg": "partial_min",
+        "anti_join": "LeftAnti",
+        "no_cartesian": "!CartesianProduct",
+    },
     "ab_bayesian_beta": {
         # corpus work is ONE per-user partial-combined aggregate; the
         # lgamma array rides a broadcast 1-row cross join; the only
