@@ -7851,3 +7851,167 @@ ORACLES["dd_bloom_prefilter_exact"] = ORACLES["dd_decontaminate"]
 # -- incremental novelty == from-scratch novelty (the append-order invariant) --
 
 ORACLES["tx_novelty_incremental"] = ORACLES["tx_ngram_novelty"]
+
+
+# -- IVF recall@10 curve (nprobe sweep vs exact top-10) ------------------------
+
+
+def _ivf_recall_oracle() -> str:
+    arms = []
+    for np_ in (1, 2, 4):
+        arms.append(f"""probe{np_} AS (
+  SELECT cluster FROM cent
+  ORDER BY ROUND(list_cosine_similarity(centroid, {_qvec(7)}), 6) DESC,
+           cluster ASC
+  LIMIT {np_}
+),
+appr{np_} AS (
+  SELECT vec_id FROM embeddings
+  WHERE label IN (SELECT cluster FROM probe{np_})
+  ORDER BY ROUND(list_cosine_similarity(embedding::DOUBLE[], {_qvec(7)}), 6)
+             DESC, vec_id ASC
+  LIMIT 10
+),
+arm{np_} AS (
+  SELECT CAST({np_} AS INT) AS nprobe,
+         CAST(COUNT(*) AS BIGINT) AS n_hit,
+         ROUND(COUNT(*) / 10.0, 6) AS recall_at_10
+  FROM appr{np_} WHERE vec_id IN (SELECT vec_id FROM exact)
+)""")
+    return (
+        f"""WITH {_CENTROID_CTES},
+exact AS (
+  SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(embedding::DOUBLE[], {_qvec(7)}), 6)
+             DESC, vec_id ASC
+  LIMIT 10
+),
+"""
+        + ",\n".join(arms)
+        + """
+SELECT * FROM arm1 UNION ALL SELECT * FROM arm2 UNION ALL SELECT * FROM arm4
+ORDER BY nprobe
+"""
+    )
+
+
+ORACLES["vs_ivf_recall_curve"] = _ivf_recall_oracle()
+
+
+# -- greedy k-center coreset (unrolled rounds) ---------------------------------
+
+
+def _kcenter_oracle(k: int = 5) -> str:
+    ctes = [
+        """base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  WHERE embedding IS NOT NULL
+)""",
+        f"""d0 AS (
+  SELECT vec_id, emb,
+         ROUND(1.0 - ROUND(list_cosine_similarity(emb, {_qvec(0)}), 6), 6)
+           AS mind
+  FROM base
+)""",
+    ]
+    excl = ["vec_id <> 0"]
+    finals = []
+    for r in range(1, k + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT vec_id, mind FROM d{r - 1}
+  WHERE {' AND '.join(excl)}
+  ORDER BY mind DESC, vec_id ASC
+  LIMIT 1
+)""")
+        cvec = f"(SELECT emb FROM base WHERE vec_id = (SELECT vec_id FROM p{r}))"
+        if r < k:
+            ctes.append(f"""d{r} AS (
+  SELECT vec_id, emb,
+         LEAST(mind,
+               ROUND(1.0 - ROUND(list_cosine_similarity(emb, {cvec}), 6), 6))
+           AS mind
+  FROM d{r - 1}
+)""")
+        excl.append(f"vec_id NOT IN (SELECT vec_id FROM p{r})")
+        finals.append(
+            f"SELECT CAST({r} AS INT) AS round, vec_id AS center_id,"
+            f" mind AS radius FROM p{r}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\nORDER BY round\n"
+    )
+
+
+ORACLES["smp_kcenter_coreset"] = _kcenter_oracle()
+
+
+# -- Markov stationary distribution (unrolled integer power iteration) --------
+
+
+def _markov_stationary_oracle(iterations: int = 4) -> str:
+    ctes = [
+        """w1 AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER uw IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER uw) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+)""",
+        """w2 AS (
+  SELECT *, SUM(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM w1
+)""",
+        """paths AS (
+  SELECT LAG(event_type) OVER (
+           PARTITION BY user_id, session_seq ORDER BY ts, event_id
+         ) AS f,
+         event_type AS t
+  FROM w2
+)""",
+        """counts AS (
+  SELECT f, t, COUNT(*) AS n FROM paths WHERE f IS NOT NULL GROUP BY f, t
+)""",
+        """states AS (
+  SELECT DISTINCT f AS s FROM counts UNION SELECT DISTINCT t FROM counts
+)""",
+        """k0 AS (
+  SELECT f, t, n FROM counts
+  UNION ALL
+  SELECT s AS f, s AS t, 1 AS n FROM states
+  WHERE s NOT IN (SELECT f FROM counts)
+)""",
+        "rs AS (SELECT f, SUM(n) AS rowsum FROM k0 GROUP BY f)",
+        "kern AS (SELECT k0.f, k0.t, k0.n, rs.rowsum FROM k0 JOIN rs USING (f))",
+        "pi0 AS (SELECT s, CAST(1000000 AS BIGINT) AS pi FROM states)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""i{i} AS (
+  SELECT k.t AS s, SUM((p.pi * k.n) // k.rowsum) AS pi2
+  FROM kern k JOIN pi{i - 1} p ON p.s = k.f
+  GROUP BY k.t
+)""")
+        ctes.append(f"""pi{i} AS (
+  SELECT st.s, CAST(COALESCE(i.pi2, 0) AS BIGINT) AS pi
+  FROM states st LEFT JOIN i{i} i ON i.s = st.s
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+tot AS (SELECT SUM(pi) AS tot FROM pi{iterations})
+SELECT s AS state, pi AS pi_fp,
+       ROUND(CAST(pi AS DOUBLE) / tot, 6) AS stationary_share
+FROM pi{iterations} CROSS JOIN tot
+ORDER BY stationary_share DESC, state ASC
+"""
+    )
+
+
+ORACLES["ev_markov_stationary"] = _markov_stationary_oracle()

@@ -12346,3 +12346,192 @@ def tx_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"tx_novelty_incremental": tx_novelty_incremental})
+
+
+def vs_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning table operators ship with: recall@10 of IVF vs the
+    exact scan as nprobe sweeps 1/2/4 -- one deterministic query instead
+    of a notebook experiment. The exact top-10 and each probe arm are
+    ordinary engine queries (label-cluster IVF, so the whole curve is
+    oracle-replayable); recall joins each arm to the exact ids with a
+    broadcast semi-join. At scale each arm reads nprobe/k of the corpus
+    (partition-pruned under the ann_ivf_partition_pruned layout) and the
+    exact arm is the one full scan."""
+    from strava_vector_search_spark.operators.ann import (
+        compute_centroids,
+        ivf_topk,
+    )
+    from strava_vector_search_spark.operators.search import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 7)
+    exact_ids = brute_force_topk(
+        emb.filter(F.col("embedding").isNotNull()), qv, k=10, id_col="vec_id"
+    ).select("vec_id").localCheckpoint(eager=False)
+    cents = compute_centroids(emb).localCheckpoint(eager=False)
+    arms = []
+    for nprobe in (1, 2, 4):
+        hits = (
+            ivf_topk(emb, qv, k=10, nprobe=nprobe, centroids=cents)
+            .select("vec_id")
+            .join(F.broadcast(exact_ids), "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .select(
+                F.lit(nprobe).alias("nprobe"),
+                "n_hit",
+                F.round(F.col("n_hit") / 10.0, 6).alias("recall_at_10"),
+            )
+        )
+        arms.append(hits)
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("nprobe")
+
+
+QUERIES.update({"vs_ivf_recall_curve": vs_ivf_recall_curve})
+
+
+def smp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embedding corpus -- the
+    classic 2-approximation diversity sampler (Gonzalez 1985, public
+    method) behind 'pick k maximally spread exemplars' in curation and
+    eval-set construction. Each of the k rounds is ONE distributed scan
+    (update running min-distance against the newest center, a pure
+    expression) + ONE TakeOrdered(1) argmax; the only driver state is the
+    k chosen vectors (the centroid-table class). Distances are 6-dp
+    cosine distance with vec_id tie-breaks, so the greedy trajectory is
+    bit-deterministic and the DuckDB oracle replays all k rounds.
+    Output: (round, center_id, radius) -- radius is the covering radius
+    the selection witnessed (max-min distance before adding the pick)."""
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+    def _dist_to(vec: list[float]) -> F.Column:
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        return F.round(
+            F.lit(1.0)
+            - cosine_similarity_rounded(F.col("embedding"), lit),
+            6,
+        )
+
+    seed_vec = _query_vec(spark, sf_dir, 0)
+    df = emb.select(
+        "vec_id", "embedding", _dist_to(seed_vec).alias("mind")
+    ).localCheckpoint(eager=False)
+    centers = [0]
+    picks = []
+    for rnd in range(1, 6):
+        pick = (
+            df.filter(~F.col("vec_id").isin(centers))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "mind", "embedding")
+            .collect()[0]
+        )
+        picks.append((rnd, int(pick["vec_id"]), float(pick["mind"])))
+        centers.append(int(pick["vec_id"]))
+        df = df.select(
+            "vec_id",
+            "embedding",
+            F.least(
+                F.col("mind"), _dist_to([float(x) for x in pick["embedding"]])
+            ).alias("mind"),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        picks, "round int, center_id bigint, radius double"
+    ).orderBy("round")
+
+
+QUERIES.update({"smp_kcenter_coreset": smp_kcenter_coreset})
+
+
+def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the in-session navigation Markov chain
+    (the long-run share of attention per event type): the corpus folds
+    ONCE into the |states|^2-bounded transition-count kernel (the
+    ev_markov_transition_matrix shuffle), terminal-only states get a
+    self-loop so no mass escapes, and 4 unrolled power-iteration steps of
+    exact fixed-point integers (pi*n DIV rowsum) run over the tiny kernel
+    -- bit-replayed by the DuckDB oracle, corpus cost unchanged at any
+    scale."""
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    with_id = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    paths = with_id.withColumn(
+        "prev_type", F.lag("event_type").over(ws)
+    ).filter(F.col("prev_type").isNotNull())
+    counts = paths.groupBy(
+        F.col("prev_type").alias("f"), F.col("event_type").alias("t")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    states = (
+        counts.select(F.col("f").alias("s"))
+        .union(counts.select(F.col("t").alias("s")))
+        .distinct()
+    )
+    loops = states.join(
+        counts.select(F.col("f").alias("s")).distinct(), "s", "left_anti"
+    ).select(
+        F.col("s").alias("f"), F.col("s").alias("t"), F.lit(1).alias("n")
+    )
+    kern = (
+        counts.unionAll(loops)
+        .join(
+            counts.unionAll(loops)
+            .groupBy("f")
+            .agg(F.sum("n").alias("rowsum")),
+            "f",
+        )
+        .localCheckpoint(eager=False)
+    )
+    scale = 1_000_000
+    pi = states.select("s", F.lit(scale).cast("bigint").alias("pi"))
+    for _ in range(4):
+        pi = (
+            kern.join(pi, kern["f"] == pi["s"])
+            .select(
+                F.col("t"),
+                F.expr("(pi * n) div rowsum").alias("c"),
+            )
+            .groupBy(F.col("t").alias("s2"))
+            .agg(F.sum("c").alias("pi2"))
+            .join(states, F.col("s2") == F.col("s"), "right")
+            .select(
+                "s",
+                F.coalesce(F.col("pi2"), F.lit(0)).cast("bigint").alias("pi"),
+            )
+        )
+    tot = pi.agg(F.sum("pi").alias("tot"))
+    return (
+        pi.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("state"),
+            F.col("pi").alias("pi_fp"),
+            F.round(F.col("pi").cast("double") / F.col("tot"), 6).alias(
+                "stationary_share"
+            ),
+        )
+        .orderBy(F.desc("stationary_share"), F.asc("state"))
+    )
+
+
+QUERIES.update({"ev_markov_stationary": ev_markov_stationary})

@@ -524,3 +524,97 @@ def test_novelty_incremental_equals_batch(spark, sf_dir):
     batch = QUERIES["tx_ngram_novelty"](spark, sf_dir).collect()
     inc = QUERIES["tx_novelty_incremental"](spark, sf_dir).collect()
     assert [tuple(r) for r in inc] == [tuple(r) for r in batch]
+
+
+# -- IVF recall curve ----------------------------------------------------------
+
+
+def test_ivf_recall_curve_monotone_and_exact_consistent(spark, sf_dir):
+    import math
+
+    rows = {
+        r["nprobe"]: r
+        for r in QUERIES["vs_ivf_recall_curve"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    for r in rows.values():
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+        assert math.isclose(r["recall_at_10"], r["n_hit"] / 10.0)
+    # more probes can only add candidates -> recall is monotone in nprobe
+    assert rows[1]["n_hit"] <= rows[2]["n_hit"] <= rows[4]["n_hit"]
+
+
+# -- greedy k-center -----------------------------------------------------------
+
+
+def test_kcenter_matches_python(spark, sf_dir):
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb)
+
+    def dist(a, b):
+        return round(1.0 - round(cos(a, b), 6), 6)
+
+    centers = [0]
+    mind = {v: dist(vec, vecs[0]) for v, vec in vecs.items()}
+    exp = []
+    for rnd in range(1, 6):
+        pick = max(
+            (v for v in vecs if v not in centers),
+            key=lambda v: (mind[v], -v),
+        )
+        exp.append((rnd, pick, mind[pick]))
+        centers.append(pick)
+        for v, vec in vecs.items():
+            mind[v] = min(mind[v], dist(vec, vecs[pick]))
+    got = [
+        (r["round"], r["center_id"], r["radius"])
+        for r in QUERIES["smp_kcenter_coreset"](spark, sf_dir).collect()
+    ]
+    assert got == exp
+    # greedy k-center radii are non-increasing
+    radii = [r for _, _, r in got]
+    assert all(radii[i] >= radii[i + 1] for i in range(len(radii) - 1))
+
+
+# -- Markov stationary ----------------------------------------------------------
+
+
+def test_markov_stationary_matches_python(spark, sf_dir):
+    counts = [
+        (r["from_type"], r["to_type"], r["n"])
+        for r in QUERIES["ev_markov_transition_matrix"](
+            spark, sf_dir
+        ).collect()
+    ]
+    states = sorted({f for f, _, _ in counts} | {t for _, t, _ in counts})
+    have_out = {f for f, _, _ in counts}
+    kern = counts + [(s, s, 1) for s in states if s not in have_out]
+    rowsum = defaultdict(int)
+    for f, _, n in kern:
+        rowsum[f] += n
+    pi = {s: 1_000_000 for s in states}
+    for _ in range(4):
+        nxt = defaultdict(int)
+        for f, t, n in kern:
+            nxt[t] += (pi[f] * n) // rowsum[f]
+        pi = {s: nxt.get(s, 0) for s in states}
+    tot = sum(pi.values())
+    exp = sorted(
+        ((round(pi[s] / tot, 6), s) for s in states),
+        key=lambda x: (-x[0], x[1]),
+    )
+    got = QUERIES["ev_markov_stationary"](spark, sf_dir).collect()
+    assert [(r["stationary_share"], r["state"]) for r in got] == exp
+    assert [r["pi_fp"] for r in got] == [pi[s] for _, s in exp]
+    # total scaled mass is conserved up to integer-floor leakage
+    assert 0 < tot <= len(states) * 1_000_000

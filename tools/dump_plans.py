@@ -839,6 +839,20 @@ EXPECTATIONS: dict[str, dict] = {
         "partitioned_window": "Window",
         "no_single_partition": "!Exchange SinglePartition",
     },
+    "vs_ivf_recall_curve": {
+        # every arm's top-10 is a TakeOrdered; the recall join broadcasts
+        # the 10-row exact id set
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "broadcast_exact": "BroadcastHashJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "ev_markov_stationary": {
+        # ONE corpus shuffle (the session kernel); the power iteration
+        # runs over the |states|^2 kernel with partial-combined sums
+        "partial_agg": "partial_sum",
+        "partitioned_window": "Window",
+        "no_cartesian": "!CartesianProduct",
+    },
     "dd_bloom_prefilter_exact": {
         # stage 1 is the expression-only Bloom probe (broadcast map row);
         # stage 2's exact semi-join sees only maybe-hits and broadcasts
