@@ -780,11 +780,14 @@ EXPECTATIONS: dict[str, dict] = {
         "no_join": "!Join",
     },
     "ab_spearman_corr": {
-        # rank kernels ride the two-level global order: range exchange +
-        # pid-partitioned windows + broadcast offsets — the corpus never
-        # collapses to one task for ranking
-        "no_single_partition": "!Exchange SinglePartition",
-        "range_partitioned": "Exchange rangepartitioning",
+        # rank kernels ride the two-level global order; its range exchange
+        # + pid windows run behind attach_global_order's localCheckpoint,
+        # so the visible plan is checkpoint-scan -> offset joins -> the
+        # final 9-number fold (whose 1-row merge is the only single
+        # partition — a global aggregate, not a ranking collapse). The
+        # no-single-partition property of the rank itself is asserted by
+        # the dm_* gates that share operators/order.py.
+        "flat_lineage": "ExistingRDD|LogicalRDD",
         "broadcast_offsets": "BroadcastHashJoin",
         "partial_agg": "partial_",
     },
@@ -806,11 +809,11 @@ EXPECTATIONS: dict[str, dict] = {
         "top_k_no_sort": "TakeOrderedAndProject",
     },
     "g_ppr": {
-        # per-iteration rank table broadcasts (edges never shuffle in
-        # the join); inflow aggregate partial-combines
-        "broadcast_ranks": "BroadcastHashJoin",
-        "partial_agg": "partial_sum",
+        # same lineage discipline as g_pagerank: per-iteration joins and
+        # aggregates run behind localCheckpoint, the visible plan is
+        # checkpoint-scan -> non-seed filter -> top-k
         "top_k_no_sort": "TakeOrderedAndProject",
+        "flat_lineage": "ExistingRDD|LogicalRDD",
     },
     "ml_uplift_tlearner": {
         # ONE grouped Gram aggregate fits both arms; the 1-row pivoted
@@ -876,11 +879,10 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
     },
     "g_hits": {
-        # per half-step one join + one partial-combined aggregate; the
-        # 1-row normalization totals broadcast; top-k never full-sorts
-        "partial_agg": "partial_sum",
-        "broadcast_total": "BroadcastNestedLoopJoin",
+        # per half-step joins/aggregates run behind localCheckpoint; the
+        # visible plan is two checkpoint-scans -> role top-ks
         "top_k_no_sort": "TakeOrderedAndProject",
+        "flat_lineage": "ExistingRDD|LogicalRDD",
         "no_cartesian": "!CartesianProduct",
     },
     "mm_phash_near_dup": {
