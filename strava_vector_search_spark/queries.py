@@ -10970,10 +10970,19 @@ def s7_model_embed_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # belongs to the refresh pipeline (streaming/refresh.py), not a
     # per-round bench where 15 ms/doc of honest attention math would
     # drown every other query's signal
-    docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 20 == 0)
-        & (F.col("doc_id") < 4000)
-        & F.col("text").isNotNull()
+    # repartition AFTER the filter: the sliced rows otherwise inherit the
+    # source's single parquet split and one task pays every encode
+    # (~180 ms/doc of attention math) serially — measured 44 s -> ~5 s.
+    # At real scale the corpus arrives in many splits and this shuffle of
+    # a few hundred rows is noise.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 20 == 0)
+            & (F.col("doc_id") < 4000)
+            & F.col("text").isNotNull()
+        )
+        .repartition(32)
     )
     embed = model_embedder(model_factory=numpy_model_factory)
     emb = docs.select("lang", embed(F.col("text")).alias("e"))
