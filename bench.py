@@ -255,6 +255,22 @@ HEADLINE = [
     "dq_profile_drift",
     "g_label_propagation",
     "a27_group_percentiles",
+    "g_ppr",
+    "ab_spearman_corr",
+    "ml_uplift_tlearner",
+    "dd_bloom_decontaminate",
+    "ml_assoc_rules",
+    "mm_phash_near_dup",
+    "ab_bayesian_beta",
+    "g_hits",
+    "ann_ivf_partition_pruned",
+    "tx_ngram_novelty",
+    "ev_cohort_ltv",
+    "dd_bloom_prefilter_exact",
+    "tx_novelty_incremental",
+    "vs_ivf_recall_curve",
+    "smp_kcenter_coreset",
+    "ev_markov_stationary",
 ]
 
 
