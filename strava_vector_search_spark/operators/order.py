@@ -37,12 +37,13 @@ partitions, so a re-sampled RangePartitioner boundary can never put the
 offsets and the local ranks in different worlds.
 
 Reference provenance: the reference's curation queries express global
-order as a plain ORDER BY over the result (01_data_exploration.sql:
-145-153 ordering style); this module is the Spark-scale re-expression.
+order as a plain ORDER BY over the result (01_method1_cortex_search.sql
+:153 ordering style); this module is the Spark-scale re-expression.
 """
 
 from __future__ import annotations
 
+from decimal import Decimal
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -59,10 +60,14 @@ def attach_global_order(
     running_sums: Optional[dict] = None,
     num_partitions: Optional[int] = None,
     total_count_col: Optional[str] = None,
+    grand_total_sums: Optional[dict] = None,
 ) -> DataFrame:
     """Attach a global 1-based rank (``rank_col``) and optional inclusive
-    running sums (``running_sums``: {out_col: source_col_name}) under the
-    total order ``order``, with no single-partition stage.
+    running sums (``running_sums``: {out_col: source_col_name} for exact
+    BIGINT sums, or {out_col: (source_col_name, spark_type)} where
+    spark_type is e.g. ``"decimal(38,6)"`` for exact DECIMAL running
+    sums — money-style columns must not truncate through bigint) under
+    the total order ``order``, with no single-partition stage.
 
     ``order`` MUST be a strict total order (include a unique tie-breaker
     column) — range partitioning splits at sampled key boundaries, and
@@ -73,13 +78,32 @@ def attach_global_order(
     ``total_count_col``: if set, the global row count (already known on
     the driver as the sum of per-partition counts — no extra scan) is
     attached as a literal column under that name.
+
+    ``grand_total_sums``: {out_col: src or (src, spark_type)} — attach
+    the GLOBAL sum of src as a literal column. The per-partition sums
+    are already collected for the prefix offsets, so the grand total
+    costs one extra column in the |partitions|-row driver table; it
+    replaces a separate scalar aggregate (which would re-scan the input
+    and add an ``Exchange SinglePartition`` stage to the plan).
     """
-    running_sums = running_sums or {}
+    running_sums = {
+        out: (spec if isinstance(spec, tuple) else (spec, "bigint"))
+        for out, spec in (running_sums or {}).items()
+    }
+    grand_total_sums = {
+        out: (spec if isinstance(spec, tuple) else (spec, "bigint"))
+        for out, spec in (grand_total_sums or {}).items()
+    }
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        # conf may be non-numeric on some runtimes (e.g. "auto"): fall
+        # back to the input's current partitioning rather than raising
+        try:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except (TypeError, ValueError):
+            num_partitions = max(df.rdd.getNumPartitions(), 1)
     order = list(order)
 
     part = (
@@ -88,39 +112,56 @@ def attach_global_order(
         .localCheckpoint(eager=False)
     )
 
-    aggs = [F.count(F.lit(1)).alias("_go_cnt")] + [
-        F.sum(F.col(src).cast("bigint")).alias(f"_go_t_{out}")
-        for out, src in running_sums.items()
-    ]
+    aggs = (
+        [F.count(F.lit(1)).alias("_go_cnt")]
+        + [
+            F.sum(F.col(src).cast(typ)).alias(f"_go_t_{out}")
+            for out, (src, typ) in running_sums.items()
+        ]
+        + [
+            F.sum(F.col(src).cast(typ)).alias(f"_go_g_{out}")
+            for out, (src, typ) in grand_total_sums.items()
+        ]
+    )
     totals = part.groupBy(_PID).agg(*aggs).toPandas()
     totals = totals.sort_values(_PID).reset_index(drop=True)
 
+    def _zero(typ: str):
+        return Decimal(0) if typ.startswith("decimal") else 0
+
+    def _acc(v, typ: str):
+        # Arrow hands back Decimal for decimal columns, int for bigint;
+        # an all-NULL partition sum arrives as None/NaN → contributes 0
+        if v is None or (isinstance(v, float) and v != v):
+            return _zero(typ)
+        return Decimal(v) if typ.startswith("decimal") else int(v)
+
     # exclusive prefix offsets, plain Python over |partitions| rows
+    # (exact arithmetic either way: Python int / decimal.Decimal)
     rows = []
     rank_off = 0
-    sum_off = {out: 0 for out in running_sums}
+    sum_off = {out: _zero(typ) for out, (_, typ) in running_sums.items()}
+    grand = {out: _zero(typ) for out, (_, typ) in grand_total_sums.items()}
     for _, r in totals.iterrows():
-        row = {_PID: int(r[_PID]), "_go_off": rank_off}
+        row = [int(r[_PID]), rank_off]
         rank_off += int(r["_go_cnt"])
-        for out in running_sums:
-            row[f"_go_c_{out}"] = sum_off[out]
-            v = r[f"_go_t_{out}"]
-            sum_off[out] += int(v) if v == v else 0  # NaN-safe
-        rows.append(row)
-    if rows:
-        offsets = spark.createDataFrame(rows)
-    else:
-        schema = f"{_PID} int, _go_off bigint" + "".join(
-            f", _go_c_{out} bigint" for out in running_sums
-        )
-        offsets = spark.createDataFrame([], schema)
+        for out, (_, typ) in running_sums.items():
+            row.append(sum_off[out])
+            sum_off[out] += _acc(r[f"_go_t_{out}"], typ)
+        for out, (_, typ) in grand_total_sums.items():
+            grand[out] += _acc(r[f"_go_g_{out}"], typ)
+        rows.append(tuple(row))
+    schema = f"{_PID} int, _go_off bigint" + "".join(
+        f", _go_c_{out} {typ}" for out, (_, typ) in running_sums.items()
+    )
+    offsets = spark.createDataFrame(rows, schema)
 
     wloc = Window.partitionBy(_PID).orderBy(*order)
     wrun = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out_df = part.withColumn(_RN, F.row_number().over(wloc))
-    for out, src in running_sums.items():
+    for out, (src, typ) in running_sums.items():
         out_df = out_df.withColumn(
-            f"_go_s_{out}", F.sum(F.col(src).cast("bigint")).over(wrun)
+            f"_go_s_{out}", F.sum(F.col(src).cast(typ)).over(wrun)
         )
 
     out_df = out_df.join(F.broadcast(offsets), _PID)
@@ -128,15 +169,17 @@ def attach_global_order(
         out_df = out_df.withColumn(
             total_count_col, F.lit(rank_off).cast("bigint")
         )
+    for out, (_, typ) in grand_total_sums.items():
+        out_df = out_df.withColumn(out, F.lit(grand[out]).cast(typ))
     if rank_col is not None:
         out_df = out_df.withColumn(
             rank_col,
             (F.col("_go_off") + F.col(_RN)).cast("bigint"),
         )
-    for out in running_sums:
+    for out, (_, typ) in running_sums.items():
         out_df = out_df.withColumn(
             out,
-            (F.col(f"_go_c_{out}") + F.col(f"_go_s_{out}")).cast("bigint"),
+            (F.col(f"_go_c_{out}") + F.col(f"_go_s_{out}")).cast(typ),
         )
     drop = [_PID, _RN, "_go_off"] + [
         c
@@ -152,6 +195,7 @@ def global_ntile(
     k: int,
     tile_col: str = "tile",
     num_partitions: Optional[int] = None,
+    grand_total_sums: Optional[dict] = None,
 ) -> DataFrame:
     """NTILE(k) over a global order, built from the two-level rank.
 
@@ -168,6 +212,7 @@ def global_ntile(
         rank_col="_go_ntile_rn",
         num_partitions=num_partitions,
         total_count_col="_go_ntile_n",
+        grand_total_sums=grand_total_sums,
     )
     # n is a literal (driver-known), so q/r/cut fold to constants and the
     # tile assignment is a pure map-side expression — integer DIV only

@@ -8133,10 +8133,18 @@ def w_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification of parts by revenue -- the 80/15/5
     inventory-curation split (same shape as coverage-based corpus
     pruning by source). The corpus-scale work is ONE partial-combined
-    revenue aggregate per part (DECIMAL-routed); the cumulative-share
-    window then runs over |parts| aggregated rows, not line items, and
-    the class rollup is 3 rows. Class A = first 80% of revenue, B to
+    revenue aggregate per part (DECIMAL-routed); the cumulative share
+    comes from the two-level range-partitioned running sum
+    (operators/order.attach_global_order, exact DECIMAL lane) -- the
+    per-part table grows with the corpus, so a single-task cumulative
+    window over it is the dm_* scale-killer; here no partition ever
+    holds more than 1/P of the parts (PLANS.md asserts no
+    single-partition exchange). Class A = first 80% of revenue, B to
     95%, C the tail; deterministic (revenue DESC, partkey ASC) order."""
+    from strava_vector_search_spark.operators.order import (
+        attach_global_order,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(
@@ -8146,13 +8154,18 @@ def w_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev_dec")
     )
-    total = per_part.agg(F.sum("rev_dec").alias("tot_dec"))
-    wcum = Window.orderBy(
-        F.desc("rev_dec"), F.asc("l_partkey")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # tot_dec rides in as a driver-known literal (the grand total is the
+    # sum of the per-partition sums already collected for the offsets) —
+    # a separate scalar aggregate would RE-SCAN lineitem through the
+    # per-part aggregate and add an Exchange SinglePartition stage
     ranked = (
-        per_part.crossJoin(F.broadcast(total))
-        .withColumn("cum_dec", F.sum("rev_dec").over(wcum))
+        attach_global_order(
+            per_part,
+            [F.desc("rev_dec"), F.asc("l_partkey")],
+            rank_col=None,
+            running_sums={"cum_dec": ("rev_dec", "decimal(38,6)")},
+            grand_total_sums={"tot_dec": ("rev_dec", "decimal(38,6)")},
+        )
         .withColumn(
             "cum_share",
             F.expr("CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE)"),
@@ -9634,12 +9647,20 @@ def a24_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted-rank identity plus two Lorenz-curve checkpoints (bottom-half
     and top-decile revenue share) -- the inequality readout behind
     corpus/source-concentration audits (same math as token-count
-    concentration over sources). ONE DECIMAL aggregate per customer,
-    then a global rank over the |customers|-bounded aggregate (at
-    cluster scale this rank is a range-partitioned sort, the same shape
-    w_pareto_abc documents); rank-weighted sums stay exact DECIMAL
-    until the single closing division (operators/stats.GINI_EXPR)."""
+    concentration over sources). ONE DECIMAL aggregate per customer;
+    the global rank i and the total count n_c come from the two-level
+    range-partitioned rank (operators/order.attach_global_order) -- the
+    per-customer table grows with the corpus, so the naive
+    Window.orderBy rank would sort it in one task at scale; here the
+    rank composes from per-partition windows + |partitions|-row driver
+    offsets and n_c rides in as a driver-known literal (PLANS.md
+    asserts no single-partition exchange). Rank-weighted sums stay
+    exact DECIMAL until the single closing division
+    (operators/stats.GINI_EXPR)."""
     from strava_vector_search_spark.operators import stats as S
+    from strava_vector_search_spark.operators.order import (
+        attach_global_order,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
@@ -9648,13 +9669,11 @@ def a24_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(28,6))"
         ).alias("rev")
     )
-    w = Window.orderBy("rev", "o_custkey")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    r = (
-        rev.withColumn("i", F.row_number().over(w))
-        .withColumn("n_c", F.count(F.lit(1)).over(wall))
+    r = attach_global_order(
+        rev,
+        [F.asc("rev"), F.asc("o_custkey")],
+        rank_col="i",
+        total_count_col="n_c",
     )
     agg = r.groupBy("n_c").agg(
         F.sum("rev").alias("sx"),
@@ -10725,10 +10744,15 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frequency (order count) and Monetary (DECIMAL revenue) fold out of
     ONE orders aggregate; each dimension maps to a 1..5 NTILE score
     (ties broken by customer id so both engines rank identically), and
-    customers roll up by the 3-digit segment. The NTILE windows run
-    over the |customers|-bounded aggregate, never raw orders -- at
-    cluster scale that rank is a range-partitioned sort. Output: one
-    row per observed segment with population and money share."""
+    customers roll up by the 3-digit segment. Each NTILE runs as the
+    two-level range-partitioned global_ntile (operators/order.py:
+    range exchange + per-partition rank + driver offsets + map-only
+    tile expression) -- the per-customer table grows with the corpus,
+    so the naive unpartitioned NTILE window would sort it in one task
+    at 100x; PLANS.md asserts no single-partition exchange. Output:
+    one row per observed segment with population and money share."""
+    from strava_vector_search_spark.operators.order import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     per_c = orders.groupBy("o_custkey").agg(
         F.max(F.expr("CAST(o_orderdate AS DATE)")).alias("last_d"),
@@ -10746,21 +10770,30 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "money",
     )
     # recency: smaller is better -> score 5 for the most recent quintile
-    wr = Window.orderBy(F.desc("rec_days"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.asc("freq"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.asc("money"), F.asc("o_custkey"))
-    scored = (
-        base.withColumn("r_score", F.ntile(5).over(wr))
-        .withColumn("f_score", F.ntile(5).over(wf))
-        .withColumn("m_score", F.ntile(5).over(wm))
+    scored = global_ntile(
+        base, [F.desc("rec_days"), F.asc("o_custkey")], 5, "r_score"
+    )
+    scored = global_ntile(
+        scored, [F.asc("freq"), F.asc("o_custkey")], 5, "f_score"
+    )
+    # tot_money = grand total of money, driver-known from the m_score
+    # pass's per-partition sums (== SUM(seg_money): DECIMAL sums are
+    # exact under any grouping) — replaces a scalar aggregate over segs
+    # and its Exchange SinglePartition stage
+    scored = global_ntile(
+        scored,
+        [F.asc("money"), F.asc("o_custkey")],
+        5,
+        "m_score",
+        grand_total_sums={"tot_money": ("money", "decimal(38,6)")},
     )
     segs = scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("money").alias("seg_money"),
+        F.max("tot_money").alias("tot_money"),
     )
-    tot = segs.agg(F.sum("seg_money").alias("tot_money"))
     return (
-        segs.crossJoin(F.broadcast(tot))
+        segs
         .select(
             F.expr(
                 "CONCAT(CAST(r_score AS STRING), CAST(f_score AS STRING),"

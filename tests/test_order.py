@@ -88,6 +88,43 @@ def test_global_ntile_fewer_rows_than_tiles(spark, pool):
     assert j.filter(F.col("t") != F.col("et")).count() == 0
 
 
+def test_decimal_running_sum_and_grand_total(spark, pool):
+    """The typed running-sum lane (money-style DECIMAL columns must not
+    truncate through bigint) + the driver-known grand-total literal."""
+    from decimal import Decimal
+
+    money = pool.select(
+        "doc_id",
+        "q",
+        F.expr(
+            "CAST(CAST(tok AS DECIMAL(18,6)) / 7 AS DECIMAL(18,6))"
+        ).alias("amt"),
+    ).localCheckpoint(eager=False)
+    got = attach_global_order(
+        money,
+        _order(),
+        rank_col="pos",
+        running_sums={"cum": ("amt", "decimal(38,6)")},
+        grand_total_sums={"tot": ("amt", "decimal(38,6)")},
+    )
+    w = Window.orderBy(*_order()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = money.select(
+        "doc_id",
+        F.sum(F.col("amt").cast("decimal(38,6)")).over(w).alias("ecum"),
+    )
+    j = got.join(exp, "doc_id")
+    assert j.filter(F.col("cum") != F.col("ecum")).count() == 0
+    tot = money.agg(F.sum(F.col("amt").cast("decimal(38,6)"))).collect()[0][0]
+    got_tot = got.select("tot").distinct().collect()
+    assert len(got_tot) == 1 and got_tot[0][0] == Decimal(tot)
+    # no scalar-aggregate stage: the grand total is a literal
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_empty_input(spark, pool):
     empty = pool.filter(F.lit(False))
     got = attach_global_order(

@@ -634,9 +634,12 @@ EXPECTATIONS: dict[str, dict] = {
     },
     "w_pareto_abc": {
         # corpus-scale work is the per-part aggregate (partial); the
-        # cumulative window runs over aggregated rows only
+        # cumulative revenue share runs the two-level range-partitioned
+        # running sum (operators/order.py) — no single-partition stage
         "partial_agg": "partial_",
-        "no_cartesian": "!CartesianProduct",
+        "no_single_partition": "!Exchange SinglePartition",
+        "range_partitioned": "Exchange rangepartitioning",
+        "broadcast_offsets": "BroadcastHashJoin",
     },
     "ml_kmeans_step": {
         # 8-row centroid table broadcast; assignment rank window; the
@@ -684,7 +687,17 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "broadcast_margins": "Broadcast",
     },
-    "a24_gini_revenue": {"partial_agg": "partial_"},
+    "a24_gini_revenue": {
+        # rank i + count n_c come from the two-level range-partitioned
+        # rank (operators/order.py) — the per-customer table never
+        # collapses to one task. The range exchange itself sits behind
+        # the localCheckpoint boundary (materialized by the offsets
+        # collect), so the final plan shows its signature instead: the
+        # broadcast offsets join and zero single-partition stages.
+        "partial_agg": "partial_",
+        "no_single_partition": "!Exchange SinglePartition",
+        "broadcast_offsets": "BroadcastHashJoin",
+    },
     "w_skyline_2d": {
         # level table joins back to part via an explicit broadcast hash
         # join; level aggregate partial-combines
@@ -760,11 +773,14 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
     },
     "ev_rfm_segments": {
-        # quintile windows run over the customer aggregate (partial);
-        # max-date and totals ride broadcasts
+        # all three quintile NTILEs run the two-level global_ntile
+        # (operators/order.py) over the customer aggregate; the money
+        # grand total rides in as a driver-known literal (no scalar
+        # aggregate) — no single-partition stage anywhere
         "partial_agg": "partial_",
-        "broadcast_scalars": "BroadcastNestedLoopJoin",
-        "no_cartesian": "!CartesianProduct",
+        "no_single_partition": "!Exchange SinglePartition",
+        "range_partitioned": "Exchange rangepartitioning",
+        "broadcast_offsets": "BroadcastHashJoin",
     },
     "smp_neyman_allocation": {
         # moment aggregate partial-combines; the bounded allocation
