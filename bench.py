@@ -339,18 +339,24 @@ def main() -> None:
         with open(snap_path, "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
         # round-stamped copy so the FULL map gets committed with the round
-        # (VERDICT r05 item 2): infer the upcoming round number from the
-        # BENCH_r{N}.json files the driver has recorded so far.
+        # (VERDICT r05 item 2). The round number comes from $BENCH_ROUND
+        # when set (ADVICE r06: a re-run AFTER the driver records this
+        # round's BENCH file would otherwise mislabel itself as the NEXT
+        # round); inference from BENCH_r{N}.json files is the fallback.
         import re as _re
 
         root = os.path.dirname(os.path.abspath(__file__))
-        seen = [
-            int(m.group(1))
-            for f in os.listdir(root)
-            for m in [_re.fullmatch(r"BENCH_r(\d+)\.json", f)]
-            if m
-        ]
-        rnd = (max(seen) + 1) if seen else 0
+        env_rnd = os.environ.get("BENCH_ROUND", "")
+        if env_rnd.isdigit():
+            rnd = int(env_rnd)
+        else:
+            seen = [
+                int(m.group(1))
+                for f in os.listdir(root)
+                for m in [_re.fullmatch(r"BENCH_r(\d+)\.json", f)]
+                if m
+            ]
+            rnd = (max(seen) + 1) if seen else 0
         with open(os.path.join(snap_dir, f"r{rnd:02d}.json"), "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
     except OSError:

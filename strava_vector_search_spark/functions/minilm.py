@@ -11,8 +11,10 @@ module closes that gap with an encoder that exercises every tensor
 operation of an e5-class model — token+position embeddings, pre-LN
 multi-head scaled-dot-product attention with padding masks, GELU FFN,
 residuals, masked mean pooling, L2 normalization — in pure numpy with
-DETERMINISTIC weights (seeded PCG64, bit-reproducible across
-processes), at e5-base-v2's exact output geometry (768-dim unit
+DETERMINISTIC weights (seeded PCG64 — bit-reproducible across
+processes under one numpy version; NEP 19 lets Generator bit streams
+change across numpy feature releases, and the gate asserts only
+dim/norm, not weight bits), at e5-base-v2's exact output geometry (768-dim unit
 vectors). ``NumpyMiniLM.encode`` implements the same
 ``encode(list[str], normalize_embeddings=True)`` surface
 sentence-transformers exposes, so it plugs into ``model_embedder`` as a

@@ -1,7 +1,7 @@
 """Interchange formats beyond CSV/Parquet: JSONL and ORC sources/sinks.
 
 The reference ingests exactly one format (quoted CSV via COPY INTO,
-``01_data_ingestion.sql``); a pipeline that feeds a training run meets the
+``01_method1_cortex_search.sql:111-135``); a pipeline that feeds a training run meets the
 rest of the lake — JSONL (the lingua franca of web-scrape corpora: one JSON
 object per line, usually gzip-compressed) and ORC (the other columnar
 format). Both map onto Spark's native readers/writers, so every property

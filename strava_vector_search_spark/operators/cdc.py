@@ -1,7 +1,7 @@
 """CDC changelog application — the MERGE INTO / upsert step that keeps a
 warehouse snapshot current from an insert/update/delete feed (the batch
 half of a change-data-capture pipeline; the reference's in-place embedding
-UPDATE, 02_generate_embeddings.sql:1-14, is the single-column special
+UPDATE, 02_method2_manual_vector_embedding.sql:170-172, is the single-column special
 case).
 
 Spark-first shape, two operators on the snapshot scan:

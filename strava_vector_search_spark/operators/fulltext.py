@@ -1,6 +1,6 @@
 """BM25 full-text relevance scoring — the keyword side of a retrieval
 engine, complementing the vector side (reference: the SEARCH_PREVIEW
-keyword service surface, 03_vector_search_demo.ipynb; BM25 itself is the
+keyword service surface, 03_cortex_search_demo_notebook.ipynb; BM25 itself is the
 standard Robertson/Sparck-Jones formulation used by Lucene).
 
 Two-pass plan, both passes shuffle-free:

@@ -85,6 +85,13 @@ def _cached_layout(sf_dir: str, table: str, kind: str, build_fn) -> str:
     prefix = f"/tmp/svs_{kind}_{token}_"
     path = prefix + _src_fingerprint(sf_dir, table)
     if os.path.isdir(path):
+        # touch on every HIT so the age gate below measures last USE,
+        # not last write — a reader mid-scan on a >30-min-old generation
+        # must not see it reclaimed under it (ADVICE r06)
+        try:
+            os.utime(path, None)
+        except OSError:
+            pass
         return path
     import re as _re
 

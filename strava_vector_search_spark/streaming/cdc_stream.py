@@ -1,7 +1,8 @@
 """Streaming CDC apply: keep a queryable snapshot current from an I/U/D
 changelog stream — the continuous twin of ``operators.cdc.apply_changelog``
 (and the general form of the reference's embedding-refresh loop,
-02_generate_embeddings.sql:1-14, which upserts one derived column).
+02_method2_manual_vector_embedding.sql:170-172, which upserts one
+derived column).
 
 Commit protocol (plain parquet, no table format required): the snapshot is
 a directory of VERSIONED partitions ``_v=<batch_id>``. Each micro-batch
