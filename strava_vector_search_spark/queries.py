@@ -6489,6 +6489,38 @@ def smp_rerank_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"smp_rerank_triples": smp_rerank_triples})
 
 
+_TRADE_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer<->supplier trade pairs (columns ``c``, ``s``) from
+    orders |><| lineitem — the shared edge kernel of g_pagerank / g_ppr /
+    g_hits. Memoized per (session, sf) as a lazily-checkpointed DataFrame
+    (the _bm25_stats amortization pattern): the three fixed-point gates
+    consume the SAME kernel, so one distinct-pairs build serves all of
+    them instead of re-running the o|><|li join + distinct per gate.
+    Keyed by applicationId because a checkpointed DataFrame is only valid
+    within its own SparkSession."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _TRADE_PAIRS_CACHE:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        _TRADE_PAIRS_CACHE[key] = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    return _TRADE_PAIRS_CACHE[key]
+
+
 def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank over the customer<->supplier trade graph
     (distinct trading pairs from orders |><| lineitem, both directions so
@@ -6501,18 +6533,7 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_ranked,
     )
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
-    )
+    pairs = _trade_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
@@ -11519,21 +11540,11 @@ def g_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         personalized_pagerank_fixedpoint,
     )
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
-    )
+    pairs = _trade_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     seeds = (
         o.filter(F.col("o_custkey") % 100 == 0)
         .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("node"))
@@ -12071,18 +12082,8 @@ def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit -- floating-point HITS cannot promise that (Kleinberg
     1999 is the public method). Output: top-10 authorities and top-10
     hubs, role-labelled."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    e = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("hub"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("auth"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    e = _trade_pairs(spark, sf_dir).select(
+        F.col("c").alias("hub"), F.col("s").alias("auth")
     )
     scale = 1_000_000
     h = e.select("hub").distinct().withColumn(
