@@ -71,6 +71,60 @@ def hash_embedding_table(
     )
 
 
+def md5_embedding_table(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 768
+) -> DataFrame:
+    """Cross-engine-replayable embedding at the reference's REAL width
+    (``VECTOR(FLOAT, 768)``, ``02_method2_manual_vector_embedding
+    .sql:88``): same pipeline shape as :func:`hash_embedding_table`
+    (explode tokens → bucket → per-bucket sum → dense array), but bucket
+    and weight come from the portable 60-bit md5 hash (identical in
+    DuckDB: ``('0x' || substr(md5(x),1,15))::BIGINT``) and bucket sums
+    stay exact INTEGERS — weights are 0..999 ints, so every downstream
+    dot/norm term is an exact integer below 2^53 and the full 768-wide
+    cosine is bit-reproducible in BOTH engines under any summation
+    order. This is the parity lane that lets a full value-hash oracle
+    pin F11 at width 768 (gate ``vs_topk_filtered_768``); the xxhash64
+    embedder remains the production lane (JVM hash, no per-token md5
+    hex-string materialization).
+
+    Output values fit float32 exactly (≤ ~10^5 per bucket), so the
+    returned ``array<float>`` column loses nothing and exercises the
+    same physical layout as the production embedding columns.
+    """
+    from strava_vector_search_spark.operators.dedup import md5_int
+
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    weighted = tok.select(
+        "_id",
+        F.pmod(md5_int(F.col("tok")), F.lit(dim)).cast("int").alias("bucket"),
+        F.pmod(
+            md5_int(F.concat(F.lit("w"), F.col("tok"))), F.lit(1000)
+        ).alias("w"),
+    )
+    per_bucket = weighted.groupBy("_id", "bucket").agg(
+        F.sum("w").alias("val")
+    )
+    dense = per_bucket.groupBy("_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "val"))).alias(
+            "m"
+        )
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    return dense.select(
+        F.col("_id").alias(id_col),
+        arr.cast("array<float>").alias("embedding"),
+    )
+
+
 def hash_embed_text(spark, text: str, dim: int = DEFAULT_DIM) -> list[float]:
     """Embed one query string driver-side with the same hash embedder.
 
