@@ -43,6 +43,7 @@ from strava_vector_search_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "vs_topk_filtered",
+    "vs_topk_filtered_768",
     "vs_batch_topk",
     "vs_batch_topk_blas",
     "vs_similarity_histogram",

@@ -8015,3 +8015,48 @@ ORDER BY stationary_share DESC, state ASC
 
 
 ORACLES["ev_markov_stationary"] = _markov_stationary_oracle()
+
+
+# vs_topk_filtered_768 — replay the md5 embedding kernel (functions/embed.py
+# md5_embedding_table) in SQL: tokenize -> md5 bucket/weight -> exact integer
+# bucket sums; dot and squared norms are exact integers, cosine is then the
+# same correctly-rounded IEEE sqrt/mul/div sequence Spark evaluates.
+ORACLES["vs_topk_filtered_768"] = f"""
+WITH tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents
+    WHERE doc_id = 0
+       OR (lang IN ('en','de') AND n_chars BETWEEN 100 AND 450
+           AND doc_id <> 0)
+  ) WHERE tok <> ''
+),
+weighted AS (
+  SELECT doc_id,
+         {_md5i('tok')} % 768 AS bucket,
+         {_md5i("'w' || tok")} % 1000 AS w
+  FROM tok
+),
+vec AS (SELECT doc_id, bucket, SUM(w) AS val FROM weighted GROUP BY 1, 2),
+norms AS (SELECT doc_id, SUM(val * val)::DOUBLE AS n2 FROM vec GROUP BY 1),
+qv AS (SELECT bucket, val FROM vec WHERE doc_id = 0),
+dots AS (
+  SELECT v.doc_id, SUM(v.val * q.val)::DOUBLE AS dot
+  FROM vec v JOIN qv q USING (bucket)
+  WHERE v.doc_id <> 0
+  GROUP BY 1
+),
+topk AS (
+  SELECT n.doc_id,
+         ROUND(COALESCE(d.dot, 0)
+               / (sqrt(n.n2) * (SELECT sqrt(n2) FROM norms WHERE doc_id = 0)),
+               6) AS similarity
+  FROM norms n LEFT JOIN dots d USING (doc_id)
+  WHERE n.doc_id <> 0
+  ORDER BY similarity DESC, n.doc_id ASC
+  LIMIT 10
+)
+SELECT t.doc_id, d.lang, d.n_chars, t.similarity
+FROM topk t JOIN documents d USING (doc_id)
+"""

@@ -12585,3 +12585,50 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_markov_stationary": ev_markov_stationary})
+
+
+def vs_topk_filtered_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 pinned at the reference's REAL width — ``VECTOR(FLOAT, 768)``
+    (02_method2_manual_vector_embedding.sql:88): embed the corpus AND the
+    query through the cross-engine md5 kernel
+    (:func:`functions.embed.md5_embedding_table`), score full cosine
+    (dot / (norm_doc * norm_query)) on the 768-wide ``array<float>``
+    column, and take the filtered top-10 — the flagship filter→score→top-k
+    shape (02:206-227) at production dimensionality.
+
+    Parity: every bucket value is an exact integer (≤ ~10^5, exact in
+    float32), so dot and squared norms are exact in BOTH engines under any
+    summation order; sqrt/mul/div are correctly-rounded IEEE ops, so the
+    6-dp cosine is bit-reproducible vs the DuckDB twin that replays the
+    same tokenize→md5-bucket→integer-sum pipeline in SQL.
+    """
+    from strava_vector_search_spark.functions.embed import md5_embedding_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = md5_embedding_table(
+        docs.filter(
+            F.col("lang").isin("en", "de")
+            & F.col("n_chars").between(100, 450)
+            & (F.col("doc_id") != 0)
+        ),
+        "doc_id",
+        "text",
+        dim=768,
+    )
+    # query = doc 0's text through the SAME 768-wide kernel (the testdata
+    # analogue of embedding the query string, 02:206-208); exact-integer
+    # buckets survive the float32 round trip unchanged
+    qrow = md5_embedding_table(
+        docs.filter(F.col("doc_id") == 0), "doc_id", "text", dim=768
+    ).head()
+    qv = [float(x) for x in qrow["embedding"]]
+    top = S.brute_force_topk(corpus, qv, k=10, assume_normalized=False)
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return top.join(meta, "doc_id").select(
+        "doc_id", "lang", "n_chars", "similarity"
+    )
+
+
+QUERIES.update({"vs_topk_filtered_768": vs_topk_filtered_768})

@@ -56,3 +56,36 @@ def test_tokenization_case_and_punct_insensitive(spark):
     )
     out = {r["id"]: list(r["embedding"]) for r in hash_embedding_table(df, "id", "text", dim=8).collect()}
     assert out[1] == out[2]
+
+
+def test_md5_embedding_matches_pure_python_replay(spark):
+    """md5_embedding_table replayed token-for-token with hashlib: bucket =
+    md5 60-bit % dim, weight = md5('w'+tok) 60-bit % 1000, bucket sums are
+    exact integers that survive the array<float> round trip unchanged."""
+    import hashlib
+    import re
+
+    from strava_vector_search_spark.functions.embed import md5_embedding_table
+
+    texts = {
+        1: "Interval run workout, with speed training & interval pacing!",
+        2: "easy recovery jog",
+        3: "",  # no tokens -> no output row
+    }
+    df = spark.createDataFrame(list(texts.items()), "id int, text string")
+    out = {
+        r["id"]: [float(x) for x in r["embedding"]]
+        for r in md5_embedding_table(df, "id", "text", dim=768).collect()
+    }
+    assert set(out) == {1, 2}  # token-less doc drops out entirely
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for doc_id in (1, 2):
+        expected = [0.0] * 768
+        for tok in re.split("[^a-z0-9]+", texts[doc_id].lower()):
+            if tok:
+                expected[md5i(tok) % 768] += md5i("w" + tok) % 1000
+        assert out[doc_id] == expected
+        assert all(v == int(v) for v in out[doc_id])  # exact integers
