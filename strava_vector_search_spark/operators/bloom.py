@@ -88,29 +88,48 @@ def _position(key: Column, i: int, m_bits: int) -> Column:
     return F.pmod(md5_int(F.concat(key, F.lit(f"#{i}"))), F.lit(m_bits))
 
 
+def _check_aligned(m_bits: int) -> None:
+    """Non-word-aligned m silently drops the tail word from the dense
+    probe array (positions past the last full word probe NULL→false:
+    FALSE NEGATIVES) — refuse it at both build and probe entry."""
+    if m_bits <= 0 or m_bits % WORD_BITS:
+        raise ValueError(
+            f"m_bits must be a positive multiple of {WORD_BITS}, got "
+            f"{m_bits}; size with m_bits_for(n, fpr)"
+        )
+
+
 def build_filter(
-    keys: DataFrame, key_col: str, m_bits: int = M_BITS
+    keys: DataFrame, key_col: str, m_bits: int = M_BITS, k: int = N_HASHES
 ) -> DataFrame:
     """Fold a key set into Bloom-filter words: ``(word_idx, word)`` rows,
     at most ``m_bits / 32`` of them, via one map-side-combined ``bit_or``
     aggregate. The result is the broadcastable constant-size summary —
     words absent from the output are all-zero. Row form (not a packed
     array) so streaming maintenance can OR-merge partial filters
-    (streaming/bloom_stream.py)."""
-    exploded = keys.select(F.col(key_col).alias("_bf_key")).withColumn(
-        "_bf_i", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1)))
-    )
-    pos = F.pmod(
-        md5_int(
-            F.concat(
-                F.col("_bf_key"), F.lit("#"), F.col("_bf_i").cast("string")
-            )
-        ),
-        F.lit(m_bits),
+    (streaming/bloom_stream.py). NULL keys are dropped up front (they
+    probe to false by contract, and their rows would otherwise persist a
+    junk NULL word through streaming state). ``k`` must match the probe's
+    (and ``m_bits_for``'s) — bit positions come from the SAME
+    ``_position`` expression the probe evaluates, so build and probe
+    cannot drift apart."""
+    _check_aligned(m_bits)
+    exploded = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("_bf_key"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        _position(F.col("_bf_key"), i, m_bits)
+                        for i in range(k)
+                    ]
+                )
+            ).alias("_bf_pos")
+        )
     )
     return (
-        exploded.withColumn("_bf_pos", pos)
-        .select(
+        exploded.select(
             F.expr(f"_bf_pos DIV {WORD_BITS}").alias("word_idx"),
             F.element_at(
                 _pow2(), F.pmod(F.col("_bf_pos"), F.lit(WORD_BITS)).cast("int") + 1
@@ -127,6 +146,7 @@ def probe_membership(
     filt: DataFrame,
     m_bits: int = M_BITS,
     out_col: str = "maybe_member",
+    k: int = N_HASHES,
 ) -> DataFrame:
     """Map-only membership probe: true iff ALL k bit positions of
     ``key_col`` are set in ``filt``. The sparse word rows fold into ONE
@@ -141,6 +161,7 @@ def probe_membership(
     # array's O(1) element_at took 3 s). The scatter is a |words|-row
     # range join, one-off.
     spark = filt.sparkSession
+    _check_aligned(m_bits)
     n_words = m_bits // WORD_BITS
     if n_words > MAX_DENSE_WORDS:
         raise ValueError(
@@ -150,23 +171,51 @@ def probe_membership(
             "(pmod(md5_int(key), n_shards)) and probe each shard "
             "against its own ≤ceiling filter; see module docstring."
         )
+    # FULL join (not left): filter rows whose word_idx >= n_words mean
+    # the filter was BUILT with a larger m_bits than this probe — a left
+    # join would silently drop those words and re-derive positions mod
+    # the smaller m, i.e. unreported false negatives. collect_list skips
+    # the NULL produced for such rows by the guarded when(), and the
+    # raise_error turns the mismatch into a loud failure instead.
     dense = (
         spark.range(n_words)
-        .join(filt, F.col("id") == F.col("word_idx"), "left")
+        .join(filt, F.col("id") == F.col("word_idx"), "full")
         .select(
-            "id", F.coalesce(F.col("word"), F.lit(0).cast("bigint")).alias("w")
+            "id",
+            F.coalesce(F.col("word"), F.lit(0).cast("bigint")).alias("w"),
+            "word_idx",
         )
         .groupBy()
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("id", "w"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("id").isNotNull(), F.struct("id", "w"))
+                    )
+                ),
                 lambda s: s["w"],
-            ).alias("_bf_words")
+            ).alias("_bf_w_raw"),
+            F.max("word_idx").alias("_bf_maxidx"),
+        )
+        .select(
+            F.when(
+                F.col("_bf_maxidx") >= F.lit(n_words),
+                F.raise_error(
+                    F.lit(
+                        "bloom build/probe m_bits mismatch: the filter "
+                        f"holds word_idx past this probe's {n_words}-word "
+                        "dense array — probe with the m_bits the filter "
+                        "was built with"
+                    )
+                ),
+            )
+            .otherwise(F.col("_bf_w_raw"))
+            .alias("_bf_words")
         )
     )
     out = pairs.crossJoin(F.broadcast(dense))
     cond = F.lit(True)
-    for i in range(N_HASHES):
+    for i in range(k):
         pos = _position(F.col(key_col), i, m_bits)
         word = F.element_at(
             F.col("_bf_words"),

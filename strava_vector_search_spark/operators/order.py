@@ -123,33 +123,49 @@ def attach_global_order(
             for out, (src, typ) in grand_total_sums.items()
         ]
     )
-    totals = part.groupBy(_PID).agg(*aggs).toPandas()
-    totals = totals.sort_values(_PID).reset_index(drop=True)
+    # collect(), not toPandas(): a NULL partition sum would coerce a
+    # pandas int64 column to float64 and silently round sums past 2^53 —
+    # Row objects keep exact Python int / Decimal / None per cell. The
+    # table is |partitions| rows, so the Arrow fast path buys nothing.
+    totals = sorted(
+        part.groupBy(_PID).agg(*aggs).collect(), key=lambda r: r[_PID]
+    )
 
     def _zero(typ: str):
         return Decimal(0) if typ.startswith("decimal") else 0
 
     def _acc(v, typ: str):
-        # Arrow hands back Decimal for decimal columns, int for bigint;
-        # an all-NULL partition sum arrives as None/NaN → contributes 0
-        if v is None or (isinstance(v, float) and v != v):
-            return _zero(typ)
         return Decimal(v) if typ.startswith("decimal") else int(v)
 
     # exclusive prefix offsets, plain Python over |partitions| rows
-    # (exact arithmetic either way: Python int / decimal.Decimal)
+    # (exact arithmetic either way: Python int / decimal.Decimal).
+    # Carries start as None — SQL SUM is NULL until the first non-NULL
+    # value, and the carry must preserve that distinction so a partition
+    # whose leading rows are all-NULL composes to exactly what one global
+    # window would produce (NULL if nothing preceded, the carry if
+    # something did — never a fabricated 0).
     rows = []
     rank_off = 0
-    sum_off = {out: _zero(typ) for out, (_, typ) in running_sums.items()}
-    grand = {out: _zero(typ) for out, (_, typ) in grand_total_sums.items()}
-    for _, r in totals.iterrows():
+    sum_off = {out: None for out in running_sums}
+    grand = {out: None for out in grand_total_sums}
+    for r in totals:
         row = [int(r[_PID]), rank_off]
         rank_off += int(r["_go_cnt"])
         for out, (_, typ) in running_sums.items():
             row.append(sum_off[out])
-            sum_off[out] += _acc(r[f"_go_t_{out}"], typ)
+            t = r[f"_go_t_{out}"]
+            if t is not None:
+                prev = sum_off[out]
+                sum_off[out] = (
+                    _zero(typ) if prev is None else prev
+                ) + _acc(t, typ)
         for out, (_, typ) in grand_total_sums.items():
-            grand[out] += _acc(r[f"_go_g_{out}"], typ)
+            g = r[f"_go_g_{out}"]
+            if g is not None:
+                prev = grand[out]
+                grand[out] = (
+                    _zero(typ) if prev is None else prev
+                ) + _acc(g, typ)
         rows.append(tuple(row))
     schema = f"{_PID} int, _go_off bigint" + "".join(
         f", _go_c_{out} {typ}" for out, (_, typ) in running_sums.items()
@@ -177,9 +193,18 @@ def attach_global_order(
             (F.col("_go_off") + F.col(_RN)).cast("bigint"),
         )
     for out, (_, typ) in running_sums.items():
+        carry = F.col(f"_go_c_{out}")
+        loc = F.col(f"_go_s_{out}")
+        # SQL window-SUM NULL contract: NULL while no non-NULL value has
+        # appeared in the global prefix. A local all-NULL prefix makes
+        # loc NULL — the answer is then the carry as-is (itself NULL only
+        # if nothing preceded); once loc is non-NULL a NULL carry means
+        # "no prior values" and contributes 0, not NULL.
         out_df = out_df.withColumn(
             out,
-            (F.col(f"_go_c_{out}") + F.col(f"_go_s_{out}")).cast(typ),
+            F.when(loc.isNull(), carry)
+            .otherwise(F.coalesce(carry, F.lit(0).cast(typ)) + loc)
+            .cast(typ),
         )
     drop = [_PID, _RN, "_go_off"] + [
         c
@@ -206,6 +231,8 @@ def global_ntile(
     assignment is map-only (n rides in as a literal — it is already on
     the driver as the sum of the per-partition counts).
     """
+    if k < 1:
+        raise ValueError(f"global_ntile requires k >= 1, got {k}")
     ranked = attach_global_order(
         df,
         order,

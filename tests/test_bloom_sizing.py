@@ -74,3 +74,38 @@ def test_probe_refuses_past_dense_ceiling(spark):
         probe_membership(
             one, "k", filt, m_bits=(MAX_DENSE_WORDS + 1) * WORD_BITS
         )
+
+
+def test_rejects_unaligned_m_bits(spark):
+    one = spark.range(1).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="multiple"):
+        build_filter(one, "k", m_bits=100)
+    filt = build_filter(one, "k")
+    with pytest.raises(ValueError, match="multiple"):
+        probe_membership(one, "k", filt, m_bits=100)
+
+
+def test_probe_with_smaller_m_than_build_raises(spark):
+    """A filter built at 2^20 bits probed at the 16K default must FAIL
+    loudly, not silently drop words and produce false negatives."""
+    keys = spark.range(100).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    filt = build_filter(keys, "k", m_bits=1 << 20)
+    probed = probe_membership(keys, "k", filt)  # default 16_384 bits
+    with pytest.raises(Exception, match="m_bits mismatch"):
+        probed.collect()
+
+
+def test_null_keys_dropped_at_build_and_probe_false(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k string"
+    )
+    filt = build_filter(df, "k")
+    # no junk NULL word row persisted
+    assert filt.filter(F.col("word_idx").isNull()).count() == 0
+    probed = {
+        r["k"]: r["maybe_member"]
+        for r in probe_membership(df, "k", filt).collect()
+    }
+    assert probed["a"] and probed["b"] and probed[None] is False

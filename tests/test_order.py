@@ -132,3 +132,76 @@ def test_empty_input(spark, pool):
     )
     assert got.count() == 0
     assert {"pos", "cum"} <= set(got.columns)
+
+
+def test_null_values_match_plain_window(spark, pool):
+    """SQL window-SUM NULL contract under the two-level split: rows
+    BEFORE the first non-NULL value get NULL (not 0), and an all-NULL
+    prefix at the head of a range partition inherits the carry from
+    earlier partitions — exactly what one unpartitioned window returns.
+    The lowest-q rows sort FIRST under desc NULLS LAST? No — q is never
+    NULL here; the SOURCE column is: make it NULL for the whole leading
+    range (highest q values) so partition 0 is entirely NULL and later
+    partitions open with NULL rows too."""
+    nulled = pool.select(
+        "doc_id",
+        "q",
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) != 0, F.col("tok"))
+        .cast("bigint")
+        .alias("tok"),
+    ).withColumn(
+        # entire top range (q >= 30) all-NULL: the first range
+        # partition(s) carry None, and q==29's rows must still see NULL
+        # carry while q<=29 non-NULL rows accumulate from 0, not NULL
+        "tok",
+        F.when(F.col("q") >= 30, F.lit(None)).otherwise(F.col("tok")),
+    ).localCheckpoint(eager=False)
+    got = attach_global_order(
+        nulled,
+        _order(),
+        rank_col="pos",
+        running_sums={"cum": "tok"},
+        grand_total_sums={"tot": "tok"},
+        num_partitions=8,
+    )
+    w = Window.orderBy(*_order())
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exp = nulled.select(
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("epos"),
+        F.sum(F.col("tok").cast("bigint")).over(wrun).alias("ecum"),
+    )
+    j = got.join(exp, "doc_id")
+    bad = j.filter(
+        (F.col("pos") != F.col("epos"))
+        | ~(
+            (F.col("cum") == F.col("ecum"))
+            | (F.col("cum").isNull() & F.col("ecum").isNull())
+        )
+    )
+    assert bad.count() == 0
+    # grand total matches a plain SUM (NULLs skipped, not zeroed)
+    etot = nulled.agg(F.sum("tok")).collect()[0][0]
+    assert got.select("tot").distinct().collect()[0][0] == etot
+
+
+def test_all_null_source_keeps_null_sums(spark, pool):
+    """Degenerate: every src value NULL -> every running sum and the
+    grand total must be NULL (a fabricated 0 would diverge from SQL)."""
+    allnull = pool.select(
+        "doc_id", "q", F.lit(None).cast("bigint").alias("tok")
+    )
+    got = attach_global_order(
+        allnull,
+        _order(),
+        rank_col="pos",
+        running_sums={"cum": "tok"},
+        grand_total_sums={"tot": "tok"},
+    )
+    assert got.filter(F.col("cum").isNotNull()).count() == 0
+    assert got.select("tot").distinct().collect()[0][0] is None
+
+
+def test_global_ntile_rejects_bad_k(spark, pool):
+    with pytest.raises(ValueError, match="k >= 1"):
+        global_ntile(pool, _order(), 0)
