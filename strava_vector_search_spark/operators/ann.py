@@ -25,7 +25,7 @@ testdata's ``label`` column; KMeans builds get pytest-only checks).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from strava_vector_search_spark.functions.vector import cosine_similarity_rounded
@@ -104,6 +104,141 @@ def write_ivf_index(
     """Persist the embeddings partitioned by cluster — the physical layout
     that turns ivf_topk's candidate filter into partition pruning."""
     emb.write.mode("overwrite").partitionBy(cluster_col).parquet(path)
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vector_col: str = "embedding",
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment: every row scored against the broadcast
+    |k|-row centroid table (one map-side cross join — no shuffle of the
+    vectors), argmax 6-dp cosine with cluster-id tie-break via a window
+    partitioned by the row id (per-id groups of |k| rows: parallel, tiny).
+    This is the pure per-row function incremental IVF maintenance appends
+    with — the same vector against the same centroids always lands in the
+    same cluster, which is what makes append == rebuild exact. NULL
+    vectors are dropped (there is no nearest centroid for nothing; keeping
+    them would tie-break into cluster min — a junk assignment)."""
+    emb = emb.filter(F.col(vector_col).isNotNull())
+    scored = emb.crossJoin(
+        F.broadcast(centroids.select("cluster", "centroid"))
+    ).withColumn(
+        "_sim",
+        cosine_similarity_rounded(F.col(vector_col), F.col("centroid")),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_sim"), F.asc("cluster")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn(cluster_col, F.col("cluster"))
+        .drop("cluster", "centroid", "_sim", "_rn")
+    )
+
+
+def append_to_ivf_index(
+    new_emb: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    cluster_col: str = "label",
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental maintenance of a write_ivf_index layout: assign ONLY the
+    new vectors to the EXISTING centroids (O(delta·k) map-side work) and
+    append their files under the matching cluster partitions — queries see
+    old + new rows with the same partition pruning, no rebuild, no
+    read-modify-write. The TARGET_LAG freshness pattern
+    (streaming/refresh.py) applied to the ANN layout, like
+    append_to_srp_index for the SRP bands. Centroids DRIFT as the corpus
+    grows — ivf_centroid_drift measures it and maintain_ivf_index
+    re-clusters past a threshold."""
+    assigned = assign_to_centroids(
+        new_emb.drop(cluster_col), centroids, vector_col, cluster_col, id_col
+    )
+    assigned.write.mode("append").partitionBy(cluster_col).parquet(path)
+
+
+def ivf_centroid_drift(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    cluster_col: str = "label",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster staleness readout: 6-dp cosine DISTANCE between the
+    index's stored centroid and the mean of the cluster's CURRENT members
+    (one partial-combined aggregate over the index scan), plus the member
+    count. Appends pull the true mean away from the centroid the
+    assignments were made with; past a drift threshold, recall decays and
+    a re-cluster pays for itself."""
+    current = compute_centroids(
+        spark.read.parquet(path), cluster_col, vector_col
+    ).withColumnRenamed("centroid", "current_mean")
+    return (
+        centroids.join(
+            current, centroids["cluster"] == current["cluster"]
+        )
+        .select(
+            centroids["cluster"],
+            F.round(
+                F.lit(1.0)
+                - cosine_similarity_rounded(
+                    F.col("centroid"), F.col("current_mean")
+                ),
+                6,
+            ).alias("drift"),
+        )
+    )
+
+
+def maintain_ivf_index(
+    spark,
+    new_emb: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    drift_threshold: float = 0.05,
+    cluster_col: str = "label",
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[str, DataFrame]:
+    """One maintenance step for a live IVF index: append the delta against
+    the current centroids (O(delta)), then measure drift; if any cluster's
+    mean has moved past ``drift_threshold`` (cosine distance), re-cluster —
+    recompute centroids from the full current membership, re-assign every
+    row to the NEW centroids, and atomically swap the layout (the
+    compact_index rename dance). Returns ("appended", centroids) on the
+    cheap path or ("reclustered", new_centroids) after a rebuild; the
+    caller persists the returned centroid table alongside the index.
+    This is the standard IVF freshness trade: appends keep the index
+    fresh at delta cost, periodic re-clusters restore assignment quality
+    — the ANN-path twin of TARGET_LAG's refresh cadence."""
+    import os
+    import shutil
+
+    append_to_ivf_index(
+        new_emb, path, centroids, cluster_col, vector_col, id_col
+    )
+    drift = ivf_centroid_drift(spark, path, centroids, cluster_col, vector_col)
+    worst = drift.agg(F.max("drift")).collect()[0][0]
+    if worst is None or worst <= drift_threshold:
+        return "appended", centroids
+    rows = spark.read.parquet(path).localCheckpoint(eager=False)
+    new_centroids = compute_centroids(rows, cluster_col, vector_col)
+    reassigned = assign_to_centroids(
+        rows.drop(cluster_col), new_centroids, vector_col, cluster_col, id_col
+    )
+    tmp = path.rstrip("/") + "__reclustering"
+    reassigned.write.mode("overwrite").partitionBy(cluster_col).parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return "reclustered", new_centroids
 
 
 # ---------------------------------------------------------------------------

@@ -8060,3 +8060,44 @@ topk AS (
 SELECT t.doc_id, d.lang, d.n_chars, t.similarity
 FROM topk t JOIN documents d USING (doc_id)
 """
+
+
+# ann_ivf_append_assign — replay the incremental-IVF assignment: centroids
+# from the base corpus's label clusters (the ann_centroids recipe over the
+# base slice), then per-delta-vector argmax 6-dp cosine with cluster
+# tie-break, aggregated to the per-cluster intake readout.
+ORACLES["ann_ivf_append_assign"] = """
+WITH dims AS (SELECT range AS i FROM range(1, 65)),
+base AS (
+  SELECT label, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 5 <> 0
+),
+ex AS (SELECT label AS cluster, d.i AS pos, emb[d.i]::DOUBLE AS v
+       FROM base, dims d),
+per_dim AS (
+  SELECT cluster, pos,
+         ROUND(SUM(v::DECIMAL(28,10))::DOUBLE / COUNT(*), 6) AS c
+  FROM ex GROUP BY cluster, pos),
+cent AS (SELECT cluster, list(c ORDER BY pos) AS centroid
+         FROM per_dim GROUP BY cluster),
+delta AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 5 = 0
+),
+scored AS (
+  SELECT d.vec_id, c.cluster,
+         ROUND(list_cosine_similarity(d.emb, c.centroid), 6) AS sim
+  FROM delta d CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, cluster, sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn
+  FROM scored
+)
+SELECT cluster, COUNT(*) AS n_assigned,
+       ROUND(SUM(sim::DECIMAL(18,6))::DOUBLE / COUNT(*), 6) AS avg_sim
+FROM best WHERE rn = 1
+GROUP BY cluster
+ORDER BY cluster
+"""

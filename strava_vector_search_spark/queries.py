@@ -12643,3 +12643,59 @@ def vs_topk_filtered_768(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"vs_topk_filtered_768": vs_topk_filtered_768})
+
+
+def ann_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-IVF maintenance kernel as an oracle-backed readout:
+    centroids come from the BASE corpus (vec_id % 5 != 0, existing label
+    clusters — the index as last built), the DELTA (vec_id % 5 == 0) is
+    assigned to those FIXED centroids exactly as append_to_ivf_index
+    appends it (operators/ann.assign_to_centroids: broadcast |k|-row
+    cross join, argmax 6-dp cosine, cluster tie-break), and the gate
+    reports the per-cluster delta intake (count + mean similarity).
+    Assignment is a pure per-row function of (vector, centroids), which
+    is why the append path equals a rebuild against the same centroids —
+    the parity tests/test_index_maintenance.py pins on the real layout.
+    Scale: centroid build is one partial-combined aggregate over the
+    base; the assignment never shuffles the delta (map-side cross join
+    against |k| broadcast rows + per-id window over k-row groups)."""
+    from strava_vector_search_spark.operators.ann import (
+        assign_to_centroids,
+        compute_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = compute_centroids(base)
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
+
+    assigned = assign_to_centroids(delta, cents).join(
+        F.broadcast(cents),
+        F.col("label") == F.col("cluster"),
+    )
+    return (
+        assigned.withColumn(
+            "sim",
+            cosine_similarity_rounded(
+                F.col("embedding"), F.col("centroid")
+            ),
+        )
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(
+                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_sim"),
+        )
+        .orderBy("cluster")
+    )
+
+
+QUERIES.update({"ann_ivf_append_assign": ann_ivf_append_assign})

@@ -159,3 +159,155 @@ def test_streaming_binary_index_refresh(spark, sf_dir, tmp_path):
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
     finally:
         q.stop()
+
+
+# --------------------------------------------------------------------------
+# Incremental IVF maintenance (round 8): append == rebuild against the same
+# centroids, drift-triggered re-cluster, live foreachBatch freshness.
+
+
+def _ivf_rows(spark, path):
+    return sorted(
+        (r["vec_id"], r["label"])
+        for r in spark.read.parquet(path).select("vec_id", "label").collect()
+    )
+
+
+def test_ivf_append_equals_rebuild(spark, emb, qv, tmp_path):
+    from strava_vector_search_spark.operators.ann import (
+        append_to_ivf_index,
+        assign_to_centroids,
+        compute_centroids,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    cents = compute_centroids(base).localCheckpoint(eager=False)
+
+    inc = str(tmp_path / "inc")
+    write_ivf_index(base, inc)
+    append_to_ivf_index(delta, inc, cents)
+
+    full = str(tmp_path / "full")
+    write_ivf_index(
+        base.unionByName(assign_to_centroids(delta.drop("label"), cents)),
+        full,
+    )
+    assert _ivf_rows(spark, inc) == _ivf_rows(spark, full)
+    got = ivf_topk(spark.read.parquet(inc), qv, k=10, centroids=cents)
+    want = ivf_topk(spark.read.parquet(full), qv, k=10, centroids=cents)
+    assert [tuple(r) for r in got.select("vec_id", "similarity").collect()] \
+        == [tuple(r) for r in want.select("vec_id", "similarity").collect()]
+
+
+def test_ivf_maintain_appends_below_threshold(spark, emb, tmp_path):
+    from strava_vector_search_spark.operators.ann import (
+        compute_centroids,
+        maintain_ivf_index,
+        write_ivf_index,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    cents = compute_centroids(base).localCheckpoint(eager=False)
+    idx = str(tmp_path / "idx")
+    write_ivf_index(base, idx)
+    status, out_cents = maintain_ivf_index(
+        spark, delta, idx, cents, drift_threshold=1.0
+    )
+    assert status == "appended"
+    assert out_cents is cents
+    assert spark.read.parquet(idx).count() == emb.count()
+
+
+def test_ivf_maintain_reclusters_past_threshold(spark, emb, tmp_path):
+    import glob
+
+    from strava_vector_search_spark.operators.ann import (
+        assign_to_centroids,
+        compute_centroids,
+        maintain_ivf_index,
+        write_ivf_index,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    cents = compute_centroids(base).localCheckpoint(eager=False)
+    idx = str(tmp_path / "idx")
+    write_ivf_index(base, idx)
+    # threshold 0: ANY drift triggers the rebuild path
+    status, new_cents = maintain_ivf_index(
+        spark, delta, idx, cents, drift_threshold=0.0
+    )
+    assert status == "reclustered"
+    # layout swapped atomically: no leftovers, all rows present
+    assert not glob.glob(idx + "__*")
+    assert spark.read.parquet(idx).count() == emb.count()
+    # every row's label is the nearest NEW centroid (assignment-parity of
+    # the rebuilt layout with a fresh assignment of the same rows)
+    want = sorted(
+        (r["vec_id"], r["label"])
+        for r in assign_to_centroids(
+            spark.read.parquet(idx).drop("label"), new_cents
+        )
+        .select("vec_id", "label")
+        .collect()
+    )
+    assert _ivf_rows(spark, idx) == want
+
+
+def test_streaming_ivf_index_refresh(spark, emb, qv, tmp_path):
+    """Live freshness for the IVF layout: a file stream of new embedding
+    rows lands via foreachBatch(append_to_ivf_index); the probed search
+    sees them without a rebuild — TARGET_LAG applied to the ANN path."""
+    import time
+
+    from strava_vector_search_spark.operators.ann import (
+        append_to_ivf_index,
+        assign_to_centroids,
+        compute_centroids,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    cents = compute_centroids(old).localCheckpoint(eager=False)
+
+    feed = str(tmp_path / "feed")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    old.limit(0).write.parquet(feed)  # schema-establishing empty dir
+    write_ivf_index(old, idx)
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .parquet(feed)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: append_to_ivf_index(bdf, idx, cents)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        new.write.mode("append").parquet(feed)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.read.parquet(idx).count() == emb.count():
+                break
+            time.sleep(1)
+        assert spark.read.parquet(idx).count() == emb.count()
+        got = ivf_topk(spark.read.parquet(idx), qv, k=10, centroids=cents)
+        full = str(tmp_path / "full")
+        write_ivf_index(
+            old.unionByName(assign_to_centroids(new.drop("label"), cents)),
+            full,
+        )
+        want = ivf_topk(spark.read.parquet(full), qv, k=10, centroids=cents)
+        assert [tuple(r) for r in got.select("vec_id", "similarity").collect()] \
+            == [tuple(r) for r in want.select("vec_id", "similarity").collect()]
+    finally:
+        q.stop()
