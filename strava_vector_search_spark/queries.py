@@ -6526,6 +6526,43 @@ def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _TRADE_PAIRS_CACHE[key]
 
 
+_CO_ORDER_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparsified part co-order edge list (columns ``u`` < ``v``): per-order
+    part pairs (bounded by lines-per-order, never all-pairs) aggregated to
+    co-occurrence weights and kept at w >= 2 — the shared kernel of
+    g_kcore / g_triangle_count / g_label_propagation. Memoized per
+    (session, sf) as a lazily-checkpointed DataFrame with the same
+    eviction rule as :func:`_trade_pairs`: one edge build serves all three
+    graph gates instead of re-running the o|><|o self-join per gate."""
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _CO_ORDER_EDGES_CACHE if k[0] != app_id]:
+        del _CO_ORDER_EDGES_CACHE[stale]
+    key = (app_id, sf_dir.rstrip("/"))
+    if key not in _CO_ORDER_EDGES_CACHE:
+        li = load_table(spark, sf_dir, "lineitem")
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        a, b = op.alias("a"), op.alias("b")
+        _CO_ORDER_EDGES_CACHE[key] = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= 2)
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return _CO_ORDER_EDGES_CACHE[key]
+
+
 def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank over the customer<->supplier trade graph
     (distinct trading pairs from orders |><| lineitem, both directions so
@@ -8441,25 +8478,7 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering coefficient 3*tri/wedges. The oracle counts each triangle
     once via the id-ordered u<v<w join -- orientation must be
     count-invisible."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-        .localCheckpoint(eager=False)
-    )
+    e = _co_order_edges(spark, sf_dir)
     und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # orient every edge from the (deg, id)-smaller endpoint
@@ -9316,25 +9335,7 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure integer set algebra; a Python replay pins it in tests.
     Output: per-round surviving node counts + the round-4 subgraph's
     node/edge totals."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-        .localCheckpoint(eager=False)
-    )
+    e = _co_order_edges(spark, sf_dir)
     k = 3
     counts = []
     cur = e
@@ -11443,24 +11444,9 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd_connected_components (min-label fixpoint = exact components), LPA
     finds DENSE communities inside a component; the oracle replays the
     same 3 rounds as unrolled MATERIALIZED CTEs. Output: top-20
-    communities by size."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
+    communities by size. Edge kernel shared via :func:`_co_order_edges`
+    (one build serves kcore/triangle/LPA)."""
+    e = _co_order_edges(spark, sf_dir)
     und = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
