@@ -54,6 +54,7 @@ HEADLINE = [
     "ann_ivf_append_assign",
     "ann_srp_topk",
     "ann_srp_near_dup",
+    "dd_bloom_sharded_decontaminate",
     "dd_minhash_lsh_verified",
     "dd_connected_components",
     "dd_embedding_near_dup",

@@ -46,9 +46,9 @@ WORD_BITS = 32  # 32-bit words in BIGINT: shifts never touch the sign bit
 # array<bigint> of m/32 elements (8 bytes each on the wire), so m_bits =
 # 2^31 already means a 512 MiB row — near Spark's broadcast comfort zone
 # and far past the point where per-executor heap notices. Beyond this,
-# shard the KEY SPACE into independent filters (pmod(md5_int(key), S) as
-# the shard id), build/probe each shard against its own ≤ceiling filter,
-# and union — every shard keeps the same map-only plan shape.
+# shard the KEY SPACE into independent filters: build_sharded_filter /
+# probe_sharded_membership (one dense row PER SHARD, same map-only plan
+# shape; each row stays under this ceiling).
 MAX_DENSE_WORDS = 1 << 26  # 64M words = 2^31 bits = 512 MiB per row
 
 
@@ -167,9 +167,8 @@ def probe_membership(
         raise ValueError(
             f"m_bits={m_bits} needs {n_words} dense words — past the "
             f"single-broadcast-row ceiling ({MAX_DENSE_WORDS} words = "
-            "512 MiB). Shard the key space into independent filters "
-            "(pmod(md5_int(key), n_shards)) and probe each shard "
-            "against its own ≤ceiling filter; see module docstring."
+            "512 MiB). Use build_sharded_filter / "
+            "probe_sharded_membership to shard the key space instead."
         )
     # FULL join (not left): filter rows whose word_idx >= n_words mean
     # the filter was BUILT with a larger m_bits than this probe — a left
@@ -228,3 +227,155 @@ def probe_membership(
     return out.withColumn(
         out_col, F.coalesce(cond, F.lit(False))
     ).drop("_bf_words")
+
+
+def _shard_of(key: Column, n_shards: int) -> Column:
+    """Key-space shard id — the sharding prescription MAX_DENSE_WORDS
+    points at, as an expression both build and probe share."""
+    return F.pmod(md5_int(key), F.lit(n_shards))
+
+
+def build_sharded_filter(
+    keys: DataFrame,
+    key_col: str,
+    n_shards: int,
+    m_bits: int = M_BITS,
+    k: int = N_HASHES,
+) -> DataFrame:
+    """Key-space-sharded Bloom build: shard = md5(key) % n_shards, each
+    shard an INDEPENDENT m_bits filter over its own keys — the scale
+    path past the single-row dense ceiling. Output ``(shard, word_idx,
+    word)`` rows via the same one map-side-combined ``bit_or`` aggregate
+    (still a monoid per (shard, word_idx): streaming OR-merge unchanged).
+    Total state = n_shards x m_bits; each shard's PROBE array stays under
+    MAX_DENSE_WORDS, which is the limit that actually binds. Bit
+    positions reuse ``_position`` verbatim, so per-shard verdicts are
+    bit-identical to an unsharded filter of the same m_bits built over
+    just that shard's keys (pinned in tests)."""
+    _check_aligned(m_bits)
+    key = F.col(key_col)
+    exploded = keys.filter(key.isNotNull()).select(
+        _shard_of(key, n_shards).alias("shard"),
+        F.explode(
+            F.array(*[_position(key, i, m_bits) for i in range(k)])
+        ).alias("_bf_pos"),
+    )
+    return (
+        exploded.select(
+            "shard",
+            F.expr(f"_bf_pos DIV {WORD_BITS}").alias("word_idx"),
+            F.element_at(
+                _pow2(), F.pmod(F.col("_bf_pos"), F.lit(WORD_BITS)).cast("int") + 1
+            ).alias("_bf_mask"),
+        )
+        .groupBy("shard", "word_idx")
+        .agg(F.expr("bit_or(_bf_mask)").alias("word"))
+    )
+
+
+def probe_sharded_membership(
+    pairs: DataFrame,
+    key_col: str,
+    filt: DataFrame,
+    n_shards: int,
+    m_bits: int = M_BITS,
+    out_col: str = "maybe_member",
+    k: int = N_HASHES,
+) -> DataFrame:
+    """Map-only probe against a sharded filter: the words fold into ONE
+    dense array PER SHARD (n_shards broadcast rows, each under the
+    MAX_DENSE_WORDS ceiling), each input row broadcast-hash-joins its own
+    shard's row on ``md5(key) % n_shards`` and evaluates the same k bit
+    tests — still no shuffle of the probe side. NULL keys miss the join
+    and resolve to false, as in the unsharded probe.
+
+    Memory story: the single-row probe caps at MAX_DENSE_WORDS (512 MiB);
+    sharding lifts that PER-ROW cap, while the broadcast TOTAL
+    (n_shards x m_bits / 8 bytes) remains bounded by executor memory —
+    size n_shards so total state fits comfortably (a 4 GiB blocklist
+    filter = 8 shards x 2^32 bits). Past broadcastable total state,
+    repartition BOTH sides by shard and sort-merge join instead — one
+    probe-side shuffle buys unbounded filter state; that variant is a
+    one-line join-hint change documented here rather than a third code
+    path. A filter built with larger m_bits or a different n_shards
+    raise_errors at action time (word_idx / shard-id sentinels)."""
+    _check_aligned(m_bits)
+    n_words = m_bits // WORD_BITS
+    if n_words > MAX_DENSE_WORDS:
+        raise ValueError(
+            f"per-shard m_bits={m_bits} needs {n_words} dense words — past "
+            f"the single-row ceiling ({MAX_DENSE_WORDS}); raise n_shards "
+            "instead of the per-shard size"
+        )
+    spark = filt.sparkSession
+    grid = (
+        spark.range(n_shards)
+        .select(F.col("id").alias("gshard"))
+        .crossJoin(spark.range(n_words).select(F.col("id").alias("wid")))
+    )
+    joined = grid.join(
+        filt,
+        (grid["gshard"] == filt["shard"]) & (grid["wid"] == filt["word_idx"]),
+        "full",
+    ).select(
+        F.coalesce(F.col("gshard"), F.col("shard")).alias("shard"),
+        "wid",
+        F.coalesce(F.col("word"), F.lit(0).cast("bigint")).alias("w"),
+        "word_idx",
+        F.when(F.col("gshard").isNull(), 1).otherwise(0).alias("_orphan"),
+    )
+    per_shard = joined.groupBy("shard").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("wid").isNotNull(), F.struct("wid", "w"))
+                )
+            ),
+            lambda s: s["w"],
+        ).alias("_bf_w_raw"),
+        F.max("word_idx").alias("_mx"),
+        F.max("_orphan").alias("_orph"),
+    )
+    # the mismatch flags must trip even for shards the probe keys never
+    # touch — fold them once (n_shards rows) and stamp every dense row
+    flags = per_shard.groupBy().agg(
+        F.max("_mx").alias("_gmx"), F.max("_orph").alias("_gorph")
+    )
+    dense = (
+        per_shard.crossJoin(F.broadcast(flags))
+        .select(
+            "shard",
+            F.when(
+                (F.col("_gmx") >= F.lit(n_words)) | (F.col("_gorph") == 1),
+                F.raise_error(
+                    F.lit(
+                        "bloom sharded build/probe mismatch: filter holds "
+                        f"word_idx past {n_words} words or shard ids past "
+                        f"{n_shards} — probe with the (m_bits, n_shards) "
+                        "the filter was built with"
+                    )
+                ),
+            )
+            .otherwise(F.col("_bf_w_raw"))
+            .alias("_bf_words"),
+        )
+    )
+    out = pairs.join(
+        F.broadcast(dense),
+        _shard_of(F.col(key_col), n_shards) == F.col("shard"),
+        "left",
+    )
+    cond = F.lit(True)
+    for i in range(k):
+        pos = _position(F.col(key_col), i, m_bits)
+        word = F.element_at(
+            F.col("_bf_words"),
+            F.floor(pos / F.lit(WORD_BITS)).cast("int") + 1,
+        )
+        mask = F.element_at(
+            _pow2(), F.pmod(pos, F.lit(WORD_BITS)).cast("int") + 1
+        )
+        cond = cond & (word.bitwiseAND(mask) == mask)
+    return out.withColumn(
+        out_col, F.coalesce(cond, F.lit(False))
+    ).drop("shard", "_bf_words")

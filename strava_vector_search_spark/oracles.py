@@ -8101,3 +8101,47 @@ FROM best WHERE rn = 1
 GROUP BY cluster
 ORDER BY cluster
 """
+
+
+# dd_bloom_sharded_decontaminate — the sharded Bloom lane replayed: shard id
+# md5(s) % 4 picks one of four independent 4096-bit filters; bit positions
+# reuse the unsharded salt idiom within each shard's m.
+ORACLES["dd_bloom_sharded_decontaminate"] = f"""
+WITH {_SHINGLE_CTES},
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 41 = 0),
+evp AS (
+  SELECT {_md5i("s")} % 4 AS shard,
+         {_md5i("s || '#' || CAST(i AS VARCHAR)")} % 4096 AS p
+  FROM ev CROSS JOIN range(4) t(i)
+),
+words AS (
+  SELECT shard, p // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+  FROM evp GROUP BY 1, 2
+),
+cp AS (
+  SELECT a.doc_id, a.s, {_md5i("a.s")} % 4 AS shard,
+         {_md5i("a.s || '#' || CAST(i AS VARCHAR)")} % 4096 AS p
+  FROM sh a CROSS JOIN range(4) t(i)
+  WHERE a.doc_id % 41 <> 0
+),
+ch AS (
+  SELECT doc_id, s,
+         bool_and((COALESCE(w.word, 0)
+                   & (CAST(1 AS BIGINT) << CAST(c.p % 32 AS INT)))
+                  = (CAST(1 AS BIGINT) << CAST(c.p % 32 AS INT))) AS maybe
+  FROM (SELECT doc_id, s, shard, p, p // 32 AS word_idx FROM cp) c
+  LEFT JOIN words w USING (shard, word_idx)
+  GROUP BY doc_id, s
+),
+agg AS (
+  SELECT h.doc_id, MAX(z.n_sh) AS n_sh,
+         CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM ch h JOIN sz z USING (doc_id)
+  GROUP BY h.doc_id
+)
+SELECT doc_id, n_sh, n_hits,
+       ROUND(n_hits / n_sh, 6) AS hit_frac,
+       (ROUND(n_hits / n_sh, 6) >= 0.1) AS contaminated
+FROM agg ORDER BY doc_id
+"""

@@ -12685,3 +12685,57 @@ def ann_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ann_ivf_append_assign": ann_ivf_append_assign})
+
+
+def dd_bloom_sharded_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd_bloom_decontaminate through the SHARDED Bloom lane
+    (operators/bloom.build_sharded_filter / probe_sharded_membership):
+    shard = md5(key) % 4, each shard an independent 4096-bit filter —
+    same total state as the unsharded gate's 16384 bits, but the probe's
+    dense array is one row PER SHARD, the layout that scales past the
+    single-broadcast-row ceiling (MAX_DENSE_WORDS) at multi-billion-key
+    blocklists. Verdicts stay bit-deterministic (portable md5 shard ids
+    and bit positions), so the DuckDB twin replays them FPs included."""
+    from strava_vector_search_spark.operators.bloom import (
+        build_sharded_filter,
+        probe_sharded_membership,
+    )
+    from strava_vector_search_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles(F.col("text")).alias("_sh")
+    ).localCheckpoint(eager=False)
+    ev_keys = (
+        sh.filter(F.col("doc_id") % 41 == 0)
+        .select(F.explode("_sh").alias("s"))
+        .distinct()
+    )
+    filt = build_sharded_filter(ev_keys, "s", n_shards=4, m_bits=4096)
+    corpus = sh.filter(F.col("doc_id") % 41 != 0).select(
+        "doc_id",
+        F.size("_sh").alias("n_sh"),
+        F.explode("_sh").alias("s"),
+    )
+    flags = probe_sharded_membership(corpus, "s", filt, n_shards=4, m_bits=4096)
+    frac = F.round(F.col("n_hits").cast("double") / F.col("n_sh"), 6)
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.max("n_sh").alias("n_sh"),
+            F.sum(F.col("maybe_member").cast("int"))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_hits",
+            frac.alias("hit_frac"),
+            (frac >= 0.1).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"dd_bloom_sharded_decontaminate": dd_bloom_sharded_decontaminate})

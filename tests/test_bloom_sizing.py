@@ -109,3 +109,80 @@ def test_null_keys_dropped_at_build_and_probe_false(spark):
         for r in probe_membership(df, "k", filt).collect()
     }
     assert probed["a"] and probed["b"] and probed[None] is False
+
+
+# --------------------------------------------------------------------------
+# Sharded lane: the scale path past the single-row dense ceiling.
+
+
+def test_sharded_verdicts_match_per_shard_unsharded(spark):
+    """Each shard must behave as an independent unsharded filter over its
+    own keys: build both ways, probe a mixed member/non-member set, and
+    require bit-identical verdicts (same m_bits -> same _position bits)."""
+    from strava_vector_search_spark.operators.bloom import (
+        _shard_of,
+        build_sharded_filter,
+        probe_sharded_membership,
+    )
+
+    n_shards, m = 4, 4096
+    members = spark.range(500).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    probes = spark.range(300, 900).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    filt = build_sharded_filter(members, "k", n_shards, m_bits=m)
+    got = {
+        r["k"]: r["maybe_member"]
+        for r in probe_sharded_membership(
+            probes, "k", filt, n_shards, m_bits=m
+        ).collect()
+    }
+    # reference: per shard, an unsharded filter over that shard's keys
+    want = {}
+    for s in range(n_shards):
+        mem_s = members.filter(_shard_of(F.col("k"), n_shards) == s)
+        pro_s = probes.filter(_shard_of(F.col("k"), n_shards) == s)
+        f_s = build_filter(mem_s, "k", m_bits=m)
+        for r in probe_membership(pro_s, "k", f_s, m_bits=m).collect():
+            want[r["k"]] = r["maybe_member"]
+    assert got == want
+    # zero false negatives across the sharded path
+    hits = probe_sharded_membership(members, "k", filt, n_shards, m_bits=m)
+    assert hits.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_sharded_null_keys_probe_false(spark):
+    from strava_vector_search_spark.operators.bloom import (
+        build_sharded_filter,
+        probe_sharded_membership,
+    )
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    filt = build_sharded_filter(df, "k", 4)
+    assert filt.filter(F.col("shard").isNull()).count() == 0
+    probed = {
+        r["k"]: r["maybe_member"]
+        for r in probe_sharded_membership(df, "k", filt, 4).collect()
+    }
+    assert probed["a"] and probed["b"] and probed[None] is False
+
+
+def test_sharded_mismatch_raises(spark):
+    from strava_vector_search_spark.operators.bloom import (
+        build_sharded_filter,
+        probe_sharded_membership,
+    )
+
+    keys = spark.range(200).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    # built with larger per-shard m than probed
+    f_big = build_sharded_filter(keys, "k", 4, m_bits=1 << 20)
+    with pytest.raises(Exception, match="mismatch"):
+        probe_sharded_membership(keys, "k", f_big, 4).collect()
+    # built with more shards than probed (orphan shard ids)
+    f_many = build_sharded_filter(keys, "k", 16)
+    with pytest.raises(Exception, match="mismatch"):
+        probe_sharded_membership(keys, "k", f_many, 4).collect()
