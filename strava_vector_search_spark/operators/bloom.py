@@ -170,32 +170,28 @@ def probe_membership(
             "512 MiB). Use build_sharded_filter / "
             "probe_sharded_membership to shard the key space instead."
         )
-    # FULL join (not left): filter rows whose word_idx >= n_words mean
-    # the filter was BUILT with a larger m_bits than this probe — a left
-    # join would silently drop those words and re-derive positions mod
-    # the smaller m, i.e. unreported false negatives. collect_list skips
-    # the NULL produced for such rows by the guarded when(), and the
-    # raise_error turns the mismatch into a loud failure instead.
+    # Mismatch sentinel: a filter built with LARGER m_bits holds word_idx
+    # past this probe's dense array; the plain left join below would
+    # silently drop those words and re-derive positions mod the smaller m
+    # — unreported false negatives. Fold max(word_idx) from the filter
+    # itself (|words| rows, no join) and raise_error at action time. The
+    # dense scatter stays a broadcast left join (no merge join on the
+    # probe path — PLANS.md asserts it).
+    maxidx = filt.groupBy().agg(F.max("word_idx").alias("_bf_maxidx"))
     dense = (
         spark.range(n_words)
-        .join(filt, F.col("id") == F.col("word_idx"), "full")
+        .join(F.broadcast(filt), F.col("id") == F.col("word_idx"), "left")
         .select(
-            "id",
-            F.coalesce(F.col("word"), F.lit(0).cast("bigint")).alias("w"),
-            "word_idx",
+            "id", F.coalesce(F.col("word"), F.lit(0).cast("bigint")).alias("w")
         )
         .groupBy()
         .agg(
             F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("id").isNotNull(), F.struct("id", "w"))
-                    )
-                ),
+                F.array_sort(F.collect_list(F.struct("id", "w"))),
                 lambda s: s["w"],
-            ).alias("_bf_w_raw"),
-            F.max("word_idx").alias("_bf_maxidx"),
+            ).alias("_bf_w_raw")
         )
+        .crossJoin(F.broadcast(maxidx))
         .select(
             F.when(
                 F.col("_bf_maxidx") >= F.lit(n_words),
@@ -313,40 +309,42 @@ def probe_sharded_membership(
         .select(F.col("id").alias("gshard"))
         .crossJoin(spark.range(n_words).select(F.col("id").alias("wid")))
     )
-    joined = grid.join(
-        filt,
-        (grid["gshard"] == filt["shard"]) & (grid["wid"] == filt["word_idx"]),
-        "full",
-    ).select(
-        F.coalesce(F.col("gshard"), F.col("shard")).alias("shard"),
-        "wid",
-        F.coalesce(F.col("word"), F.lit(0).cast("bigint")).alias("w"),
-        "word_idx",
-        F.when(F.col("gshard").isNull(), 1).otherwise(0).alias("_orphan"),
+    per_shard = (
+        grid.join(
+            F.broadcast(filt),
+            (grid["gshard"] == filt["shard"])
+            & (grid["wid"] == filt["word_idx"]),
+            "left",
+        )
+        .select(
+            F.col("gshard").alias("shard"),
+            "wid",
+            F.coalesce(F.col("word"), F.lit(0).cast("bigint")).alias("w"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wid", "w"))),
+                lambda s: s["w"],
+            ).alias("_bf_w_raw")
+        )
     )
-    per_shard = joined.groupBy("shard").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("wid").isNotNull(), F.struct("wid", "w"))
-                )
-            ),
-            lambda s: s["w"],
-        ).alias("_bf_w_raw"),
-        F.max("word_idx").alias("_mx"),
-        F.max("_orphan").alias("_orph"),
-    )
-    # the mismatch flags must trip even for shards the probe keys never
-    # touch — fold them once (n_shards rows) and stamp every dense row
-    flags = per_shard.groupBy().agg(
-        F.max("_mx").alias("_gmx"), F.max("_orph").alias("_gorph")
+    # Mismatch sentinels fold from the FILTER itself (|shards x words|
+    # rows, one tiny aggregate, no join): they must trip even for shards
+    # the probe keys never touch, and the grid join above must stay a
+    # broadcast left join (no merge join on the probe path). A filter
+    # built with larger m_bits shows word_idx >= n_words; one built with
+    # more shards shows shard ids >= n_shards.
+    flags = filt.groupBy().agg(
+        F.max("word_idx").alias("_gmx"), F.max("shard").alias("_gms")
     )
     dense = (
         per_shard.crossJoin(F.broadcast(flags))
         .select(
             "shard",
             F.when(
-                (F.col("_gmx") >= F.lit(n_words)) | (F.col("_gorph") == 1),
+                (F.col("_gmx") >= F.lit(n_words))
+                | (F.col("_gms") >= F.lit(n_shards)),
                 F.raise_error(
                     F.lit(
                         "bloom sharded build/probe mismatch: filter holds "

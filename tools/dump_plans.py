@@ -827,6 +827,15 @@ EXPECTATIONS: dict[str, dict] = {
         "broadcast_offsets": "BroadcastHashJoin",
         "partial_agg": "partial_",
     },
+    "dd_bloom_sharded_decontaminate": {
+        # one dense row PER SHARD; the probe picks its shard via a
+        # broadcast hash join on md5(key) % n_shards — the corpus side
+        # still never sort-merge-joins anything
+        "broadcast_shard_row": "BroadcastHashJoin",
+        "partial_agg": "partial_",
+        "no_merge_join": "!SortMergeJoin",
+        "no_cartesian": "!CartesianProduct",
+    },
     "dd_bloom_decontaminate": {
         # the filter folds to ONE broadcast map row; the corpus-side
         # probe is pure expressions (no explode/regroup) and the corpus
