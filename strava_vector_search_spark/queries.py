@@ -6563,6 +6563,31 @@ def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CO_ORDER_EDGES_CACHE[key]
 
 
+_DOC_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, _sh: distinct 3-gram shingle array) over documents — the
+    shared shingle table of the Bloom decontamination trio and the
+    novelty pair. Memoized per (session, sf) as a lazily-checkpointed
+    DataFrame with the stale-applicationId eviction rule of
+    :func:`_trade_pairs`: the shingling scan (tokenize + 3-gram + distinct
+    over the whole corpus) dominates each consumer's cost, and five gates
+    consume the identical table — one build serves them all."""
+    from strava_vector_search_spark.operators.dedup import shingles
+
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _DOC_SHINGLES_CACHE if k[0] != app_id]:
+        del _DOC_SHINGLES_CACHE[stale]
+    key = (app_id, sf_dir.rstrip("/"))
+    if key not in _DOC_SHINGLES_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _DOC_SHINGLES_CACHE[key] = docs.select(
+            "doc_id", shingles(F.col("text")).alias("_sh")
+        ).localCheckpoint(eager=False)
+    return _DOC_SHINGLES_CACHE[key]
+
+
 def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank over the customer<->supplier trade graph
     (distinct trading pairs from orders |><| lineitem, both directions so
@@ -11720,12 +11745,8 @@ def dd_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_filter,
         probe_membership,
     )
-    from strava_vector_search_spark.operators.dedup import shingles
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", shingles(F.col("text")).alias("_sh")
-    ).localCheckpoint(eager=False)
+    sh = _doc_shingles(spark, sf_dir)
     ev_keys = (
         sh.filter(F.col("doc_id") % 41 == 0)
         .select(F.explode("_sh").alias("s"))
@@ -12190,12 +12211,7 @@ def tx_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings shuffle ONCE for the global min and never join back (novel
     counts come from grouping the firsts table by its owner doc), so the
     expensive key space moves exactly one time at any corpus size."""
-    from strava_vector_search_spark.operators.dedup import shingles
-
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", shingles(F.col("text")).alias("_sh")
-    ).localCheckpoint(eager=False)
+    sh = _doc_shingles(spark, sf_dir)
     sz = sh.select("doc_id", F.size("_sh").alias("n_sh"))
     rows = sh.select("doc_id", F.explode("_sh").alias("s"))
     firsts = rows.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
@@ -12291,12 +12307,8 @@ def dd_bloom_prefilter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_filter,
         probe_membership,
     )
-    from strava_vector_search_spark.operators.dedup import shingles
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", shingles(F.col("text")).alias("_sh")
-    ).localCheckpoint(eager=False)
+    sh = _doc_shingles(spark, sf_dir)
     ev_keys = (
         sh.filter(F.col("doc_id") % 41 == 0)
         .select(F.explode("_sh").alias("s"))
@@ -12349,12 +12361,8 @@ def tx_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Final output == the from-scratch tx_ngram_novelty over base+delta
     (the oracle is literally that gate's); the incremental-vs-rebuild
     equality is the dd_cc_incremental pin applied to text curation."""
-    from strava_vector_search_spark.operators.dedup import shingles
-
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", shingles(F.col("text")).alias("_sh")
-    ).localCheckpoint(eager=False)
+    sh = _doc_shingles(spark, sf_dir)
     sz = sh.select("doc_id", F.size("_sh").alias("n_sh"))
     cut = docs.agg(
         F.expr("percentile_approx(doc_id, 0.8, 100000)").alias("c")
@@ -12700,12 +12708,8 @@ def dd_bloom_sharded_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
         build_sharded_filter,
         probe_sharded_membership,
     )
-    from strava_vector_search_spark.operators.dedup import shingles
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", shingles(F.col("text")).alias("_sh")
-    ).localCheckpoint(eager=False)
+    sh = _doc_shingles(spark, sf_dir)
     ev_keys = (
         sh.filter(F.col("doc_id") % 41 == 0)
         .select(F.explode("_sh").alias("s"))
