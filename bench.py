@@ -55,6 +55,8 @@ HEADLINE = [
     "ann_srp_topk",
     "ann_srp_near_dup",
     "dd_bloom_sharded_decontaminate",
+    "dd_duplicate_spans",
+    "ev_retention_matrix",
     "dd_minhash_lsh_verified",
     "dd_connected_components",
     "dd_embedding_near_dup",

@@ -8145,3 +8145,50 @@ SELECT doc_id, n_sh, n_hits,
        (ROUND(n_hits / n_sh, 6) >= 0.1) AS contaminated
 FROM agg ORDER BY doc_id
 """
+
+
+# dd_duplicate_spans — 40-char windows at stride 10; lateral series via the
+# bounded-cross-join recipe (DuckDB range() cannot take lateral arguments).
+ORACLES["dd_duplicate_spans"] = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+series AS (SELECT range AS i FROM range(0, 8192)),
+win AS (
+  SELECT doc_id,
+         {_md5i("substr(text, CAST(i*10 + 1 AS BIGINT), 40)")} AS h
+  FROM d, series
+  WHERE i <= (length(text) - 40) // 10
+),
+st AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY h),
+per AS (
+  SELECT w.doc_id, COUNT(*) AS n_win,
+         SUM(CASE WHEN st.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM win w JOIN st USING (h)
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_win, CAST(n_dup AS BIGINT) AS n_dup,
+       ROUND(n_dup / n_win, 6) AS dup_frac
+FROM per ORDER BY doc_id
+"""
+
+ORACLES["ev_retention_matrix"] = """
+WITH first AS (
+  SELECT user_id,
+         MIN(epoch_us(ts) // 604800000000) AS cw
+  FROM events GROUP BY user_id
+),
+sizes AS (SELECT cw, COUNT(*) AS n_users FROM first GROUP BY cw),
+active AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+  FROM events
+),
+grid AS (
+  SELECT f.cw, a.w - f.cw AS age_weeks,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM active a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT g.cw AS cohort_week, g.age_weeks, s.n_users, g.n_active,
+       ROUND(g.n_active / s.n_users, 6) AS retention
+FROM grid g JOIN sizes s USING (cw)
+ORDER BY cohort_week, age_weeks
+"""

@@ -12743,3 +12743,96 @@ def dd_bloom_sharded_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 QUERIES.update({"dd_bloom_sharded_decontaminate": dd_bloom_sharded_decontaminate})
+
+
+def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (span) dedup readout — the training-data hygiene
+    operator behind 'remove repeated passages, not just repeated docs'
+    (the public exact-substring-dedup recipe applied Spark-shaped): every
+    document emits overlapping 40-char windows at stride 10 (a pure
+    per-row explode, ~n_chars/10 rows per doc, linear), windows hash
+    through the portable md5 idiom, and a span is DUPLICATED when its
+    hash appears in >= 2 distinct documents. Per-doc readout: window
+    count, duplicated-window count, duplicated fraction. The only
+    shuffle is the window-hash aggregate (same key-space-moves-once
+    shape as tx_ngram_novelty); at 100 TB the span table is the cost and
+    it is one map + one combine-heavy aggregate, never doc x doc."""
+    W, S = 40, 10
+    from strava_vector_search_spark.operators.dedup import md5_int
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= W
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.expr(f"(length(text) - {W}) DIV {S}")
+                ),
+                lambda i: F.col("text").substr(
+                    (i * S + 1).cast("int"), F.lit(W)
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", md5_int(F.col("w")).alias("h"))
+    stats = wins.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        wins.join(stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_win"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_win",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_win"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES.update({"dd_duplicate_spans": dd_duplicate_spans})
+
+
+def ev_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention triangle: users grouped by first-seen
+    week, and for each cohort age k the share of the cohort active in
+    week first+k — the companion readout to ev_cohort_ltv (economics)
+    for engagement. Corpus work is two partial-combined aggregates
+    (per-user first week; distinct user-week activity); the retention
+    division runs over the bounded (cohort x age) grid. countDistinct
+    keys are (cohort, age, user) — one shuffle of the distinct activity
+    table, never raw events twice."""
+    ev = load_events(spark, sf_dir)
+    wk = F.expr("unix_micros(ts) DIV 604800000000")
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cw"))
+    sizes = first.groupBy("cw").agg(F.count(F.lit(1)).alias("n_users"))
+    active = ev.select("user_id", wk.alias("w")).distinct()
+    grid = (
+        active.join(first, "user_id")
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("age_weeks"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        grid.join(sizes, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "age_weeks",
+            "n_users",
+            "n_active",
+            F.round(F.col("n_active") / F.col("n_users"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+QUERIES.update({"ev_retention_matrix": ev_retention_matrix})
