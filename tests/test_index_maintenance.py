@@ -311,3 +311,58 @@ def test_streaming_ivf_index_refresh(spark, emb, qv, tmp_path):
             == [tuple(r) for r in want.select("vec_id", "similarity").collect()]
     finally:
         q.stop()
+
+
+def test_ivf_stream_module_refresh_and_drift(spark, emb, qv, tmp_path):
+    """The streaming/ivf_stream.py module end-to-end: start_ivf_stream
+    appends live batches; the index converges to the full corpus, drift
+    is readable mid-stream, and search equals a from-scratch assignment
+    of the same rows."""
+    import time
+
+    from strava_vector_search_spark.operators.ann import (
+        assign_to_centroids,
+        compute_centroids,
+        ivf_topk,
+        write_ivf_index,
+    )
+    from strava_vector_search_spark.streaming.ivf_stream import (
+        drift_report,
+        start_ivf_stream,
+    )
+
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    cents = compute_centroids(old).localCheckpoint(eager=False)
+
+    feed = str(tmp_path / "feed")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    old.limit(0).write.parquet(feed)
+    write_ivf_index(old, idx)
+
+    q = start_ivf_stream(
+        spark, feed, idx, ckpt, emb.schema, cents, trigger_seconds=1
+    )
+    try:
+        new.write.mode("append").parquet(feed)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.read.parquet(idx).count() == emb.count():
+                break
+            time.sleep(1)
+        assert spark.read.parquet(idx).count() == emb.count()
+        dr = drift_report(spark, idx, cents)
+        assert dr.count() > 0
+        assert dr.filter(F.col("drift") < 0).count() == 0
+        got = ivf_topk(spark.read.parquet(idx), qv, k=10, centroids=cents)
+        full = str(tmp_path / "full")
+        write_ivf_index(
+            old.unionByName(assign_to_centroids(new.drop("label"), cents)),
+            full,
+        )
+        want = ivf_topk(spark.read.parquet(full), qv, k=10, centroids=cents)
+        assert [tuple(r) for r in got.select("vec_id", "similarity").collect()] \
+            == [tuple(r) for r in want.select("vec_id", "similarity").collect()]
+    finally:
+        q.stop()
