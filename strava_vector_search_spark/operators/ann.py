@@ -25,7 +25,7 @@ testdata's ``label`` column; KMeans builds get pytest-only checks).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from strava_vector_search_spark.functions.vector import cosine_similarity_rounded
@@ -113,31 +113,43 @@ def assign_to_centroids(
     cluster_col: str = "label",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Nearest-centroid assignment: every row scored against the broadcast
-    |k|-row centroid table (one map-side cross join — no shuffle of the
-    vectors), argmax 6-dp cosine with cluster-id tie-break via a window
-    partitioned by the row id (per-id groups of |k| rows: parallel, tiny).
-    This is the pure per-row function incremental IVF maintenance appends
-    with — the same vector against the same centroids always lands in the
-    same cluster, which is what makes append == rebuild exact. NULL
-    vectors are dropped (there is no nearest centroid for nothing; keeping
-    them would tie-break into cluster min — a junk assignment)."""
+    """Nearest-centroid assignment as a PURE MAP-SIDE expression: the
+    |k|-row centroid table is collected once (the centroid-table driver
+    class) and compiled into literal arrays, each row evaluates k cosine
+    folds and takes the argmax via ``element_at(sort_array(...), 1)``
+    over (−sim, cluster) structs — 6-dp cosine, cluster-id tie-break,
+    zero shuffle, zero join, nothing but a projection in the plan. This
+    is the pure per-row function incremental IVF maintenance appends
+    with — the same vector against the same centroids always lands in
+    the same cluster, which is what makes append == rebuild exact. NULL
+    vectors are dropped (there is no nearest centroid for nothing;
+    keeping them would tie-break into cluster min — a junk assignment).
+    ``id_col`` is accepted for signature stability but unused (no
+    per-id regrouping exists anymore)."""
+    del id_col  # assignment is per-row; no id-keyed stage remains
+    cents = centroids.select("cluster", "centroid").collect()
+    if not cents:
+        raise ValueError("assign_to_centroids: empty centroid table")
     emb = emb.filter(F.col(vector_col).isNotNull())
-    scored = emb.crossJoin(
-        F.broadcast(centroids.select("cluster", "centroid"))
-    ).withColumn(
-        "_sim",
-        cosine_similarity_rounded(F.col(vector_col), F.col("centroid")),
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -cosine_similarity_rounded(
+                        F.col(vector_col),
+                        F.array(*[F.lit(float(x)) for x in r["centroid"]]),
+                    )
+                ).alias("ns"),
+                F.lit(r["cluster"]).alias("c"),
+            )
+            for r in cents
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("_sim"), F.asc("cluster")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn(cluster_col, F.col("cluster"))
-        .drop("cluster", "centroid", "_sim", "_rn")
-    )
+    best = F.element_at(F.sort_array(scored), 1)
+    # withColumn AFTER computing best from the original columns, so a
+    # pre-existing column named cluster_col is simply replaced — including
+    # the cluster_col == "cluster" configuration (kmeans_assign output)
+    return emb.withColumn(cluster_col, best["c"])
 
 
 def append_to_ivf_index(
@@ -216,7 +228,15 @@ def maintain_ivf_index(
     caller persists the returned centroid table alongside the index.
     This is the standard IVF freshness trade: appends keep the index
     fresh at delta cost, periodic re-clusters restore assignment quality
-    — the ANN-path twin of TARGET_LAG's refresh cadence."""
+    — the ANN-path twin of TARGET_LAG's refresh cadence.
+
+    Coordination contract: this is a MAINTENANCE-WINDOW operation. Stop
+    any live writer (streaming/ivf_stream.py) before calling — the
+    atomic rename swap would race a concurrent append, and a stream
+    still assigning with the OLD centroids after a re-cluster would land
+    vectors in partitions the new probes never select. Restart the
+    stream with the returned centroid table (see ivf_stream's module
+    docstring for the full stop/maintain/re-init/restart sequence)."""
     import os
     import shutil
 
@@ -388,6 +408,7 @@ def srp_near_dup_pairs(
     max_bucket_size: int = 10_000,
     assume_normalized: bool = True,
     kernel: str = "blas",
+    broadcast_verify_elems: int = 8_000_000,
 ) -> DataFrame:
     """Near-dup pairs (cosine >= threshold) via SRP-LSH banding + exact
     verification. One band-key shuffle + two id equi-joins — near-linear vs
@@ -479,7 +500,7 @@ def srp_near_dup_pairs(
     id_type = emb.schema[id_col].dataType.simpleString()
     n_vecs = emb.count()  # parquet sources: metadata-only job
 
-    if n_vecs * dim <= 8_000_000:
+    if n_vecs * dim <= broadcast_verify_elems:
         pdf_all = emb.select(
             F.col(id_col).alias("_id"),
             F.col(vector_col).cast("array<double>").alias("_v"),

@@ -2,43 +2,68 @@
 appending vector feed, the TARGET_LAG freshness pattern
 (streaming/refresh.py) applied to the partition-pruned search path.
 
-Each micro-batch runs ``operators.ann.append_to_ivf_index``: the batch's
-vectors are assigned to the CURRENT centroids (a pure per-row function —
-broadcast |k|-row cross join, map-side) and their files land under the
-matching cluster partitions, so a query between any two batches sees
-old + new rows with partition pruning intact and no rebuild. Assignment
-purity is what keeps the stream exact with respect to the batch
-operator: appending batches one at a time produces the identical table
-to assigning the whole accumulated feed at once
-(tests/test_index_maintenance.py pins it, including through a live
-foreachBatch stream).
+Each micro-batch assigns its vectors to the CURRENT centroids
+(``operators.ann.assign_to_centroids`` — a pure per-row literal
+expression, zero shuffle) and commits them under a BATCH-ID-KEYED
+partition: the stream-managed layout is ``_sb=<batch>/<cluster>=<id>``,
+written with dynamic partition overwrite, so an at-least-once replay of
+a batch rewrites exactly its own ``_sb`` partitions with identical rows
+— IDEMPOTENT, the same exactly-once recipe as cdc_stream/bloom_stream.
+Queries between any two batches see old + new rows with cluster
+partition pruning intact (cluster stays a physical partition level
+under every ``_sb``) and no rebuild. Assignment purity keeps the stream
+exact with respect to the batch operator: appending batches one at a
+time produces the same (id, cluster) table as assigning the whole
+accumulated feed at once (tests/test_index_maintenance.py pins it,
+including through a live foreachBatch stream and a deliberate replay).
 
 Centroid drift is the one thing appends cannot fix: as the corpus
 grows, cluster means move away from the centroids assignments were made
 with and recall decays. ``drift_report`` reads it live
 (``operators.ann.ivf_centroid_drift``); re-clustering is deliberately
 NOT done inside a micro-batch — it rewrites the whole layout, so it
-belongs to a maintenance window (``operators.ann.maintain_ivf_index``),
-exactly like compact_index for the SRP layout. The split mirrors
-production practice: cheap freshness on the hot path, heavyweight
-re-organization on a schedule.
+belongs to a maintenance window, and it REQUIRES coordination:
 
-At-least-once caveat (vs bloom_stream's idempotent OR): parquet append
-is NOT idempotent — a replayed batch would duplicate its rows. The
-checkpoint makes replays a crash-recovery-only event; exactly-once
-would key each batch's files by batch_id (the cdc_stream pattern) at
-the cost of a manifest read per query. Documented trade, not silently
-ignored.
+    STOP the stream -> run ``operators.ann.maintain_ivf_index`` (or a
+    manual re-cluster) -> re-init the stream layout from the rewritten
+    table (``init_stream_index``) -> RESTART the stream passing the NEW
+    centroid table.
+
+A stream left running (or restarted from its checkpoint with the old
+centroid variable) after a re-cluster would keep assigning against the
+old clustering while queries probe the new one — appended vectors would
+land in partitions the probe never selects. The stop/restart contract
+is the module's price for keeping the hot path cheap; it mirrors
+compact_index's maintenance-window semantics on the SRP layout.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from strava_vector_search_spark.operators.ann import (
-    append_to_ivf_index,
+    assign_to_centroids,
     ivf_centroid_drift,
 )
+
+_BATCH_COL = "_sb"
+
+
+def init_stream_index(
+    base_df: DataFrame,
+    index_path: str,
+    cluster_col: str = "label",
+) -> None:
+    """Write the initial corpus as the stream-managed layout's batch −1:
+    ``_sb=-1/<cluster>=...``. The base keeps whatever cluster assignment
+    it arrives with (original labels, or assign_to_centroids output)."""
+    (
+        base_df.withColumn(_BATCH_COL, F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy(_BATCH_COL, cluster_col)
+        .parquet(index_path)
+    )
 
 
 def process_ivf_batch(
@@ -50,19 +75,20 @@ def process_ivf_batch(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> None:
-    """One append micro-batch: assign against the fixed centroids and
-    append under the matching cluster partitions. O(batch * k) map-side
-    work; empty batches are skipped without touching the layout."""
-    if batch_df.isEmpty():
-        return
-    append_to_ivf_index(
-        batch_df.drop(cluster_col) if cluster_col in batch_df.columns
-        else batch_df,
-        index_path,
-        centroids,
-        cluster_col,
-        vector_col,
-        id_col,
+    """One idempotent append micro-batch: assign against the fixed
+    centroids (map-side literal expression) and dynamic-partition-
+    overwrite ONLY this batch's ``_sb`` partitions — a replayed batch
+    rewrites identical files instead of duplicating rows. An empty batch
+    touches no partitions."""
+    assigned = assign_to_centroids(
+        batch_df, centroids, vector_col, cluster_col, id_col
+    )
+    (
+        assigned.withColumn(_BATCH_COL, F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(_BATCH_COL, cluster_col)
+        .parquet(index_path)
     )
 
 
@@ -75,7 +101,8 @@ def drift_report(
 ) -> DataFrame:
     """Live per-cluster drift of the growing index vs the centroids the
     stream is assigning with — the signal that schedules the next
-    maintain_ivf_index re-cluster window."""
+    re-cluster maintenance window (see module docstring for the
+    stop/maintain/re-init/restart contract)."""
     return ivf_centroid_drift(
         spark, index_path, centroids, cluster_col, vector_col
     )
@@ -94,9 +121,11 @@ def start_ivf_stream(
     trigger_seconds: int = 60,
 ):
     """Wire the append pass as a Structured Stream over an incoming
-    directory of vector files. ``centroids`` must be a stable (small)
+    directory of vector files. ``index_path`` must hold the
+    ``init_stream_index`` layout. ``centroids`` must be a stable (small)
     table — collect/checkpoint it before starting the stream so every
-    batch assigns against the same clustering."""
+    batch assigns against the same clustering; after any re-cluster,
+    stop and restart with the NEW centroid table (module docstring)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_ivf_batch(

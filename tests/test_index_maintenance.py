@@ -266,7 +266,6 @@ def test_streaming_ivf_index_refresh(spark, emb, qv, tmp_path):
 
     from strava_vector_search_spark.operators.ann import (
         append_to_ivf_index,
-        assign_to_centroids,
         compute_centroids,
         ivf_topk,
         write_ivf_index,
@@ -301,33 +300,47 @@ def test_streaming_ivf_index_refresh(spark, emb, qv, tmp_path):
             time.sleep(1)
         assert spark.read.parquet(idx).count() == emb.count()
         got = ivf_topk(spark.read.parquet(idx), qv, k=10, centroids=cents)
-        full = str(tmp_path / "full")
-        write_ivf_index(
-            old.unionByName(assign_to_centroids(new.drop("label"), cents)),
-            full,
-        )
-        want = ivf_topk(spark.read.parquet(full), qv, k=10, centroids=cents)
         assert [tuple(r) for r in got.select("vec_id", "similarity").collect()] \
-            == [tuple(r) for r in want.select("vec_id", "similarity").collect()]
+            == _ivf_rebuild_topk(spark, emb, qv, cents, tmp_path)
     finally:
         q.stop()
 
 
-def test_ivf_stream_module_refresh_and_drift(spark, emb, qv, tmp_path):
-    """The streaming/ivf_stream.py module end-to-end: start_ivf_stream
-    appends live batches; the index converges to the full corpus, drift
-    is readable mid-stream, and search equals a from-scratch assignment
-    of the same rows."""
-    import time
-
+def _ivf_rebuild_topk(spark, emb, qv, cents, tmp_path, name="full"):
+    """Shared oracle for the two streaming tests: a from-scratch layout of
+    old rows + freshly assigned new rows, searched with the same probes."""
     from strava_vector_search_spark.operators.ann import (
         assign_to_centroids,
-        compute_centroids,
         ivf_topk,
         write_ivf_index,
     )
+
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    full = str(tmp_path / name)
+    write_ivf_index(
+        old.unionByName(assign_to_centroids(new.drop("label"), cents)), full
+    )
+    want = ivf_topk(spark.read.parquet(full), qv, k=10, centroids=cents)
+    return [tuple(r) for r in want.select("vec_id", "similarity").collect()]
+
+
+def test_ivf_stream_module_refresh_drift_and_replay(spark, emb, qv, tmp_path):
+    """The streaming/ivf_stream.py module end-to-end on its batch-keyed
+    layout: start_ivf_stream appends live batches; the index converges to
+    the full corpus, drift is readable mid-stream, search equals a
+    from-scratch assignment, and a deliberately REPLAYED batch rewrites
+    its own _sb partitions instead of duplicating rows (idempotence)."""
+    import time
+
+    from strava_vector_search_spark.operators.ann import (
+        compute_centroids,
+        ivf_topk,
+    )
     from strava_vector_search_spark.streaming.ivf_stream import (
         drift_report,
+        init_stream_index,
+        process_ivf_batch,
         start_ivf_stream,
     )
 
@@ -339,7 +352,7 @@ def test_ivf_stream_module_refresh_and_drift(spark, emb, qv, tmp_path):
     idx = str(tmp_path / "idx")
     ckpt = str(tmp_path / "ckpt")
     old.limit(0).write.parquet(feed)
-    write_ivf_index(old, idx)
+    init_stream_index(old, idx)
 
     q = start_ivf_stream(
         spark, feed, idx, ckpt, emb.schema, cents, trigger_seconds=1
@@ -356,13 +369,23 @@ def test_ivf_stream_module_refresh_and_drift(spark, emb, qv, tmp_path):
         assert dr.count() > 0
         assert dr.filter(F.col("drift") < 0).count() == 0
         got = ivf_topk(spark.read.parquet(idx), qv, k=10, centroids=cents)
-        full = str(tmp_path / "full")
-        write_ivf_index(
-            old.unionByName(assign_to_centroids(new.drop("label"), cents)),
-            full,
-        )
-        want = ivf_topk(spark.read.parquet(full), qv, k=10, centroids=cents)
         assert [tuple(r) for r in got.select("vec_id", "similarity").collect()] \
-            == [tuple(r) for r in want.select("vec_id", "similarity").collect()]
+            == _ivf_rebuild_topk(spark, emb, qv, cents, tmp_path)
     finally:
         q.stop()
+    # at-least-once replay: re-running the LAST batch by hand must rewrite
+    # its own _sb partitions with identical rows, not append duplicates
+    n_before = spark.read.parquet(idx).count()
+    last_sb = (
+        spark.read.parquet(idx).agg(F.max("_sb")).collect()[0][0]
+    )
+    # localCheckpoint cuts the file-source lineage so the dynamic
+    # overwrite isn't rejected as writing a path it also reads
+    replay = (
+        spark.read.parquet(idx)
+        .filter(F.col("_sb") == last_sb)
+        .select(*emb.columns)
+        .localCheckpoint()
+    )
+    process_ivf_batch(replay, int(last_sb), idx, cents)
+    assert spark.read.parquet(idx).count() == n_before
