@@ -106,6 +106,21 @@ def write_ivf_index(
     emb.write.mode("overwrite").partitionBy(cluster_col).parquet(path)
 
 
+def write_ivf_centroids(centroids: DataFrame, index_path: str) -> None:
+    """Persist the centroid table next to its index (``<path>_centroids``)
+    so the (layout, clustering) pair travels together — the table
+    maintain_ivf_index tells callers to persist, as an API instead of a
+    docstring instruction."""
+    centroids.select("cluster", "centroid").write.mode("overwrite").parquet(
+        index_path.rstrip("/") + "_centroids"
+    )
+
+
+def read_ivf_centroids(spark, index_path: str) -> DataFrame:
+    """Load the centroid table persisted by :func:`write_ivf_centroids`."""
+    return spark.read.parquet(index_path.rstrip("/") + "_centroids")
+
+
 def assign_to_centroids(
     emb: DataFrame,
     centroids: DataFrame,

@@ -389,3 +389,99 @@ def test_ivf_stream_module_refresh_drift_and_replay(spark, emb, qv, tmp_path):
     )
     process_ivf_batch(replay, int(last_sb), idx, cents)
     assert spark.read.parquet(idx).count() == n_before
+
+
+def test_ivf_full_maintenance_cycle_with_stream(spark, emb, qv, tmp_path):
+    """The documented stop -> maintain -> re-init -> restart contract as a
+    pinned integration flow: stream batches in against C0, stop, run the
+    drift-triggered re-cluster (maintain_ivf_index), re-init the stream
+    layout from the rewritten table, restart against the NEW centroids,
+    stream more rows — the final index is complete, every row's label is
+    the nearest NEW centroid, and the persisted centroid table round-trips."""
+    import time
+
+    from strava_vector_search_spark.operators.ann import (
+        assign_to_centroids,
+        compute_centroids,
+        maintain_ivf_index,
+        read_ivf_centroids,
+        write_ivf_centroids,
+    )
+    from strava_vector_search_spark.streaming.ivf_stream import (
+        init_stream_index,
+        start_ivf_stream,
+    )
+
+    base = emb.filter(F.col("vec_id") < 300)
+    wave1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    wave2 = emb.filter(F.col("vec_id") >= 400)
+    c0 = compute_centroids(base).localCheckpoint(eager=False)
+
+    feed = str(tmp_path / "feed")
+    idx = str(tmp_path / "idx")
+    q = None
+
+    def _stream(ckpt_name, cents):
+        return start_ivf_stream(
+            spark, feed, idx, str(tmp_path / ckpt_name), emb.schema, cents,
+            trigger_seconds=1,
+        )
+
+    def _await(n):
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.read.parquet(idx).count() == n:
+                return
+            time.sleep(1)
+        assert spark.read.parquet(idx).count() == n
+
+    base.limit(0).write.parquet(feed)
+    init_stream_index(base, idx)
+    write_ivf_centroids(c0, idx)
+    q = _stream("ckpt1", c0)
+    try:
+        wave1.write.mode("append").parquet(feed)
+        _await(400)
+    finally:
+        q.stop()  # STOP before the maintenance window
+
+    # maintenance window: any drift triggers the re-cluster
+    status, c1 = maintain_ivf_index(
+        spark, spark.createDataFrame([], emb.schema), idx,
+        read_ivf_centroids(spark, idx), drift_threshold=0.0,
+        cluster_col="label",
+    )
+    assert status == "reclustered"
+    c1 = c1.localCheckpoint(eager=False)
+    # re-init the stream layout from the rewritten table + persist C1
+    rewritten = spark.read.parquet(idx).localCheckpoint()
+    init_stream_index(rewritten, idx)
+    write_ivf_centroids(c1, idx)
+
+    q = _stream("ckpt2", c1)  # RESTART with the new centroids
+    try:
+        wave2.write.mode("append").parquet(feed)
+        _await(emb.count())
+    finally:
+        q.stop()
+
+    # every row's label must be the nearest C1 centroid
+    final = spark.read.parquet(idx)
+    want = sorted(
+        (r["vec_id"], r["label"])
+        for r in assign_to_centroids(final.drop("label"), c1)
+        .select("vec_id", "label")
+        .collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["label"])
+        for r in final.select("vec_id", "label").collect()
+    )
+    assert got == want
+    # persisted centroid table round-trips bit-identically
+    rt = {
+        r["cluster"]: list(r["centroid"])
+        for r in read_ivf_centroids(spark, idx).collect()
+    }
+    for r in c1.collect():
+        assert rt[r["cluster"]] == list(r["centroid"])
