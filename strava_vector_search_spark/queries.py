@@ -6489,6 +6489,21 @@ def smp_rerank_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"smp_rerank_triples": smp_rerank_triples})
 
 
+def _session_memo(cache: dict, spark: SparkSession, sf_dir: str, build):
+    """Per-(SparkSession, sf) memo of a lazily-checkpointed DataFrame —
+    the shared-kernel amortization used by _trade_pairs / _co_order_edges
+    / _doc_shingles. Entries keyed by OTHER applicationIds are evicted on
+    lookup: a checkpointed DataFrame is only valid within its own session,
+    and stale entries would pin dead lineage for the process lifetime."""
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in cache if k[0] != app_id]:
+        del cache[stale]
+    key = (app_id, sf_dir.rstrip("/"))
+    if key not in cache:
+        cache[key] = build().localCheckpoint(eager=False)
+    return cache[key]
+
+
 _TRADE_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -6503,27 +6518,23 @@ def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within its own SparkSession; entries keyed by OTHER applicationIds are
     evicted on lookup — they belong to stopped sessions and would otherwise
     pin dead checkpointed DataFrames for the process lifetime."""
-    app_id = spark.sparkContext.applicationId
-    for stale in [k for k in _TRADE_PAIRS_CACHE if k[0] != app_id]:
-        del _TRADE_PAIRS_CACHE[stale]
-    key = (app_id, sf_dir.rstrip("/"))
-    if key not in _TRADE_PAIRS_CACHE:
+    def _build() -> DataFrame:
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey"
         )
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_suppkey"
         )
-        _TRADE_PAIRS_CACHE[key] = (
+        return (
             o.join(li, o["o_orderkey"] == li["l_orderkey"])
             .select(
                 F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
                 F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
             )
             .distinct()
-            .localCheckpoint(eager=False)
         )
-    return _TRADE_PAIRS_CACHE[key]
+
+    return _session_memo(_TRADE_PAIRS_CACHE, spark, sf_dir, _build)
 
 
 _CO_ORDER_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -6537,15 +6548,11 @@ def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf) as a lazily-checkpointed DataFrame with the same
     eviction rule as :func:`_trade_pairs`: one edge build serves all three
     graph gates instead of re-running the o|><|o self-join per gate."""
-    app_id = spark.sparkContext.applicationId
-    for stale in [k for k in _CO_ORDER_EDGES_CACHE if k[0] != app_id]:
-        del _CO_ORDER_EDGES_CACHE[stale]
-    key = (app_id, sf_dir.rstrip("/"))
-    if key not in _CO_ORDER_EDGES_CACHE:
+    def _build() -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem")
         op = li.select("l_orderkey", "l_partkey").distinct()
         a, b = op.alias("a"), op.alias("b")
-        _CO_ORDER_EDGES_CACHE[key] = (
+        return (
             a.join(
                 b,
                 (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -6558,9 +6565,9 @@ def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("w"))
             .filter(F.col("w") >= 2)
             .select("u", "v")
-            .localCheckpoint(eager=False)
         )
-    return _CO_ORDER_EDGES_CACHE[key]
+
+    return _session_memo(_CO_ORDER_EDGES_CACHE, spark, sf_dir, _build)
 
 
 _DOC_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -6576,16 +6583,14 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume the identical table — one build serves them all."""
     from strava_vector_search_spark.operators.dedup import shingles
 
-    app_id = spark.sparkContext.applicationId
-    for stale in [k for k in _DOC_SHINGLES_CACHE if k[0] != app_id]:
-        del _DOC_SHINGLES_CACHE[stale]
-    key = (app_id, sf_dir.rstrip("/"))
-    if key not in _DOC_SHINGLES_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        _DOC_SHINGLES_CACHE[key] = docs.select(
+    return _session_memo(
+        _DOC_SHINGLES_CACHE,
+        spark,
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "documents").select(
             "doc_id", shingles(F.col("text")).alias("_sh")
-        ).localCheckpoint(eager=False)
-    return _DOC_SHINGLES_CACHE[key]
+        ),
+    )
 
 
 def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12626,6 +12631,11 @@ def vs_topk_filtered_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = md5_embedding_table(
         docs.filter(F.col("doc_id") == 0), "doc_id", "text", dim=768
     ).head()
+    if qrow is None:
+        raise ValueError(
+            "vs_topk_filtered_768: doc_id 0 missing or token-less in "
+            f"{sf_dir} — the gate embeds its text as the query vector"
+        )
     qv = [float(x) for x in qrow["embedding"]]
     top = S.brute_force_topk(corpus, qv, k=10, assume_normalized=False)
     meta = load_table(spark, sf_dir, "documents").select(
@@ -12815,10 +12825,13 @@ def ev_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = ev.groupBy("user_id").agg(F.min(wk).alias("cw"))
     sizes = first.groupBy("cw").agg(F.count(F.lit(1)).alias("n_users"))
     active = ev.select("user_id", wk.alias("w")).distinct()
+    # (user_id, w) is already distinct and cw is a function of user_id, so
+    # each user contributes exactly one row per (cw, age): a plain COUNT is
+    # value-identical to COUNT(DISTINCT user) without the dedup expand pass
     grid = (
         active.join(first, "user_id")
         .groupBy("cw", (F.col("w") - F.col("cw")).alias("age_weeks"))
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
     return (
         grid.join(sizes, "cw")
