@@ -543,3 +543,35 @@ def test_cross_set_contamination_edges(spark):
     rows = {r["vec_id"]: r for r in hits.collect()}
     assert len(rows) == emb.count()
     assert all(r["nearest_eval_id"] == vid for vid, r in rows.items())
+
+
+def test_duplicate_spans_flags_planted_shared_passage(spark, monkeypatch, tmp_path):
+    """dd_duplicate_spans on a crafted corpus: two docs share a long
+    passage (every 40-char window inside it appears in both), a third doc
+    is unique — the sharers get dup_frac > 0 covering the passage windows,
+    the unique doc gets exactly 0."""
+    import strava_vector_search_spark.queries as Q
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays on and the crowd cheers loudly tonight"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA" * 30 + passage),
+            (2, "BBBB" * 30 + passage),
+            (3, "entirely unique content here " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(
+        Q, "load_table", lambda _s, _d, _t: docs
+    )
+    out = {
+        r["doc_id"]: (r["n_win"], r["n_dup"], r["dup_frac"])
+        for r in Q.dd_duplicate_spans(spark, "/ignored").collect()
+    }
+    assert out[3][1] == 0 and out[3][2] == 0.0
+    # the shared passage is >100 chars: several aligned windows must match
+    assert out[1][1] > 0 and out[2][1] > 0
+    assert 0 < out[1][2] < 1 and 0 < out[2][2] < 1
