@@ -245,13 +245,16 @@ def maintain_ivf_index(
     fresh at delta cost, periodic re-clusters restore assignment quality
     — the ANN-path twin of TARGET_LAG's refresh cadence.
 
-    Coordination contract: this is a MAINTENANCE-WINDOW operation. Stop
-    any live writer (streaming/ivf_stream.py) before calling — the
-    atomic rename swap would race a concurrent append, and a stream
-    still assigning with the OLD centroids after a re-cluster would land
-    vectors in partitions the new probes never select. Restart the
-    stream with the returned centroid table (see ivf_stream's module
-    docstring for the full stop/maintain/re-init/restart sequence)."""
+    Coordination contract: this is a MAINTENANCE-WINDOW operation for
+    the PLAIN write_ivf_index layout only. The stream-managed
+    ``_sb``-keyed layout has its own twin
+    (streaming/ivf_stream.maintain_stream_index) — pointing this
+    function at that layout would append bare ``<cluster>=…`` dirs next
+    to the ``_sb=…`` levels and break partition discovery. Either way,
+    stop any live writer first: the atomic rename swap would race a
+    concurrent append, and a stream still assigning with the OLD
+    centroids after a re-cluster would land vectors in partitions the
+    new probes never select. Restart with the returned centroid table."""
     import os
     import shutil
 

@@ -51,6 +51,12 @@ WORD_BITS = 32  # 32-bit words in BIGINT: shifts never touch the sign bit
 # shape; each row stays under this ceiling).
 MAX_DENSE_WORDS = 1 << 26  # 64M words = 2^31 bits = 512 MiB per row
 
+# Above this, the dense-scatter join drops its broadcast HINT: forcing a
+# multi-million-row hash relation onto the driver OOMs long before the
+# dense-row ceiling, and the scatter is a one-off |words|-row stage where
+# a planner-chosen join is fine (the PROBE side stays map-only either way).
+_BROADCAST_HINT_WORDS = 1 << 20
+
 
 def m_bits_for(n: int, fpr: float, k: int = N_HASHES) -> int:
     """Smallest WORD_BITS-aligned filter size whose predicted
@@ -112,8 +118,15 @@ def build_filter(
     junk NULL word through streaming state). ``k`` must match the probe's
     (and ``m_bits_for``'s) — bit positions come from the SAME
     ``_position`` expression the probe evaluates, so build and probe
-    cannot drift apart."""
+    cannot drift apart.
+
+    The LAST word (index ``m_bits/32 - 1``) is always materialized, with
+    an OR-identity 0 contribution if no key touched it: the filter's max
+    word_idx then equals its built size exactly, so a probe at ANY other
+    m_bits — larger or smaller — fails the equality sentinel instead of
+    silently producing false negatives."""
     _check_aligned(m_bits)
+    spark = keys.sparkSession
     exploded = (
         keys.filter(F.col(key_col).isNotNull())
         .select(F.col(key_col).alias("_bf_key"))
@@ -128,6 +141,9 @@ def build_filter(
             ).alias("_bf_pos")
         )
     )
+    seed = spark.createDataFrame(
+        [(m_bits // WORD_BITS - 1, 0)], "word_idx bigint, word bigint"
+    )
     return (
         exploded.select(
             F.expr(f"_bf_pos DIV {WORD_BITS}").alias("word_idx"),
@@ -137,6 +153,9 @@ def build_filter(
         )
         .groupBy("word_idx")
         .agg(F.expr("bit_or(_bf_mask)").alias("word"))
+        .unionByName(seed)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
     )
 
 
@@ -170,17 +189,22 @@ def probe_membership(
             "512 MiB). Use build_sharded_filter / "
             "probe_sharded_membership to shard the key space instead."
         )
-    # Mismatch sentinel: a filter built with LARGER m_bits holds word_idx
-    # past this probe's dense array; the plain left join below would
-    # silently drop those words and re-derive positions mod the smaller m
-    # — unreported false negatives. Fold max(word_idx) from the filter
-    # itself (|words| rows, no join) and raise_error at action time. The
-    # dense scatter stays a broadcast left join (no merge join on the
-    # probe path — PLANS.md asserts it).
+    # Mismatch sentinel: build_filter always materializes the filter's
+    # LAST word, so its max word_idx equals its built n_words - 1 exactly.
+    # A probe at any OTHER m_bits — larger OR smaller — would re-derive
+    # positions mod the wrong m (silent false negatives); the equality
+    # check folds from the filter itself (|words| rows, no join) and
+    # raise_errors at action time instead. The dense scatter stays a
+    # broadcast left join below the hint ceiling (no merge join on the
+    # probe path — PLANS.md asserts it); at very large n_words the hint
+    # is dropped (a forced multi-GB broadcast hash relation would OOM
+    # long before the dense-row ceiling) and the planner picks the join —
+    # the scatter is a one-off |words|-row stage, not the probe hot path.
     maxidx = filt.groupBy().agg(F.max("word_idx").alias("_bf_maxidx"))
+    scatter_src = filt if n_words > _BROADCAST_HINT_WORDS else F.broadcast(filt)
     dense = (
         spark.range(n_words)
-        .join(F.broadcast(filt), F.col("id") == F.col("word_idx"), "left")
+        .join(scatter_src, F.col("id") == F.col("word_idx"), "left")
         .select(
             "id", F.coalesce(F.col("word"), F.lit(0).cast("bigint")).alias("w")
         )
@@ -194,13 +218,12 @@ def probe_membership(
         .crossJoin(F.broadcast(maxidx))
         .select(
             F.when(
-                F.col("_bf_maxidx") >= F.lit(n_words),
+                F.col("_bf_maxidx") != F.lit(n_words - 1),
                 F.raise_error(
                     F.lit(
-                        "bloom build/probe m_bits mismatch: the filter "
-                        f"holds word_idx past this probe's {n_words}-word "
-                        "dense array — probe with the m_bits the filter "
-                        "was built with"
+                        "bloom build/probe m_bits mismatch: the filter's "
+                        f"last word is not at index {n_words - 1} — probe "
+                        "with the m_bits the filter was built with"
                     )
                 ),
             )
@@ -247,14 +270,22 @@ def build_sharded_filter(
     MAX_DENSE_WORDS, which is the limit that actually binds. Bit
     positions reuse ``_position`` verbatim, so per-shard verdicts are
     bit-identical to an unsharded filter of the same m_bits built over
-    just that shard's keys (pinned in tests)."""
+    just that shard's keys (pinned in tests). Every shard's LAST word is
+    materialized (OR-identity 0), so max(shard) and max(word_idx) encode
+    the built (n_shards, m_bits) exactly and a probe at any other sizing
+    fails the equality sentinels instead of silently missing members."""
     _check_aligned(m_bits)
+    spark = keys.sparkSession
     key = F.col(key_col)
     exploded = keys.filter(key.isNotNull()).select(
         _shard_of(key, n_shards).alias("shard"),
         F.explode(
             F.array(*[_position(key, i, m_bits) for i in range(k)])
         ).alias("_bf_pos"),
+    )
+    seed = spark.createDataFrame(
+        [(s, m_bits // WORD_BITS - 1, 0) for s in range(n_shards)],
+        "shard bigint, word_idx bigint, word bigint",
     )
     return (
         exploded.select(
@@ -266,6 +297,9 @@ def build_sharded_filter(
         )
         .groupBy("shard", "word_idx")
         .agg(F.expr("bit_or(_bf_mask)").alias("word"))
+        .unionByName(seed)
+        .groupBy("shard", "word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
     )
 
 
@@ -309,9 +343,14 @@ def probe_sharded_membership(
         .select(F.col("id").alias("gshard"))
         .crossJoin(spark.range(n_words).select(F.col("id").alias("wid")))
     )
+    scatter_src = (
+        filt
+        if n_shards * n_words > _BROADCAST_HINT_WORDS
+        else F.broadcast(filt)
+    )
     per_shard = (
         grid.join(
-            F.broadcast(filt),
+            scatter_src,
             (grid["gshard"] == filt["shard"])
             & (grid["wid"] == filt["word_idx"]),
             "left",
@@ -331,10 +370,11 @@ def probe_sharded_membership(
     )
     # Mismatch sentinels fold from the FILTER itself (|shards x words|
     # rows, one tiny aggregate, no join): they must trip even for shards
-    # the probe keys never touch, and the grid join above must stay a
-    # broadcast left join (no merge join on the probe path). A filter
-    # built with larger m_bits shows word_idx >= n_words; one built with
-    # more shards shows shard ids >= n_shards.
+    # the probe keys never touch. build_sharded_filter materializes every
+    # shard's last word, so max(shard) and max(word_idx) encode the BUILT
+    # (n_shards, m_bits) exactly — equality catches a mismatch in EITHER
+    # direction (a smaller build would otherwise silently probe all-zero
+    # shards / re-derive positions mod the wrong m: false negatives).
     flags = filt.groupBy().agg(
         F.max("word_idx").alias("_gmx"), F.max("shard").alias("_gms")
     )
@@ -343,14 +383,14 @@ def probe_sharded_membership(
         .select(
             "shard",
             F.when(
-                (F.col("_gmx") >= F.lit(n_words))
-                | (F.col("_gms") >= F.lit(n_shards)),
+                (F.col("_gmx") != F.lit(n_words - 1))
+                | (F.col("_gms") != F.lit(n_shards - 1)),
                 F.raise_error(
                     F.lit(
-                        "bloom sharded build/probe mismatch: filter holds "
-                        f"word_idx past {n_words} words or shard ids past "
-                        f"{n_shards} — probe with the (m_bits, n_shards) "
-                        "the filter was built with"
+                        "bloom sharded build/probe mismatch: filter "
+                        f"sentinels disagree with ({n_words} words, "
+                        f"{n_shards} shards) — probe with the (m_bits, "
+                        "n_shards) the filter was built with"
                     )
                 ),
             )

@@ -12638,9 +12638,7 @@ def vs_topk_filtered_768(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     qv = [float(x) for x in qrow["embedding"]]
     top = S.brute_force_topk(corpus, qv, k=10, assume_normalized=False)
-    meta = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars"
-    )
+    meta = docs.select("doc_id", "lang", "n_chars")
     return top.join(meta, "doc_id").select(
         "doc_id", "lang", "n_chars", "similarity"
     )
@@ -12773,12 +12771,19 @@ def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= W
     )
+    # window count per doc is capped at 8192 (docs to ~82K chars scan
+    # fully; longer docs sample their first 8192 windows) — the SAME
+    # bound the oracle's cross-join series carries, so the two engines
+    # stay identical by construction at any document length
     wins = docs.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(
-                    F.lit(0), F.expr(f"(length(text) - {W}) DIV {S}")
+                    F.lit(0),
+                    F.expr(
+                        f"least((length(text) - {W}) DIV {S}, 8191)"
+                    ),
                 ),
                 lambda i: F.col("text").substr(
                     (i * S + 1).cast("int"), F.lit(W)

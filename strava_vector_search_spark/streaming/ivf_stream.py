@@ -24,10 +24,11 @@ with and recall decays. ``drift_report`` reads it live
 NOT done inside a micro-batch — it rewrites the whole layout, so it
 belongs to a maintenance window, and it REQUIRES coordination:
 
-    STOP the stream -> run ``operators.ann.maintain_ivf_index`` (or a
-    manual re-cluster) -> re-init the stream layout from the rewritten
-    table (``init_stream_index``) -> RESTART the stream passing the NEW
-    centroid table.
+    STOP the stream -> run ``maintain_stream_index`` (the
+    _sb-layout-aware twin of ``operators.ann.maintain_ivf_index``, which
+    itself targets only the plain ``write_ivf_index`` layout — mixing
+    the two layouts under one path breaks partition discovery) ->
+    RESTART the stream passing the RETURNED centroid table.
 
 A stream left running (or restarted from its checkpoint with the old
 centroid variable) after a re-cluster would keep assigning against the
@@ -90,6 +91,49 @@ def process_ivf_batch(
         .partitionBy(_BATCH_COL, cluster_col)
         .parquet(index_path)
     )
+
+
+def maintain_stream_index(
+    spark: SparkSession,
+    index_path: str,
+    centroids: DataFrame,
+    drift_threshold: float = 0.05,
+    cluster_col: str = "label",
+    vector_col: str = "embedding",
+) -> tuple[str, DataFrame]:
+    """Maintenance-window re-cluster for the STREAM-MANAGED (_sb-keyed)
+    layout — call with the stream STOPPED. Measures drift vs the
+    centroids the stream has been assigning with; past the threshold,
+    recomputes centroids from the full current membership, re-assigns
+    every row, and re-initializes the layout (all rows fold back to
+    batch −1, so the restarted stream's batch ids can never collide with
+    history). Returns ("fresh", centroids) or ("reclustered",
+    new_centroids) — restart the stream with whichever comes back.
+
+    The plain-layout twin, ``operators.ann.maintain_ivf_index``, must
+    NOT be pointed at this layout: its delta append writes
+    ``<cluster>=…`` dirs next to the ``_sb=…`` levels and Spark
+    partition discovery rejects the mix."""
+    from strava_vector_search_spark.operators.ann import (
+        assign_to_centroids,
+        compute_centroids,
+    )
+
+    drift = ivf_centroid_drift(
+        spark, index_path, centroids, cluster_col, vector_col
+    )
+    worst = drift.agg(F.max("drift")).collect()[0][0]
+    if worst is None or worst <= drift_threshold:
+        return "fresh", centroids
+    rows = spark.read.parquet(index_path).drop(_BATCH_COL).localCheckpoint()
+    new_centroids = compute_centroids(
+        rows, cluster_col, vector_col
+    ).localCheckpoint(eager=False)
+    reassigned = assign_to_centroids(
+        rows.drop(cluster_col), new_centroids, vector_col, cluster_col
+    )
+    init_stream_index(reassigned, index_path, cluster_col)
+    return "reclustered", new_centroids
 
 
 def drift_report(

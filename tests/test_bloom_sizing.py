@@ -186,3 +186,29 @@ def test_sharded_mismatch_raises(spark):
     f_many = build_sharded_filter(keys, "k", 16)
     with pytest.raises(Exception, match="mismatch"):
         probe_sharded_membership(keys, "k", f_many, 4).collect()
+
+
+def test_probe_with_larger_m_than_build_raises(spark):
+    """The REVERSE mismatch (probe m > build m) used to be undetectable —
+    the last-word seed makes the equality sentinel catch it too."""
+    keys = spark.range(100).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    filt = build_filter(keys, "k")  # default 16_384 bits
+    probed = probe_membership(keys, "k", filt, m_bits=1 << 20)
+    with pytest.raises(Exception, match="m_bits mismatch"):
+        probed.collect()
+
+
+def test_sharded_fewer_shards_build_raises(spark):
+    from strava_vector_search_spark.operators.bloom import (
+        build_sharded_filter,
+        probe_sharded_membership,
+    )
+
+    keys = spark.range(200).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    f_few = build_sharded_filter(keys, "k", 2)
+    with pytest.raises(Exception, match="mismatch"):
+        probe_sharded_membership(keys, "k", f_few, 4).collect()

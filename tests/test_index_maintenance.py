@@ -403,12 +403,12 @@ def test_ivf_full_maintenance_cycle_with_stream(spark, emb, qv, tmp_path):
     from strava_vector_search_spark.operators.ann import (
         assign_to_centroids,
         compute_centroids,
-        maintain_ivf_index,
         read_ivf_centroids,
         write_ivf_centroids,
     )
     from strava_vector_search_spark.streaming.ivf_stream import (
         init_stream_index,
+        maintain_stream_index,
         start_ivf_stream,
     )
 
@@ -445,17 +445,13 @@ def test_ivf_full_maintenance_cycle_with_stream(spark, emb, qv, tmp_path):
     finally:
         q.stop()  # STOP before the maintenance window
 
-    # maintenance window: any drift triggers the re-cluster
-    status, c1 = maintain_ivf_index(
-        spark, spark.createDataFrame([], emb.schema), idx,
-        read_ivf_centroids(spark, idx), drift_threshold=0.0,
-        cluster_col="label",
+    # maintenance window (stream stopped): any drift triggers the
+    # layout-aware re-cluster + re-init, returning the new centroids
+    status, c1 = maintain_stream_index(
+        spark, idx, read_ivf_centroids(spark, idx), drift_threshold=0.0
     )
     assert status == "reclustered"
     c1 = c1.localCheckpoint(eager=False)
-    # re-init the stream layout from the rewritten table + persist C1
-    rewritten = spark.read.parquet(idx).localCheckpoint()
-    init_stream_index(rewritten, idx)
     write_ivf_centroids(c1, idx)
 
     q = _stream("ckpt2", c1)  # RESTART with the new centroids
