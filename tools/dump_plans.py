@@ -827,6 +827,29 @@ EXPECTATIONS: dict[str, dict] = {
         "broadcast_offsets": "BroadcastHashJoin",
         "partial_agg": "partial_",
     },
+    "ann_ivf_append_assign": {
+        # assignment is a pure literal expression (no window, no
+        # cartesian); centroid build + readout aggregates partial-combine;
+        # the metadata join-back rides a broadcast
+        "partial_agg": "partial_",
+        "no_window_sort": "!Window \\[",
+        "no_cartesian": "!CartesianProduct",
+        "broadcast_joinback": "Broadcast",
+    },
+    "dd_duplicate_spans": {
+        # linear window explode; the only shuffles are the window-hash
+        # aggregate and the per-doc rollup, both partial-combined
+        "partial_agg": "partial_",
+        "no_cartesian": "!CartesianProduct",
+        "no_window_sort": "!Window \\[",
+    },
+    "ev_retention_matrix": {
+        # two partial-combined aggregates + bounded-grid division; the
+        # plain COUNT keeps the grid agg expand-free
+        "partial_agg": "partial_",
+        "no_cartesian": "!CartesianProduct",
+        "no_expand": "!Expand",
+    },
     "dd_bloom_sharded_decontaminate": {
         # one dense row PER SHARD; the probe picks its shard via a
         # broadcast hash join on md5(key) % n_shards — the corpus side
