@@ -8147,16 +8147,18 @@ FROM agg ORDER BY doc_id
 """
 
 
-# dd_duplicate_spans — 40-char windows at stride 10; lateral series via the
-# bounded-cross-join recipe (DuckDB range() cannot take lateral arguments).
+# dd_duplicate_spans — 10-token windows at stride 1 (alignment-free);
+# lateral series via the bounded-cross-join recipe (DuckDB range()
+# cannot take lateral arguments).
 ORACLES["dd_duplicate_spans"] = f"""
-WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+d AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 10),
 series AS (SELECT range AS i FROM range(0, 8192)),
 win AS (
   SELECT doc_id,
-         {_md5i("substr(text, CAST(i*10 + 1 AS BIGINT), 40)")} AS h
+         {_md5i("array_to_string(ts[i+1:i+10], ' ')")} AS h
   FROM d, series
-  WHERE i <= (length(text) - 40) // 10
+  WHERE i <= len(ts) - 10
 ),
 st AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY h),
 per AS (

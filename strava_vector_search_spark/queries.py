@@ -12754,24 +12754,30 @@ QUERIES.update({"dd_bloom_sharded_decontaminate": dd_bloom_sharded_decontaminate
 
 
 def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level (span) dedup readout — the training-data hygiene
+    """Passage-level (span) dedup readout — the training-data hygiene
     operator behind 'remove repeated passages, not just repeated docs'
-    (the public exact-substring-dedup recipe applied Spark-shaped): every
-    document emits overlapping 40-char windows at stride 10 (a pure
-    per-row explode, ~n_chars/10 rows per doc, linear), windows hash
+    (the public exact-substring-dedup recipe applied Spark-shaped):
+    every document emits overlapping 10-TOKEN windows at stride 1 (a
+    pure per-row explode, ~n_tokens rows per doc, linear), windows hash
     through the portable md5 idiom, and a span is DUPLICATED when its
-    hash appears in >= 2 distinct documents. Per-doc readout: window
-    count, duplicated-window count, duplicated fraction. The only
-    shuffle is the window-hash aggregate (same key-space-moves-once
-    shape as tx_ngram_novelty); at 100 TB the span table is the cost and
-    it is one map + one combine-heavy aggregate, never doc x doc."""
-    W, S = 40, 10
-    from strava_vector_search_spark.operators.dedup import md5_int
+    hash appears in >= 2 distinct documents. Token windows at stride 1
+    are ALIGNMENT-FREE: a shared passage of >= 10 tokens matches no
+    matter where it sits in each document (the r8 stride-10 char-window
+    form only caught passages whose char offsets agreed mod 10 — a ~90%
+    recall hole on arbitrary placement). Per-doc readout: window count,
+    duplicated-window count, duplicated fraction. The only shuffle is
+    the window-hash aggregate (same key-space-moves-once shape as
+    tx_ngram_novelty); at 100 TB the span table is the cost and it is
+    one map + one combine-heavy aggregate, never doc x doc."""
+    K = 10
+    from strava_vector_search_spark.operators.dedup import md5_int, tokens
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= W
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("_ts"))
+        .filter(F.size("_ts") >= K)
     )
-    # window count per doc is capped at 8192 (docs to ~82K chars scan
+    # window count per doc is capped at 8192 (docs to ~8.2K tokens scan
     # fully; longer docs sample their first 8192 windows) — the SAME
     # bound the oracle's cross-join series carries, so the two engines
     # stay identical by construction at any document length
@@ -12781,12 +12787,10 @@ def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.sequence(
                     F.lit(0),
-                    F.expr(
-                        f"least((length(text) - {W}) DIV {S}, 8191)"
-                    ),
+                    F.least(F.size("_ts") - K, F.lit(8191)),
                 ),
-                lambda i: F.col("text").substr(
-                    (i * S + 1).cast("int"), F.lit(W)
+                lambda i: F.array_join(
+                    F.slice(F.col("_ts"), i + 1, K), " "
                 ),
             )
         ).alias("w"),

@@ -545,22 +545,28 @@ def test_cross_set_contamination_edges(spark):
     assert all(r["nearest_eval_id"] == vid for vid, r in rows.items())
 
 
-def test_duplicate_spans_flags_planted_shared_passage(spark, monkeypatch, tmp_path):
-    """dd_duplicate_spans on a crafted corpus: two docs share a long
-    passage (every 40-char window inside it appears in both), a third doc
-    is unique — the sharers get dup_frac > 0 covering the passage windows,
-    the unique doc gets exactly 0."""
+def test_duplicate_spans_flags_misaligned_shared_passage(spark, monkeypatch):
+    """dd_duplicate_spans on a crafted corpus: two docs share an
+    18-token passage planted at DIFFERENT offsets — different prefix
+    token counts (3 vs 7) AND char offsets differing by a non-multiple
+    of 10 (17 vs 44 chars) — the exact case the r8 stride-10 char
+    windows missed ~90% of the time. Token windows at stride 1 are
+    alignment-free, so every one of the passage's 9 complete 10-token
+    windows must match in both docs; a third unique doc gets exactly 0."""
     import strava_vector_search_spark.queries as Q
 
     passage = (
         "the quick brown fox jumps over the lazy dog while the band "
-        "plays on and the crowd cheers loudly tonight"
-    )
+        "plays on and the crowd cheers"
+    )  # 18 tokens -> 9 complete 10-token windows
+    pre1 = "alpha beta gamma "  # 3 tokens, 17 chars
+    pre2 = "one two three four five six seven "  # 7 tokens, 34 chars
     docs = spark.createDataFrame(
         [
-            (1, "AAAA" * 30 + passage),
-            (2, "BBBB" * 30 + passage),
-            (3, "entirely unique content here " * 10),
+            (1, pre1 + passage + " ending words here for one"),
+            (2, pre2 + passage + " totally different tail text"),
+            (3, "entirely unique content here repeated never elsewhere "
+                "with many extra filler tokens to clear the minimum " * 3),
         ],
         "doc_id long, text string",
     )
@@ -572,6 +578,6 @@ def test_duplicate_spans_flags_planted_shared_passage(spark, monkeypatch, tmp_pa
         for r in Q.dd_duplicate_spans(spark, "/ignored").collect()
     }
     assert out[3][1] == 0 and out[3][2] == 0.0
-    # the shared passage is >100 chars: several aligned windows must match
-    assert out[1][1] > 0 and out[2][1] > 0
+    # alignment-free recall: all 9 passage windows match in BOTH docs
+    assert out[1][1] >= 9 and out[2][1] >= 9
     assert 0 < out[1][2] < 1 and 0 < out[2][2] < 1
