@@ -98,12 +98,86 @@ def ivf_topk(
     )
 
 
+# --- IVF layout marker ------------------------------------------------------
+# Two physical layouts exist for an IVF index: PLAIN (<cluster>=… dirs,
+# write_ivf_index) and STREAM (_sb=<batch>/<cluster>=… dirs,
+# streaming/ivf_stream.init_stream_index). Each has its own maintainer;
+# pointing one at the other's layout writes partition dirs at the wrong
+# nesting level and Spark partition discovery rejects — or worse, silently
+# mis-prunes — the mix. Creation stamps the layout into an
+# underscore-prefixed marker file (parquet scans ignore it) and every
+# layout-writing maintenance entry point asserts it.
+
+IVF_LAYOUT_PLAIN = "plain"
+IVF_LAYOUT_STREAM = "stream"
+_LAYOUT_MARKER = "_ivf_layout"
+
+
+def _marker_file(path: str) -> str:
+    import os
+
+    return os.path.join(path.rstrip("/"), _LAYOUT_MARKER)
+
+
+def write_ivf_layout_marker(path: str, layout: str) -> None:
+    """Stamp an index directory with its physical layout. Local-FS file
+    I/O, like the atomic-rename swap in maintain_ivf_index — on an object
+    store both become the FileSystem API's create/rename calls."""
+    with open(_marker_file(path), "w", encoding="ascii") as f:
+        f.write(layout)
+
+
+def read_ivf_layout(path: str) -> str | None:
+    """The index's layout: the marker if present, else INFERRED from the
+    first-level partition directories (pre-marker indexes): ``_sb=…``
+    means stream, any other ``<col>=…`` dir means plain, neither means
+    unknown (None — a new or empty path)."""
+    import os
+
+    mf = _marker_file(path)
+    if os.path.exists(mf):
+        with open(mf, encoding="ascii") as f:
+            return f.read().strip()
+    if not os.path.isdir(path):
+        return None
+    names = os.listdir(path)
+    if any(n.startswith(_BATCH_PREFIX) for n in names):
+        return IVF_LAYOUT_STREAM
+    if any(
+        "=" in n for n in names if not n.startswith(("_", "."))
+    ):
+        return IVF_LAYOUT_PLAIN
+    return None
+
+
+_BATCH_PREFIX = "_sb="  # first partition level of the stream layout
+
+
+def assert_ivf_layout(path: str, expected: str, op: str) -> None:
+    """Fail LOUDLY when a maintainer targets the other layout — the mixed
+    layout would otherwise break partition discovery at the NEXT read,
+    far from the write that caused it. Unknown layouts pass (new paths)."""
+    actual = read_ivf_layout(path)
+    if actual is not None and actual != expected:
+        raise ValueError(
+            f"{op}: index at {path!r} has the {actual!r} layout, not the "
+            f"{expected!r} layout this maintainer manages — use "
+            "operators.ann (write_ivf_index/append_to_ivf_index/"
+            "maintain_ivf_index) for 'plain' and streaming.ivf_stream "
+            "(init_stream_index/process_ivf_batch/maintain_stream_index) "
+            "for 'stream'; mixing the two under one path breaks partition "
+            "discovery."
+        )
+
+
 def write_ivf_index(
     emb: DataFrame, path: str, cluster_col: str = "label"
 ) -> None:
     """Persist the embeddings partitioned by cluster — the physical layout
-    that turns ivf_topk's candidate filter into partition pruning."""
+    that turns ivf_topk's candidate filter into partition pruning. Stamps
+    the PLAIN layout marker (see assert_ivf_layout)."""
     emb.write.mode("overwrite").partitionBy(cluster_col).parquet(path)
+    write_ivf_layout_marker(path, IVF_LAYOUT_PLAIN)
 
 
 def write_ivf_centroids(centroids: DataFrame, index_path: str) -> None:
@@ -121,6 +195,13 @@ def read_ivf_centroids(spark, index_path: str) -> DataFrame:
     return spark.read.parquet(index_path.rstrip("/") + "_centroids")
 
 
+# Literal-lane ceiling for assign_to_centroids: above this many inlined
+# floats (k × dim) the centroid table travels as broadcast DATA instead of
+# Catalyst literals. 32768 ≈ 512 centroids at dim 64 / 42 at dim 768 —
+# well under where expression-tree size starts to hurt codegen.
+_ASSIGN_LITERAL_MAX_ELEMS = 32768
+
+
 def assign_to_centroids(
     emb: DataFrame,
     centroids: DataFrame,
@@ -128,24 +209,60 @@ def assign_to_centroids(
     cluster_col: str = "label",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Nearest-centroid assignment as a PURE MAP-SIDE expression: the
-    |k|-row centroid table is collected once (the centroid-table driver
-    class) and compiled into literal arrays, each row evaluates k cosine
-    folds and takes the argmax via ``element_at(sort_array(...), 1)``
-    over (−sim, cluster) structs — 6-dp cosine, cluster-id tie-break,
-    zero shuffle, zero join, nothing but a projection in the plan. This
-    is the pure per-row function incremental IVF maintenance appends
-    with — the same vector against the same centroids always lands in
-    the same cluster, which is what makes append == rebuild exact. NULL
-    vectors are dropped (there is no nearest centroid for nothing;
-    keeping them would tie-break into cluster min — a junk assignment).
-    ``id_col`` is accepted for signature stability but unused (no
-    per-id regrouping exists anymore)."""
+    """Nearest-centroid assignment as a PURE MAP-SIDE computation: each
+    row evaluates k cosine folds and takes the argmax via
+    ``element_at(sort_array(...), 1)`` over (−sim, cluster) structs —
+    6-dp cosine, cluster-id tie-break, zero shuffle. This is the pure
+    per-row function incremental IVF maintenance appends with — the same
+    vector against the same centroids always lands in the same cluster,
+    which is what makes append == rebuild exact. NULL vectors are
+    dropped (there is no nearest centroid for nothing; keeping them
+    would tie-break into cluster min — a junk assignment). ``id_col``
+    is accepted for signature stability but unused (no per-id
+    regrouping exists anymore).
+
+    Two lanes, same semantics, chosen by k×dim:
+    * small (≤ ``_ASSIGN_LITERAL_MAX_ELEMS`` literal floats): centroids
+      compile into LITERAL arrays — nothing but a projection in the
+      plan, zero join. Past that bound the expression tree itself
+      becomes the problem (thousands of 768-d centroids = millions of
+      Catalyst nodes → codegen/plan-size limits), so
+    * large: centroids travel as DATA — one broadcast row holding an
+      array<struct<c,v>> (k×dim×8 bytes; ~6 MB at k=1000, dim=768),
+      attached by a 1-row broadcast nested-loop crossJoin, argmax over
+      a ``transform`` of that array. Still zero shuffle of the
+      embedding table; the plan gains one broadcast exchange.
+    Both lanes sort (−sim, cluster) structs, so the argmax is
+    order-independent and the two lanes are assignment-identical
+    (pinned by tests/test_index_maintenance.py)."""
     del id_col  # assignment is per-row; no id-keyed stage remains
     cents = centroids.select("cluster", "centroid").collect()
     if not cents:
         raise ValueError("assign_to_centroids: empty centroid table")
     emb = emb.filter(F.col(vector_col).isNotNull())
+    dim = len(cents[0]["centroid"] or ())
+    if len(cents) * max(dim, 1) > _ASSIGN_LITERAL_MAX_ELEMS:
+        packed = centroids.select(
+            F.struct(
+                F.col("cluster").alias("c"),
+                F.col("centroid").cast("array<double>").alias("v"),
+            ).alias("s")
+        ).agg(F.collect_list("s").alias("_bf_cents"))
+        scored = F.transform(
+            F.col("_bf_cents"),
+            lambda s: F.struct(
+                (
+                    -cosine_similarity_rounded(F.col(vector_col), s["v"])
+                ).alias("ns"),
+                s["c"].alias("c"),
+            ),
+        )
+        best = F.element_at(F.sort_array(scored), 1)
+        return (
+            emb.crossJoin(F.broadcast(packed))
+            .withColumn(cluster_col, best["c"])
+            .drop("_bf_cents")
+        )
     scored = F.array(
         *[
             F.struct(
@@ -184,6 +301,7 @@ def append_to_ivf_index(
     append_to_srp_index for the SRP bands. Centroids DRIFT as the corpus
     grows — ivf_centroid_drift measures it and maintain_ivf_index
     re-clusters past a threshold."""
+    assert_ivf_layout(path, IVF_LAYOUT_PLAIN, "append_to_ivf_index")
     assigned = assign_to_centroids(
         new_emb.drop(cluster_col), centroids, vector_col, cluster_col, id_col
     )
@@ -202,23 +320,41 @@ def ivf_centroid_drift(
     (one partial-combined aggregate over the index scan), plus the member
     count. Appends pull the true mean away from the centroid the
     assignments were made with; past a drift threshold, recall decays and
-    a re-cluster pays for itself."""
+    a re-cluster pays for itself.
+
+    LEFT join from the stored centroid table: a cluster whose members
+    were all reassigned/removed still shows up — with ``n_members = 0``
+    and maximal drift 1.0 — so maintain_ivf_index's max-drift trigger
+    sees emptied clusters instead of silently skipping them. The member
+    count is a column-pruned scan of just the partition column (file
+    metadata at parquet, no row data)."""
+    rows = spark.read.parquet(path)
     current = compute_centroids(
-        spark.read.parquet(path), cluster_col, vector_col
+        rows, cluster_col, vector_col
     ).withColumnRenamed("centroid", "current_mean")
+    counts = rows.groupBy(F.col(cluster_col).alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
     return (
-        centroids.join(
-            current, centroids["cluster"] == current["cluster"]
-        )
+        centroids.select("cluster", "centroid")
+        .join(current, "cluster", "left")
+        .join(counts, "cluster", "left")
         .select(
-            centroids["cluster"],
-            F.round(
-                F.lit(1.0)
-                - cosine_similarity_rounded(
-                    F.col("centroid"), F.col("current_mean")
-                ),
-                6,
-            ).alias("drift"),
+            "cluster",
+            F.coalesce("n_members", F.lit(0).cast("bigint")).alias(
+                "n_members"
+            ),
+            F.when(F.col("current_mean").isNull(), F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.lit(1.0)
+                    - cosine_similarity_rounded(
+                        F.col("centroid"), F.col("current_mean")
+                    ),
+                    6,
+                )
+            )
+            .alias("drift"),
         )
     )
 
@@ -246,11 +382,11 @@ def maintain_ivf_index(
     — the ANN-path twin of TARGET_LAG's refresh cadence.
 
     Coordination contract: this is a MAINTENANCE-WINDOW operation for
-    the PLAIN write_ivf_index layout only. The stream-managed
-    ``_sb``-keyed layout has its own twin
-    (streaming/ivf_stream.maintain_stream_index) — pointing this
+    the PLAIN write_ivf_index layout only (ASSERTED against the layout
+    marker — the stream-managed ``_sb``-keyed layout has its own twin,
+    streaming/ivf_stream.maintain_stream_index, and pointing this
     function at that layout would append bare ``<cluster>=…`` dirs next
-    to the ``_sb=…`` levels and break partition discovery. Either way,
+    to the ``_sb=…`` levels and break partition discovery). Either way,
     stop any live writer first: the atomic rename swap would race a
     concurrent append, and a stream still assigning with the OLD
     centroids after a re-cluster would land vectors in partitions the
@@ -258,17 +394,17 @@ def maintain_ivf_index(
     import os
     import shutil
 
+    assert_ivf_layout(path, IVF_LAYOUT_PLAIN, "maintain_ivf_index")
     append_to_ivf_index(
         new_emb, path, centroids, cluster_col, vector_col, id_col
     )
-    drift = ivf_centroid_drift(spark, path, centroids, cluster_col, vector_col)
-    worst = drift.agg(F.max("drift")).collect()[0][0]
-    if worst is None or worst <= drift_threshold:
+    if max_drift(spark, path, centroids, cluster_col, vector_col) <= (
+        drift_threshold
+    ):
         return "appended", centroids
     rows = spark.read.parquet(path).localCheckpoint(eager=False)
-    new_centroids = compute_centroids(rows, cluster_col, vector_col)
-    reassigned = assign_to_centroids(
-        rows.drop(cluster_col), new_centroids, vector_col, cluster_col, id_col
+    new_centroids, reassigned = recluster_assignments(
+        rows, cluster_col, vector_col
     )
     tmp = path.rstrip("/") + "__reclustering"
     reassigned.write.mode("overwrite").partitionBy(cluster_col).parquet(tmp)
@@ -276,7 +412,46 @@ def maintain_ivf_index(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    write_ivf_layout_marker(path, IVF_LAYOUT_PLAIN)
     return "reclustered", new_centroids
+
+
+def max_drift(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    cluster_col: str = "label",
+    vector_col: str = "embedding",
+) -> float:
+    """Worst per-cluster drift of an index vs its assignment centroids —
+    the shared trigger readout of both maintainers (plain + stream). An
+    index with no stored centroids reads as 0.0 (nothing to drift from)."""
+    drift = ivf_centroid_drift(
+        spark, path, centroids, cluster_col, vector_col
+    )
+    worst = drift.agg(F.max("drift")).collect()[0][0]
+    return 0.0 if worst is None else float(worst)
+
+
+def recluster_assignments(
+    rows: DataFrame,
+    cluster_col: str = "label",
+    vector_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Shared re-cluster core of both maintainers: recompute centroids
+    from the full current membership and re-assign every row to them.
+    Returns (new_centroids, reassigned rows); the caller owns the layout
+    rewrite (atomic rename swap for plain, init_stream_index for stream).
+    The centroid table is lazily checkpointed — it feeds both the
+    reassignment and the caller's return value, and without the
+    checkpoint each consumer would recompute the full centroid pass."""
+    new_centroids = compute_centroids(
+        rows, cluster_col, vector_col
+    ).localCheckpoint(eager=False)
+    reassigned = assign_to_centroids(
+        rows.drop(cluster_col), new_centroids, vector_col, cluster_col
+    )
+    return new_centroids, reassigned
 
 
 # ---------------------------------------------------------------------------

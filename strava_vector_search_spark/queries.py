@@ -12652,15 +12652,20 @@ def ann_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids come from the BASE corpus (vec_id % 5 != 0, existing label
     clusters — the index as last built), the DELTA (vec_id % 5 == 0) is
     assigned to those FIXED centroids exactly as append_to_ivf_index
-    appends it (operators/ann.assign_to_centroids: broadcast |k|-row
-    cross join, argmax 6-dp cosine, cluster tie-break), and the gate
-    reports the per-cluster delta intake (count + mean similarity).
-    Assignment is a pure per-row function of (vector, centroids), which
-    is why the append path equals a rebuild against the same centroids —
-    the parity tests/test_index_maintenance.py pins on the real layout.
-    Scale: centroid build is one partial-combined aggregate over the
-    base; the assignment never shuffles the delta (map-side cross join
-    against |k| broadcast rows + per-id window over k-row groups)."""
+    appends it (operators/ann.assign_to_centroids: the collected |k|-row
+    centroid table compiled into a literal struct array, argmax via
+    element_at(sort_array((−6-dp-cosine, cluster)), 1) — cluster
+    tie-break), and the gate reports the per-cluster delta intake
+    (count + mean similarity). Assignment is a pure per-row function of
+    (vector, centroids), which is why the append path equals a rebuild
+    against the same centroids — the parity
+    tests/test_index_maintenance.py pins on the real layout. Scale: the
+    centroid build is one partial-combined aggregate over the base; the
+    assignment never shuffles the delta — at this gate's k×dim it is a
+    pure projection (zero join, zero shuffle; the dump_plans
+    expectations pin no Window / no CartesianProduct), and past the
+    literal ceiling assign_to_centroids switches to its one-broadcast-
+    row packed lane, still shuffle-free."""
     from strava_vector_search_spark.operators.ann import (
         assign_to_centroids,
         compute_centroids,

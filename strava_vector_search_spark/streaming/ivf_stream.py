@@ -44,8 +44,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from strava_vector_search_spark.operators.ann import (
+    IVF_LAYOUT_STREAM,
+    assert_ivf_layout,
     assign_to_centroids,
     ivf_centroid_drift,
+    write_ivf_layout_marker,
 )
 
 _BATCH_COL = "_sb"
@@ -58,13 +61,16 @@ def init_stream_index(
 ) -> None:
     """Write the initial corpus as the stream-managed layout's batch −1:
     ``_sb=-1/<cluster>=...``. The base keeps whatever cluster assignment
-    it arrives with (original labels, or assign_to_centroids output)."""
+    it arrives with (original labels, or assign_to_centroids output).
+    Stamps the STREAM layout marker (operators.ann.assert_ivf_layout) so
+    the plain-layout maintainer fails loudly if pointed here."""
     (
         base_df.withColumn(_BATCH_COL, F.lit(-1))
         .write.mode("overwrite")
         .partitionBy(_BATCH_COL, cluster_col)
         .parquet(index_path)
     )
+    write_ivf_layout_marker(index_path, IVF_LAYOUT_STREAM)
 
 
 def process_ivf_batch(
@@ -81,6 +87,7 @@ def process_ivf_batch(
     overwrite ONLY this batch's ``_sb`` partitions — a replayed batch
     rewrites identical files instead of duplicating rows. An empty batch
     touches no partitions."""
+    assert_ivf_layout(index_path, IVF_LAYOUT_STREAM, "process_ivf_batch")
     assigned = assign_to_centroids(
         batch_df, centroids, vector_col, cluster_col, id_col
     )
@@ -111,26 +118,28 @@ def maintain_stream_index(
     new_centroids) — restart the stream with whichever comes back.
 
     The plain-layout twin, ``operators.ann.maintain_ivf_index``, must
-    NOT be pointed at this layout: its delta append writes
-    ``<cluster>=…`` dirs next to the ``_sb=…`` levels and Spark
-    partition discovery rejects the mix."""
+    NOT be pointed at this layout (ASSERTED via the layout marker, both
+    ways): its delta append writes ``<cluster>=…`` dirs next to the
+    ``_sb=…`` levels and Spark partition discovery rejects the mix.
+    Drift trigger and re-cluster core are shared with the plain
+    maintainer (operators.ann.max_drift / recluster_assignments); only
+    the layout rewrite differs — init_stream_index here, the atomic
+    rename swap there."""
     from strava_vector_search_spark.operators.ann import (
-        assign_to_centroids,
-        compute_centroids,
+        max_drift,
+        recluster_assignments,
     )
 
-    drift = ivf_centroid_drift(
-        spark, index_path, centroids, cluster_col, vector_col
+    assert_ivf_layout(
+        index_path, IVF_LAYOUT_STREAM, "maintain_stream_index"
     )
-    worst = drift.agg(F.max("drift")).collect()[0][0]
-    if worst is None or worst <= drift_threshold:
+    if max_drift(
+        spark, index_path, centroids, cluster_col, vector_col
+    ) <= drift_threshold:
         return "fresh", centroids
     rows = spark.read.parquet(index_path).drop(_BATCH_COL).localCheckpoint()
-    new_centroids = compute_centroids(
+    new_centroids, reassigned = recluster_assignments(
         rows, cluster_col, vector_col
-    ).localCheckpoint(eager=False)
-    reassigned = assign_to_centroids(
-        rows.drop(cluster_col), new_centroids, vector_col, cluster_col
     )
     init_stream_index(reassigned, index_path, cluster_col)
     return "reclustered", new_centroids
@@ -170,6 +179,7 @@ def start_ivf_stream(
     table — collect/checkpoint it before starting the stream so every
     batch assigns against the same clustering; after any re-cluster,
     stop and restart with the NEW centroid table (module docstring)."""
+    assert_ivf_layout(index_path, IVF_LAYOUT_STREAM, "start_ivf_stream")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_ivf_batch(

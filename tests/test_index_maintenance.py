@@ -481,3 +481,135 @@ def test_ivf_full_maintenance_cycle_with_stream(spark, emb, qv, tmp_path):
     }
     for r in c1.collect():
         assert rt[r["cluster"]] == list(r["centroid"])
+
+
+def test_ivf_layout_guard_rejects_cross_maintenance(spark, emb, tmp_path):
+    """The r8 footgun, now an error instead of silent mis-pruning: each
+    maintainer pointed at the OTHER layout must raise immediately, and
+    the marker survives both creation paths + the re-cluster rename swap."""
+    from strava_vector_search_spark.operators.ann import (
+        append_to_ivf_index,
+        compute_centroids,
+        maintain_ivf_index,
+        read_ivf_layout,
+        write_ivf_index,
+    )
+    from strava_vector_search_spark.streaming.ivf_stream import (
+        init_stream_index,
+        maintain_stream_index,
+        process_ivf_batch,
+    )
+
+    base = emb.filter(F.col("vec_id") < 300)
+    delta = emb.filter(F.col("vec_id") >= 300).localCheckpoint(eager=False)
+    cents = compute_centroids(base).localCheckpoint(eager=False)
+
+    plain = str(tmp_path / "plain")
+    write_ivf_index(base, plain)
+    assert read_ivf_layout(plain) == "plain"
+
+    stream = str(tmp_path / "stream")
+    init_stream_index(base, stream)
+    assert read_ivf_layout(stream) == "stream"
+
+    # plain-layout maintainers pointed at the stream layout: LOUD failure
+    with pytest.raises(ValueError, match="'stream' layout"):
+        append_to_ivf_index(delta, stream, cents)
+    with pytest.raises(ValueError, match="'stream' layout"):
+        maintain_ivf_index(spark, delta, stream, cents)
+    # stream-layout maintainers pointed at the plain layout: LOUD failure
+    with pytest.raises(ValueError, match="'plain' layout"):
+        process_ivf_batch(delta, 0, plain, cents)
+    with pytest.raises(ValueError, match="'plain' layout"):
+        maintain_stream_index(spark, plain, cents)
+    # neither failed write corrupted the layouts
+    assert spark.read.parquet(plain).count() == base.count()
+    assert spark.read.parquet(stream).count() == base.count()
+
+    # the marker survives the plain re-cluster's atomic rename swap
+    status, _ = maintain_ivf_index(
+        spark, delta, plain, cents, drift_threshold=0.0
+    )
+    assert status == "reclustered"
+    assert read_ivf_layout(plain) == "plain"
+
+
+def test_ivf_layout_inferred_for_premarker_indexes(spark, emb, tmp_path):
+    """Indexes written before the marker existed still guard correctly:
+    layout is inferred from the first-level partition dirs."""
+    import os
+
+    from strava_vector_search_spark.operators.ann import (
+        read_ivf_layout,
+        write_ivf_index,
+    )
+    from strava_vector_search_spark.streaming.ivf_stream import (
+        init_stream_index,
+    )
+
+    plain = str(tmp_path / "plain")
+    write_ivf_index(emb.filter(F.col("vec_id") < 100), plain)
+    os.remove(os.path.join(plain, "_ivf_layout"))
+    assert read_ivf_layout(plain) == "plain"
+
+    stream = str(tmp_path / "stream")
+    init_stream_index(emb.filter(F.col("vec_id") < 100), stream)
+    os.remove(os.path.join(stream, "_ivf_layout"))
+    assert read_ivf_layout(stream) == "stream"
+
+    assert read_ivf_layout(str(tmp_path / "nonexistent")) is None
+
+
+def test_assign_packed_lane_matches_literal_lane(spark, emb, monkeypatch):
+    """Past the literal-expression ceiling the centroid table travels as
+    one broadcast DATA row; assignments must be identical to the literal
+    lane (same 6-dp cosine, same (−sim, cluster) tie-break)."""
+    import strava_vector_search_spark.operators.ann as A
+
+    base = emb.filter(F.col("vec_id") < 500)
+    cents = A.compute_centroids(base).localCheckpoint(eager=False)
+    want = sorted(
+        (r["vec_id"], r["label"])
+        for r in A.assign_to_centroids(base.drop("label"), cents)
+        .select("vec_id", "label")
+        .collect()
+    )
+    # force the packed lane regardless of k x dim
+    monkeypatch.setattr(A, "_ASSIGN_LITERAL_MAX_ELEMS", 0)
+    got_df = A.assign_to_centroids(base.drop("label"), cents)
+    got = sorted(
+        (r["vec_id"], r["label"])
+        for r in got_df.select("vec_id", "label").collect()
+    )
+    assert got == want
+    # the embedding side is not shuffled: broadcast attach only
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_drift_reports_emptied_clusters(spark, emb, tmp_path):
+    """A stored centroid whose cluster has no current members must still
+    appear in the drift readout (n_members = 0, drift = 1.0) so the
+    maintenance trigger can see it — the r8 inner join dropped it."""
+    from strava_vector_search_spark.operators.ann import (
+        compute_centroids,
+        ivf_centroid_drift,
+        write_ivf_index,
+    )
+
+    base = emb.filter(F.col("vec_id") < 300)
+    cents = compute_centroids(base).localCheckpoint(eager=False)
+    labels = [r["cluster"] for r in cents.select("cluster").collect()]
+    gone = max(labels)
+    idx = str(tmp_path / "idx")
+    write_ivf_index(base.filter(F.col("label") != gone), idx)
+    dr = {
+        r["cluster"]: (r["n_members"], r["drift"])
+        for r in ivf_centroid_drift(spark, idx, cents).collect()
+    }
+    assert set(dr) == set(labels)
+    assert dr[gone] == (0, 1.0)
+    for c in labels:
+        if c != gone:
+            assert dr[c][0] > 0 and dr[c][1] == 0.0
