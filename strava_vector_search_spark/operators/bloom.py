@@ -124,7 +124,13 @@ def build_filter(
     an OR-identity 0 contribution if no key touched it: the filter's max
     word_idx then equals its built size exactly, so a probe at ANY other
     m_bits — larger or smaller — fails the equality sentinel instead of
-    silently producing false negatives."""
+    silently producing false negatives. The built ``k`` is encoded the
+    same way, as a marker row at ``word_idx = -1`` carrying ``word = k``
+    (negative indexes never join the dense scatter, and OR-merging
+    partial filters of the SAME k keeps the marker fixed — ``k | k =
+    k``): a probe at a different k — fewer hashes (excess false
+    positives) or more (false NEGATIVES on bits the build never set) —
+    fails the same equality sentinel instead of silently mis-probing."""
     _check_aligned(m_bits)
     spark = keys.sparkSession
     exploded = (
@@ -142,7 +148,8 @@ def build_filter(
         )
     )
     seed = spark.createDataFrame(
-        [(m_bits // WORD_BITS - 1, 0)], "word_idx bigint, word bigint"
+        [(m_bits // WORD_BITS - 1, 0), (-1, k)],
+        "word_idx bigint, word bigint",
     )
     return (
         exploded.select(
@@ -200,7 +207,12 @@ def probe_membership(
     # is dropped (a forced multi-GB broadcast hash relation would OOM
     # long before the dense-row ceiling) and the planner picks the join —
     # the scatter is a one-off |words|-row stage, not the probe hot path.
-    maxidx = filt.groupBy().agg(F.max("word_idx").alias("_bf_maxidx"))
+    sent = filt.groupBy().agg(
+        F.max("word_idx").alias("_bf_maxidx"),
+        F.max(
+            F.when(F.col("word_idx") < 0, F.col("word"))
+        ).alias("_bf_k"),
+    )
     scatter_src = filt if n_words > _BROADCAST_HINT_WORDS else F.broadcast(filt)
     dense = (
         spark.range(n_words)
@@ -215,15 +227,17 @@ def probe_membership(
                 lambda s: s["w"],
             ).alias("_bf_w_raw")
         )
-        .crossJoin(F.broadcast(maxidx))
+        .crossJoin(F.broadcast(sent))
         .select(
             F.when(
-                F.col("_bf_maxidx") != F.lit(n_words - 1),
+                (F.col("_bf_maxidx") != F.lit(n_words - 1))
+                | (F.coalesce(F.col("_bf_k"), F.lit(-1)) != F.lit(k)),
                 F.raise_error(
                     F.lit(
-                        "bloom build/probe m_bits mismatch: the filter's "
-                        f"last word is not at index {n_words - 1} — probe "
-                        "with the m_bits the filter was built with"
+                        "bloom build/probe mismatch: the filter's "
+                        f"sentinels disagree with (m_bits={m_bits}, "
+                        f"k={k}) — probe with the (m_bits, k) the filter "
+                        "was built with"
                     )
                 ),
             )
@@ -272,8 +286,10 @@ def build_sharded_filter(
     bit-identical to an unsharded filter of the same m_bits built over
     just that shard's keys (pinned in tests). Every shard's LAST word is
     materialized (OR-identity 0), so max(shard) and max(word_idx) encode
-    the built (n_shards, m_bits) exactly and a probe at any other sizing
-    fails the equality sentinels instead of silently missing members."""
+    the built (n_shards, m_bits) exactly, the built ``k`` rides a
+    ``(shard=-1, word_idx=-1, word=k)`` marker row (as in build_filter),
+    and a probe at any other (m_bits, n_shards, k) fails the equality
+    sentinels instead of silently missing members."""
     _check_aligned(m_bits)
     spark = keys.sparkSession
     key = F.col(key_col)
@@ -284,7 +300,8 @@ def build_sharded_filter(
         ).alias("_bf_pos"),
     )
     seed = spark.createDataFrame(
-        [(s, m_bits // WORD_BITS - 1, 0) for s in range(n_shards)],
+        [(s, m_bits // WORD_BITS - 1, 0) for s in range(n_shards)]
+        + [(-1, -1, k)],
         "shard bigint, word_idx bigint, word bigint",
     )
     return (
@@ -376,21 +393,28 @@ def probe_sharded_membership(
     # direction (a smaller build would otherwise silently probe all-zero
     # shards / re-derive positions mod the wrong m: false negatives).
     flags = filt.groupBy().agg(
-        F.max("word_idx").alias("_gmx"), F.max("shard").alias("_gms")
+        F.max("word_idx").alias("_gmx"),
+        F.max("shard").alias("_gms"),
+        F.max(
+            F.when(F.col("word_idx") < 0, F.col("word"))
+        ).alias("_gk"),
     )
     dense = (
         per_shard.crossJoin(F.broadcast(flags))
         .select(
-            "shard",
+            # collision-safe internal name: a plain "shard" would make
+            # the final drop() remove a caller's same-named column too
+            F.col("shard").alias("_bf_shard"),
             F.when(
                 (F.col("_gmx") != F.lit(n_words - 1))
-                | (F.col("_gms") != F.lit(n_shards - 1)),
+                | (F.col("_gms") != F.lit(n_shards - 1))
+                | (F.coalesce(F.col("_gk"), F.lit(-1)) != F.lit(k)),
                 F.raise_error(
                     F.lit(
                         "bloom sharded build/probe mismatch: filter "
                         f"sentinels disagree with ({n_words} words, "
-                        f"{n_shards} shards) — probe with the (m_bits, "
-                        "n_shards) the filter was built with"
+                        f"{n_shards} shards, k={k}) — probe with the "
+                        "(m_bits, n_shards, k) the filter was built with"
                     )
                 ),
             )
@@ -400,7 +424,7 @@ def probe_sharded_membership(
     )
     out = pairs.join(
         F.broadcast(dense),
-        _shard_of(F.col(key_col), n_shards) == F.col("shard"),
+        _shard_of(F.col(key_col), n_shards) == F.col("_bf_shard"),
         "left",
     )
     cond = F.lit(True)
@@ -416,4 +440,4 @@ def probe_sharded_membership(
         cond = cond & (word.bitwiseAND(mask) == mask)
     return out.withColumn(
         out_col, F.coalesce(cond, F.lit(False))
-    ).drop("shard", "_bf_words")
+    ).drop("_bf_shard", "_bf_words")

@@ -93,7 +93,7 @@ def test_probe_with_smaller_m_than_build_raises(spark):
     )
     filt = build_filter(keys, "k", m_bits=1 << 20)
     probed = probe_membership(keys, "k", filt)  # default 16_384 bits
-    with pytest.raises(Exception, match="m_bits mismatch"):
+    with pytest.raises(Exception, match="build/probe mismatch"):
         probed.collect()
 
 
@@ -196,7 +196,7 @@ def test_probe_with_larger_m_than_build_raises(spark):
     )
     filt = build_filter(keys, "k")  # default 16_384 bits
     probed = probe_membership(keys, "k", filt, m_bits=1 << 20)
-    with pytest.raises(Exception, match="m_bits mismatch"):
+    with pytest.raises(Exception, match="build/probe mismatch"):
         probed.collect()
 
 
@@ -212,3 +212,56 @@ def test_sharded_fewer_shards_build_raises(spark):
     f_few = build_sharded_filter(keys, "k", 2)
     with pytest.raises(Exception, match="mismatch"):
         probe_sharded_membership(keys, "k", f_few, 4).collect()
+
+
+def test_probe_with_different_k_than_build_raises(spark):
+    """k now rides the filter as a word_idx=-1 marker row: a probe at
+    fewer hashes (excess FPs) or more (false negatives) must fail the
+    equality sentinel in BOTH directions, unsharded and sharded."""
+    from strava_vector_search_spark.operators.bloom import (
+        build_sharded_filter,
+        probe_sharded_membership,
+    )
+
+    keys = spark.range(100).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    filt3 = build_filter(keys, "k", k=3)
+    with pytest.raises(Exception, match="build/probe mismatch"):
+        probe_membership(keys, "k", filt3, k=4).collect()
+    filt5 = build_filter(keys, "k", k=5)
+    with pytest.raises(Exception, match="build/probe mismatch"):
+        probe_membership(keys, "k", filt5, k=4).collect()
+    # matching non-default k still probes clean (zero false negatives)
+    ok = probe_membership(keys, "k", filt3, k=3)
+    assert ok.filter(~F.col("maybe_member")).count() == 0
+
+    sh3 = build_sharded_filter(keys, "k", n_shards=4, k=3)
+    with pytest.raises(Exception, match="build/probe mismatch"):
+        probe_sharded_membership(
+            keys, "k", sh3, n_shards=4, k=4
+        ).collect()
+    ok = probe_sharded_membership(keys, "k", sh3, n_shards=4, k=3)
+    assert ok.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_sharded_probe_preserves_caller_shard_column(spark):
+    """The probe's internal join key is _bf_shard-aliased: a caller whose
+    pairs table already carries a 'shard' column must get it back
+    untouched (a plain drop(\"shard\") used to remove BOTH)."""
+    from strava_vector_search_spark.operators.bloom import (
+        build_sharded_filter,
+        probe_sharded_membership,
+    )
+
+    keys = spark.range(50).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    filt = build_sharded_filter(keys, "k", n_shards=4)
+    pairs = keys.withColumn("shard", F.col("k").substr(5, 2).cast("int"))
+    out = probe_sharded_membership(pairs, "k", filt, n_shards=4)
+    assert "shard" in out.columns
+    got = {r["k"]: r["shard"] for r in out.collect()}
+    want = {r["k"]: r["shard"] for r in pairs.collect()}
+    assert got == want
+    assert out.filter(~F.col("maybe_member")).count() == 0
