@@ -113,6 +113,17 @@ def md5_embedding_table(
             "m"
         )
     )
+    # Densification inflates each row ~10x (a ~60-entry sparse map
+    # becomes a dim-wide array built with dim linear map lookups), but
+    # AQE sizes the post-agg coalescing by the PRE-projection bytes — at
+    # any scale it over-coalesces and the expensive projection lands on
+    # too few tasks (measured: ONE task and ~1.6 s of the sf0.1 flagship
+    # gate before this). Explicit repartition by id keeps the
+    # densification at cluster width; the shuffled payload is the small
+    # sparse form.
+    dense = dense.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "_id"
+    )
     arr = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)).cast(
@@ -123,6 +134,29 @@ def md5_embedding_table(
         F.col("_id").alias(id_col),
         arr.cast("array<float>").alias("embedding"),
     )
+
+
+def md5_embed_text_local(text: str, dim: int = 768) -> list[float]:
+    """Driver-side pure-Python twin of :func:`md5_embedding_table` for
+    ONE query string — what a production client does with the query text
+    (embed at the client, ship the vector), saving the two-shuffle 1-row
+    Spark pipeline (~1 s of fixed latency per search at 32 shuffle
+    partitions). Bit-identical to the table kernel on the same text:
+    same tokenizer (lower → split on non-[a-z0-9]), same 60-bit md5
+    bucket/weight idiom, and every bucket sum is an exact integer ≤ ~1e5
+    so the float round trip loses nothing (parity pinned in
+    tests/test_embed.py against the table kernel)."""
+    import hashlib
+    import re
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    vec = [0.0] * dim
+    for tok in re.split(r"[^a-z0-9]+", text.lower()):
+        if tok:
+            vec[md5i(tok) % dim] += md5i("w" + tok) % 1000
+    return vec
 
 
 def hash_embed_text(spark, text: str, dim: int = DEFAULT_DIM) -> list[float]:

@@ -272,6 +272,8 @@ def brute_force_topk_blas(
     id_col: str = "doc_id",
     predicate: Column | None = None,
     similarity_col: str = "similarity",
+    assume_normalized: bool = True,
+    payload: bool = True,
 ) -> DataFrame:
     """Exact top-k with a dense BLAS inner kernel: each Arrow batch is
     scored with one float64 numpy matvec and reduced to its local top-k
@@ -284,6 +286,15 @@ def brute_force_topk_blas(
     codegen lambda iteration per element. Use for the 1M+ regime; the
     expression form remains the default (no Python in the plan, pushdown
     guaranteed).
+
+    ``assume_normalized=False`` scores FULL cosine — dot / (norm_doc ·
+    norm_query), the expression lane's exact formula with matvec +
+    einsum row norms. On integer-valued embeddings (the md5 parity
+    kernel) every dot/norm² term is exact below 2^53, and IEEE
+    sqrt/mul/div are correctly rounded, so this lane is BIT-IDENTICAL
+    to the expression lane (pinned in tests/test_search.py) — which is
+    why the 768-d flagship gate can ride it and keep its value-hash
+    oracle green.
     """
     import numpy as np
     import pandas as pd
@@ -298,19 +309,26 @@ def brute_force_topk_blas(
         df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_vec"))
     )
     q = None
+    qn = None
 
     id_type = corpus.schema[id_col].dataType.simpleString()
 
     def _score(batches):
-        nonlocal q
+        nonlocal q, qn
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if q is None:
                 q = np.asarray(query_vec, dtype="float64")
+                qn = float(np.sqrt(q @ q))
             ids = pdf["_id"].to_numpy()
             mat = np.stack(pdf["_vec"].to_numpy()).astype("float64")
-            s = np.round(mat @ q, 6)
+            d = mat @ q
+            if assume_normalized:
+                s = np.round(d, 6)
+            else:
+                rn = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+                s = np.round(d / (rn * qn), 6)
             idx = _local_topk_ties(s, ids, k)
             yield pd.DataFrame({"_id": ids[idx], similarity_col: s[idx]})
 
@@ -318,11 +336,13 @@ def brute_force_topk_blas(
         _score, f"_id {id_type}, {similarity_col} double"
     )
     top = local.orderBy(F.desc(similarity_col), F.asc("_id")).limit(k)
+    top = top.withColumnRenamed("_id", id_col)
+    if not payload:
+        # (id, similarity) only — callers joining their own metadata skip
+        # the corpus join-back (and the second consumption of its lineage)
+        return top
     # join back for the full rows (k-row broadcast)
-    return (
-        F.broadcast(top.withColumnRenamed("_id", id_col))
-        .join(df, id_col, "inner")
-    )
+    return F.broadcast(top).join(df, id_col, "inner")
 
 
 def hybrid_topk(

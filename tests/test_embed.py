@@ -89,3 +89,30 @@ def test_md5_embedding_matches_pure_python_replay(spark):
                 expected[md5i(tok) % 768] += md5i("w" + tok) % 1000
         assert out[doc_id] == expected
         assert all(v == int(v) for v in out[doc_id])  # exact integers
+
+
+def test_md5_embed_text_local_matches_table_kernel(spark):
+    """The driver-side query-embedding twin must be bit-identical to the
+    distributed md5 kernel on the same text — including unicode, mixed
+    separators, and leading/trailing separators."""
+    from strava_vector_search_spark.functions.embed import (
+        md5_embed_text_local,
+        md5_embedding_table,
+    )
+
+    texts = [
+        "The quick brown fox; jumps over 42 lazy dogs!",
+        "  --leading and trailing--  ",
+        "Grüße aus München — naïve café crème",
+        "a",
+        "repeated repeated repeated tokens tokens",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    table = {
+        r["doc_id"]: [float(x) for x in r["embedding"]]
+        for r in md5_embedding_table(df, "doc_id", "text", dim=768).collect()
+    }
+    for i, t in enumerate(texts):
+        assert table[i] == md5_embed_text_local(t, dim=768), f"text {i!r}"

@@ -379,3 +379,42 @@ def test_binary_pack_randomized_parity_spark_vs_python(spark):
     }
     for i, v in rows:
         assert got[i] == S.pack_sign_words(v), f"row {i}"
+
+
+def test_blas_cosine_lane_bit_identical_to_expression_lane(spark):
+    """assume_normalized=False BLAS scoring must be BIT-identical to the
+    expression cosine on integer-valued embeddings (the md5 parity
+    kernel): dot/norm-squared terms are exact below 2^53 and IEEE
+    sqrt/mul/div are correctly rounded — the argument that lets the
+    768-d flagship gate ride the BLAS lane under its value-hash oracle."""
+    from pyspark.sql import functions as F
+
+    from strava_vector_search_spark.functions.embed import (
+        md5_embedding_table,
+    )
+    from strava_vector_search_spark.io.tables import load_table
+    from strava_vector_search_spark.operators.search import (
+        brute_force_topk,
+        brute_force_topk_blas,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = md5_embedding_table(
+        docs.filter(F.col("doc_id") != 0), "doc_id", "text", dim=768
+    ).localCheckpoint(eager=False)
+    qv = [
+        float(x)
+        for x in md5_embedding_table(
+            docs.filter(F.col("doc_id") == 0), "doc_id", "text", dim=768
+        ).head()["embedding"]
+    ]
+    expr = brute_force_topk(corpus, qv, k=25, assume_normalized=False)
+    blas = brute_force_topk_blas(
+        corpus, qv, k=25, assume_normalized=False, payload=False
+    )
+    got_e = [
+        (r["doc_id"], r["similarity"])
+        for r in expr.select("doc_id", "similarity").collect()
+    ]
+    got_b = [(r["doc_id"], r["similarity"]) for r in blas.collect()]
+    assert got_e == got_b  # bit-identical scores, identical order
