@@ -31,9 +31,13 @@ EXPECTATIONS: dict[str, dict] = {
     },
     "vs_topk_filtered_768": {
         # metadata filters reach the documents scan BEFORE the embed
-        # explode; bucket sums partial-combine; top-10 never global-sorts
+        # explode; bucket sums partial-combine; scoring rides the
+        # Arrow-batched BLAS kernel (MapInPandas — the one deliberate
+        # Python stage); top-10 never global-sorts
         "pushed_filter": r"PushedFilters: \[.*(In\(lang|EqualTo\(lang)",
         "partial_agg": "partial_",
+        "arrow_blas_kernel": "MapInPandas",
+        "no_row_python": "!BatchEvalPython",
         "top_k_no_sort": "TakeOrderedAndProject",
         "no_cartesian": "!CartesianProduct",
     },
@@ -849,6 +853,43 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_cartesian": "!CartesianProduct",
         "no_expand": "!Expand",
+    },
+    "tx_bpe_merges": {
+        # iterative merge selection: each round's pair table is
+        # localCheckpointed, so the FINAL plan is the last round's
+        # bounded readout — no window, no join explosion, no Python
+        "no_cartesian": "!CartesianProduct",
+        "no_window_sort": "!Window \\[",
+        "no_python": "!BatchEvalPython",
+    },
+    "tx_pmi_pairs": {
+        # corpus co-occurrence counts partial-combine; the marginal
+        # table broadcasts back; top pairs via TakeOrderedAndProject
+        "partial_agg": "partial_",
+        "broadcast_marginals": "BroadcastHashJoin",
+        "no_cartesian": "!CartesianProduct",
+        "no_window_sort": "!Window \\[",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_python": "!BatchEvalPython",
+    },
+    "ml_confusion_metrics": {
+        # one partial-combined |classes|^2 confusion aggregate over the
+        # shared prediction kernel; every later join/window runs on the
+        # bounded class grid, never the corpus
+        "partial_agg": "partial_",
+        "no_cartesian": "!CartesianProduct",
+        "no_python": "!BatchEvalPython",
+    },
+    "ev_markov_stationary": {
+        # events fold ONCE into the |states|^2 transition kernel; the
+        # sessionizing windows are user_id-keyed (scalable), the
+        # fixed-point iteration runs on the tiny kernel via a 1-row
+        # broadcast (BroadcastNestedLoopJoin), never a cartesian
+        "partial_agg": "partial_",
+        "keyed_window": "Window",
+        "one_row_broadcast": "BroadcastNestedLoopJoin",
+        "no_cartesian": "!CartesianProduct",
+        "no_python": "!BatchEvalPython",
     },
     "dd_bloom_sharded_decontaminate": {
         # one dense row PER SHARD; the probe picks its shard via a

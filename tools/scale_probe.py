@@ -304,6 +304,61 @@ def main() -> None:
                     "broadcast eval shingles; corpus side map-only scan + "
                     "partial-agg, no corpus shuffle"))
 
+    # ---- round 9: span-level dedup shape (dd_duplicate_spans) — the
+    # honesty probe for the 8192-window/doc cap: report the windows/doc
+    # distribution and the DROPPED-coverage fraction, so "capped" can
+    # never silently mean "sampled dedup" on long-doc corpora.
+    K = 10
+    tl = big_docs.select(
+        "doc_id", D.tokens(F.col("text")).alias("_ts")
+    ).filter(F.size("_ts") >= K)
+
+    def _spans():
+        wins = tl.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.least(F.size("_ts") - K, F.lit(8191))
+                    ),
+                    lambda i: F.array_join(F.slice(F.col("_ts"), i + 1, K), " "),
+                )
+            ).alias("w"),
+        ).select("doc_id", D.md5_int(F.col("w")).alias("h"))
+        st = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+        return (
+            wins.join(st, "h")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_win"),
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+            )
+            .count()
+        )
+
+    sec, n = t(_spans)
+    nw = F.size("_ts") - K + 1
+    cov = tl.select(
+        F.sum(F.least(nw, F.lit(8192))).alias("kept"),
+        F.sum(nw).alias("total"),
+        F.max(nw).alias("max_win"),
+        F.avg(nw).alias("avg_win"),
+        F.sum((nw > 8192).cast("int")).alias("n_capped"),
+    ).head()
+    dropped = 1.0 - cov["kept"] / cov["total"]
+    results.append((
+        "duplicate_spans 10-tok stride-1",
+        f"{n_docs:,} docs",
+        sec,
+        f"{n:,} docs scored, {cov['total']:,} windows (avg "
+        f"{cov['avg_win']:.0f}/doc, max {cov['max_win']:,}); 8192 cap hit "
+        f"by {cov['n_capped']:,} docs = {dropped:.2%} of windows dropped "
+        "(the cap is inert below ~8.2K-token docs; on long-doc corpora "
+        "this fraction IS the un-deduped tail — raise the cap or chunk "
+        "docs first). One explode + one hash-keyed aggregate + join "
+        "back: the window table moves once, never doc x doc",
+    ))
+
     # ---- BM25 + vocab encode at ~50K docs (text is ~10x the corpus)
     from strava_vector_search_spark.operators.fulltext import (
         BM25_TERMS, bm25_corpus_stats, bm25_topk,
