@@ -94,15 +94,19 @@ def _position(key: Column, i: int, m_bits: int) -> Column:
     return F.pmod(md5_int(F.concat(key, F.lit(f"#{i}"))), F.lit(m_bits))
 
 
-def _check_aligned(m_bits: int) -> None:
+def _check_aligned(m_bits: int, k: int = N_HASHES) -> None:
     """Non-word-aligned m silently drops the tail word from the dense
     probe array (positions past the last full word probe NULL→false:
-    FALSE NEGATIVES) — refuse it at both build and probe entry."""
+    FALSE NEGATIVES) — refuse it at both build and probe entry. k < 1 is
+    refused too: a k=0 build writes an empty filter whose k=0 probe
+    vacuously reports EVERY key a member, sentinels agreeing."""
     if m_bits <= 0 or m_bits % WORD_BITS:
         raise ValueError(
             f"m_bits must be a positive multiple of {WORD_BITS}, got "
             f"{m_bits}; size with m_bits_for(n, fpr)"
         )
+    if k < 1:
+        raise ValueError(f"k (hash count) must be >= 1, got {k}")
 
 
 def build_filter(
@@ -131,7 +135,7 @@ def build_filter(
     k``): a probe at a different k — fewer hashes (excess false
     positives) or more (false NEGATIVES on bits the build never set) —
     fails the same equality sentinel instead of silently mis-probing."""
-    _check_aligned(m_bits)
+    _check_aligned(m_bits, k)
     spark = keys.sparkSession
     exploded = (
         keys.filter(F.col(key_col).isNotNull())
@@ -187,7 +191,18 @@ def probe_membership(
     # array's O(1) element_at took 3 s). The scatter is a |words|-row
     # range join, one-off.
     spark = filt.sparkSession
-    _check_aligned(m_bits)
+    _check_aligned(m_bits, k)
+    if "shard" in filt.columns:
+        # A SHARDED filter would sail past the (m_bits, k) sentinels —
+        # every shard materializes its last word and the k marker rides
+        # shard -1 — while the dense scatter collects n_shards rows per
+        # word_idx into one oversized array: silently garbled verdicts,
+        # INCLUDING false negatives. Refuse by schema instead.
+        raise ValueError(
+            "probe_membership got a sharded filter (it has a 'shard' "
+            "column) — probe it with probe_sharded_membership(..., "
+            "n_shards=<the build's n_shards>)"
+        )
     n_words = m_bits // WORD_BITS
     if n_words > MAX_DENSE_WORDS:
         raise ValueError(
@@ -290,7 +305,7 @@ def build_sharded_filter(
     ``(shard=-1, word_idx=-1, word=k)`` marker row (as in build_filter),
     and a probe at any other (m_bits, n_shards, k) fails the equality
     sentinels instead of silently missing members."""
-    _check_aligned(m_bits)
+    _check_aligned(m_bits, k)
     spark = keys.sparkSession
     key = F.col(key_col)
     exploded = keys.filter(key.isNotNull()).select(
@@ -346,7 +361,16 @@ def probe_sharded_membership(
     one-line join-hint change documented here rather than a third code
     path. A filter built with larger m_bits or a different n_shards
     raise_errors at action time (word_idx / shard-id sentinels)."""
-    _check_aligned(m_bits)
+    _check_aligned(m_bits, k)
+    if "shard" not in filt.columns:
+        # the unsharded build has no 'shard' column; without this check
+        # the grid join below fails with a column-resolution error that
+        # names internal aliases instead of the actual mistake
+        raise ValueError(
+            "probe_sharded_membership got an UNSHARDED filter (no "
+            "'shard' column) — probe it with probe_membership, or build "
+            "with build_sharded_filter"
+        )
     n_words = m_bits // WORD_BITS
     if n_words > MAX_DENSE_WORDS:
         raise ValueError(

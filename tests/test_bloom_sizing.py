@@ -265,3 +265,48 @@ def test_sharded_probe_preserves_caller_shard_column(spark):
     want = {r["k"]: r["shard"] for r in pairs.collect()}
     assert got == want
     assert out.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_probe_refuses_wrong_lane_filters(spark):
+    """Lane crossing must fail LOUDLY at call time: a sharded filter fed
+    to the unsharded probe passes the (m_bits, k) sentinels — every shard
+    materializes its last word and the k marker rides shard -1 — while
+    the dense scatter collects n_shards rows per word_idx into one
+    garbled oversized array (false negatives included). The reverse
+    direction used to die in column resolution naming internal aliases."""
+    from strava_vector_search_spark.operators.bloom import (
+        build_sharded_filter,
+        probe_sharded_membership,
+    )
+
+    keys = spark.range(50).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    sharded = build_sharded_filter(keys, "k", 4)
+    with pytest.raises(ValueError, match="sharded filter"):
+        probe_membership(keys, "k", sharded)
+    plain = build_filter(keys, "k")
+    with pytest.raises(ValueError, match="UNSHARDED"):
+        probe_sharded_membership(keys, "k", plain, 4)
+
+
+def test_k_below_one_refused_everywhere(spark):
+    """k=0 would build an empty filter whose k=0 probe vacuously calls
+    EVERY key a member with sentinels agreeing — refuse at entry."""
+    from strava_vector_search_spark.operators.bloom import (
+        build_sharded_filter,
+        probe_sharded_membership,
+    )
+
+    keys = spark.range(5).select(F.col("id").cast("string").alias("k"))
+    filt = build_filter(keys, "k")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="hash count"):
+            build_filter(keys, "k", k=bad)
+        with pytest.raises(ValueError, match="hash count"):
+            probe_membership(keys, "k", filt, k=bad)
+        with pytest.raises(ValueError, match="hash count"):
+            build_sharded_filter(keys, "k", 4, k=bad)
+    sharded = build_sharded_filter(keys, "k", 4)
+    with pytest.raises(ValueError, match="hash count"):
+        probe_sharded_membership(keys, "k", sharded, 4, k=0)
