@@ -236,12 +236,16 @@ def assign_to_centroids(
     order-independent and the two lanes are assignment-identical
     (pinned by tests/test_index_maintenance.py)."""
     del id_col  # assignment is per-row; no id-keyed stage remains
-    cents = centroids.select("cluster", "centroid").collect()
-    if not cents:
+    # Lane decision from metadata only (one row + a count): the packed
+    # lane exists precisely because k x dim is too big to ship through
+    # the driver, so it must never collect the full centroid table.
+    first = centroids.select("centroid").head()
+    if first is None:
         raise ValueError("assign_to_centroids: empty centroid table")
     emb = emb.filter(F.col(vector_col).isNotNull())
-    dim = len(cents[0]["centroid"] or ())
-    if len(cents) * max(dim, 1) > _ASSIGN_LITERAL_MAX_ELEMS:
+    dim = len(first["centroid"] or ())
+    n_cents = centroids.count()
+    if n_cents * max(dim, 1) > _ASSIGN_LITERAL_MAX_ELEMS:
         packed = centroids.select(
             F.struct(
                 F.col("cluster").alias("c"),
@@ -263,6 +267,7 @@ def assign_to_centroids(
             .withColumn(cluster_col, best["c"])
             .drop("_bf_cents")
         )
+    cents = centroids.select("cluster", "centroid").collect()
     scored = F.array(
         *[
             F.struct(

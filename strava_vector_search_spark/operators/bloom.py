@@ -228,6 +228,13 @@ def probe_membership(
             F.when(F.col("word_idx") < 0, F.col("word"))
         ).alias("_bf_k"),
     )
+    # k mismatch: a LEGACY filter (persisted before the k marker existed,
+    # so no word_idx=-1 row -> _bf_k NULL) is accepted at the module
+    # default it was necessarily built with, and refused at any other k —
+    # backward compatible without weakening the guard for marked filters
+    k_mismatch = F.when(
+        F.col("_bf_k").isNull(), F.lit(k != N_HASHES)
+    ).otherwise(F.col("_bf_k") != F.lit(k))
     scatter_src = filt if n_words > _BROADCAST_HINT_WORDS else F.broadcast(filt)
     dense = (
         spark.range(n_words)
@@ -245,8 +252,7 @@ def probe_membership(
         .crossJoin(F.broadcast(sent))
         .select(
             F.when(
-                (F.col("_bf_maxidx") != F.lit(n_words - 1))
-                | (F.coalesce(F.col("_bf_k"), F.lit(-1)) != F.lit(k)),
+                (F.col("_bf_maxidx") != F.lit(n_words - 1)) | k_mismatch,
                 F.raise_error(
                     F.lit(
                         "bloom build/probe mismatch: the filter's "
@@ -423,6 +429,11 @@ def probe_sharded_membership(
             F.when(F.col("word_idx") < 0, F.col("word"))
         ).alias("_gk"),
     )
+    # legacy (pre-k-marker) filters: accepted at the module default only,
+    # as in probe_membership
+    k_mismatch = F.when(
+        F.col("_gk").isNull(), F.lit(k != N_HASHES)
+    ).otherwise(F.col("_gk") != F.lit(k))
     dense = (
         per_shard.crossJoin(F.broadcast(flags))
         .select(
@@ -432,7 +443,7 @@ def probe_sharded_membership(
             F.when(
                 (F.col("_gmx") != F.lit(n_words - 1))
                 | (F.col("_gms") != F.lit(n_shards - 1))
-                | (F.coalesce(F.col("_gk"), F.lit(-1)) != F.lit(k)),
+                | k_mismatch,
                 F.raise_error(
                     F.lit(
                         "bloom sharded build/probe mismatch: filter "

@@ -272,13 +272,19 @@ def brute_force_topk_blas(
     id_col: str = "doc_id",
     predicate: Column | None = None,
     similarity_col: str = "similarity",
-    assume_normalized: bool = True,
+    assume_normalized: bool = False,
     payload: bool = True,
 ) -> DataFrame:
     """Exact top-k with a dense BLAS inner kernel: each Arrow batch is
     scored with one float64 numpy matvec and reduced to its local top-k
     (argpartition) inside mapInPandas; the surviving k-per-batch rows go
     through the normal TakeOrderedAndProject merge.
+
+    ``assume_normalized`` DEFAULTS to False — full cosine, the same
+    default as :func:`brute_force_topk` — so switching lanes without the
+    flag cannot silently turn cosine ranking into magnitude-biased dot
+    products. Pass True only for pre-normalized corpora (dot == cosine;
+    skips the per-row norms).
 
     Same result as :func:`brute_force_topk` (modulo last-ulp float
     differences — scores round to 6 dp); ~10x faster per core at dim>=64 on
@@ -321,6 +327,14 @@ def brute_force_topk_blas(
             if q is None:
                 q = np.asarray(query_vec, dtype="float64")
                 qn = float(np.sqrt(q @ q))
+                if not assume_normalized and qn == 0.0:
+                    raise ValueError(
+                        "brute_force_topk_blas: zero-norm query vector — "
+                        "cosine is undefined (the expression lane raises "
+                        "DIVIDE_BY_ZERO under ANSI mode; this lane "
+                        "matches it loudly instead of yielding "
+                        "batch-order-dependent NaN ranks)"
+                    )
             ids = pdf["_id"].to_numpy()
             mat = np.stack(pdf["_vec"].to_numpy()).astype("float64")
             d = mat @ q
@@ -328,6 +342,14 @@ def brute_force_topk_blas(
                 s = np.round(d, 6)
             else:
                 rn = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+                if (rn == 0.0).any():
+                    raise ValueError(
+                        "brute_force_topk_blas: zero-norm corpus "
+                        f"vector(s), e.g. id={ids[rn == 0.0][0]!r} — "
+                        "cosine is undefined (the expression lane raises "
+                        "DIVIDE_BY_ZERO under ANSI mode); filter them "
+                        "out before scoring"
+                    )
                 s = np.round(d / (rn * qn), 6)
             idx = _local_topk_ties(s, ids, k)
             yield pd.DataFrame({"_id": ids[idx], similarity_col: s[idx]})

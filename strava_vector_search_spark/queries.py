@@ -1632,7 +1632,14 @@ def vs_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 13)
     out = brute_force_topk_blas(
-        emb, qv, k=10, id_col="vec_id", predicate=F.col("vec_id") != 13
+        emb,
+        qv,
+        k=10,
+        id_col="vec_id",
+        predicate=F.col("vec_id") != 13,
+        # dot-product scoring on the pre-normalized testdata vectors —
+        # the same contract (and oracle) as the expression gate
+        assume_normalized=True,
     )
     return out.select("vec_id", "similarity")
 
@@ -12645,10 +12652,18 @@ def vs_topk_filtered_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = docs.filter(F.col("doc_id") == 0).select("text").head()
     if qrow is None or not qrow["text"]:
         raise ValueError(
-            "vs_topk_filtered_768: doc_id 0 missing or token-less in "
+            "vs_topk_filtered_768: doc_id 0 missing or text-less in "
             f"{sf_dir} — the gate embeds its text as the query vector"
         )
     qv = md5_embed_text_local(qrow["text"], dim=768)
+    if not any(qv):
+        # non-empty but TOKEN-less text (punctuation/whitespace only)
+        # embeds to the zero vector — cosine undefined; fail here with
+        # the cause instead of letting the scoring kernel raise later
+        raise ValueError(
+            "vs_topk_filtered_768: doc_id 0's text has no [a-z0-9] "
+            f"tokens in {sf_dir} — its embedding is the zero vector"
+        )
     top = S.brute_force_topk_blas(
         corpus, qv, k=10, assume_normalized=False, payload=False
     )

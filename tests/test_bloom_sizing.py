@@ -310,3 +310,30 @@ def test_k_below_one_refused_everywhere(spark):
     sharded = build_sharded_filter(keys, "k", 4)
     with pytest.raises(ValueError, match="hash count"):
         probe_sharded_membership(keys, "k", sharded, 4, k=0)
+
+
+def test_legacy_filter_without_k_marker_probes_at_default(spark):
+    """Filters persisted before the k marker existed (no word_idx=-1 row)
+    must keep probing at the module-default k they were built with —
+    not raise on every action — while any OTHER probe k is refused."""
+    from strava_vector_search_spark.operators.bloom import (
+        build_sharded_filter,
+        probe_sharded_membership,
+    )
+
+    keys = spark.range(100).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    legacy = build_filter(keys, "k").filter(F.col("word_idx") >= 0)
+    hits = probe_membership(keys, "k", legacy)
+    assert hits.filter(~F.col("maybe_member")).count() == 0
+    with pytest.raises(Exception, match="mismatch"):
+        probe_membership(keys, "k", legacy, k=2).collect()
+
+    legacy_sh = build_sharded_filter(keys, "k", 4).filter(
+        F.col("word_idx") >= 0
+    )
+    sh_hits = probe_sharded_membership(keys, "k", legacy_sh, 4)
+    assert sh_hits.filter(~F.col("maybe_member")).count() == 0
+    with pytest.raises(Exception, match="mismatch"):
+        probe_sharded_membership(keys, "k", legacy_sh, 4, k=2).collect()

@@ -104,7 +104,8 @@ def test_blas_topk_matches_expression(corpus, qvec):
         (
             (r["doc_id"], r["similarity"])
             for r in S.brute_force_topk_blas(
-                corpus, qvec, k=8, predicate=F.col("lang") == "en"
+                corpus, qvec, k=8, predicate=F.col("lang") == "en",
+                assume_normalized=True,
             ).collect()
         ),
         key=lambda t: (-t[1], t[0]),
@@ -150,7 +151,7 @@ def test_blas_kernels_accept_string_ids(spark, sf_dir):
     )
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
 
-    blas = brute_force_topk_blas(corpus, qvec, k=5)
+    blas = brute_force_topk_blas(corpus, qvec, k=5, assume_normalized=True)
     expr = brute_force_topk(corpus, qvec, k=5, assume_normalized=True).select(
         "doc_id", F.round("similarity", 6).alias("similarity")
     )
@@ -418,3 +419,33 @@ def test_blas_cosine_lane_bit_identical_to_expression_lane(spark):
     ]
     got_b = [(r["doc_id"], r["similarity"]) for r in blas.collect()]
     assert got_e == got_b  # bit-identical scores, identical order
+
+
+def test_blas_full_cosine_refuses_zero_norm_vectors(spark):
+    """The expression lane raises DIVIDE_BY_ZERO (ANSI) on a zero-norm
+    vector; the BLAS lane must fail just as loudly instead of yielding
+    batch-order-dependent NaN ranks (NaN sorts first in Spark desc but
+    last in the kernel's pandas prune — silent divergent top-k)."""
+    from strava_vector_search_spark.operators.search import (
+        brute_force_topk_blas,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.6, 0.8])],
+        "doc_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="zero-norm corpus"):
+        brute_force_topk_blas(corpus, [1.0, 0.0], k=2).collect()
+    ok = corpus.filter(F.col("doc_id") != 1)
+    with pytest.raises(Exception, match="zero-norm query"):
+        brute_force_topk_blas(ok, [0.0, 0.0], k=2).collect()
+    # and the default is FULL COSINE, matching brute_force_topk: an
+    # unnormalized corpus must rank by angle, not magnitude
+    big = spark.createDataFrame(
+        [(1, [10.0, 0.1]), (2, [0.0, 0.5])],
+        "doc_id long, embedding array<double>",
+    )
+    top = brute_force_topk_blas(big, [0.0, 1.0], k=1).collect()
+    assert top[0]["doc_id"] == 2  # dot ranking would pick doc 2 too, but
+    # similarity must be cosine (1.0), not the raw dot (0.5)
+    assert top[0]["similarity"] == 1.0
