@@ -236,15 +236,22 @@ def assign_to_centroids(
     order-independent and the two lanes are assignment-identical
     (pinned by tests/test_index_maintenance.py)."""
     del id_col  # assignment is per-row; no id-keyed stage remains
-    # Lane decision from metadata only (one row + a count): the packed
+    # Lane decision from ONE aggregate job (count + max dim): the packed
     # lane exists precisely because k x dim is too big to ship through
-    # the driver, so it must never collect the full centroid table.
-    first = centroids.select("centroid").head()
-    if first is None:
+    # the driver, so it must never collect the full centroid table — and
+    # the literal lane's collect below is then the second (and last)
+    # evaluation of the centroid lineage. Callers with expensive
+    # centroid lineage should localCheckpoint it (recluster_assignments
+    # and the gates do).
+    stats = centroids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(F.col("centroid"))).alias("d"),
+    ).head()
+    n_cents = int(stats["n"])
+    if n_cents == 0:
         raise ValueError("assign_to_centroids: empty centroid table")
     emb = emb.filter(F.col(vector_col).isNotNull())
-    dim = len(first["centroid"] or ())
-    n_cents = centroids.count()
+    dim = int(stats["d"] or 0)
     if n_cents * max(dim, 1) > _ASSIGN_LITERAL_MAX_ELEMS:
         packed = centroids.select(
             F.struct(

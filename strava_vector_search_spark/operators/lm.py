@@ -46,16 +46,23 @@ def stupid_backoff_scores(
     score: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pretokenized: bool = False,
 ) -> DataFrame:
     """(id_col, n_trigrams, n_oov, avg_log_score): per-document mean
     log Stupid Backoff score of ``score`` under counts from ``train``.
-    DECIMAL(28,12)-routed sum so aggregation order cannot move the mean."""
-    ttok = train.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_ts")
-    )
-    stok = score.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_ts")
-    )
+    DECIMAL(28,12)-routed sum so aggregation order cannot move the mean.
+    ``pretokenized=True``: train/score already carry (id_col, _ts token
+    array) — lets callers reuse a shared tokenized-corpus kernel."""
+    if pretokenized:
+        ttok = train.select(F.col(id_col).alias("doc_id"), "_ts")
+        stok = score.select(F.col(id_col).alias("doc_id"), "_ts")
+    else:
+        ttok = train.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_ts")
+        )
+        stok = score.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_ts")
+        )
     uni = (
         ttok.select(F.explode("_ts").alias("t"))
         .groupBy("t")

@@ -427,12 +427,6 @@ EXPECTATIONS: dict[str, dict] = {
         "python_kernel": "MapInPandas",
         "window_limit": "WindowGroupLimit",
     },
-    "tx_pmi_pairs": {
-        # map-only pair extraction (no positional self-join), partial-agg
-        # counts, top-40 via TakeOrderedAndProject
-        "partial_agg": "partial_count",
-        "top_k_no_sort": "TakeOrderedAndProject",
-    },
     "g_pagerank": {
         # the rank table is localCheckpoint-ed per iteration, so the visible
         # plan is checkpoint-scan -> top-k: lineage stays flat across
@@ -587,6 +581,15 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
     },
     # -- round 5 ------------------------------------------------------------
+    "ann_ivf_topk_768": {
+        # 768-d IVF: partial-combined embedding + centroid aggregates,
+        # left-semi candidate filter, top-10 as a heap — never a
+        # cartesian, never a global sort, no Python
+        "partial_agg": "partial_",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_cartesian": "!CartesianProduct",
+        "no_python": "!BatchEvalPython",
+    },
     "tx_kneser_ney": {
         # marginals join back onto the checkpointed bigram-count table;
         # top-20 must be a heap, not a full sort
