@@ -51,6 +51,7 @@ HEADLINE = [
     "vs_quantized_topk",
     "vs_topk_blas",
     "ann_ivf_topk",
+    "ann_ivf_topk_768",
     "ann_ivf_append_assign",
     "ann_srp_topk",
     "ann_srp_near_dup",

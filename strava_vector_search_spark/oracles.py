@@ -8062,6 +8062,71 @@ FROM topk t JOIN documents d USING (doc_id)
 """
 
 
+# ann_ivf_topk_768 — the IVF recipe at production width: md5 embeddings
+# (exact integer buckets) densified to ordered 768-lists, per-lang
+# centroids as 6-dp DECIMAL-routed per-dim means (every doc contributes
+# every dim, zeros included — compute_centroids' posexplode semantics),
+# nprobe=2 centroid ranking and candidate scoring both through
+# list_cosine_similarity on ordered lists (the fold-order pairing every
+# ann_* oracle relies on).
+ORACLES["ann_ivf_topk_768"] = f"""
+WITH tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+weighted AS (
+  SELECT doc_id,
+         {_md5i('tok')} % 768 AS bucket,
+         {_md5i("'w' || tok")} % 1000 AS w
+  FROM tok
+),
+vec AS (SELECT doc_id, bucket, SUM(w) AS val FROM weighted GROUP BY 1, 2),
+dims AS (SELECT range AS i FROM range(0, 768)),
+ids AS (SELECT DISTINCT doc_id FROM vec),
+dense AS (
+  SELECT ids.doc_id,
+         list(COALESCE(v.val, 0)::DOUBLE ORDER BY d.i) AS emb
+  FROM ids CROSS JOIN dims d
+  LEFT JOIN vec v ON v.doc_id = ids.doc_id AND v.bucket = d.i
+  GROUP BY ids.doc_id
+),
+qv AS (SELECT emb FROM dense WHERE doc_id = 0),
+corpus AS (
+  SELECT de.doc_id, de.emb, doc.lang
+  FROM dense de JOIN documents doc USING (doc_id)
+  WHERE de.doc_id <> 0
+),
+ex AS (
+  SELECT c.lang, d.i + 1 AS pos, c.emb[d.i + 1]::DOUBLE AS v
+  FROM corpus c CROSS JOIN dims d
+),
+per_dim AS (
+  SELECT lang, pos,
+         ROUND(SUM(v::DECIMAL(28,10))::DOUBLE / COUNT(*), 6) AS c
+  FROM ex GROUP BY lang, pos
+),
+cent AS (SELECT lang, list(c ORDER BY pos) AS centroid
+         FROM per_dim GROUP BY lang),
+probe AS (
+  SELECT lang FROM cent
+  ORDER BY ROUND(list_cosine_similarity(centroid, (SELECT emb FROM qv)), 6)
+             DESC,
+           lang ASC
+  LIMIT 2
+)
+SELECT c.doc_id, c.lang,
+       ROUND(list_cosine_similarity(c.emb, (SELECT emb FROM qv)), 6)
+         AS similarity
+FROM corpus c
+WHERE c.lang IN (SELECT lang FROM probe)
+ORDER BY similarity DESC, c.doc_id ASC
+LIMIT 10
+"""
+
+
 # ann_ivf_append_assign — replay the incremental-IVF assignment: centroids
 # from the base corpus's label clusters (the ann_centroids recipe over the
 # base slice), then per-delta-vector argmax 6-dp cosine with cluster
