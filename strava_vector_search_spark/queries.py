@@ -6475,18 +6475,37 @@ def smp_rerank_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"smp_rerank_triples": smp_rerank_triples})
 
 
-def _session_memo(cache: dict, spark: SparkSession, sf_dir: str, build):
+def _session_memo(
+    cache: dict,
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    widen: bool = False,
+):
     """Per-(SparkSession, sf) memo of a lazily-checkpointed DataFrame —
     the shared-kernel amortization used by _trade_pairs / _co_order_edges
-    / _doc_shingles. Entries keyed by OTHER applicationIds are evicted on
-    lookup: a checkpointed DataFrame is only valid within its own session,
-    and stale entries would pin dead lineage for the process lifetime."""
+    / _doc_shingles / _token_arrays. Entries keyed by OTHER applicationIds
+    are evicted on lookup: a checkpointed DataFrame is only valid within
+    its own session, and stale entries would pin dead lineage for the
+    process lifetime.
+
+    ``widen=True``: repartition the built table to cluster width before
+    checkpointing. A single-file parquet scan arrives as ONE partition
+    and a checkpoint FREEZES that width, so every consumer's first map
+    stage (window explodes, pair zips) would run on one core while 31
+    idle — the md5_embedding_table densification lesson. The one-off
+    shuffle of the small memo table buys cluster-wide map stages for
+    every consumer; on a real multi-file 100 TB scan the source already
+    arrives at cluster width and the repartition is a near-no-op cost."""
     app_id = spark.sparkContext.applicationId
     for stale in [k for k in cache if k[0] != app_id]:
         del cache[stale]
     key = (app_id, sf_dir.rstrip("/"))
     if key not in cache:
-        cache[key] = build().localCheckpoint(eager=False)
+        df = build()
+        if widen:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+        cache[key] = df.localCheckpoint(eager=False)
     return cache[key]
 
 
@@ -6576,6 +6595,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: load_table(spark, sf_dir, "documents").select(
             "doc_id", shingles(F.col("text")).alias("_sh")
         ),
+        widen=True,
     )
 
 
@@ -6600,6 +6620,7 @@ def _token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: load_table(spark, sf_dir, "documents").select(
             "doc_id", tokens(F.col("text")).alias("_ts")
         ),
+        widen=True,
     )
 
 
@@ -6647,6 +6668,36 @@ def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _session_memo(_BIGRAM_COUNTS_CACHE, spark, sf_dir, _build)
+
+
+_MD5_EMB768_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _md5_emb_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, embedding: 768-d md5 vectors) over the corpus (doc 0 — the
+    gates' query doc — excluded) — the materialized embedding table the
+    reference itself maintains (WORKOUTS_WITH_VECTORS,
+    02_method2_manual_vector_embedding.sql:88): search gates read stored
+    vectors, they don't re-embed the corpus per query. One memo per
+    (session, sf); already cluster-wide (md5_embedding_table repartitions
+    before densification). vs_topk_filtered_768 deliberately does NOT use
+    it — that gate pins the embed kernel itself under the oracle, with
+    metadata filters pushed BEFORE embedding."""
+    from strava_vector_search_spark.functions.embed import md5_embedding_table
+
+    return _session_memo(
+        _MD5_EMB768_CACHE,
+        spark,
+        sf_dir,
+        lambda: md5_embedding_table(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") != 0
+            ),
+            "doc_id",
+            "text",
+            dim=768,
+        ),
+    )
 
 
 _BPE6_CACHE: dict[tuple[str, str], tuple] = {}
@@ -12744,14 +12795,19 @@ def ann_ivf_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     is read and the rest untouched."""
     from strava_vector_search_spark.functions.embed import (
         md5_embed_text_local,
-        md5_embedding_table,
     )
     from strava_vector_search_spark.operators.ann import ivf_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = md5_embedding_table(
-        docs.filter(F.col("doc_id") != 0), "doc_id", "text", dim=768
-    ).join(docs.select("doc_id", "lang"), "doc_id")
+    # the stored-vector table (memoized — search reads the index, it does
+    # not re-embed the corpus per query); the lang join is checkpointed
+    # because the result feeds TWO consumers (centroid aggregate +
+    # candidate scan)
+    emb = (
+        _md5_emb_768(spark, sf_dir)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
     qrow = docs.filter(F.col("doc_id") == 0).select("text").head()
     if qrow is None or not qrow["text"]:
         raise ValueError(
