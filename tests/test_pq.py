@@ -23,9 +23,22 @@ def books(emb):
 
 
 def test_training_is_deterministic(emb, books):
-    again = PQ.train_codebooks(emb)
+    # the memo would make a same-plan retrain vacuously identical — call
+    # the uncached trainer so Lloyd's determinism itself stays pinned
+    again = PQ._train_codebooks_uncached(
+        emb, 8, 256, "embedding", "vec_id", 4096, 15
+    )
     assert books.shape == (8, 256, 8)
     assert np.array_equal(books, again)
+
+
+def test_codebook_memo_keys_on_plan(emb):
+    """Same plan -> cache hit (identity); a FILTERED input must retrain,
+    never reuse another plan's codebooks."""
+    a = PQ.train_codebooks(emb)
+    assert PQ.train_codebooks(emb) is a
+    b = PQ.train_codebooks(emb.filter("vec_id % 2 = 0"))
+    assert not np.array_equal(a, b)
 
 
 def test_codes_are_m_bytes(emb, books):
