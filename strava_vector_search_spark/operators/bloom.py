@@ -177,6 +177,7 @@ def probe_membership(
     m_bits: int = M_BITS,
     out_col: str = "maybe_member",
     k: int = N_HASHES,
+    allow_legacy: bool = False,
 ) -> DataFrame:
     """Map-only membership probe: true iff ALL k bit positions of
     ``key_col`` are set in ``filt``. The sparse word rows fold into ONE
@@ -229,11 +230,15 @@ def probe_membership(
         ).alias("_bf_k"),
     )
     # k mismatch: a LEGACY filter (persisted before the k marker existed,
-    # so no word_idx=-1 row -> _bf_k NULL) is accepted at the module
-    # default it was necessarily built with, and refused at any other k —
-    # backward compatible without weakening the guard for marked filters
+    # so no word_idx=-1 row -> _bf_k NULL) is REFUSED unless the caller
+    # passes allow_legacy=True, asserting the filter was built at the k
+    # they are probing with. build_filter has always taken a k parameter,
+    # so "marker-less implies default k" is not an invariant — silently
+    # assuming it would probe a non-default-k legacy filter at k=4 and
+    # produce false negatives, the one Bloom failure mode that must never
+    # happen. With the opt-in, the probe runs at the caller's k.
     k_mismatch = F.when(
-        F.col("_bf_k").isNull(), F.lit(k != N_HASHES)
+        F.col("_bf_k").isNull(), F.lit(not allow_legacy)
     ).otherwise(F.col("_bf_k") != F.lit(k))
     scatter_src = filt if n_words > _BROADCAST_HINT_WORDS else F.broadcast(filt)
     dense = (
@@ -258,7 +263,8 @@ def probe_membership(
                         "bloom build/probe mismatch: the filter's "
                         f"sentinels disagree with (m_bits={m_bits}, "
                         f"k={k}) — probe with the (m_bits, k) the filter "
-                        "was built with"
+                        "was built with; a pre-k-marker filter needs "
+                        "allow_legacy=True plus the k it was built at"
                     )
                 ),
             )
@@ -349,6 +355,7 @@ def probe_sharded_membership(
     m_bits: int = M_BITS,
     out_col: str = "maybe_member",
     k: int = N_HASHES,
+    allow_legacy: bool = False,
 ) -> DataFrame:
     """Map-only probe against a sharded filter: the words fold into ONE
     dense array PER SHARD (n_shards broadcast rows, each under the
@@ -429,10 +436,10 @@ def probe_sharded_membership(
             F.when(F.col("word_idx") < 0, F.col("word"))
         ).alias("_gk"),
     )
-    # legacy (pre-k-marker) filters: accepted at the module default only,
-    # as in probe_membership
+    # legacy (pre-k-marker) filters: refused unless allow_legacy=True,
+    # as in probe_membership (the caller asserts the build k)
     k_mismatch = F.when(
-        F.col("_gk").isNull(), F.lit(k != N_HASHES)
+        F.col("_gk").isNull(), F.lit(not allow_legacy)
     ).otherwise(F.col("_gk") != F.lit(k))
     dense = (
         per_shard.crossJoin(F.broadcast(flags))
@@ -449,7 +456,9 @@ def probe_sharded_membership(
                         "bloom sharded build/probe mismatch: filter "
                         f"sentinels disagree with ({n_words} words, "
                         f"{n_shards} shards, k={k}) — probe with the "
-                        "(m_bits, n_shards, k) the filter was built with"
+                        "(m_bits, n_shards, k) the filter was built "
+                        "with; a pre-k-marker filter needs "
+                        "allow_legacy=True plus the k it was built at"
                     )
                 ),
             )

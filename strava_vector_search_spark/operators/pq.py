@@ -61,13 +61,18 @@ def train_codebooks(
     deterministic function of its inputs (ordered sample + Lloyd's), and
     the PQ and IVF+PQ gates train over the SAME table — one ~1 s driver
     loop serves every caller instead of re-running per gate and per bench
-    rep. Keyed by the analyzed plan's semanticHash so a FILTERED input
-    never hits another input's entry; entries of other applicationIds are
-    evicted on lookup (the _session_memo rule)."""
+    rep. Keyed by the CANONICALIZED plan string (not semanticHash alone —
+    a 32-bit hash is not an equality check, and a collision between two
+    different inputs in one session would silently hand back the wrong
+    codebooks) so a FILTERED input never hits another input's entry;
+    entries of other applicationIds are evicted on lookup (the
+    _session_memo rule). Cached arrays are frozen read-only before
+    caching, so a consumer mutating its result raises instead of
+    poisoning every later hit."""
     spark = emb.sparkSession
     app_id = spark.sparkContext.applicationId
     try:
-        plan_key = emb._jdf.queryExecution().analyzed().semanticHash()
+        plan_key = emb._jdf.queryExecution().analyzed().canonicalized().toString()
     except Exception:
         plan_key = None
     key = (app_id, plan_key, m, k, vector_col, id_col, sample_rows, iters)
@@ -80,6 +85,7 @@ def train_codebooks(
         emb, m, k, vector_col, id_col, sample_rows, iters
     )
     if plan_key is not None:
+        books.flags.writeable = False
         _CODEBOOK_CACHE[key] = books
     return books
 

@@ -312,10 +312,12 @@ def test_k_below_one_refused_everywhere(spark):
         probe_sharded_membership(keys, "k", sharded, 4, k=0)
 
 
-def test_legacy_filter_without_k_marker_probes_at_default(spark):
+def test_legacy_filter_without_k_marker_needs_explicit_opt_in(spark):
     """Filters persisted before the k marker existed (no word_idx=-1 row)
-    must keep probing at the module-default k they were built with —
-    not raise on every action — while any OTHER probe k is refused."""
+    are REFUSED by default — build_filter has always taken a k parameter,
+    so the probe cannot know the build k and silently assuming the module
+    default risks false negatives. With allow_legacy=True the caller
+    asserts the build k and the probe runs at the k they pass."""
     from strava_vector_search_spark.operators.bloom import (
         build_sharded_filter,
         probe_sharded_membership,
@@ -325,15 +327,21 @@ def test_legacy_filter_without_k_marker_probes_at_default(spark):
         F.concat(F.lit("key-"), F.col("id")).alias("k")
     )
     legacy = build_filter(keys, "k").filter(F.col("word_idx") >= 0)
-    hits = probe_membership(keys, "k", legacy)
+    with pytest.raises(Exception, match="allow_legacy"):
+        probe_membership(keys, "k", legacy).collect()
+    hits = probe_membership(keys, "k", legacy, allow_legacy=True)
     assert hits.filter(~F.col("maybe_member")).count() == 0
-    with pytest.raises(Exception, match="mismatch"):
-        probe_membership(keys, "k", legacy, k=2).collect()
+    # built at k=2, probed with the asserted k=2: no false negatives
+    legacy_k2 = build_filter(keys, "k", k=2).filter(F.col("word_idx") >= 0)
+    hits_k2 = probe_membership(keys, "k", legacy_k2, k=2, allow_legacy=True)
+    assert hits_k2.filter(~F.col("maybe_member")).count() == 0
 
     legacy_sh = build_sharded_filter(keys, "k", 4).filter(
         F.col("word_idx") >= 0
     )
-    sh_hits = probe_sharded_membership(keys, "k", legacy_sh, 4)
+    with pytest.raises(Exception, match="allow_legacy"):
+        probe_sharded_membership(keys, "k", legacy_sh, 4).collect()
+    sh_hits = probe_sharded_membership(
+        keys, "k", legacy_sh, 4, allow_legacy=True
+    )
     assert sh_hits.filter(~F.col("maybe_member")).count() == 0
-    with pytest.raises(Exception, match="mismatch"):
-        probe_sharded_membership(keys, "k", legacy_sh, 4, k=2).collect()

@@ -34,9 +34,12 @@ def test_training_is_deterministic(emb, books):
 
 def test_codebook_memo_keys_on_plan(emb):
     """Same plan -> cache hit (identity); a FILTERED input must retrain,
-    never reuse another plan's codebooks."""
+    never reuse another plan's codebooks. Cached arrays are frozen, so a
+    consumer mutating its result raises instead of poisoning later hits."""
     a = PQ.train_codebooks(emb)
     assert PQ.train_codebooks(emb) is a
+    with pytest.raises(ValueError):
+        a[0, 0, 0] = 0.0
     b = PQ.train_codebooks(emb.filter("vec_id % 2 = 0"))
     assert not np.array_equal(a, b)
 
