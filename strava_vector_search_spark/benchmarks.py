@@ -67,6 +67,37 @@ def ann_kmeans_ivf_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_kmeans_ivf_topk_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid 768-d IVF operator path once: the prebuilt
+    session-kernel index (_kmeans_ivf_768) + ONE batched pruned pass for
+    the 5 query vectors via ivf_batch_topk. No unpruned brute-force
+    baseline replay, no scan-fraction accounting — that harness stays in
+    the correctness gate."""
+    from strava_vector_search_spark.operators.ann import ivf_batch_topk
+    from strava_vector_search_spark.queries import _kmeans_ivf_768
+
+    clustered, cents = _kmeans_ivf_768(spark, sf_dir)
+    qids = (3, 7, 11, 19, 23)
+    qrows = (
+        clustered.filter(F.col("doc_id").isin(*qids))
+        .select("doc_id", "embedding")
+        .collect()
+    )
+    queries = spark.createDataFrame(
+        [(int(r["doc_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id bigint, query_vec array<double>",
+    )
+    return ivf_batch_topk(
+        clustered,
+        queries,
+        k=10,
+        nprobe=4,
+        cluster_col="cluster",
+        id_col="doc_id",
+        centroids=cents,
+    )
+
+
 def ann_ivfpq_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ operator path once: encode-with-cluster, probe, ADC scan of
     the probed codes, exact rescore — one query, no exact-within-probe
@@ -124,6 +155,7 @@ def dd_cc_incremental_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 LEAN_BENCH = {
     "ann_pq_topk": ann_pq_topk_bench,
     "ann_kmeans_ivf_topk": ann_kmeans_ivf_topk_bench,
+    "ann_kmeans_ivf_topk_768": ann_kmeans_ivf_topk_768_bench,
     "ann_ivfpq_topk": ann_ivfpq_topk_bench,
     "dd_cc_incremental": dd_cc_incremental_bench,
 }

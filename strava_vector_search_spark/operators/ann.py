@@ -98,6 +98,90 @@ def ivf_topk(
     )
 
 
+def rank_probed_clusters(
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, cluster, cdist) — each query's ``nprobe`` nearest coarse
+    clusters by rounded centroid cosine, ties to the lower cluster id. A
+    |queries| x |clusters| cross of two broadcast-tiny tables; this is the
+    probing rule :func:`ivf_topk` applies per query and
+    :func:`ivf_batch_topk` applies for the whole batch — shared so scan
+    accounting (which partitions WOULD be read) uses the identical rule."""
+    from pyspark.sql import Window
+
+    wprobe = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cdist"), F.asc("cluster")
+    )
+    return (
+        centroids.crossJoin(F.broadcast(queries))
+        .withColumn(
+            "cdist",
+            cosine_similarity_rounded(
+                F.col("centroid"), F.col(query_vec_col)
+            ),
+        )
+        .withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id_col, "cluster", "cdist")
+    )
+
+
+def ivf_batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Many IVF queries in ONE corpus pass: rank centroids per query (one
+    |queries| x |clusters| cross of two tiny broadcast tables), attach each
+    query to ONLY its probed clusters via a broadcast equi-join on the
+    cluster column, score the candidates with the same rounded cosine as
+    :func:`ivf_topk`, and take top-k per query with a ranking window —
+    which Spark runs as a WindowGroupLimit, so each map task keeps at most
+    k rows per query before the shuffle. Ties break (cdist desc, cluster
+    asc) for probing and (similarity desc, id asc) for the final rank,
+    matching the single-query path bit-for-bit.
+
+    vs looping :func:`ivf_topk`: N queries cost ONE pruned scan instead of
+    N, and with the table partitioned by the cluster column the union of
+    all queries' probed partitions is the only data read. Returns
+    (query_id, id, cluster, similarity, rank); input columns other than
+    the vector pass through.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = compute_centroids(emb, cluster_col, vector_col)
+    probed = rank_probed_clusters(
+        centroids, queries, nprobe, query_id_col, query_vec_col
+    ).select(F.col(query_id_col), F.col("cluster").alias("_ivf_pc"))
+    cand = emb.join(
+        F.broadcast(probed), emb[cluster_col] == probed["_ivf_pc"], "inner"
+    ).drop("_ivf_pc")
+    scored = cand.join(F.broadcast(queries), query_id_col).withColumn(
+        "similarity",
+        cosine_similarity_rounded(F.col(vector_col), F.col(query_vec_col)),
+    )
+    wrank = Window.partitionBy(query_id_col).orderBy(
+        F.desc("similarity"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .drop(query_vec_col, vector_col)
+    )
+
+
 # --- IVF layout marker ------------------------------------------------------
 # Two physical layouts exist for an IVF index: PLAIN (<cluster>=… dirs,
 # write_ivf_index) and STREAM (_sb=<batch>/<cluster>=… dirs,

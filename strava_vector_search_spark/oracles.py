@@ -8127,6 +8127,21 @@ LIMIT 10
 """
 
 
+# ann_kmeans_ivf_topk_768 — learned-centroid (seeded MLlib KMeans) IVF at
+# production width: the quantizer isn't ANSI-SQL-expressible, so the
+# oracle pins the CONTRACT (exactness inside probed clusters, recall and
+# scan-fraction bounds) plus the data-anchored corpus count — the same
+# invariants treatment as ann_kmeans_ivf_topk at 64-d.
+ORACLES["ann_kmeans_ivf_topk_768"] = f"""
+SELECT (SELECT COUNT(*) FROM documents
+        WHERE doc_id <> 0 AND text IS NOT NULL
+          AND len({_TOKS}) > 0)::BIGINT AS n_corpus,
+       16 AS n_clusters, 10 AS k, 4 AS nprobe, 5 AS n_queries,
+       true AS pruning_only_loss, true AS mean_recall_ge_060,
+       true AS scan_frac_le_045
+"""
+
+
 # ann_ivf_append_assign — replay the incremental-IVF assignment: centroids
 # from the base corpus's label clusters (the ann_centroids recipe over the
 # base slice), then per-delta-vector argmax 6-dp cosine with cluster

@@ -6700,6 +6700,44 @@ def _md5_emb_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_IVF768_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _kmeans_ivf_768(spark: SparkSession, sf_dir: str):
+    """(clustered, centroids) — the learned-centroid IVF index at width
+    768: seeded 16-cluster MLlib KMeans over :func:`_md5_emb_768`, plus
+    its 6-dp DECIMAL-routed centroid table. The fit input is fixed-width
+    hash-partitioned and sorted within partitions, so the seeded solution
+    doesn't drift with session parallelism. Memoized per (session, sf)
+    like _md5_emb_768 — the fit is an INDEX BUILD (the reference
+    maintains its vector table once, 02:404); search gates read the
+    built index, they don't re-train per query. Not routed through
+    _session_memo because the cached value is a DataFrame PAIR; the same
+    applicationId eviction applies."""
+    from strava_vector_search_spark.operators.ann import (
+        compute_centroids,
+        kmeans_assign,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _KMEANS_IVF768_CACHE if k[0] != app_id]:
+        del _KMEANS_IVF768_CACHE[stale]
+    key = (app_id, sf_dir.rstrip("/"))
+    if key not in _KMEANS_IVF768_CACHE:
+        clustered = kmeans_assign(
+            _md5_emb_768(spark, sf_dir)
+            .repartition(32, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            num_clusters=16,
+            seed=42,
+        ).localCheckpoint(eager=False)
+        cents = compute_centroids(clustered, "cluster").localCheckpoint(
+            eager=False
+        )
+        _KMEANS_IVF768_CACHE[key] = (clustered, cents)
+    return _KMEANS_IVF768_CACHE[key]
+
+
 _BPE6_CACHE: dict[tuple[str, str], tuple] = {}
 
 
@@ -12778,21 +12816,26 @@ QUERIES.update({"vs_topk_filtered_768": vs_topk_filtered_768})
 
 
 def ann_ivf_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF scale path at the reference's production width: corpus
-    md5-embedded at 768 (the cross-engine kernel of
-    ``vs_topk_filtered_768``), coarse-quantized by ``lang`` — the
-    deterministic cluster column whose centroids both engines can replay
-    — per-cluster centroids as 6-dp DECIMAL-routed elementwise means
-    (operators/ann.compute_centroids), the query probing the nprobe=2
-    nearest centroids, and exact cosine only inside the probed clusters.
-    Completes the 768-d story the r8 verdict asked for at brute force:
-    the ann_ivf_topk recipe (and its partition-pruned physical layout,
-    ``ann_ivf_partition_pruned``) now oracle-pinned at VECTOR(FLOAT,
-    768) (02_method2_manual_vector_embedding.sql:88,438-442). Scale: the
-    centroid build is one partial-combined aggregate; the candidate scan
-    is an equi-filter on the cluster column — partition pruning when the
-    table is written partitioned by it, so nprobe/k of a 100 TB corpus
-    is read and the rest untouched."""
+    """The IVF MECHANICS at the reference's production width, under a
+    full value-level oracle: corpus md5-embedded at 768 (the cross-engine
+    kernel of ``vs_topk_filtered_768``), coarse-quantized by ``lang`` —
+    the deterministic cluster column whose centroids both engines can
+    replay — per-cluster centroids as 6-dp DECIMAL-routed elementwise
+    means (operators/ann.compute_centroids), the query probing the
+    nprobe=2 nearest centroids, and exact cosine only inside the probed
+    clusters. The plan SHAPE is the scale path (centroid build is one
+    partial-combined aggregate; the candidate scan is an equi-filter on
+    the cluster column — partition pruning when the table is written
+    partitioned by it), but the ``lang`` quantizer itself is NOT a
+    production coarse quantizer: cardinality 5 with ~44% of the corpus in
+    one value, so nprobe=2 of 5 reads ~50-60% of a skewed corpus — it is
+    chosen here because DuckDB can replay it exactly, making this the
+    value-hash parity pin for the IVF pipeline at width 768. The
+    production-quantizer twin is ``ann_kmeans_ivf_topk_768`` (learned
+    16-centroid KMeans, measured ~30-35% scanned at nprobe=4 with
+    recall@10 0.70-0.86), whose seeded-KMeans internals take the
+    invariants oracle instead (02_method2_manual_vector_embedding
+    .sql:88,438-442)."""
     from strava_vector_search_spark.functions.embed import (
         md5_embed_text_local,
     )
@@ -12826,6 +12869,124 @@ def ann_ivf_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ann_ivf_topk_768": ann_ivf_topk_768})
+
+
+def ann_kmeans_ivf_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid IVF at the reference's production width — the
+    100 TB ANN plan, end to end: 768-d md5 corpus embeddings (the stored
+    WORKOUTS_WITH_VECTORS table, 02_method2_manual_vector_embedding
+    .sql:88), a 16-cluster seeded MLlib KMeans coarse quantizer, 6-dp
+    DECIMAL-routed centroids, and a BATCHED probe — all 5 query vectors
+    ride ONE pruned corpus pass (operators/ann.ivf_batch_topk: centroid
+    ranking on a 16x5 broadcast cross, candidates via broadcast
+    equi-join on the cluster column, per-query top-k as a
+    WindowGroupLimit so map tasks keep <=k rows per query). Property
+    gate (seeded KMeans isn't ANSI-SQL-expressible — same treatment as
+    ``ann_kmeans_ivf_topk`` at 64-d):
+
+    * ``pruning_only_loss`` — inside the probed clusters the batch IVF
+      result is EXACT: every full-scan top-10 hit whose cluster was
+      probed appears in the IVF result with the identical 6-dp rounded
+      cosine (the approximation is cluster pruning, nothing else);
+    * ``mean_recall_ge_060`` — recall@10 vs the unpruned batch scan over
+      the 5 queries (measured 0.70 / 0.78 / 0.86 at sf0.001/0.01/0.1);
+    * ``scan_frac_le_045`` — the probed clusters' population is at most
+      45% of the corpus averaged over queries (measured 0.29-0.35 —
+      nprobe=4 of 16 learned clusters, vs ~50-60% for the 5-value
+      ``lang`` quantizer of ``ann_ivf_topk_768``). With the table
+      written partitioned by cluster id this fraction IS the fraction
+      of a 100 TB corpus read per query batch.
+
+    ``n_corpus`` (docs with >=1 token, doc 0 excluded) anchors the row
+    to the data for the DuckDB oracle. The index build (KMeans fit +
+    centroid table) is the :func:`_kmeans_ivf_768` session kernel —
+    built once per (session, sf), as the reference maintains its vector
+    table (02:404)."""
+    from strava_vector_search_spark.operators.ann import (
+        ivf_batch_topk,
+        rank_probed_clusters,
+    )
+    from strava_vector_search_spark.operators.search import batch_topk
+
+    clustered, cents = _kmeans_ivf_768(spark, sf_dir)
+    k, nprobe, qids = 10, 4, (3, 7, 11, 19, 23)
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in clustered.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_corpus = sum(sizes.values())
+    qrows = (
+        clustered.filter(F.col("doc_id").isin(*qids))
+        .select("doc_id", "embedding")
+        .collect()
+    )
+    if len(qrows) != len(qids):
+        raise ValueError(
+            f"ann_kmeans_ivf_topk_768: query docs {qids} not all "
+            f"embeddable in {sf_dir} (got {len(qrows)})"
+        )
+    queries = spark.createDataFrame(
+        [
+            (int(r["doc_id"]), [float(x) for x in r["embedding"]])
+            for r in qrows
+        ],
+        "query_id bigint, query_vec array<double>",
+    )
+    probed = {qid: set() for qid in qids}
+    for r in rank_probed_clusters(cents, queries, nprobe).collect():
+        probed[r["query_id"]].add(r["cluster"])
+    ivf = {
+        (r["query_id"], r["doc_id"]): r["similarity"]
+        for r in ivf_batch_topk(
+            clustered,
+            queries,
+            k=k,
+            nprobe=nprobe,
+            cluster_col="cluster",
+            id_col="doc_id",
+            centroids=cents,
+        )
+        .select("query_id", "doc_id", "similarity")
+        .collect()
+    }
+    full = [
+        (r["query_id"], r["doc_id"], r["cluster"], r["similarity"])
+        for r in batch_topk(clustered, queries, k=k, id_col="doc_id")
+        .select("query_id", "doc_id", "cluster", "similarity")
+        .collect()
+    ]
+    hits = sum(1 for (q, d, _c, _s) in full if (q, d) in ivf)
+    pruning_only_loss = all(
+        (q, d) in ivf and ivf[(q, d)] == s
+        for (q, d, c, s) in full
+        if c in probed[q]
+    )
+    mean_recall = hits / (k * len(qids))
+    scan_frac = sum(
+        sizes[c] for q in qids for c in probed[q]
+    ) / (n_corpus * len(qids))
+    return spark.createDataFrame(
+        [
+            (
+                n_corpus,
+                16,
+                k,
+                nprobe,
+                len(qids),
+                bool(pruning_only_loss),
+                bool(mean_recall >= 0.6),
+                bool(scan_frac <= 0.45),
+            )
+        ],
+        "n_corpus bigint, n_clusters int, k int, nprobe int, "
+        "n_queries int, pruning_only_loss boolean, "
+        "mean_recall_ge_060 boolean, scan_frac_le_045 boolean",
+    )
+
+
+QUERIES.update({"ann_kmeans_ivf_topk_768": ann_kmeans_ivf_topk_768})
 
 
 def ann_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,6 +49,63 @@ def test_ivf_equals_brute_force_on_probed_clusters(emb, qvec):
     assert [r["vec_id"] for r in out] == [r["vec_id"] for r in restricted]
 
 
+def test_ivf_batch_topk_matches_per_query_ivf(spark, emb):
+    """The batched probe must equal looping ivf_topk query-by-query —
+    same probing rule, same scorer, same tie-breaks — while costing one
+    pruned corpus pass for the whole batch."""
+    cents = A.compute_centroids(emb).localCheckpoint(eager=False)
+    qids = (3, 11, 19)
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(*qids)).collect()
+    }
+    queries = spark.createDataFrame(
+        [(q, qvecs[q]) for q in qids],
+        "query_id bigint, query_vec array<double>",
+    )
+    batch = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["similarity"])
+        for r in A.ivf_batch_topk(
+            emb, queries, k=5, nprobe=3, centroids=cents
+        ).collect()
+    }
+    for q in qids:
+        single = A.ivf_topk(
+            emb, qvecs[q], k=5, nprobe=3, centroids=cents
+        ).collect()
+        for rank, r in enumerate(single, start=1):
+            assert batch[(q, rank)] == (r["vec_id"], r["similarity"])
+    assert len(batch) == 5 * len(qids)
+
+
+def test_rank_probed_clusters_matches_single_query_probe(emb, qvec, spark):
+    cents = A.compute_centroids(emb).localCheckpoint(eager=False)
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
+
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    expected = [
+        r["cluster"]
+        for r in cents.withColumn(
+            "cd", cosine_similarity_rounded(F.col("centroid"), qcol)
+        )
+        .orderBy(F.desc("cd"), F.asc("cluster"))
+        .limit(3)
+        .collect()
+    ]
+    queries = spark.createDataFrame(
+        [(0, qvec)], "query_id bigint, query_vec array<double>"
+    )
+    got = [
+        r["cluster"]
+        for r in A.rank_probed_clusters(cents, queries, 3)
+        .orderBy(F.desc("cdist"), F.asc("cluster"))
+        .collect()
+    ]
+    assert got == expected
+
+
 def test_ivf_partition_pruned_layout(spark, emb, tmp_path):
     path = str(tmp_path / "ivf")
     A.write_ivf_index(emb, path, "label")

@@ -590,6 +590,19 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
         "no_python": "!BatchEvalPython",
     },
+    "ann_kmeans_ivf_topk_768": {
+        # learned-centroid batch IVF (audits the ivf_batch_topk operator
+        # path): candidates attach to their probed clusters via broadcast
+        # equi-join (never a cartesian); per-query top-k runs as a
+        # WindowGroupLimit, so map tasks keep <=k rows per query instead
+        # of sorting the candidate set; the checkpointed index keeps
+        # lineage flat; scoring is pure codegen (no Python)
+        "broadcast_join": "BroadcastHashJoin",
+        "window_group_limit": "WindowGroupLimit",
+        "flat_lineage": "ExistingRDD|LogicalRDD",
+        "no_cartesian": "!CartesianProduct",
+        "no_python": "!BatchEvalPython",
+    },
     "tx_kneser_ney": {
         # marginals join back onto the checkpointed bigram-count table;
         # top-20 must be a heap, not a full sort
