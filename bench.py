@@ -19,6 +19,10 @@ LOW MEDIAN (statistics.median_low — always an observed sample, so an even
 rep count never averages in half of the compile-paying first rep); the
 first rep pays plan compilation and is absorbed as the median's outlier. Per-query sf0.1 numbers still vary ~2x with JVM state under
 concurrent load — compare clean solo runs (tools/compare_bench.py).
+``value_cold_rep1`` (and per-query ``cold_sec``) report the FIRST rep —
+what a fresh session pays before the shared session kernels and codegen
+warm up — so the warm-kernel headline and the cold cost are both measured
+numbers (VERDICT r9 item 4).
 
 The heaviest property gates are substituted with their operator-path-only
 twins from strava_vector_search_spark/benchmarks.py (VERDICT r02 item 2):
@@ -52,6 +56,8 @@ HEADLINE = [
     "vs_topk_blas",
     "ann_ivf_topk",
     "ann_ivf_topk_768",
+    "ann_kmeans_ivf_topk_768",
+    "svc_search_dsl_768",
     "ann_ivf_append_assign",
     "ann_srp_topk",
     "ann_srp_near_dup",
@@ -298,6 +304,7 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
+    cold_timings: dict[str, float] = {}
     lean_used: list[str] = []
     for name in HEADLINE:
         fn = LEAN_BENCH.get(name) or QUERIES.get(name)
@@ -314,20 +321,32 @@ def main() -> None:
         # half of the compile-paying first rep; median_low always reports an
         # actually-observed sample (ADVICE r03 item 2).
         timings[name] = round(statistics.median_low(samples), 3)
+        cold_timings[name] = round(samples[0], 3)
 
     total = round(sum(timings.values()), 3)
+    # rep-1 total: what a FRESH session pays, before the session kernels
+    # (shared tokenize/embed memos, PQ codebooks, checkpointed indexes)
+    # and JIT/codegen warm up. The headline median-low total is warm-
+    # kernel by protocol; reporting both makes the gap — what the memos
+    # amortize — a measured number instead of prose (VERDICT r9 item 4).
+    total_cold = round(sum(cold_timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # per-query records carry their OWN lean flag (VERDICT r05 item 7): a
     # reader of the snapshot can never mistake an operator-path twin's
     # time for the full gate's. The top-level "lean" list stays for
     # stdout-line compatibility.
     per_query = {
-        name: {"sec": sec, "lean": name in LEAN_BENCH}
+        name: {
+            "sec": sec,
+            "cold_sec": cold_timings[name],
+            "lean": name in LEAN_BENCH,
+        }
         for name, sec in timings.items()
     }
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_cold_rep1": total_cold,
         "unit": "sec",
         "sf": sf_val,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
@@ -383,6 +402,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                "value_cold_rep1": total_cold,
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),

@@ -1128,19 +1128,27 @@ def kmeans_assign(
     num_clusters: int = 16,
     vector_col: str = "embedding",
     seed: int = 42,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Add a KMeans 'cluster' column (MLlib batch indexing). Deterministic
     given the seed, but not oracle-SQL-expressible — validated in pytest by
-    recall against brute force."""
+    recall against brute force. ``max_iter`` caps Lloyd's iterations (None
+    = MLlib's default 20) — index builds at very large N trade a few
+    refinement passes for build time; assignment quality degrades
+    gracefully (IVF correctness never depends on it, only scan fraction
+    and recall do)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
     with_vec = emb.withColumn(
         "_features", array_to_vector(F.col(vector_col).cast("array<double>"))
     )
-    model = KMeans(
+    km = KMeans(
         k=num_clusters, seed=seed, featuresCol="_features", predictionCol="cluster"
-    ).fit(with_vec)
+    )
+    if max_iter is not None:
+        km = km.setMaxIter(max_iter)
+    model = km.fit(with_vec)
     return model.transform(with_vec).drop("_features")
 
 

@@ -54,8 +54,12 @@ def md5_int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def tokens(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+# Canonical tokenizer lives in functions.text; re-exported here because
+# every dedup kernel (shingles, span windows, the shared _token_arrays
+# session kernel) is defined in terms of it. ONE definition — a silent
+# divergence would split tokenizer semantics between the dedup gates and
+# the text gates (tests/test_dedup.py pins the re-export identity).
+from strava_vector_search_spark.functions.text import tokens  # noqa: E402,F401
 
 
 def shingles(text: Column, n: int = 3) -> Column:

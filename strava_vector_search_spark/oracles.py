@@ -8062,15 +8062,13 @@ FROM topk t JOIN documents d USING (doc_id)
 """
 
 
-# ann_ivf_topk_768 — the IVF recipe at production width: md5 embeddings
-# (exact integer buckets) densified to ordered 768-lists, per-lang
-# centroids as 6-dp DECIMAL-routed per-dim means (every doc contributes
-# every dim, zeros included — compute_centroids' posexplode semantics),
-# nprobe=2 centroid ranking and candidate scoring both through
-# list_cosine_similarity on ordered lists (the fold-order pairing every
-# ann_* oracle relies on).
-ORACLES["ann_ivf_topk_768"] = f"""
-WITH tok AS (
+# Shared md5-768 embedding CTEs (the DuckDB replay of
+# functions/embed.md5_embedding_table at width 768 + the doc-0 query
+# vector): exact integer buckets densified to ordered 768-lists. Used by
+# ann_ivf_topk_768 and svc_search_dsl_768 — ONE definition so the
+# cross-engine embedding recipe can't drift between the SQL-path and
+# service-path 768-d gates.
+_MD5_768_CTES = f"""tok AS (
   SELECT doc_id, tok FROM (
     SELECT doc_id,
            unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
@@ -8093,7 +8091,18 @@ dense AS (
   LEFT JOIN vec v ON v.doc_id = ids.doc_id AND v.bucket = d.i
   GROUP BY ids.doc_id
 ),
-qv AS (SELECT emb FROM dense WHERE doc_id = 0),
+qv AS (SELECT emb FROM dense WHERE doc_id = 0)"""
+
+
+# ann_ivf_topk_768 — the IVF recipe at production width: md5 embeddings
+# (exact integer buckets) densified to ordered 768-lists, per-lang
+# centroids as 6-dp DECIMAL-routed per-dim means (every doc contributes
+# every dim, zeros included — compute_centroids' posexplode semantics),
+# nprobe=2 centroid ranking and candidate scoring both through
+# list_cosine_similarity on ordered lists (the fold-order pairing every
+# ann_* oracle relies on).
+ORACLES["ann_ivf_topk_768"] = f"""
+WITH {_MD5_768_CTES},
 corpus AS (
   SELECT de.doc_id, de.emb, doc.lang
   FROM dense de JOIN documents doc USING (doc_id)
@@ -8139,6 +8148,33 @@ SELECT (SELECT COUNT(*) FROM documents
        16 AS n_clusters, 10 AS k, 4 AS nprobe, 5 AS n_queries,
        true AS pruning_only_loss, true AS mean_recall_ge_060,
        true AS scan_frac_le_045
+"""
+
+
+# svc_search_dsl_768 — the Method-1 service path end-to-end at production
+# width: nested @and/@or DSL filter compiled to a predicate pushed BELOW
+# the top-k, full-cosine scoring over the md5-768 corpus (unnormalized
+# external embeddings -> assume_normalized=False), rank attached as in
+# SEARCH_PREVIEW's flattened wire shape.
+ORACLES["svc_search_dsl_768"] = f"""
+WITH {_MD5_768_CTES},
+corpus AS (
+  SELECT de.doc_id, de.emb, d.lang, d.source, d.n_chars
+  FROM dense de JOIN documents d USING (doc_id)
+  WHERE de.doc_id <> 0
+),
+topk AS (
+  SELECT doc_id, lang, source, n_chars,
+         ROUND(list_cosine_similarity(emb, (SELECT emb FROM qv)), 6)
+           AS similarity
+  FROM corpus
+  WHERE lang = 'es' AND (n_chars >= 300 OR source = 'src5')
+  ORDER BY similarity DESC, doc_id ASC
+  LIMIT 5
+)
+SELECT doc_id, lang, source, n_chars, similarity,
+       ROW_NUMBER() OVER (ORDER BY similarity DESC, doc_id ASC) AS rank
+FROM topk
 """
 
 

@@ -12989,6 +12989,61 @@ def ann_kmeans_ivf_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"ann_kmeans_ivf_topk_768": ann_kmeans_ivf_topk_768})
 
 
+def svc_search_dsl_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Method-1 SERVICE path at the reference's production width —
+    SearchService with ATTACHED 768-d md5 embeddings (external,
+    unnormalized -> full-cosine scoring), serving the notebook's nested
+    @and/@or JSON filter DSL + limit (03:219-224,285-299) with the query
+    text embedded client-side (md5_embed_text_local — bit-identical to
+    the corpus kernel). Pins the END-TO-END service contract at width
+    768 under a full value-level DuckDB oracle: DSL compilation, filter
+    pushed below the top-k, rank attachment, SEARCH_PREVIEW column shape
+    — previously the service gate (svc_search_nested_dsl) only ran at
+    the 64-d test width while the 768-d pins were all Method-2 SQL-path
+    gates (02:88; VERDICT r9 stretch item)."""
+    from strava_vector_search_spark.functions.embed import (
+        md5_embed_text_local,
+    )
+    from strava_vector_search_spark.service import SearchService
+
+    docs = load_table(spark, sf_dir, "documents")
+    svc = SearchService(
+        spark,
+        docs,
+        id_col="doc_id",
+        search_col="text",
+        attributes=("lang", "source", "n_chars"),
+        dim=768,
+        assume_normalized=False,
+    ).attach_embeddings(_md5_emb_768(spark, sf_dir), vec_id_col="doc_id")
+    qrow = docs.filter(F.col("doc_id") == 0).select("text").head()
+    if qrow is None or not qrow["text"]:
+        raise ValueError(
+            f"svc_search_dsl_768: doc_id 0 missing or text-less in {sf_dir}"
+        )
+    qv = md5_embed_text_local(qrow["text"], dim=768)
+    request = {
+        "query_vec": qv,
+        "columns": ["lang", "source", "n_chars"],
+        "filter": {
+            "@and": [
+                {"@eq": {"lang": "es"}},
+                {
+                    "@or": [
+                        {"@gte": {"n_chars": 300}},
+                        {"@eq": {"source": "src5"}},
+                    ]
+                },
+            ]
+        },
+        "limit": 5,
+    }
+    return svc.search(request)
+
+
+QUERIES.update({"svc_search_dsl_768": svc_search_dsl_768})
+
+
 def ann_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-IVF maintenance kernel as an oracle-backed readout:
     centroids come from the BASE corpus (vec_id % 5 != 0, existing label

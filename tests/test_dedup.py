@@ -581,3 +581,13 @@ def test_duplicate_spans_flags_misaligned_shared_passage(spark, monkeypatch):
     # alignment-free recall: all 9 passage windows match in BOTH docs
     assert out[1][1] >= 9 and out[2][1] >= 9
     assert 0 < out[1][2] < 1 and 0 < out[2][2] < 1
+
+
+def test_tokens_is_single_canonical_definition():
+    """operators.dedup.tokens must BE functions.text.tokens (re-export
+    identity) — two drifting definitions would silently split tokenizer
+    semantics between the dedup gates and the text gates."""
+    from strava_vector_search_spark.functions.text import tokens as t_text
+    from strava_vector_search_spark.operators.dedup import tokens as t_dedup
+
+    assert t_dedup is t_text

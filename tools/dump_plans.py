@@ -590,6 +590,17 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
         "no_python": "!BatchEvalPython",
     },
+    "svc_search_dsl_768": {
+        # service path at production width: the compiled DSL predicate is
+        # pushed into the documents parquet scan (filter BELOW the
+        # embed+score), the corpus-embeddings join broadcasts, top-5 is a
+        # heap, scoring is pure codegen
+        "pushed_filters": "PushedFilters: \\[[^\\]]",
+        "broadcast_join": "BroadcastHashJoin",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_cartesian": "!CartesianProduct",
+        "no_python": "!BatchEvalPython",
+    },
     "ann_kmeans_ivf_topk_768": {
         # learned-centroid batch IVF (audits the ivf_batch_topk operator
         # path): candidates attach to their probed clusters via broadcast
@@ -886,6 +897,25 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
         "no_window_sort": "!Window \\[",
         "top_k_no_sort": "TakeOrderedAndProject",
+        "no_python": "!BatchEvalPython",
+    },
+    "dq_luhn_audit": {
+        # pure-expression Luhn fold over the order-key digit corpus:
+        # scan-speed projection, 5-key partial-combined aggregate, no
+        # join, no Python — the only shuffle is the 5-row final agg
+        "partial_agg": "partial_",
+        "no_join": "!Join",
+        "no_cartesian": "!CartesianProduct",
+        "no_python": "!BatchEvalPython",
+    },
+    "dd_minhash_estimate_error": {
+        # candidate pairs come from the banded LSH join (never all
+        # pairs); the 16-hash signature table broadcasts onto the pair
+        # list twice; the error histogram partial-combines on 8 buckets
+        "partial_agg": "partial_",
+        "broadcast_join": "BroadcastHashJoin",
+        "no_sortmerge": "!SortMergeJoin",
+        "no_cartesian": "!CartesianProduct",
         "no_python": "!BatchEvalPython",
     },
     "ml_confusion_metrics": {

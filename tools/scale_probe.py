@@ -69,11 +69,13 @@ def main() -> None:
     from strava_vector_search_spark.operators.search import brute_force_topk_blas
 
     sec, _ = t(lambda: brute_force_topk_blas(
-        big_emb, qv, k=10, id_col="vec_id"
+        big_emb, qv, k=10, id_col="vec_id", assume_normalized=True
     ).collect())
     results.append(("brute_force_topk (BLAS)", f"{n_vec:,} vecs x 64d", sec,
-                    "same scan, numpy matvec + per-batch argpartition inside "
-                    "mapInPandas — the dim>=64 large-corpus kernel"))
+                    "same scan and same math as the expr row (both "
+                    "assume_normalized=True: dot only), numpy matvec + "
+                    "per-batch argpartition inside mapInPandas — the "
+                    "dim>=64 large-corpus kernel"))
 
     from strava_vector_search_spark.operators.search import matryoshka_topk
 
@@ -184,18 +186,34 @@ def main() -> None:
     )
     n_768 = emb768.count()
     qv768 = qv * 12
-    sec, _ = t(lambda: brute_force_topk(
-        emb768, qv768, k=10, id_col="vec_id", assume_normalized=True
-    ).collect())
-    results.append(("brute_force_topk (expr, 768d)", f"{n_768:,} vecs x 768d", sec,
-                    "the reference's e5-base-v2 width — per-row fold cost grows "
-                    "with dim, still scan-shaped"))
-    sec, _ = t(lambda: brute_force_topk_blas(
-        emb768, qv768, k=10, id_col="vec_id"
-    ).collect())
-    results.append(("brute_force_topk (BLAS, 768d)", f"{n_768:,} vecs x 768d", sec,
-                    "matvec cost is one fused pass — dim-768 is where the BLAS "
-                    "kernel earns its keep"))
+    # expr vs BLAS at 768d, LIKE-FOR-LIKE: each comparison runs BOTH
+    # lanes under the SAME assume_normalized flag (True = dot only,
+    # False = full cosine with per-row norms + zero-norm guard), and the
+    # caption is DERIVED from the measurement — r9 committed an
+    # expr-dot-vs-BLAS-cosine mismatch under a hard-coded "BLAS earns
+    # its keep" caption that its own numbers contradicted.
+    lanes768 = {}
+    for normed, tag in ((True, "dot"), (False, "full cosine")):
+        sec_expr, _ = t(lambda nm=normed: brute_force_topk(
+            emb768, qv768, k=10, id_col="vec_id", assume_normalized=nm
+        ).collect())
+        sec_blas, _ = t(lambda nm=normed: brute_force_topk_blas(
+            emb768, qv768, k=10, id_col="vec_id", assume_normalized=nm
+        ).collect())
+        lanes768[tag] = (sec_expr, sec_blas)
+        faster = "BLAS" if sec_blas < sec_expr else "expr"
+        ratio = max(sec_expr, sec_blas) / max(min(sec_expr, sec_blas), 1e-9)
+        results.append((
+            f"brute_force_topk expr vs BLAS (768d, {tag})",
+            f"{n_768:,} vecs x 768d",
+            min(sec_expr, sec_blas),
+            f"expr {sec_expr:.1f}s vs BLAS {sec_blas:.1f}s, SAME math "
+            f"(assume_normalized={normed}) — {faster} lane {ratio:.1f}x "
+            "faster on this container at this width. The flagship-gate "
+            "win (vs_topk_filtered_768, 4.63->1.81 s) is measured at the "
+            "gate level in the bench snapshots; this row is the isolated "
+            "kernel comparison",
+        ))
 
     exact768 = {
         r["vec_id"]
@@ -246,6 +264,69 @@ def main() -> None:
                     "of 3 KB float32 — 16x scan-volume cut at this width"))
     pre768.unpersist()
     emb768.unpersist()
+
+    # ---- round 10: learned-centroid IVF at 1M x 768d — the production
+    # quantizer at production width (ann_kmeans_ivf_topk_768's regime),
+    # with MEASURED scan fraction + recall@10, batched probe
+    big768 = (
+        emb.crossJoin(spark.range(500).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") * 500 + F.col("rep")).alias("vec_id"),
+            F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    n_b768 = big768.count()
+    t0 = time.time()
+    ivf768 = (
+        A.kmeans_assign(big768, num_clusters=16, max_iter=5)
+        .persist()
+    )
+    ivf768.count()
+    build768_sec = time.time() - t0
+    cents768 = A.compute_centroids(ivf768, "cluster").cache()
+    sizes768 = {
+        r["cluster"]: r["n"]
+        for r in ivf768.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    results.append((
+        "ivf build (KMeans k=16, 5 iters)", f"{n_b768:,} vecs x 768d",
+        round(build768_sec, 1),
+        "one-off batch index build at production width; iteration-capped "
+        "(assignment quality, not correctness, is what more passes buy)"))
+    exact768_1m = {
+        r["vec_id"]
+        for r in brute_force_topk_blas(
+            big768, qv768, k=10, id_col="vec_id", assume_normalized=True
+        ).collect()
+    }
+    q768 = spark.createDataFrame(
+        [(0, qv768)], "query_id bigint, query_vec array<double>"
+    )
+    for nprobe in (2, 4):
+        probed = [
+            r["cluster"]
+            for r in A.rank_probed_clusters(cents768, q768, nprobe).collect()
+        ]
+        frac = sum(sizes768[c] for c in probed) / n_b768
+        sec, rows = t(lambda np_=nprobe: A.ivf_batch_topk(
+            big768, q768, k=10, nprobe=np_, cluster_col="cluster",
+            id_col="vec_id", centroids=cents768,
+        ).collect())
+        rec = len({r["vec_id"] for r in A.ivf_batch_topk(
+            big768, q768, k=10, nprobe=nprobe, cluster_col="cluster",
+            id_col="vec_id", centroids=cents768,
+        ).collect()} & exact768_1m) / 10
+        results.append((
+            f"ivf kmeans nprobe={nprobe}/16 (768d)",
+            f"{n_b768:,} vecs x 768d", sec,
+            f"recall@10 = {rec:.2f} vs exact; probed clusters hold "
+            f"{frac:.1%} of the corpus — with cluster-partitioned parquet "
+            "that fraction IS the bytes read per query batch"))
+    big768.unpersist()
+    ivf768.unpersist()
+    cents768.unpersist()
 
     # ---- near-dup: exact blocked BLAS vs LSH at 30K vectors
     mid_emb = (
