@@ -165,9 +165,19 @@ def ivf_batch_topk(
     probed = rank_probed_clusters(
         centroids, queries, nprobe, query_id_col, query_vec_col
     ).select(F.col(query_id_col), F.col("cluster").alias("_ivf_pc"))
-    cand = emb.join(
-        F.broadcast(probed), emb[cluster_col] == probed["_ivf_pc"], "inner"
-    ).drop("_ivf_pc")
+    cand = (
+        # null-vector filter FIRST, matching brute_force_topk (the
+        # single-query path): without it, a probed cluster with fewer
+        # than k scorable vectors would pad the batch result with
+        # null-similarity rows the per-query path never returns
+        emb.filter(F.col(vector_col).isNotNull())
+        .join(
+            F.broadcast(probed),
+            F.col(cluster_col) == F.col("_ivf_pc"),
+            "inner",
+        )
+        .drop("_ivf_pc")
+    )
     scored = cand.join(F.broadcast(queries), query_id_col).withColumn(
         "similarity",
         cosine_similarity_rounded(F.col(vector_col), F.col(query_vec_col)),

@@ -13022,6 +13022,12 @@ def svc_search_dsl_768(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"svc_search_dsl_768: doc_id 0 missing or text-less in {sf_dir}"
         )
     qv = md5_embed_text_local(qrow["text"], dim=768)
+    if not any(qv):
+        raise ValueError(
+            "svc_search_dsl_768: doc_id 0's text has no [a-z0-9] tokens "
+            f"in {sf_dir} — its embedding is the zero vector (full-cosine "
+            "scoring would divide by zero under ANSI)"
+        )
     request = {
         "query_vec": qv,
         "columns": ["lang", "source", "n_chars"],

@@ -78,6 +78,32 @@ def test_ivf_batch_topk_matches_per_query_ivf(spark, emb):
     assert len(batch) == 5 * len(qids)
 
 
+def test_ivf_batch_topk_skips_null_vectors(spark):
+    """A probed cluster holding a NULL-embedding row must not pad the
+    batch result with a null-similarity hit when candidates < k — the
+    single-query path (brute_force_topk) filters nulls, and the batch
+    path must match it row-for-row."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (99, None, 0),
+        (2, [0.0, 1.0], 1),
+        (3, [0.1, 0.9], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "query_id bigint, query_vec array<double>"
+    )
+    out = A.ivf_batch_topk(emb, queries, k=10, nprobe=1).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 99 not in ids
+    assert sorted(ids) == [0, 1]  # only cluster 0's scorable rows
+    single = A.ivf_topk(emb, [1.0, 0.0], k=10, nprobe=1).collect()
+    assert ids == [r["vec_id"] for r in single]
+
+
 def test_rank_probed_clusters_matches_single_query_probe(emb, qvec, spark):
     cents = A.compute_centroids(emb).localCheckpoint(eager=False)
     from strava_vector_search_spark.functions.vector import (

@@ -126,6 +126,37 @@ def main() -> None:
                         f"recall@10 = {rec:.2f} vs exact; scans ~nprobe/16 "
                         "of the corpus"))
 
+    # ---- round 10: batched IVF — 32 queries in ONE pruned pass
+    # (ivf_batch_topk) vs one ivf_topk scan per query: the per-query
+    # fixed cost (probe ranking + pruned-scan job) amortizes
+    q32 = (
+        emb.limit(32)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    q32.count()
+    sec_batch, n_bt = t(lambda: A.ivf_batch_topk(
+        big_ivf, q32, k=10, nprobe=2, id_col="vec_id", centroids=ivf_cents,
+    ).count())
+    t0 = time.time()
+    for qrow in q32.collect()[:8]:  # 8 sequential probes, extrapolated
+        A.ivf_topk(
+            big_ivf, [float(x) for x in qrow["query_vec"]], k=10,
+            nprobe=2, id_col="vec_id", centroids=ivf_cents,
+        ).count()
+    sec_loop8 = time.time() - t0
+    results.append((
+        "ivf_batch_topk 32 queries nprobe=2",
+        f"{n_vec:,} vecs", sec_batch,
+        f"one pruned pass + WindowGroupLimit for all 32 queries vs "
+        f"looping single-query ivf_topk ({sec_loop8:.1f}s for just 8 "
+        f"queries = ~{sec_loop8 * 4:.0f}s for 32): per-query job/probe "
+        "fixed costs amortize, and the scan reads the UNION of probed "
+        "partitions once"))
+
     # ---- round 8: incremental IVF maintenance — append a 1% delta vs
     # rebuilding the whole 1M-vector layout (the freshness trade
     # maintain_ivf_index automates)
@@ -192,7 +223,6 @@ def main() -> None:
     # caption is DERIVED from the measurement — r9 committed an
     # expr-dot-vs-BLAS-cosine mismatch under a hard-coded "BLAS earns
     # its keep" caption that its own numbers contradicted.
-    lanes768 = {}
     for normed, tag in ((True, "dot"), (False, "full cosine")):
         sec_expr, _ = t(lambda nm=normed: brute_force_topk(
             emb768, qv768, k=10, id_col="vec_id", assume_normalized=nm
@@ -200,7 +230,6 @@ def main() -> None:
         sec_blas, _ = t(lambda nm=normed: brute_force_topk_blas(
             emb768, qv768, k=10, id_col="vec_id", assume_normalized=nm
         ).collect())
-        lanes768[tag] = (sec_expr, sec_blas)
         faster = "BLAS" if sec_blas < sec_expr else "expr"
         ratio = max(sec_expr, sec_blas) / max(min(sec_expr, sec_blas), 1e-9)
         results.append((
@@ -311,11 +340,11 @@ def main() -> None:
         ]
         frac = sum(sizes768[c] for c in probed) / n_b768
         sec, rows = t(lambda np_=nprobe: A.ivf_batch_topk(
-            big768, q768, k=10, nprobe=np_, cluster_col="cluster",
+            ivf768, q768, k=10, nprobe=np_, cluster_col="cluster",
             id_col="vec_id", centroids=cents768,
         ).collect())
         rec = len({r["vec_id"] for r in A.ivf_batch_topk(
-            big768, q768, k=10, nprobe=nprobe, cluster_col="cluster",
+            ivf768, q768, k=10, nprobe=nprobe, cluster_col="cluster",
             id_col="vec_id", centroids=cents768,
         ).collect()} & exact768_1m) / 10
         results.append((
