@@ -264,6 +264,59 @@ def assert_ivf_layout(path: str, expected: str, op: str) -> None:
         )
 
 
+def ivf_batch_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """:func:`ivf_batch_topk` against the MATERIALIZED index layout
+    (:func:`write_ivf_index`'s cluster-partitioned parquet): the union of
+    all queries' probed clusters is collected (a bounded
+    |queries| x nprobe driver list — the centroid-table class) and pushed
+    as a LITERAL ``IN`` filter, so it lands in the scan as
+    PartitionFilters and the unprobed clusters are never READ, not
+    merely filtered. Per-query cluster assignment then rides the same
+    broadcast join + WindowGroupLimit as the in-memory batch path —
+    results are identical (pinned in test_ann). Centroids default to the
+    table persisted by :func:`write_ivf_centroids`."""
+    part = spark.read.parquet(index_path)
+    cents = (
+        centroids
+        if centroids is not None
+        else read_ivf_centroids(spark, index_path)
+    )
+    union = sorted(
+        r["cluster"]
+        for r in rank_probed_clusters(
+            cents, queries, nprobe, query_id_col, query_vec_col
+        )
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    pruned = part.filter(F.col(cluster_col).isin(union))
+    return ivf_batch_topk(
+        pruned,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        cluster_col=cluster_col,
+        vector_col=vector_col,
+        id_col=id_col,
+        centroids=cents,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+
+
 def write_ivf_index(
     emb: DataFrame, path: str, cluster_col: str = "label"
 ) -> None:

@@ -7790,6 +7790,50 @@ SELECT role, node, score FROM (
 
 ORACLES["ann_ivf_partition_pruned"] = ORACLES["ann_ivf_topk"]
 
+# ann_ivf_batch_partition_pruned — the batched probe replayed exactly:
+# per-query nprobe=2 centroid ranking (same rounded-cosine + cluster
+# tie-break as ann_ivf_topk), candidates only from each query's OWN
+# probed clusters, per-query top-10 with (similarity desc, vec_id asc)
+# rank — the union-IN partition pruning is a physical-layout property
+# the plan audit asserts; the VALUES here must equal the per-query rule.
+ORACLES["ann_ivf_batch_partition_pruned"] = f"""
+WITH {_CENTROID_CTES},
+qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (3, 19)
+),
+probe AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.query_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(list_cosine_similarity(c.centroid, q.qv), 6)
+                        DESC,
+                      c.cluster ASC
+           ) AS pr
+    FROM cent c CROSS JOIN qs q
+  ) WHERE pr <= 2
+),
+cand AS (
+  SELECT p.query_id, e.vec_id, e.label,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+           AS similarity
+  FROM embeddings e
+  JOIN probe p ON e.label = p.cluster
+  JOIN qs q ON q.query_id = p.query_id
+  WHERE e.embedding IS NOT NULL
+)
+SELECT query_id, vec_id, label::INTEGER AS label, similarity, rank
+FROM (
+  SELECT query_id, vec_id, label, similarity,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY similarity DESC, vec_id ASC
+         ) AS rank
+  FROM cand
+) WHERE rank <= 10
+"""
+
 
 # -- ordered-corpus n-gram novelty ---------------------------------------------
 

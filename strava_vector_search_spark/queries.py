@@ -13050,6 +13050,65 @@ def svc_search_dsl_768(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"svc_search_dsl_768": svc_search_dsl_768})
 
 
+def ann_ivf_batch_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCHED probe against the materialized IVF layout
+    (operators/ann.ivf_batch_topk_indexed): two query vectors ride ONE
+    pruned scan of the cluster-partitioned index — the union of their
+    probed clusters is a bounded driver list pushed as a literal IN, so
+    it lands as PartitionFilters (unprobed clusters never READ; pinned
+    in test_ann and PLANS.md), and per-query cluster assignment +
+    per-query top-k ride the broadcast join + WindowGroupLimit of the
+    in-memory batch path. Completes the amortization story
+    ``ann_ivf_partition_pruned`` pins for one query: N queries cost one
+    pruned scan, not N (SCALE.md measures 32 queries at 1M vecs).
+    Exact value-level oracle — same probing rule and tie-breaks per
+    query as ``ann_ivf_topk``."""
+    from strava_vector_search_spark.operators.ann import (
+        compute_centroids,
+        ivf_batch_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build(tmp: str) -> None:
+        write_ivf_index(emb, tmp)
+
+    path = _cached_layout(sf_dir, "embeddings", "ivfpart", _build)
+    cents = compute_centroids(emb)
+    qids = (3, 19)
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(*qids))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    if len(qvecs) != len(qids):
+        raise ValueError(
+            f"ann_ivf_batch_partition_pruned: query vecs {qids} not all "
+            f"present in {sf_dir}"
+        )
+    queries = spark.createDataFrame(
+        [(q, qvecs[q]) for q in qids],
+        "query_id bigint, query_vec array<double>",
+    )
+    out = ivf_batch_topk_indexed(
+        spark, path, queries, k=10, nprobe=2, centroids=cents
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "similarity",
+        "rank",
+    )
+
+
+QUERIES.update(
+    {"ann_ivf_batch_partition_pruned": ann_ivf_batch_partition_pruned}
+)
+
+
 def ann_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-IVF maintenance kernel as an oracle-backed readout:
     centroids come from the BASE corpus (vec_id % 5 != 0, existing label

@@ -132,6 +132,43 @@ def test_rank_probed_clusters_matches_single_query_probe(emb, qvec, spark):
     assert got == expected
 
 
+def test_ivf_batch_topk_indexed_prunes_and_matches(spark, emb, tmp_path):
+    """The indexed batch probe must (a) equal the in-memory batch probe
+    row-for-row and (b) push the probed-cluster union into the scan as
+    PartitionFilters — unprobed clusters are never read."""
+    path = str(tmp_path / "bivf")
+    A.write_ivf_index(emb, path, "label")
+    cents = A.compute_centroids(emb).localCheckpoint(eager=False)
+    A.write_ivf_centroids(cents, path)
+    qids = (3, 19)
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(*qids)).collect()
+    }
+    queries = spark.createDataFrame(
+        [(q, qvecs[q]) for q in qids],
+        "query_id bigint, query_vec array<double>",
+    )
+    out = A.ivf_batch_topk_indexed(
+        spark, path, queries, k=5, nprobe=2
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["similarity"])
+        for r in out.collect()
+    )
+    mem = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["similarity"])
+        for r in A.ivf_batch_topk(
+            emb, queries, k=5, nprobe=2, centroids=cents
+        ).collect()
+    )
+    assert got == mem and len(got) == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[.*label.* IN ", plan), plan[:2000]
+
+
 def test_ivf_partition_pruned_layout(spark, emb, tmp_path):
     path = str(tmp_path / "ivf")
     A.write_ivf_index(emb, path, "label")
