@@ -57,6 +57,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_topk_768",
     "ann_kmeans_ivf_topk_768",
+    "ann_ivf_batch_partition_pruned",
     "svc_search_dsl_768",
     "ann_ivf_append_assign",
     "ann_srp_topk",

@@ -590,6 +590,17 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
         "no_python": "!BatchEvalPython",
     },
+    "ann_ivf_batch_partition_pruned": {
+        # batched probe on the materialized IVF layout: the probed-
+        # cluster union is a literal IN that lands as PartitionFilters
+        # (unprobed clusters never read); per-query assignment via
+        # broadcast join; per-query top-k as a WindowGroupLimit
+        "partition_filters_in": "PartitionFilters: \\[.*label.* IN ",
+        "broadcast_join": "BroadcastHashJoin",
+        "window_group_limit": "WindowGroupLimit",
+        "no_cartesian": "!CartesianProduct",
+        "no_python": "!BatchEvalPython",
+    },
     "svc_search_dsl_768": {
         # service path at production width: the compiled DSL predicate is
         # pushed into the documents parquet scan (filter BELOW the
