@@ -58,6 +58,8 @@ HEADLINE = [
     "ann_ivf_topk_768",
     "ann_kmeans_ivf_topk_768",
     "ann_ivf_batch_partition_pruned",
+    "ann_pq_topk_768",
+    "vs_batch_topk_768",
     "svc_search_dsl_768",
     "ann_ivf_append_assign",
     "ann_srp_topk",

@@ -98,6 +98,33 @@ def ann_kmeans_ivf_topk_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def ann_pq_topk_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-768 operator path once: normalize, train (memoized per plan),
+    encode to 96-byte codes, one ADC scan + exact rescore. The 5-query
+    brute-force comparison stays in the correctness gate."""
+    from pyspark.sql import functions as F
+
+    from strava_vector_search_spark.functions.vector import l2_normalize
+    from strava_vector_search_spark.operators import pq as PQ
+    from strava_vector_search_spark.queries import _md5_emb_768
+
+    emb = (
+        _md5_emb_768(spark, sf_dir)
+        .select(
+            "doc_id", l2_normalize(F.col("embedding")).alias("embedding")
+        )
+        .filter(F.col("embedding").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    books = PQ.train_codebooks(emb, m=96, id_col="doc_id")
+    codes = PQ.encode_pq(emb, books, id_col="doc_id")
+    qrow = emb.filter(F.col("doc_id") == 3).head()
+    qv = [float(x) for x in qrow["embedding"]]
+    return PQ.pq_topk_refined(
+        emb, codes, books, qv, k=10, n_cand=200, id_col="doc_id"
+    )
+
+
 def ann_ivfpq_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ operator path once: encode-with-cluster, probe, ADC scan of
     the probed codes, exact rescore — one query, no exact-within-probe
@@ -156,6 +183,7 @@ LEAN_BENCH = {
     "ann_pq_topk": ann_pq_topk_bench,
     "ann_kmeans_ivf_topk": ann_kmeans_ivf_topk_bench,
     "ann_kmeans_ivf_topk_768": ann_kmeans_ivf_topk_768_bench,
+    "ann_pq_topk_768": ann_pq_topk_768_bench,
     "ann_ivfpq_topk": ann_ivfpq_topk_bench,
     "dd_cc_incremental": dd_cc_incremental_bench,
 }

@@ -7834,6 +7834,18 @@ FROM (
 ) WHERE rank <= 10
 """
 
+# ann_pq_topk_768 — PQ at production width (96 one-byte codes per doc):
+# driver-side Lloyd's isn't ANSI-SQL, so the oracle pins the contract
+# booleans plus the data-anchored code count (one code per doc with >=1
+# token, doc 0 excluded — the _md5_emb_768 corpus).
+ORACLES["ann_pq_topk_768"] = f"""
+SELECT (SELECT COUNT(*) FROM documents
+        WHERE doc_id <> 0 AND text IS NOT NULL
+          AND len({_TOKS}) > 0)::BIGINT AS n_encoded,
+       96 AS code_bytes, 10 AS k,
+       true AS mean_recall_ge_080, true AS refined_sims_exact
+"""
+
 
 # -- ordered-corpus n-gram novelty ---------------------------------------------
 
@@ -8219,6 +8231,32 @@ topk AS (
 SELECT doc_id, lang, source, n_chars, similarity,
        ROW_NUMBER() OVER (ORDER BY similarity DESC, doc_id ASC) AS rank
 FROM topk
+"""
+
+
+# vs_batch_topk_768 — the batch-search path at production width: three
+# stored query vectors, one corpus pass, per-query (similarity desc,
+# doc_id asc) rank — exact value replay over the shared md5-768 CTEs.
+ORACLES["vs_batch_topk_768"] = f"""
+WITH {_MD5_768_CTES},
+corpus AS (SELECT doc_id, emb FROM dense WHERE doc_id <> 0),
+qs AS (
+  SELECT doc_id AS query_id, emb AS qv
+  FROM dense WHERE doc_id IN (3, 7, 11)
+),
+scored AS (
+  SELECT q.query_id, c.doc_id,
+         ROUND(list_cosine_similarity(c.emb, q.qv), 6) AS similarity
+  FROM corpus c CROSS JOIN qs q
+)
+SELECT query_id, doc_id, similarity, rank FROM (
+  SELECT query_id, doc_id, similarity,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY similarity DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+) WHERE rank <= 5
 """
 
 

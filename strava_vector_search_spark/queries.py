@@ -13109,6 +13109,117 @@ QUERIES.update(
 )
 
 
+def ann_pq_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization at the reference's production width — the
+    memory-side scale claim of operators/pq.py ("768-dim float32 (3 KB)
+    -> 96 uint8 codes, a 32x cut") pinned by a gate instead of a
+    docstring: the 768-d md5 corpus is L2-normalized at index time (the
+    reference's normalize-at-write pattern, 02:404 — dot == cosine, so
+    the dot-product ADC lookup tables legitimately approximate the
+    cosine ranking), encoded to m=96 one-byte codes (sub=8 dims per
+    codebook, k=256 centroids each), ADC-scanned for 200 candidates per
+    query, exact-rescored. Property oracle (driver-side Lloyd's isn't
+    ANSI-SQL): mean recall@10 >= 0.8 over 5 queries vs brute force
+    (measured 1.00 at sf0.001-0.1 — the candidate set is generous at
+    these corpus sizes; the 32x memory cut is the point at 1M+), and
+    shared hits carry IDENTICAL similarities (refine uses the same
+    scorer — approximation lives only in candidate recall).
+    ``n_encoded`` (one 96-byte code per embeddable doc) anchors the row
+    to the data."""
+    from strava_vector_search_spark.functions.vector import l2_normalize
+    from strava_vector_search_spark.operators import pq as PQ
+
+    emb = (
+        _md5_emb_768(spark, sf_dir)
+        .select("doc_id", l2_normalize(F.col("embedding")).alias("embedding"))
+        .filter(F.col("embedding").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    books = PQ.train_codebooks(emb, m=96, id_col="doc_id")
+    codes = PQ.encode_pq(emb, books, id_col="doc_id").localCheckpoint(
+        eager=False
+    )
+    n_encoded = codes.count()
+    k, qids = 10, (3, 7, 11, 19, 23)
+    qvecs = {
+        int(r["doc_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("doc_id").isin(*qids)).collect()
+    }
+    if len(qvecs) != len(qids):
+        raise ValueError(
+            f"ann_pq_topk_768: query docs {qids} not all embeddable in "
+            f"{sf_dir}"
+        )
+    hits, sims_exact = 0, True
+    for qid in qids:
+        qv = qvecs[qid]
+        exact = {
+            r["doc_id"]: r["similarity"]
+            for r in S.brute_force_topk(
+                emb, qv, k=k, id_col="doc_id", assume_normalized=True
+            ).collect()
+        }
+        approx = {
+            r["doc_id"]: r["similarity"]
+            for r in PQ.pq_topk_refined(
+                emb, codes, books, qv, k=k, n_cand=200, id_col="doc_id"
+            ).collect()
+        }
+        common = set(exact) & set(approx)
+        hits += len(common)
+        sims_exact = sims_exact and all(
+            exact[i] == approx[i] for i in common
+        )
+    return spark.createDataFrame(
+        [
+            (
+                n_encoded,
+                int(books.shape[0]),
+                k,
+                bool(hits / (k * len(qids)) >= 0.8),
+                bool(sims_exact),
+            )
+        ],
+        "n_encoded bigint, code_bytes int, k int,"
+        " mean_recall_ge_080 boolean, refined_sims_exact boolean",
+    )
+
+
+QUERIES.update({"ann_pq_topk_768": ann_pq_topk_768})
+
+
+def vs_batch_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's prescribed batching optimization (02:421) at
+    production width, under a full value-level oracle: three stored
+    768-d query vectors ride ONE corpus scan via operators/search
+    .batch_topk (broadcast query table, per-query rank window —
+    WindowGroupLimit, so map tasks keep <=k rows per query), full-cosine
+    scoring on the unnormalized md5 corpus. The 64-d twin is
+    ``vs_batch_topk``; this pins the batch path's per-query tie-breaks
+    and rank attachment at VECTOR(FLOAT, 768) (02:88)."""
+    from strava_vector_search_spark.operators.search import batch_topk
+
+    emb = _md5_emb_768(spark, sf_dir)
+    qids = (3, 7, 11)
+    queries = (
+        emb.filter(F.col("doc_id").isin(*qids))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    if queries.count() != len(qids):
+        raise ValueError(
+            f"vs_batch_topk_768: query docs {qids} not all embeddable "
+            f"in {sf_dir}"
+        )
+    return batch_topk(emb, queries, k=5, id_col="doc_id")
+
+
+QUERIES.update({"vs_batch_topk_768": vs_batch_topk_768})
+
+
 def ann_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-IVF maintenance kernel as an oracle-backed readout:
     centroids come from the BASE corpus (vec_id % 5 != 0, existing label

@@ -78,6 +78,53 @@ def test_ivf_batch_topk_matches_per_query_ivf(spark, emb):
     assert len(batch) == 5 * len(qids)
 
 
+def test_ivf_batch_topk_randomized_parity(spark):
+    """Seeded randomized corpora (ties, duplicate vectors, skewed
+    clusters) — the batch probe must equal the per-query loop on every
+    draw, including rank order and similarities. Catches tie-break or
+    probe-rule drift a single fixed corpus can miss."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    for draw in range(3):
+        n, dim, n_clusters = 120, 8, 5
+        base = rng.integers(-3, 4, size=(n, dim)).astype(float)
+        # duplicate a block of vectors to force exact similarity ties
+        base[40:60] = base[0:20]
+        rows = [
+            (i, [float(x) for x in base[i]], int(i % n_clusters))
+            for i in range(n)
+            if any(base[i])  # avoid zero vectors (ANSI 0/0)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        cents = A.compute_centroids(emb).localCheckpoint(eager=False)
+        qids = [int(q) for q in rng.choice(n, size=2, replace=False)]
+        qvecs = {q: [float(x) for x in base[q]] for q in qids}
+        queries = spark.createDataFrame(
+            [(q, qvecs[q]) for q in qids if any(qvecs[q])],
+            "query_id bigint, query_vec array<double>",
+        )
+        batch = {}
+        for r in A.ivf_batch_topk(
+            emb, queries, k=7, nprobe=2, centroids=cents
+        ).collect():
+            batch[(r["query_id"], r["rank"])] = (r["vec_id"], r["similarity"])
+        n_expected = 0
+        for r in queries.collect():
+            q = r["query_id"]
+            single = A.ivf_topk(
+                emb, list(r["query_vec"]), k=7, nprobe=2, centroids=cents
+            ).collect()
+            n_expected += len(single)
+            for rank, s in enumerate(single, start=1):
+                assert batch[(q, rank)] == (s["vec_id"], s["similarity"]), (
+                    draw, q, rank,
+                )
+        assert len(batch) == n_expected
+
+
 def test_ivf_batch_topk_skips_null_vectors(spark):
     """A probed cluster holding a NULL-embedding row must not pad the
     batch result with a null-similarity hit when candidates < k — the
