@@ -104,18 +104,10 @@ def ann_pq_topk_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force comparison stays in the correctness gate."""
     from pyspark.sql import functions as F
 
-    from strava_vector_search_spark.functions.vector import l2_normalize
     from strava_vector_search_spark.operators import pq as PQ
-    from strava_vector_search_spark.queries import _md5_emb_768
+    from strava_vector_search_spark.queries import _md5_emb_768_unit
 
-    emb = (
-        _md5_emb_768(spark, sf_dir)
-        .select(
-            "doc_id", l2_normalize(F.col("embedding")).alias("embedding")
-        )
-        .filter(F.col("embedding").isNotNull())
-        .localCheckpoint(eager=False)
-    )
+    emb = _md5_emb_768_unit(spark, sf_dir)
     books = PQ.train_codebooks(emb, m=96, id_col="doc_id")
     codes = PQ.encode_pq(emb, books, id_col="doc_id")
     qrow = emb.filter(F.col("doc_id") == 3).head()

@@ -590,6 +590,26 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
         "no_python": "!BatchEvalPython",
     },
+    "vs_batch_topk_768": {
+        # batch search at production width: the 3-row query table rides
+        # a broadcast nested-loop (never a cartesian); per-query top-5
+        # is a WindowGroupLimit, so no task sorts the scored corpus
+        "broadcast_join": "BroadcastNestedLoopJoin",
+        "window_group_limit": "WindowGroupLimit",
+        "no_cartesian": "!CartesianProduct",
+        "no_python": "!BatchEvalPython",
+    },
+    "ann_pq_topk_768": {
+        # PQ-768 operator path (lean twin): Arrow-batched ADC scan
+        # (MapInPandas is the designed kernel), candidate semi-join
+        # broadcasts, exact rescore top-k as a heap, checkpointed
+        # normalized corpus keeps lineage flat
+        "python_kernel": "MapInPandas",
+        "broadcast_join": "BroadcastHashJoin",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "flat_lineage": "ExistingRDD|LogicalRDD",
+        "no_cartesian": "!CartesianProduct",
+    },
     "ann_ivf_batch_partition_pruned": {
         # batched probe on the materialized IVF layout: the probed-
         # cluster union is a literal IN that lands as PartitionFilters
