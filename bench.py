@@ -59,7 +59,10 @@ HEADLINE = [
     "ann_kmeans_ivf_topk_768",
     "ann_ivf_batch_partition_pruned",
     "ann_pq_topk_768",
+    "ann_ivfpq_topk_768",
     "vs_batch_topk_768",
+    "dd_semantic_pairs_768",
+    "svc_index_build_stats_768",
     "svc_search_dsl_768",
     "ann_ivf_append_assign",
     "ann_srp_topk",

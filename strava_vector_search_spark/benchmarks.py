@@ -134,6 +134,32 @@ def ann_ivfpq_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfpq_topk_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ-768 operator path once: the prebuilt session-kernel index
+    (_ivfpq_768_index) + one probed ADC scan + exact rescore. The
+    5-query exact-within-probe harness stays in the correctness gate."""
+    from pyspark.sql import functions as F
+
+    from strava_vector_search_spark.operators import pq as PQ
+    from strava_vector_search_spark.queries import _ivfpq_768_index
+
+    emb, cents, books, codes = _ivfpq_768_index(spark, sf_dir)
+    qrow = emb.filter(F.col("doc_id") == 3).head()
+    qv = [float(x) for x in qrow["embedding"]]
+    return PQ.ivfpq_topk(
+        emb,
+        codes,
+        books,
+        qv,
+        k=10,
+        nprobe=4,
+        n_cand=200,
+        cluster_col="cluster",
+        id_col="doc_id",
+        centroids=cents,
+    )
+
+
 def dd_cc_incremental_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-CC operator path once: label the base edge set, apply ONE
     SMALL batch (the bridge edges only — the O(touched) regime the
@@ -176,6 +202,7 @@ LEAN_BENCH = {
     "ann_kmeans_ivf_topk": ann_kmeans_ivf_topk_bench,
     "ann_kmeans_ivf_topk_768": ann_kmeans_ivf_topk_768_bench,
     "ann_pq_topk_768": ann_pq_topk_768_bench,
+    "ann_ivfpq_topk_768": ann_ivfpq_topk_768_bench,
     "ann_ivfpq_topk": ann_ivfpq_topk_bench,
     "dd_cc_incremental": dd_cc_incremental_bench,
 }

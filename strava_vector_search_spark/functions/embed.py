@@ -58,15 +58,38 @@ def hash_embedding_table(
     dense = per_bucket.groupBy("_id").agg(
         F.map_from_entries(F.collect_list(F.struct("bucket", "val"))).alias("m")
     )
+    # Same AQE over-coalescing hazard as md5_embedding_table: the
+    # post-agg densification is ~10x wider than the sparse rows AQE
+    # sizes by, so without this the dim-wide projection can land on one
+    # task (measured as part of a 96 s dim-768 build).
+    dense = dense.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "_id"
+    )
     arr = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
     )
-    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    # STAGED projections, not one nested expression: inlining `arr`
+    # into the norm fold and `norm` into every normalized element made
+    # the single-projection form O(dim^2) map lookups per row — ~4K at
+    # dim 64 (tolerable, invisible) but ~590K at dim 768 (measured
+    # 96 s for 500 docs). Each alias is referenced more than once
+    # downstream, so CollapseProject keeps the stages and each computes
+    # ONCE per row. Values are bit-identical to the nested form — same
+    # folds, same order, same rounding.
+    staged = dense.select("_id", arr.alias("_arr"))
+    normed = staged.select(
+        "_id",
+        "_arr",
+        F.sqrt(
+            F.aggregate(F.col("_arr"), F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("_n"),
+    )
     unit = F.when(
-        norm > 0, F.transform(arr, lambda x: F.round(x / norm, 6))
-    ).otherwise(arr)
-    return dense.select(
+        F.col("_n") > 0,
+        F.transform(F.col("_arr"), lambda x: F.round(x / F.col("_n"), 6)),
+    ).otherwise(F.col("_arr"))
+    return normed.select(
         F.col("_id").alias(id_col), unit.cast("array<float>").alias("embedding")
     )
 

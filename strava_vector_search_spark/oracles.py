@@ -439,6 +439,24 @@ FROM documents
 WHERE text IS NOT NULL AND len({_TOKS}) > 0
 """
 
+# IVF+PQ composed at production width: learned coarse quantizer + 96-byte
+# codes; contract booleans + the data-anchored code count.
+ORACLES["ann_ivfpq_topk_768"] = f"""
+SELECT (SELECT COUNT(*) FROM documents
+        WHERE doc_id <> 0 AND text IS NOT NULL
+          AND len({_TOKS}) > 0)::BIGINT AS n_encoded,
+       4 AS nprobe, 96 AS code_bytes,
+       true AS mean_recall_ge_080, true AS probe_sims_exact
+"""
+
+# Same contract at production width through the SERVICE build path.
+ORACLES["svc_index_build_stats_768"] = f"""
+SELECT COUNT(*)::BIGINT AS n_rows, 768 AS min_dim, 768 AS max_dim,
+       1.0::DOUBLE AS min_norm2, 1.0::DOUBLE AS max_norm2
+FROM documents
+WHERE text IS NOT NULL AND len({_TOKS}) > 0
+"""
+
 # -- text analysis ----------------------------------------------------------
 
 _NTOK = f"len({_TOKS})"
@@ -8257,6 +8275,25 @@ SELECT query_id, doc_id, similarity, rank FROM (
          ) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+
+# dd_semantic_pairs_768 — the SemDeDup pair kernel at production width:
+# within-lang pairs >= 0.9 over the exact-integer md5-768 vectors, so
+# the BLAS kernel's rounded cosines replay bit-for-bit.
+ORACLES["dd_semantic_pairs_768"] = f"""
+WITH {_MD5_768_CTES},
+corpus AS (
+  SELECT de.doc_id, de.emb, d.lang
+  FROM dense de JOIN documents d USING (doc_id)
+  WHERE de.doc_id <> 0
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM corpus a
+JOIN corpus b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.9
+ORDER BY id1, id2
 """
 
 

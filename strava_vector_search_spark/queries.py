@@ -6724,6 +6724,43 @@ def _md5_emb_768_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ768_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _ivfpq_768_index(spark: SparkSession, sf_dir: str):
+    """(emb, cents, books, codes) — the composed IVF+PQ index at width
+    768: the unit-normalized corpus carrying its KMeans cluster id
+    (clusters from the :func:`_kmeans_ivf_768` fit, shared — one KMeans
+    per session), per-cluster centroids over the UNIT vectors (probe
+    ranking and scoring share one geometry), m=96 codebooks trained on
+    the stable checkpointed plan (the memo hits across calls), and the
+    96-byte code table encoded once. Everything a query touches is
+    prebuilt — the FAISS-IVFPQ build/search split, session-scoped."""
+    from strava_vector_search_spark.operators import pq as PQ
+    from strava_vector_search_spark.operators.ann import compute_centroids
+
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _IVFPQ768_CACHE if k[0] != app_id]:
+        del _IVFPQ768_CACHE[stale]
+    key = (app_id, sf_dir.rstrip("/"))
+    if key not in _IVFPQ768_CACHE:
+        clustered_raw, _ = _kmeans_ivf_768(spark, sf_dir)
+        emb = (
+            _md5_emb_768_unit(spark, sf_dir)
+            .join(clustered_raw.select("doc_id", "cluster"), "doc_id")
+            .localCheckpoint(eager=False)
+        )
+        cents = compute_centroids(emb, "cluster").localCheckpoint(
+            eager=False
+        )
+        books = PQ.train_codebooks(emb, m=96, id_col="doc_id")
+        codes = PQ.encode_pq(
+            emb, books, id_col="doc_id", keep_cols=("cluster",)
+        ).localCheckpoint(eager=False)
+        _IVFPQ768_CACHE[key] = (emb, cents, books, codes)
+    return _IVFPQ768_CACHE[key]
+
+
 _KMEANS_IVF768_CACHE: dict[tuple[str, str], tuple] = {}
 
 
@@ -13236,6 +13273,153 @@ def vs_batch_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"vs_batch_topk_768": vs_batch_topk_768})
+
+
+def dd_semantic_pairs_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup pair kernel at the reference's production width,
+    under a FULL value-level oracle: within-cell cosine pairs >= 0.9
+    over the 768-d md5 corpus (cell = ``lang`` — deterministic, so
+    DuckDB can replay the exact cell assignment), scored by the dense
+    BLAS block kernel (operators/dedup.semantic_pairs_blas: one shuffle
+    to pack (cell, rank-range) blocks, one float64 matmul per block
+    pair — the quadratic term is bounded by the largest cell, never the
+    corpus). The md5 embeddings are integer-valued, so every dot/norm
+    term is exact in float64 and the numpy kernel's 6-dp cosines match
+    list_cosine_similarity bit-for-bit — the 64-d twin
+    (dd_semantic_dedup) pins the cluster->CC->keep pipeline; this pins
+    the SCORING kernel itself at width 768."""
+    from strava_vector_search_spark.operators.dedup import (
+        semantic_pairs_blas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _md5_emb_768(spark, sf_dir).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    pairs = semantic_pairs_blas(
+        emb,
+        cluster_col="lang",
+        id_col="doc_id",
+        vector_col="embedding",
+        threshold=0.9,
+    )
+    return pairs.select("id1", "id2", "cosine").orderBy("id1", "id2")
+
+
+QUERIES.update({"dd_semantic_pairs_768": dd_semantic_pairs_768})
+
+
+def svc_index_build_stats_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVICE index build at production width: SearchService.build()
+    with dim=768 — the managed path the reference's CREATE SERVICE runs
+    (01:163-186), not an attached external table — then the same
+    invariants contract as the 64-d ``vs_index_build_stats``: one
+    embedding per tokenizable doc, 768 on every row, unit L2 norm at
+    3 dp (the build embeds with the normalizing production embedder, so
+    query-time scoring is one fused dot pass). Pins that the build path
+    is width-clean end-to-end — dims flow from the service declaration
+    into the index rows."""
+    from strava_vector_search_spark.functions.vector import dot_product
+    from strava_vector_search_spark.service import SearchService
+
+    docs = load_table(spark, sf_dir, "documents")
+    svc = SearchService(
+        spark, docs, id_col="doc_id", search_col="text", dim=768
+    ).build()
+    n2 = dot_product(
+        F.col("embedding").cast("array<double>"),
+        F.col("embedding").cast("array<double>"),
+    )
+    return svc.embeddings.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+        F.round(F.min(n2), 3).alias("min_norm2"),
+        F.round(F.max(n2), 3).alias("max_norm2"),
+    )
+
+
+QUERIES.update({"svc_index_build_stats_768": svc_index_build_stats_768})
+
+
+def ann_ivfpq_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed at the reference's production width — the
+    billion-scale recipe (FAISS IVFPQ) with BOTH production parameters:
+    a learned 16-cluster KMeans coarse quantizer pruning WHICH codes
+    are scanned, and m=96 one-byte codes shrinking WHAT the scan reads
+    (96 B vs 3 KB float32/row). Index = the :func:`_ivfpq_768_index`
+    session kernel (unit corpus + cluster ids + centroids + codebooks +
+    code table, all prebuilt). Same contract as the 64-d
+    ``ann_ivfpq_topk``: (a) mean recall@10 >= 0.8 vs the EXACT top-10
+    WITHIN the probed clusters (isolates PQ candidate loss from IVF
+    pruning, which ``ann_kmeans_ivf_topk_768`` already bounds); (b)
+    every shared hit carries the identical similarity (the refine stage
+    is the same scorer). ``n_encoded`` anchors to the data."""
+    from strava_vector_search_spark.operators import pq as PQ
+
+    emb, cents, books, codes = _ivfpq_768_index(spark, sf_dir)
+    n_encoded = codes.count()
+    k, nprobe, qids = 10, 4, (3, 7, 11, 19, 23)
+    qvecs = {
+        int(r["doc_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("doc_id").isin(*qids)).collect()
+    }
+    if len(qvecs) != len(qids):
+        raise ValueError(
+            f"ann_ivfpq_topk_768: query docs {qids} not all embeddable "
+            f"in {sf_dir}"
+        )
+    hits, sims_exact = 0, True
+    for qid in qids:
+        qv = qvecs[qid]
+        probed = PQ.probe_clusters(cents, qv, nprobe)
+        in_probe = emb.join(
+            F.broadcast(probed),
+            emb["cluster"] == probed["cluster"],
+            "left_semi",
+        )
+        exact = {
+            r["doc_id"]: r["similarity"]
+            for r in S.brute_force_topk(
+                in_probe, qv, k=k, id_col="doc_id", assume_normalized=True
+            ).collect()
+        }
+        approx = {
+            r["doc_id"]: r["similarity"]
+            for r in PQ.ivfpq_topk(
+                emb,
+                codes,
+                books,
+                qv,
+                k=k,
+                nprobe=nprobe,
+                n_cand=200,
+                cluster_col="cluster",
+                id_col="doc_id",
+                centroids=cents,
+            ).collect()
+        }
+        common = set(exact) & set(approx)
+        hits += len(common)
+        sims_exact = sims_exact and all(
+            exact[i] == approx[i] for i in common
+        )
+    return spark.createDataFrame(
+        [
+            (
+                n_encoded,
+                nprobe,
+                int(books.shape[0]),
+                bool(hits / (k * len(qids)) >= 0.8),
+                bool(sims_exact),
+            )
+        ],
+        "n_encoded bigint, nprobe int, code_bytes int,"
+        " mean_recall_ge_080 boolean, probe_sims_exact boolean",
+    )
+
+
+QUERIES.update({"ann_ivfpq_topk_768": ann_ivfpq_topk_768})
 
 
 def ann_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -590,6 +590,34 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
         "no_python": "!BatchEvalPython",
     },
+    "ann_ivfpq_topk_768": {
+        # composed IVF+PQ at production width (lean twin): probed-code
+        # ADC scan is the Arrow kernel, probe/candidate joins broadcast,
+        # exact rescore top-k as a heap over the checkpointed index
+        "python_kernel": "MapInPandas",
+        "broadcast_join": "BroadcastHashJoin",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "flat_lineage": "ExistingRDD|LogicalRDD",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "dd_semantic_pairs_768": {
+        # SemDeDup pair kernel at width 768: rank-dense block packing
+        # partial-combines; the block-pair join is the designed
+        # within-cell quadratic (bounded by the largest cell); scoring
+        # is one float64 matmul per block pair in Arrow batches
+        "python_kernel": "MapInPandas",
+        "partial_agg": "partial_",
+        "no_cartesian": "!CartesianProduct",
+        "no_rowwise_python": "!BatchEvalPython",
+    },
+    "svc_index_build_stats_768": {
+        # service index build at width 768: pure-expression embed +
+        # staged normalize (no Python), one partial-combined invariant
+        # aggregate, no join anywhere
+        "partial_agg": "partial_",
+        "no_join": "!Join",
+        "no_python": "!BatchEvalPython",
+    },
     "vs_batch_topk_768": {
         # batch search at production width: the 3-row query table rides
         # a broadcast nested-loop (never a cartesian); per-query top-5
