@@ -116,3 +116,18 @@ def test_md5_embed_text_local_matches_table_kernel(spark):
     }
     for i, t in enumerate(texts):
         assert table[i] == md5_embed_text_local(t, dim=768), f"text {i!r}"
+
+
+def test_hash_embed_normalize_stays_staged_in_optimized_plan(spark):
+    """Regression guard for the O(dim^2) inlining fix: the dense array
+    (`_arr`) and the norm (`_n`) must survive optimization as STAGED
+    aliases — if CollapseProject ever re-inlines them (each normalized
+    element would then rebuild the dim-wide array and recompute the
+    dim-wide norm fold), a dim-768 build goes from ~1 s back to ~96 s
+    for 500 docs. Plan-shape pin, not a timing pin."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    emb = hash_embedding_table(docs, "doc_id", "text", dim=768)
+    plan = emb._jdf.queryExecution().optimizedPlan().toString()
+    assert "_arr#" in plan and "_n#" in plan
