@@ -170,6 +170,52 @@ def build_filter(
     )
 
 
+def stamp_filter_k(filt: DataFrame, k: int) -> DataFrame:
+    """Migration helper for LEGACY (pre-k-marker) filters: return the same
+    filter with the build-k marker row stamped in, so every subsequent
+    probe validates k from the filter itself and ``allow_legacy=True``
+    stays a ONE-TIME escape hatch instead of a standing per-probe
+    assertion.
+
+    BEHAVIOR-CHANGE NOTE for holders of persisted filters: probes now
+    REFUSE marker-less filters by default (they used to run at the
+    caller's k silently — the exact silent-false-negative hole the marker
+    closes). A filter persisted before the marker existed must either be
+    REBUILT (preferred — the build re-derives k from code, no human
+    assertion) or stamped ONCE via this helper with the k it was
+    genuinely built at. The stamped k is caller-asserted exactly like
+    ``allow_legacy``'s, but the assertion happens once at a named
+    migration step and every later probe checks the stored marker instead
+    of trusting its own call site.
+
+    Refuses a filter already carrying a DIFFERENT k marker (stamping
+    cannot fix a wrong filter — rebuild it); re-stamping the same k is an
+    idempotent no-op. Works on both the plain ``(word_idx, word)`` and
+    sharded ``(shard, word_idx, word)`` layouts (the marker rides
+    ``word_idx = -1`` in both)."""
+    if k < 1:
+        raise ValueError(f"k (hash count) must be >= 1, got {k}")
+    existing = filt.filter(F.col("word_idx") < 0).select("word").head()
+    if existing is not None:
+        if int(existing["word"]) != k:
+            raise ValueError(
+                "stamp_filter_k: filter already carries a k="
+                f"{int(existing['word'])} marker; refusing to re-stamp "
+                f"with k={k} — rebuild the filter if its marker is wrong"
+            )
+        return filt
+    spark = filt.sparkSession
+    if "shard" in filt.columns:
+        marker = spark.createDataFrame(
+            [(-1, -1, k)], "shard bigint, word_idx bigint, word bigint"
+        )
+    else:
+        marker = spark.createDataFrame(
+            [(-1, k)], "word_idx bigint, word bigint"
+        )
+    return filt.unionByName(marker)
+
+
 def probe_membership(
     pairs: DataFrame,
     key_col: str,
@@ -185,6 +231,12 @@ def probe_membership(
     expressions — no explode, no shuffle, no regroup. NULL keys probe to
     false. No false negatives; false positives at the filter's designed
     rate. All other columns pass through unchanged.
+
+    Legacy filters (persisted before the k marker existed) are REFUSED by
+    default; ``allow_legacy=True`` runs the probe at the caller's ``k``
+    as a short-lived escape hatch — the assertion is unvalidated, so
+    migrate by rebuilding the filter or stamping it once with
+    :func:`stamp_filter_k` (see its behavior-change note).
     """
     # DENSE word array, not a map: Spark MapData is array-backed, so
     # element_at on a map is a LINEAR scan — catastrophic at large m

@@ -44,6 +44,41 @@ from strava_vector_search_spark.operators.search import (
 _CODEBOOK_CACHE: dict[tuple, np.ndarray] = {}
 
 
+def _plan_digest(df: DataFrame) -> tuple[int, str] | None:
+    """Collision-proof cache identity for a DataFrame's analyzed plan:
+    ``(semanticHash, sha256(full canonicalized string))``. Neither half
+    alone is safe: semanticHash is 32 bits (not an equality check), and
+    ``toString()`` elides attributes past ``spark.sql.debug
+    .maxToStringFields`` ("... N more fields"), so two DIFFERENT wide
+    plans — e.g. dim-768 staged embed pipelines, which differ exactly in
+    the elided field lists — can render to the SAME string. The conf is
+    raised for the render and restored, and only the 64-char digest is
+    retained (the raw multi-KB plan text of every cached input would
+    otherwise live for the session as a dict key). None when the JVM
+    plan is unreachable (callers then skip caching)."""
+    import hashlib
+
+    conf = df.sparkSession.conf
+    key = "spark.sql.debug.maxToStringFields"
+    try:
+        canon = df._jdf.queryExecution().analyzed().canonicalized()
+        old = conf.get(key, None)
+        conf.set(key, str(1 << 30))
+        try:
+            rendered = canon.toString()
+        finally:
+            if old is None:
+                conf.unset(key)
+            else:
+                conf.set(key, old)
+        return (
+            int(canon.semanticHash()),
+            hashlib.sha256(rendered.encode("utf-8")).hexdigest(),
+        )
+    except Exception:
+        return None
+
+
 def train_codebooks(
     emb: DataFrame,
     m: int = 8,
@@ -61,20 +96,16 @@ def train_codebooks(
     deterministic function of its inputs (ordered sample + Lloyd's), and
     the PQ and IVF+PQ gates train over the SAME table — one ~1 s driver
     loop serves every caller instead of re-running per gate and per bench
-    rep. Keyed by the CANONICALIZED plan string (not semanticHash alone —
-    a 32-bit hash is not an equality check, and a collision between two
-    different inputs in one session would silently hand back the wrong
-    codebooks) so a FILTERED input never hits another input's entry;
-    entries of other applicationIds are evicted on lookup (the
-    _session_memo rule). Cached arrays are frozen read-only before
-    caching, so a consumer mutating its result raises instead of
-    poisoning every later hit."""
+    rep. Keyed by :func:`_plan_digest` — (semanticHash, sha256 of the
+    UNTRUNCATED canonicalized plan) — so a FILTERED input never hits
+    another input's entry and two wide plans that truncate to the same
+    rendered string stay distinct; entries of other applicationIds are
+    evicted on lookup (the _session_memo rule). Cached arrays are frozen
+    read-only before caching, so a consumer mutating its result raises
+    instead of poisoning every later hit."""
     spark = emb.sparkSession
     app_id = spark.sparkContext.applicationId
-    try:
-        plan_key = emb._jdf.queryExecution().analyzed().canonicalized().toString()
-    except Exception:
-        plan_key = None
+    plan_key = _plan_digest(emb)
     key = (app_id, plan_key, m, k, vector_col, id_col, sample_rows, iters)
     if plan_key is not None:
         for stale in [c for c in _CODEBOOK_CACHE if c[0] != app_id]:

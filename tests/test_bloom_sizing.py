@@ -345,3 +345,45 @@ def test_legacy_filter_without_k_marker_needs_explicit_opt_in(spark):
         keys, "k", legacy_sh, 4, allow_legacy=True
     )
     assert sh_hits.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_stamp_filter_k_migrates_legacy_filters(spark):
+    """The migration path that makes allow_legacy short-lived: stamp a
+    pre-marker filter ONCE with its build k, and every later probe
+    validates against the stored marker — no per-probe assertion left.
+    Wrong-k re-stamps are refused (a wrong marker can only be fixed by
+    rebuilding); same-k re-stamps are idempotent no-ops."""
+    from strava_vector_search_spark.operators.bloom import (
+        build_sharded_filter,
+        probe_sharded_membership,
+        stamp_filter_k,
+    )
+
+    keys = spark.range(100).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    legacy = build_filter(keys, "k", k=2).filter(F.col("word_idx") >= 0)
+    with pytest.raises(Exception, match="allow_legacy"):
+        probe_membership(keys, "k", legacy, k=2).collect()
+    stamped = stamp_filter_k(legacy, 2)
+    hits = probe_membership(keys, "k", stamped, k=2)
+    assert hits.filter(~F.col("maybe_member")).count() == 0
+    # the stamped marker now guards k like a native build: probing at the
+    # module default k=4 fails the sentinel instead of mis-probing
+    with pytest.raises(Exception, match="mismatch"):
+        probe_membership(keys, "k", stamped).collect()
+    # idempotent no-op on an already-markered filter; wrong k refused
+    assert stamp_filter_k(stamped, 2) is stamped
+    with pytest.raises(ValueError, match="rebuild"):
+        stamp_filter_k(stamped, 4)
+    with pytest.raises(ValueError, match="hash count"):
+        stamp_filter_k(legacy, 0)
+
+    legacy_sh = build_sharded_filter(keys, "k", 4, k=2).filter(
+        F.col("word_idx") >= 0
+    )
+    stamped_sh = stamp_filter_k(legacy_sh, 2)
+    sh_hits = probe_sharded_membership(keys, "k", stamped_sh, 4, k=2)
+    assert sh_hits.filter(~F.col("maybe_member")).count() == 0
+    with pytest.raises(Exception, match="mismatch"):
+        probe_sharded_membership(keys, "k", stamped_sh, 4).collect()

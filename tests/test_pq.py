@@ -136,3 +136,33 @@ def test_ivfpq_never_returns_unprobed_cluster(spark, emb, books):
         for r in out.join(emb.select("vec_id", "label"), "vec_id").collect()
     }
     assert len(labels) <= 2
+
+
+def test_plan_digest_distinguishes_truncated_wide_plans(spark, emb):
+    """Two wide plans whose toString() renders COLLIDE under
+    spark.sql.debug.maxToStringFields truncation ('... N more fields')
+    must still get distinct cache identities: _plan_digest raises the
+    conf for the render (restoring it after) and keys on
+    (semanticHash, sha256(full string)) — the silent-collision class the
+    canonicalized-string key was meant to eliminate (ADVICE r10)."""
+    pad = [F.lit(i).alias(f"c{i}") for i in range(39)]
+    wide_a = emb.select("vec_id", "embedding", *pad, F.lit(39).alias("c39"))
+    wide_b = emb.select("vec_id", "embedding", *pad, F.lit(-1).alias("c39"))
+    key = "spark.sql.debug.maxToStringFields"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "5")
+    try:
+        ra = wide_a._jdf.queryExecution().analyzed().canonicalized().toString()
+        rb = wide_b._jdf.queryExecution().analyzed().canonicalized().toString()
+        assert ra == rb, "precondition: raw renders collide under truncation"
+        da, db = PQ._plan_digest(wide_a), PQ._plan_digest(wide_b)
+        assert da is not None and db is not None
+        assert da != db
+        assert PQ._plan_digest(wide_a) == da  # deterministic per plan
+        # the render-time raise is restored, not leaked
+        assert spark.conf.get(key) == "5"
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
