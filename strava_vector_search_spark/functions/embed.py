@@ -42,6 +42,15 @@ def hash_embedding_table(
     combine) → assemble dense array → L2 normalize. One shuffle on id;
     partial aggregation keeps the shuffle narrow. Weights rounded to 6 dp
     pre- and post-normalization for reproducibility.
+
+    ZERO vectors are dropped at build: a doc whose every token hashes to
+    weight 0 has no L2 direction — storing it would poison every
+    full-cosine consumer with a DIVIDE_BY_ZERO at query time (ANSI mode),
+    far from the build that caused it. Dropped docs behave exactly like
+    token-less docs (which the explode already drops): no embedding row,
+    so index-build stats can surface the count as
+    ``n_tokenizable - n_rows`` and incremental refresh simply re-skips
+    them each batch.
     """
     tok = df.select(
         F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("tok")
@@ -55,9 +64,17 @@ def hash_embedding_table(
     per_bucket = weighted.groupBy("_id", "bucket").agg(
         F.round(F.sum("w"), 6).alias("val")
     )
+    # Zero-vector drop on the SPARSE rows: weights are non-negative, so a
+    # zero total <=> the all-zero vector. Checked here — at the aggregate,
+    # before densification — because a filter on the post-densify norm
+    # gets predicate-pushed through the staged projections, re-inlining
+    # the dim-wide array into the filter and the norm fold into every
+    # normalized element: the exact O(dim^2) CollapseProject regression
+    # the staging exists to prevent (the plan-shape test caught it).
     dense = per_bucket.groupBy("_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("bucket", "val"))).alias("m")
-    )
+        F.map_from_entries(F.collect_list(F.struct("bucket", "val"))).alias("m"),
+        F.sum("val").alias("_tot"),
+    ).filter(F.col("_tot") > 0)
     # Same AQE over-coalescing hazard as md5_embedding_table: the
     # post-agg densification is ~10x wider than the sparse rows AQE
     # sizes by, so without this the dim-wide projection can land on one
@@ -85,6 +102,9 @@ def hash_embedding_table(
             F.aggregate(F.col("_arr"), F.lit(0.0), lambda a, x: a + x * x)
         ).alias("_n"),
     )
+    # `_n` stays DOUBLY referenced (condition + divide) so CollapseProject
+    # keeps the staged aliases; the otherwise-branch is unreachable now
+    # that zero-total docs are dropped at the aggregate above.
     unit = F.when(
         F.col("_n") > 0,
         F.transform(F.col("_arr"), lambda x: F.round(x / F.col("_n"), 6)),
@@ -114,6 +134,11 @@ def md5_embedding_table(
     Output values fit float32 exactly (≤ ~10^5 per bucket), so the
     returned ``array<float>`` column loses nothing and exercises the
     same physical layout as the production embedding columns.
+
+    Zero vectors (every token weight ≡ 0 mod 1000 — cannot occur in the
+    shipped testdata, but a real corpus offers no such promise) are
+    DROPPED at build like token-less docs, and the DuckDB oracle CTEs
+    replay the same drop — see hash_embedding_table's contract note.
     """
     from strava_vector_search_spark.operators.dedup import md5_int
 
@@ -131,11 +156,18 @@ def md5_embedding_table(
     per_bucket = weighted.groupBy("_id", "bucket").agg(
         F.sum("w").alias("val")
     )
+    # Zero vectors dropped at build, same contract as hash_embedding_table:
+    # weights are non-negative ints, so a zero total <=> the all-zero
+    # vector, checked on the SPARSE rows before densification. Stored zero
+    # vectors would raise DIVIDE_BY_ZERO in every full-cosine consumer
+    # under ANSI mode at query time; dropping here makes the failure a
+    # countable build-time statistic instead (n_tokenizable - n_rows).
     dense = per_bucket.groupBy("_id").agg(
         F.map_from_entries(F.collect_list(F.struct("bucket", "val"))).alias(
             "m"
-        )
-    )
+        ),
+        F.sum("val").alias("_tot"),
+    ).filter(F.col("_tot") > 0)
     # Densification inflates each row ~10x (a ~60-entry sparse map
     # becomes a dim-wide array built with dim linear map lookups), but
     # AQE sizes the post-agg coalescing by the PRE-projection bytes — at

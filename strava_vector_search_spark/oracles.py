@@ -434,7 +434,8 @@ WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.4
 # normalizes at write). Token recipe mirrors functions/embed._tokens.
 ORACLES["vs_index_build_stats"] = f"""
 SELECT COUNT(*)::BIGINT AS n_rows, 64 AS min_dim, 64 AS max_dim,
-       1.0::DOUBLE AS min_norm2, 1.0::DOUBLE AS max_norm2
+       1.0::DOUBLE AS min_norm2, 1.0::DOUBLE AS max_norm2,
+       0::BIGINT AS n_zero_vectors
 FROM documents
 WHERE text IS NOT NULL AND len({_TOKS}) > 0
 """
@@ -452,7 +453,8 @@ SELECT (SELECT COUNT(*) FROM documents
 # Same contract at production width through the SERVICE build path.
 ORACLES["svc_index_build_stats_768"] = f"""
 SELECT COUNT(*)::BIGINT AS n_rows, 768 AS min_dim, 768 AS max_dim,
-       1.0::DOUBLE AS min_norm2, 1.0::DOUBLE AS max_norm2
+       1.0::DOUBLE AS min_norm2, 1.0::DOUBLE AS max_norm2,
+       0::BIGINT AS n_zero_vectors
 FROM documents
 WHERE text IS NOT NULL AND len({_TOKS}) > 0
 """
@@ -8113,7 +8115,9 @@ weighted AS (
   FROM tok
 ),
 vec AS (SELECT doc_id, bucket, SUM(w) AS val FROM weighted GROUP BY 1, 2),
-norms AS (SELECT doc_id, SUM(val * val)::DOUBLE AS n2 FROM vec GROUP BY 1),
+-- HAVING replays md5_embedding_table's build-time zero-vector drop
+norms AS (SELECT doc_id, SUM(val * val)::DOUBLE AS n2 FROM vec
+          GROUP BY 1 HAVING SUM(val) > 0),
 qv AS (SELECT bucket, val FROM vec WHERE doc_id = 0),
 dots AS (
   SELECT v.doc_id, SUM(v.val * q.val)::DOUBLE AS dot
@@ -8157,7 +8161,10 @@ weighted AS (
 ),
 vec AS (SELECT doc_id, bucket, SUM(w) AS val FROM weighted GROUP BY 1, 2),
 dims AS (SELECT range AS i FROM range(0, 768)),
-ids AS (SELECT DISTINCT doc_id FROM vec),
+-- zero-total docs (every token weight = 0) are dropped at build in
+-- md5_embedding_table; replay the same drop so the twin can't diverge
+-- on a corpus where they occur
+ids AS (SELECT doc_id FROM vec GROUP BY doc_id HAVING SUM(val) > 0),
 dense AS (
   SELECT ids.doc_id,
          list(COALESCE(v.val, 0)::DOUBLE ORDER BY d.i) AS emb

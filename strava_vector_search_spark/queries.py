@@ -1242,8 +1242,15 @@ def vs_index_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index build through the service path (S6): hash-embed the documents
     corpus and report invariants. The embedder internals are xxhash64-based
     (not SQL-portable) but the CONTRACT is oracle-checkable: one embedding
-    per tokenizable doc, declared dim on every row, unit L2 norm at 3 dp."""
-    from strava_vector_search_spark.functions.embed import hash_embedding_table
+    per tokenizable doc, declared dim on every row, unit L2 norm at 3 dp,
+    and ``n_zero_vectors`` — tokenizable docs the build DROPPED because
+    every token hashed to weight 0 (the build-time counter that replaced
+    per-gate zero-vector guards; expected 0 on this corpus, surfaced as a
+    metric instead of a latent query-time DIVIDE_BY_ZERO)."""
+    from strava_vector_search_spark.functions.embed import (
+        _tokens,
+        hash_embedding_table,
+    )
     from strava_vector_search_spark.functions.vector import dot_product
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1252,12 +1259,30 @@ def vs_index_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>"),
         F.col("embedding").cast("array<double>"),
     )
-    return emb.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min(F.size("embedding")).alias("min_dim"),
-        F.max(F.size("embedding")).alias("max_dim"),
-        F.round(F.min(n2), 3).alias("min_norm2"),
-        F.round(F.max(n2), 3).alias("max_norm2"),
+    n_tokenizable = docs.agg(
+        F.sum(
+            (F.size(_tokens(F.col("text"))) > 0).cast("bigint")
+        ).alias("_n_tokenizable")
+    )
+    return (
+        emb.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.size("embedding")).alias("min_dim"),
+            F.max(F.size("embedding")).alias("max_dim"),
+            F.round(F.min(n2), 3).alias("min_norm2"),
+            F.round(F.max(n2), 3).alias("max_norm2"),
+        )
+        .crossJoin(F.broadcast(n_tokenizable))
+        .select(
+            "n_rows",
+            "min_dim",
+            "max_dim",
+            "min_norm2",
+            "max_norm2",
+            (F.col("_n_tokenizable") - F.col("n_rows")).alias(
+                "n_zero_vectors"
+            ),
+        )
     )
 
 
@@ -12804,6 +12829,44 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"ev_markov_stationary": ev_markov_stationary})
 
 
+def _md5_query_vec_768(
+    spark: SparkSession, sf_dir: str, gate: str, doc_id: int = 0
+) -> list[float]:
+    """Doc ``doc_id``'s text embedded DRIVER-SIDE through the md5 kernel
+    twin (md5_embed_text_local — the production client pattern: embed the
+    query at the client, ship the vector, skip the 1-row two-shuffle
+    pipeline). The ONE guard for the failure modes every 768-d gate used
+    to re-check inline: missing doc, text-less doc, and the zero-vector
+    embed. Corpus-side zero vectors are dropped and counted at index
+    build now (functions/embed), but the QUERY vector never passes
+    through a build, so its zero check lives here — full-cosine scoring
+    against a zero query would raise DIVIDE_BY_ZERO under ANSI with no
+    hint of the cause."""
+    from strava_vector_search_spark.functions.embed import (
+        md5_embed_text_local,
+    )
+
+    qrow = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == doc_id)
+        .select("text")
+        .head()
+    )
+    if qrow is None or not qrow["text"]:
+        raise ValueError(
+            f"{gate}: doc_id {doc_id} missing or text-less in {sf_dir} — "
+            "the gate embeds its text as the query vector"
+        )
+    qv = md5_embed_text_local(qrow["text"], dim=768)
+    if not any(qv):
+        raise ValueError(
+            f"{gate}: doc_id {doc_id}'s text has no [a-z0-9] tokens with "
+            f"non-zero weight in {sf_dir} — its embedding is the zero "
+            "vector (full-cosine scoring would divide by zero under ANSI)"
+        )
+    return qv
+
+
 def vs_topk_filtered_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11 pinned at the reference's REAL width — ``VECTOR(FLOAT, 768)``
     (02_method2_manual_vector_embedding.sql:88): embed the corpus AND the
@@ -12830,7 +12893,6 @@ def vs_topk_filtered_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged). Measured ~3x on the warm gate at sf0.1.
     """
     from strava_vector_search_spark.functions.embed import (
-        md5_embed_text_local,
         md5_embedding_table,
     )
 
@@ -12849,21 +12911,7 @@ def vs_topk_filtered_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver (the testdata analogue of embedding the query string,
     # 02:206-208, done client-side); exact-integer buckets make the
     # local twin bit-identical to the table kernel
-    qrow = docs.filter(F.col("doc_id") == 0).select("text").head()
-    if qrow is None or not qrow["text"]:
-        raise ValueError(
-            "vs_topk_filtered_768: doc_id 0 missing or text-less in "
-            f"{sf_dir} — the gate embeds its text as the query vector"
-        )
-    qv = md5_embed_text_local(qrow["text"], dim=768)
-    if not any(qv):
-        # non-empty but TOKEN-less text (punctuation/whitespace only)
-        # embeds to the zero vector — cosine undefined; fail here with
-        # the cause instead of letting the scoring kernel raise later
-        raise ValueError(
-            "vs_topk_filtered_768: doc_id 0's text has no [a-z0-9] "
-            f"tokens in {sf_dir} — its embedding is the zero vector"
-        )
+    qv = _md5_query_vec_768(spark, sf_dir, "vs_topk_filtered_768")
     top = S.brute_force_topk_blas(
         corpus, qv, k=10, assume_normalized=False, payload=False
     )
@@ -12897,9 +12945,6 @@ def ann_ivf_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@10 0.70-0.86), whose seeded-KMeans internals take the
     invariants oracle instead (02_method2_manual_vector_embedding
     .sql:88,438-442)."""
-    from strava_vector_search_spark.functions.embed import (
-        md5_embed_text_local,
-    )
     from strava_vector_search_spark.operators.ann import ivf_topk
 
     docs = load_table(spark, sf_dir, "documents")
@@ -12912,17 +12957,7 @@ def ann_ivf_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "lang"), "doc_id")
         .localCheckpoint(eager=False)
     )
-    qrow = docs.filter(F.col("doc_id") == 0).select("text").head()
-    if qrow is None or not qrow["text"]:
-        raise ValueError(
-            f"ann_ivf_topk_768: doc_id 0 missing or text-less in {sf_dir}"
-        )
-    qv = md5_embed_text_local(qrow["text"], dim=768)
-    if not any(qv):
-        raise ValueError(
-            "ann_ivf_topk_768: doc_id 0's text has no [a-z0-9] tokens in "
-            f"{sf_dir} — its embedding is the zero vector"
-        )
+    qv = _md5_query_vec_768(spark, sf_dir, "ann_ivf_topk_768")
     out = ivf_topk(
         emb, qv, k=10, nprobe=2, cluster_col="lang", id_col="doc_id"
     )
@@ -13062,9 +13097,6 @@ def svc_search_dsl_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     — previously the service gate (svc_search_nested_dsl) only ran at
     the 64-d test width while the 768-d pins were all Method-2 SQL-path
     gates (02:88; VERDICT r9 stretch item)."""
-    from strava_vector_search_spark.functions.embed import (
-        md5_embed_text_local,
-    )
     from strava_vector_search_spark.service import SearchService
 
     docs = load_table(spark, sf_dir, "documents")
@@ -13077,18 +13109,7 @@ def svc_search_dsl_768(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=768,
         assume_normalized=False,
     ).attach_embeddings(_md5_emb_768(spark, sf_dir), vec_id_col="doc_id")
-    qrow = docs.filter(F.col("doc_id") == 0).select("text").head()
-    if qrow is None or not qrow["text"]:
-        raise ValueError(
-            f"svc_search_dsl_768: doc_id 0 missing or text-less in {sf_dir}"
-        )
-    qv = md5_embed_text_local(qrow["text"], dim=768)
-    if not any(qv):
-        raise ValueError(
-            "svc_search_dsl_768: doc_id 0's text has no [a-z0-9] tokens "
-            f"in {sf_dir} — its embedding is the zero vector (full-cosine "
-            "scoring would divide by zero under ANSI)"
-        )
+    qv = _md5_query_vec_768(spark, sf_dir, "svc_search_dsl_768")
     request = {
         "query_vec": qv,
         "columns": ["lang", "source", "n_chars"],
@@ -13316,9 +13337,14 @@ def svc_index_build_stats_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants contract as the 64-d ``vs_index_build_stats``: one
     embedding per tokenizable doc, 768 on every row, unit L2 norm at
     3 dp (the build embeds with the normalizing production embedder, so
-    query-time scoring is one fused dot pass). Pins that the build path
-    is width-clean end-to-end — dims flow from the service declaration
-    into the index rows."""
+    query-time scoring is one fused dot pass), and ``n_zero_vectors`` —
+    the build-time drop counter for docs whose every token hashed to
+    weight 0 (expected 0 here; at width 768 a stored zero vector was the
+    one input that could still raise DIVIDE_BY_ZERO in full-cosine gates
+    under ANSI — now dropped and COUNTED at build instead of guarded per
+    gate). Pins that the build path is width-clean end-to-end — dims
+    flow from the service declaration into the index rows."""
+    from strava_vector_search_spark.functions.embed import _tokens
     from strava_vector_search_spark.functions.vector import dot_product
     from strava_vector_search_spark.service import SearchService
 
@@ -13330,12 +13356,30 @@ def svc_index_build_stats_768(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>"),
         F.col("embedding").cast("array<double>"),
     )
-    return svc.embeddings.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min(F.size("embedding")).alias("min_dim"),
-        F.max(F.size("embedding")).alias("max_dim"),
-        F.round(F.min(n2), 3).alias("min_norm2"),
-        F.round(F.max(n2), 3).alias("max_norm2"),
+    n_tokenizable = docs.agg(
+        F.sum(
+            (F.size(_tokens(F.col("text"))) > 0).cast("bigint")
+        ).alias("_n_tokenizable")
+    )
+    return (
+        svc.embeddings.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.size("embedding")).alias("min_dim"),
+            F.max(F.size("embedding")).alias("max_dim"),
+            F.round(F.min(n2), 3).alias("min_norm2"),
+            F.round(F.max(n2), 3).alias("max_norm2"),
+        )
+        .crossJoin(F.broadcast(n_tokenizable))
+        .select(
+            "n_rows",
+            "min_dim",
+            "max_dim",
+            "min_norm2",
+            "max_norm2",
+            (F.col("_n_tokenizable") - F.col("n_rows")).alias(
+                "n_zero_vectors"
+            ),
+        )
     )
 
 

@@ -131,3 +131,58 @@ def test_hash_embed_normalize_stays_staged_in_optimized_plan(spark):
     emb = hash_embedding_table(docs, "doc_id", "text", dim=768)
     plan = emb._jdf.queryExecution().optimizedPlan().toString()
     assert "_arr#" in plan and "_n#" in plan
+
+
+def test_zero_vector_docs_dropped_and_counted_at_build(spark):
+    """A doc whose every token hashes to weight 0 embeds to the zero
+    vector — no L2 direction; stored, it would raise DIVIDE_BY_ZERO in
+    every full-cosine consumer under ANSI mode at query time. Both
+    embedding builds now DROP it (like token-less docs), making the
+    failure a countable build statistic (n_tokenizable - n_rows) instead
+    of a per-gate guard. Cannot occur in the shipped testdata; this
+    plants one synthetically in each hash lane."""
+    import hashlib
+
+    from strava_vector_search_spark.functions.embed import (
+        md5_embedding_table,
+    )
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # md5 lane: brute-force a token whose weight hash is 0 mod 1000
+    ztok_md5 = next(
+        t
+        for t in (f"z{i}" for i in range(100_000))
+        if md5i("w" + t) % 1000 == 0
+    )
+    docs_md5 = spark.createDataFrame(
+        [(1, "real text here"), (2, f"{ztok_md5} {ztok_md5}"), (3, "...")],
+        "doc_id bigint, text string",
+    )
+    emb_md5 = md5_embedding_table(docs_md5, "doc_id", "text", dim=768)
+    assert {r["doc_id"] for r in emb_md5.select("doc_id").collect()} == {1}
+
+    # xxhash64 lane: find a zero-weight token with a Spark probe (the
+    # hash is JVM-side); ~1/1000 of candidates qualify
+    h = F.xxhash64("tok")
+    zrow = (
+        spark.range(50_000)
+        .select(F.concat(F.lit("t"), F.col("id")).alias("tok"))
+        .filter(F.pmod(F.shiftright(h, 8), F.lit(1000)) == 0)
+        .head()
+    )
+    assert zrow is not None, "no zero-weight token among 50k candidates"
+    docs_xx = spark.createDataFrame(
+        [(1, "real text here"), (2, zrow["tok"])],
+        "doc_id bigint, text string",
+    )
+    emb_xx = hash_embedding_table(docs_xx, "doc_id", "text", dim=64)
+    assert {r["doc_id"] for r in emb_xx.select("doc_id").collect()} == {1}
+    # the count the build-stats gates surface: tokenizable minus stored
+    from strava_vector_search_spark.functions.embed import _tokens
+
+    n_tokenizable = docs_xx.filter(
+        F.size(_tokens(F.col("text"))) > 0
+    ).count()
+    assert n_tokenizable - emb_xx.count() == 1
