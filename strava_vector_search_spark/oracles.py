@@ -8304,6 +8304,23 @@ ORDER BY id1, id2
 """
 
 
+# dd_semantic_dedup_768_kmeans — SemDeDup over the LEARNED 16-cell KMeans
+# quantizer at width 768: the quantizer isn't ANSI-SQL-expressible, so
+# the oracle pins the CONTRACT (per-pair expression-lane exactness,
+# packing invariance, retention of the independently value-hash-verified
+# within-lang pairs, the 0.30 largest-cell bound, keep-best partition
+# validity) plus the data-anchored corpus count — the invariants
+# treatment of ann_kmeans_ivf_topk_768.
+ORACLES["dd_semantic_dedup_768_kmeans"] = f"""
+SELECT (SELECT COUNT(*) FROM documents
+        WHERE doc_id <> 0 AND text IS NOT NULL
+          AND len({_TOKS}) > 0)::BIGINT AS n_corpus,
+       16 AS n_cells, true AS largest_cell_frac_le_030,
+       true AS pairs_sound, true AS blocking_invariant,
+       true AS lang_pairs_retained, true AS keep_partition_valid
+"""
+
+
 # ann_ivf_append_assign — replay the incremental-IVF assignment: centroids
 # from the base corpus's label clusters (the ann_centroids recipe over the
 # base slice), then per-delta-vector argmax 6-dp cosine with cluster

@@ -6824,6 +6824,37 @@ def _kmeans_ivf_768(spark: SparkSession, sf_dir: str):
     return _KMEANS_IVF768_CACHE[key]
 
 
+_SEM_PAIRS768_LANG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _semantic_pairs_768_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-``lang`` SemDeDup pairs (cosine >= 0.9) over the 768-d md5
+    corpus — the kernel output, unordered. Shared by
+    ``dd_semantic_pairs_768`` (the full value-hash oracle pin: ``lang``
+    is deterministic, so DuckDB replays the exact cell assignment) and
+    ``dd_semantic_dedup_768_kmeans`` (which uses these independently
+    oracle-verified pairs as the retention reference for the LEARNED
+    cells) — one kernel run per (session, sf) instead of one per gate."""
+    from strava_vector_search_spark.operators.dedup import (
+        semantic_pairs_blas,
+    )
+
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        emb = _md5_emb_768(spark, sf_dir).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        return semantic_pairs_blas(
+            emb,
+            cluster_col="lang",
+            id_col="doc_id",
+            vector_col="embedding",
+            threshold=0.9,
+        )
+
+    return _session_memo(_SEM_PAIRS768_LANG_CACHE, spark, sf_dir, _build)
+
+
 _BPE6_CACHE: dict[tuple[str, str], tuple] = {}
 
 
@@ -13308,26 +13339,169 @@ def dd_semantic_pairs_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     term is exact in float64 and the numpy kernel's 6-dp cosines match
     list_cosine_similarity bit-for-bit — the 64-d twin
     (dd_semantic_dedup) pins the cluster->CC->keep pipeline; this pins
-    the SCORING kernel itself at width 768."""
-    from strava_vector_search_spark.operators.dedup import (
-        semantic_pairs_blas,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    emb = _md5_emb_768(spark, sf_dir).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
-    pairs = semantic_pairs_blas(
-        emb,
-        cluster_col="lang",
-        id_col="doc_id",
-        vector_col="embedding",
-        threshold=0.9,
-    )
+    the SCORING kernel itself at width 768. The pair table is the
+    :func:`_semantic_pairs_768_lang` session kernel — the learned-cell
+    gate reads the same table as its retention reference."""
+    pairs = _semantic_pairs_768_lang(spark, sf_dir)
     return pairs.select("id1", "id2", "cosine").orderBy("id1", "id2")
 
 
 QUERIES.update({"dd_semantic_pairs_768": dd_semantic_pairs_768})
+
+
+def dd_semantic_dedup_768_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over LEARNED cells at production width — the 100 TB shape
+    of the pipeline (SemDeDup, Abbas et al. 2023: k-means the embeddings,
+    pay the quadratic only inside cells): the 768-d md5 corpus carries
+    its seeded 16-centroid KMeans assignment (:func:`_kmeans_ivf_768`,
+    the same fit the ANN gates probe), within-cell cosine pairs >= 0.9
+    come from the dense BLAS block kernel
+    (operators/dedup.semantic_pairs_blas), pairs collapse to connected
+    components, and each component keeps its BEST member (longest text,
+    doc-id tiebreak — dedup_keep_best).
+
+    Why this gate exists: the value-hash twins cell on ``lang``
+    (dd_semantic_pairs_768) / ``label`` (dd_semantic_dedup) because
+    DuckDB can replay those assignments — but 5 skewed values put ~44%
+    of the corpus in one cell, so their largest-cell quadratic bound is
+    ~(0.44N)^2 at 100x scale. The learned cells measure 0.17-0.25 here
+    (bound asserted at 0.30), and tighten further with k — this is the
+    production quantizer, pinned by invariants since seeded KMeans is
+    not ANSI-SQL-expressible (same treatment as ann_kmeans_ivf_topk_768):
+
+    * ``pairs_sound`` — every emitted pair re-scored on the EXPRESSION
+      lane: same cell, id1 < id2, kernel cosine == 6-dp expression
+      cosine, >= threshold (within probed cells, exact — the
+      pruning-only-loss analog);
+    * ``blocking_invariant`` — the kernel re-run at a different block
+      size (193 vs 2048) emits the IDENTICAL pair set (completeness
+      w.r.t. the (cell, rank-range) packing);
+    * ``lang_pairs_retained`` — every pair of the independently
+      DuckDB-verified within-lang table whose docs share a learned cell
+      appears here with the identical cosine (cross-check against the
+      value-hash-oracled reference);
+    * ``largest_cell_frac_le_030`` — the measured quadratic bound;
+    * ``keep_partition_valid`` — keep-best is a partition: component
+      member counts sum to the corpus, one distinct keeper per
+      component.
+
+    ``n_corpus`` anchors the row to the data for the DuckDB oracle.
+    Scale: one KMeans fit per session (index build), one shuffle per
+    kernel run, matmul per block pair; the verification joins touch only
+    the |pairs|-bounded tables."""
+    from strava_vector_search_spark.functions.vector import (
+        cosine_similarity_rounded,
+    )
+    from strava_vector_search_spark.operators.dedup import (
+        dedup_keep_best,
+        semantic_pairs_blas,
+    )
+
+    threshold = 0.9
+    clustered, _cents = _kmeans_ivf_768(spark, sf_dir)
+    sizes = (
+        clustered.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_corpus = sum(r["n"] for r in sizes)
+    largest_frac = max(r["n"] for r in sizes) / n_corpus
+    pairs = semantic_pairs_blas(
+        clustered, "cluster", "doc_id", "embedding", threshold
+    ).localCheckpoint(eager=False)
+    alt = semantic_pairs_blas(
+        clustered, "cluster", "doc_id", "embedding", threshold,
+        block_size=193,
+    )
+    blocking_invariant = (
+        pairs.exceptAll(alt).unionAll(alt.exceptAll(pairs)).isEmpty()
+    )
+    lhs = clustered.select(
+        F.col("doc_id").alias("id1"),
+        F.col("embedding").cast("array<double>").alias("_v1"),
+        F.col("cluster").alias("_c1"),
+    )
+    rhs = clustered.select(
+        F.col("doc_id").alias("id2"),
+        F.col("embedding").cast("array<double>").alias("_v2"),
+        F.col("cluster").alias("_c2"),
+    )
+    pairs_sound = (
+        pairs.join(lhs, "id1")
+        .join(rhs, "id2")
+        .filter(
+            (F.col("_c1") != F.col("_c2"))
+            | (F.col("id1") >= F.col("id2"))
+            | (F.col("cosine") < threshold)
+            | (
+                cosine_similarity_rounded(F.col("_v1"), F.col("_v2"))
+                != F.col("cosine")
+            )
+        )
+        .isEmpty()
+    )
+    cells = clustered.select("doc_id", "cluster")
+    lang_pairs = _semantic_pairs_768_lang(spark, sf_dir)
+    co_cell = (
+        lang_pairs.join(
+            cells.select(
+                F.col("doc_id").alias("id1"), F.col("cluster").alias("_k1")
+            ),
+            "id1",
+        )
+        .join(
+            cells.select(
+                F.col("doc_id").alias("id2"), F.col("cluster").alias("_k2")
+            ),
+            "id2",
+        )
+        .filter(F.col("_k1") == F.col("_k2"))
+        .select("id1", "id2", "cosine")
+    )
+    lang_pairs_retained = co_cell.exceptAll(
+        pairs.select("id1", "id2", "cosine")
+    ).isEmpty()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    base = clustered.join(docs, "doc_id")
+    best = dedup_keep_best(
+        base,
+        pairs,
+        "doc_id",
+        quality=(
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint")
+            * F.lit(10_000_000)
+            + F.col("doc_id")
+        ),
+    )
+    agg = best.agg(
+        F.sum("n_members").alias("nm"),
+        F.count(F.lit(1)).alias("ncomp"),
+        F.countDistinct("keep_id").alias("nkeep"),
+    ).head()
+    keep_partition_valid = (
+        int(agg["nm"]) == n_corpus and int(agg["ncomp"]) == int(agg["nkeep"])
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_corpus,
+                16,
+                bool(largest_frac <= 0.30),
+                bool(pairs_sound),
+                bool(blocking_invariant),
+                bool(lang_pairs_retained),
+                bool(keep_partition_valid),
+            )
+        ],
+        "n_corpus bigint, n_cells int, largest_cell_frac_le_030 boolean,"
+        " pairs_sound boolean, blocking_invariant boolean,"
+        " lang_pairs_retained boolean, keep_partition_valid boolean",
+    )
+
+
+QUERIES.update({"dd_semantic_dedup_768_kmeans": dd_semantic_dedup_768_kmeans})
 
 
 def svc_index_build_stats_768(spark: SparkSession, sf_dir: str) -> DataFrame:
