@@ -98,18 +98,47 @@ def ann_kmeans_ivf_topk_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _loaded_pq768(spark: SparkSession, sf_dir: str):
+    """(books, codes, cents, emb) — the PERSISTED IVF+PQ-768 artifact
+    (built once per corpus generation under the fingerprinted /tmp
+    layout, then LOADED — the production session shape the
+    ann_ivfpq_persisted_768 gate pins) plus the in-session fat vector
+    table for exact rescoring. Shared by the PQ-768 lean twins so the
+    bench measures load-and-serve, not per-session retraining."""
+    from strava_vector_search_spark.operators import pq as PQ
+    from strava_vector_search_spark.queries import (
+        _cached_layout,
+        _ivfpq_768_index,
+        _md5_emb_768_unit_stored,
+    )
+
+    def _build(tmp: str) -> None:
+        _emb, cents_b, books_b, codes_b = _ivfpq_768_index(spark, sf_dir)
+        PQ.write_pq_index(
+            codes_b,
+            books_b,
+            tmp,
+            id_col="doc_id",
+            cluster_col="cluster",
+            centroids=cents_b,
+        )
+
+    path = _cached_layout(sf_dir, "documents", "pq768", _build)
+    books, codes, cents, _meta = PQ.load_pq_index(spark, path)
+    # fat vectors for the exact rescore come off disk too — a serving
+    # session loads the stored corpus table, it never re-embeds
+    return books, codes, cents, _md5_emb_768_unit_stored(spark, sf_dir)
+
+
 def ann_pq_topk_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-768 operator path once: normalize, train (memoized per plan),
-    encode to 96-byte codes, one ADC scan + exact rescore. The 5-query
-    brute-force comparison stays in the correctness gate."""
+    """PQ-768 query path once from the LOADED artifact: no per-session
+    train (codebooks come off disk), one full ADC scan + exact rescore.
+    The 5-query brute-force comparison stays in the correctness gate."""
     from pyspark.sql import functions as F
 
     from strava_vector_search_spark.operators import pq as PQ
-    from strava_vector_search_spark.queries import _md5_emb_768_unit
 
-    emb = _md5_emb_768_unit(spark, sf_dir)
-    books = PQ.train_codebooks(emb, m=96, id_col="doc_id")
-    codes = PQ.encode_pq(emb, books, id_col="doc_id")
+    books, codes, _cents, emb = _loaded_pq768(spark, sf_dir)
     qrow = emb.filter(F.col("doc_id") == 3).head()
     qv = [float(x) for x in qrow["embedding"]]
     return PQ.pq_topk_refined(
@@ -135,15 +164,15 @@ def ann_ivfpq_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivfpq_topk_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFPQ-768 operator path once: the prebuilt session-kernel index
-    (_ivfpq_768_index) + one probed ADC scan + exact rescore. The
+    """IVFPQ-768 query path once from the LOADED artifact (no per-session
+    KMeans/Lloyd): probe the loaded centroids, ADC-scan the probed
+    cluster partitions of the loaded code table, exact rescore. The
     5-query exact-within-probe harness stays in the correctness gate."""
     from pyspark.sql import functions as F
 
     from strava_vector_search_spark.operators import pq as PQ
-    from strava_vector_search_spark.queries import _ivfpq_768_index
 
-    emb, cents, books, codes = _ivfpq_768_index(spark, sf_dir)
+    books, codes, cents, emb = _loaded_pq768(spark, sf_dir)
     qrow = emb.filter(F.col("doc_id") == 3).head()
     qv = [float(x) for x in qrow["embedding"]]
     return PQ.ivfpq_topk(
@@ -158,6 +187,14 @@ def ann_ivfpq_topk_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         centroids=cents,
     )
+
+
+def ann_ivfpq_persisted_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVFPQ query path once — identical serve path to
+    ann_ivfpq_topk_768_bench (both load the artifact); kept as its own
+    twin so the persisted GATE's bench entry measures load-and-serve
+    rather than its 5-query verification harness."""
+    return ann_ivfpq_topk_768_bench(spark, sf_dir)
 
 
 def dd_cc_incremental_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,6 +240,7 @@ LEAN_BENCH = {
     "ann_kmeans_ivf_topk_768": ann_kmeans_ivf_topk_768_bench,
     "ann_pq_topk_768": ann_pq_topk_768_bench,
     "ann_ivfpq_topk_768": ann_ivfpq_topk_768_bench,
+    "ann_ivfpq_persisted_768": ann_ivfpq_persisted_768_bench,
     "ann_ivfpq_topk": ann_ivfpq_topk_bench,
     "dd_cc_incremental": dd_cc_incremental_bench,
 }

@@ -450,6 +450,17 @@ SELECT (SELECT COUNT(*) FROM documents
        true AS mean_recall_ge_080, true AS probe_sims_exact
 """
 
+# Same IVFPQ contract served from the PERSISTED artifact (codebooks +
+# cluster-partitioned codes + centroids loaded from disk, not retrained):
+# a corrupt/stale artifact breaks the anchored counts or the booleans.
+ORACLES["ann_ivfpq_persisted_768"] = f"""
+SELECT (SELECT COUNT(*) FROM documents
+        WHERE doc_id <> 0 AND text IS NOT NULL
+          AND len({_TOKS}) > 0)::BIGINT AS n_encoded,
+       4 AS nprobe, 96 AS code_bytes,
+       true AS mean_recall_ge_080, true AS probe_sims_exact
+"""
+
 # Same contract at production width through the SERVICE build path.
 ORACLES["svc_index_build_stats_768"] = f"""
 SELECT COUNT(*)::BIGINT AS n_rows, 768 AS min_dim, 768 AS max_dim,

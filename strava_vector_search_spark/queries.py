@@ -6749,6 +6749,34 @@ def _md5_emb_768_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MD5U768_STORED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _md5_emb_768_unit_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`_md5_emb_768_unit` as a STORED artifact read back from
+    parquet — the production corpus shape (the reference maintains
+    WORKOUTS_WITH_VECTORS as a table, 02:88,404): serving sessions LOAD
+    the vector table, they never re-embed the corpus (the in-session
+    build cost ~9 s of the cold persisted-IVFPQ serve path). Parquet
+    round-trips the float arrays bit-for-bit, so every value is
+    identical to the in-session kernel's; lives under the fingerprinted
+    /tmp layout protocol, so regenerated testdata rebuilds it."""
+
+    def _build(tmp: str) -> None:
+        _md5_emb_768_unit(spark, sf_dir).write.mode("overwrite").parquet(
+            tmp
+        )
+
+    path = _cached_layout(sf_dir, "documents", "md5u768", _build)
+    return _session_memo(
+        _MD5U768_STORED_CACHE,
+        spark,
+        sf_dir,
+        lambda: spark.read.parquet(path),
+        widen=True,
+    )
+
+
 _IVFPQ768_CACHE: dict[tuple[str, str], tuple] = {}
 
 
@@ -13638,6 +13666,119 @@ def ann_ivfpq_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ann_ivfpq_topk_768": ann_ivfpq_topk_768})
+
+
+def ann_ivfpq_persisted_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ served from the PERSISTED index artifact — the production
+    session shape: a PQ index is a stored artifact (codebooks + codes +
+    coarse centroids on disk, operators/pq.write_pq_index), built ONCE
+    per corpus generation and LOADED by every serving session, never
+    retrained (a fresh session's in-memory path paid the full m=96 Lloyd
+    train — 23-38 s measured — before its first query; the load is a
+    24K-row codebook read). The artifact lives under the fingerprinted
+    /tmp layout protocol (_cached_layout — regenerated testdata maps to
+    a fresh directory), with the code table PARTITIONED by cluster so
+    the probe's cluster filter prunes partitions of the compressed
+    table.
+
+    Every query-path input is the LOADED artifact (codebooks, codes,
+    centroids); only the exact-rescore stage touches the fat in-session
+    vector table, as the in-memory twin ``ann_ivfpq_topk_768`` does.
+    Same invariants contract as that twin — recall@10 >= 0.8 vs the
+    exact top-10 WITHIN the probed clusters, identical similarities on
+    shared hits — plus ``code_bytes``/``n_encoded`` anchored from the
+    LOADED artifact, so a corrupt or stale artifact fails the gate, not
+    just the build. Trained-vs-loaded value identity (parquet doubles
+    round-trip exactly) is pinned in tests/test_pq.py."""
+    from strava_vector_search_spark.operators import pq as PQ
+
+    def _build(tmp: str) -> None:
+        emb_b, cents_b, books_b, codes_b = _ivfpq_768_index(spark, sf_dir)
+        PQ.write_pq_index(
+            codes_b,
+            books_b,
+            tmp,
+            id_col="doc_id",
+            cluster_col="cluster",
+            centroids=cents_b,
+        )
+
+    path = _cached_layout(sf_dir, "documents", "pq768", _build)
+    books, codes, cents, meta = PQ.load_pq_index(spark, path)
+    if meta["cluster_col"] != "cluster" or meta["id_col"] != "doc_id":
+        raise ValueError(
+            f"ann_ivfpq_persisted_768: foreign artifact at {path!r}: {meta}"
+        )
+    codes = codes.localCheckpoint(eager=False)
+    n_encoded = codes.count()
+    # the fat vector table is ALSO loaded, not re-embedded — the full
+    # production session shape (rescore reads the stored corpus table)
+    emb = _md5_emb_768_unit_stored(spark, sf_dir)
+    # cluster ids ride the loaded code table (narrow), not a re-fit
+    embc = emb.join(
+        codes.select("doc_id", "cluster"), "doc_id"
+    ).localCheckpoint(eager=False)
+    k, nprobe, qids = 10, 4, (3, 7, 11, 19, 23)
+    qvecs = {
+        int(r["doc_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("doc_id").isin(*qids)).collect()
+    }
+    if len(qvecs) != len(qids):
+        raise ValueError(
+            f"ann_ivfpq_persisted_768: query docs {qids} not all "
+            f"embeddable in {sf_dir}"
+        )
+    hits, sims_exact = 0, True
+    for qid in qids:
+        qv = qvecs[qid]
+        probed = PQ.probe_clusters(cents, qv, nprobe)
+        in_probe = embc.join(
+            F.broadcast(probed),
+            embc["cluster"] == probed["cluster"],
+            "left_semi",
+        )
+        exact = {
+            r["doc_id"]: r["similarity"]
+            for r in S.brute_force_topk(
+                in_probe, qv, k=k, id_col="doc_id", assume_normalized=True
+            ).collect()
+        }
+        approx = {
+            r["doc_id"]: r["similarity"]
+            for r in PQ.ivfpq_topk(
+                emb,
+                codes,
+                books,
+                qv,
+                k=k,
+                nprobe=nprobe,
+                n_cand=200,
+                cluster_col="cluster",
+                id_col="doc_id",
+                centroids=cents,
+            ).collect()
+        }
+        common = set(exact) & set(approx)
+        hits += len(common)
+        sims_exact = sims_exact and all(
+            exact[i] == approx[i] for i in common
+        )
+    return spark.createDataFrame(
+        [
+            (
+                n_encoded,
+                nprobe,
+                int(books.shape[0]),
+                bool(hits / (k * len(qids)) >= 0.8),
+                bool(sims_exact),
+            )
+        ],
+        "n_encoded bigint, nprobe int, code_bytes int,"
+        " mean_recall_ge_080 boolean, probe_sims_exact boolean",
+    )
+
+
+QUERIES.update({"ann_ivfpq_persisted_768": ann_ivfpq_persisted_768})
 
 
 def ann_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

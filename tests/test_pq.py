@@ -166,3 +166,62 @@ def test_plan_digest_distinguishes_truncated_wide_plans(spark, emb):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_pq_index_roundtrip_identity(spark, emb, books, tmp_path):
+    """Persisted index == trained index, value for value: codebooks
+    (parquet doubles round-trip bit-for-bit), codes (binary), centroids,
+    and the SEARCH RESULTS of the loaded path — the build-once/load-many
+    contract production serving relies on. Plus load-time validation of
+    a corrupt artifact."""
+    from strava_vector_search_spark.operators.ann import compute_centroids
+
+    codes = PQ.encode_pq(emb, books, keep_cols=("label",))
+    cents = compute_centroids(emb, "label")
+    path = str(tmp_path / "pqidx")
+    PQ.write_pq_index(
+        codes, books, path, id_col="vec_id", cluster_col="label",
+        centroids=cents,
+    )
+    books2, codes2, cents2, meta = PQ.load_pq_index(spark, path)
+    assert np.array_equal(books, books2)
+    assert not books2.flags.writeable
+    assert meta == {
+        "m": 8, "k": 256, "sub": 8, "id_col": "vec_id",
+        "cluster_col": "label",
+    }
+    want = sorted(
+        (r["vec_id"], int(r["label"]), r["code"]) for r in codes.collect()
+    )
+    got = sorted(
+        (r["vec_id"], int(r["label"]), r["code"]) for r in codes2.collect()
+    )
+    assert got == want
+    assert sorted(
+        (int(r["cluster"]), tuple(r["centroid"])) for r in cents2.collect()
+    ) == sorted(
+        (int(r["cluster"]), tuple(r["centroid"])) for r in cents.collect()
+    )
+    qv = [
+        float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    trained = PQ.ivfpq_topk(
+        emb, codes, books, qv, k=10, cluster_col="label", centroids=cents
+    ).collect()
+    loaded = PQ.ivfpq_topk(
+        emb, codes2, books2, qv, k=10, cluster_col="label", centroids=cents2
+    ).collect()
+    assert [(r["vec_id"], r["similarity"]) for r in trained] == [
+        (r["vec_id"], r["similarity"]) for r in loaded
+    ]
+    # a truncated codebook table fails loudly at load
+    import json
+    import os
+
+    with open(os.path.join(path, "_pq_meta"), encoding="ascii") as f:
+        bad = json.load(f)
+    bad["k"] = 512
+    with open(os.path.join(path, "_pq_meta"), "w", encoding="ascii") as f:
+        json.dump(bad, f)
+    with pytest.raises(ValueError, match="corrupt or foreign"):
+        PQ.load_pq_index(spark, path)
