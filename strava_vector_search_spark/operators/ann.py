@@ -141,6 +141,7 @@ def ivf_batch_topk(
     centroids: DataFrame | None = None,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    pre_rank_filter: Column | None = None,
 ) -> DataFrame:
     """Many IVF queries in ONE corpus pass: rank centroids per query (one
     |queries| x |clusters| cross of two tiny broadcast tables), attach each
@@ -157,6 +158,13 @@ def ivf_batch_topk(
     all queries' probed partitions is the only data read. Returns
     (query_id, id, cluster, similarity, rank); input columns other than
     the vector pass through.
+
+    ``pre_rank_filter`` (optional) is applied to the scored stream —
+    (query_id, corpus columns) are in scope — BEFORE the rank window:
+    per-query metadata predicates in filter-then-rank order (a
+    filtered-out row must not consume a rank slot), the service layer's
+    batch-DSL hook. It does not change what is SCANNED (cluster pruning
+    does that); it changes what is ranked.
     """
     from pyspark.sql import Window
 
@@ -182,6 +190,8 @@ def ivf_batch_topk(
         "similarity",
         cosine_similarity_rounded(F.col(vector_col), F.col(query_vec_col)),
     )
+    if pre_rank_filter is not None:
+        scored = scored.filter(pre_rank_filter)
     wrank = Window.partitionBy(query_id_col).orderBy(
         F.desc("similarity"), F.asc(id_col)
     )
@@ -276,6 +286,7 @@ def ivf_batch_topk_indexed(
     centroids: DataFrame | None = None,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    pre_rank_filter: Column | None = None,
 ) -> DataFrame:
     """:func:`ivf_batch_topk` against the MATERIALIZED index layout
     (:func:`write_ivf_index`'s cluster-partitioned parquet): the union of
@@ -314,6 +325,7 @@ def ivf_batch_topk_indexed(
         centroids=cents,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
+        pre_rank_filter=pre_rank_filter,
     )
 
 

@@ -8296,6 +8296,85 @@ SELECT query_id, doc_id, similarity, rank FROM (
 """
 
 
+# svc_search_batch_ivf_768 — the service batch path over the materialized
+# IVF layout: per-request probe (top-2 per-lang centroids by 6-dp cosine,
+# lang tiebreak) → within-probe candidates → per-request DSL filter →
+# per-request (similarity desc, doc_id asc) rank cut at the request's
+# limit; the three requests replay INDEPENDENTLY and union — batch == N
+# sequential searches, value for value.
+ORACLES["svc_search_batch_ivf_768"] = f"""
+WITH {_MD5_768_CTES},
+corpus AS (
+  SELECT de.doc_id, de.emb, d.lang, d.source, d.n_chars
+  FROM dense de JOIN documents d USING (doc_id)
+  WHERE de.doc_id <> 0
+),
+ex AS (
+  SELECT c.lang, dm.i + 1 AS pos, c.emb[dm.i + 1]::DOUBLE AS v
+  FROM corpus c CROSS JOIN dims dm
+),
+per_dim AS (
+  SELECT lang, pos,
+         ROUND(SUM(v::DECIMAL(28,10))::DOUBLE / COUNT(*), 6) AS c
+  FROM ex GROUP BY lang, pos
+),
+cent AS (SELECT lang, list(c ORDER BY pos) AS centroid
+         FROM per_dim GROUP BY lang),
+q0 AS (SELECT emb FROM dense WHERE doc_id = 3),
+q1 AS (SELECT emb FROM dense WHERE doc_id = 7),
+q2 AS (SELECT emb FROM dense WHERE doc_id = 11),
+p0 AS (SELECT lang FROM cent
+       ORDER BY ROUND(list_cosine_similarity(centroid, (SELECT emb FROM q0)), 6) DESC,
+                lang ASC LIMIT 2),
+p1 AS (SELECT lang FROM cent
+       ORDER BY ROUND(list_cosine_similarity(centroid, (SELECT emb FROM q1)), 6) DESC,
+                lang ASC LIMIT 2),
+p2 AS (SELECT lang FROM cent
+       ORDER BY ROUND(list_cosine_similarity(centroid, (SELECT emb FROM q2)), 6) DESC,
+                lang ASC LIMIT 2),
+r0 AS (
+  SELECT 0 AS request_id, doc_id, lang, source, n_chars,
+         ROUND(list_cosine_similarity(emb, (SELECT emb FROM q0)), 6)
+           AS similarity,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(list_cosine_similarity(emb, (SELECT emb FROM q0)), 6)
+                      DESC,
+                    doc_id ASC) AS rank
+  FROM corpus
+  WHERE lang IN (SELECT lang FROM p0) AND n_chars >= 200
+  QUALIFY rank <= 5
+),
+r1 AS (
+  SELECT 1 AS request_id, doc_id, lang, source, n_chars,
+         ROUND(list_cosine_similarity(emb, (SELECT emb FROM q1)), 6)
+           AS similarity,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(list_cosine_similarity(emb, (SELECT emb FROM q1)), 6)
+                      DESC,
+                    doc_id ASC) AS rank
+  FROM corpus
+  WHERE lang IN (SELECT lang FROM p1)
+    AND (source = 'src5' OR n_chars >= 300)
+  QUALIFY rank <= 5
+),
+r2 AS (
+  SELECT 2 AS request_id, doc_id, lang, source, n_chars,
+         ROUND(list_cosine_similarity(emb, (SELECT emb FROM q2)), 6)
+           AS similarity,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(list_cosine_similarity(emb, (SELECT emb FROM q2)), 6)
+                      DESC,
+                    doc_id ASC) AS rank
+  FROM corpus
+  WHERE lang IN (SELECT lang FROM p2)
+  QUALIFY rank <= 3
+)
+SELECT * FROM (
+  SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2
+) ORDER BY request_id, rank
+"""
+
+
 # dd_semantic_pairs_768 — the SemDeDup pair kernel at production width:
 # within-lang pairs >= 0.9 over the exact-integer md5-768 vectors, so
 # the BLAS kernel's rounded cosines replay bit-for-bit.

@@ -13191,6 +13191,85 @@ def svc_search_dsl_768(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"svc_search_dsl_768": svc_search_dsl_768})
 
 
+def svc_search_batch_ivf_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVICE batch path over the MATERIALIZED IVF layout at
+    production width, under a FULL value-level oracle — the production
+    cache-refresh shape (reference 02:421 "batch multiple user
+    queries"): SearchService.build_ivf materializes the md5-768
+    embeddings + declared attributes cluster-partitioned by ``lang``
+    (the deterministic coarse quantizer DuckDB can replay — the learned
+    twin is ann_kmeans_ivf_topk_768) with its 6-dp DECIMAL-routed
+    centroid table; SearchService.search_batch serves THREE JSON
+    requests (distinct filters and limits) in ONE pruned scan: the
+    union of probed clusters lands as PartitionFilters, each request's
+    DSL filter compiles into the scored stream before its rank window
+    (filter-then-rank), per-request limits cut the ranked stream. The
+    oracle replays per-request probe → filter → top-k independently and
+    unions — pinning batch == N sequential searches value-for-value.
+    Layout built once per corpus generation (_cached_layout)."""
+    from strava_vector_search_spark.service import SearchService
+
+    docs = load_table(spark, sf_dir, "documents")
+    svc = SearchService(
+        spark,
+        docs,
+        id_col="doc_id",
+        search_col="text",
+        attributes=("lang", "source", "n_chars"),
+        dim=768,
+        assume_normalized=False,
+    ).attach_embeddings(_md5_emb_768(spark, sf_dir), vec_id_col="doc_id")
+
+    def _build(tmp: str) -> None:
+        svc.build_ivf(tmp, cluster_col="lang")
+
+    path = _cached_layout(sf_dir, "documents", "svcivf768", _build)
+    svc.ivf_path, svc.ivf_cluster_col = path, "lang"
+    qids = (3, 7, 11)
+    qvecs = {
+        int(r["doc_id"]): [float(x) for x in r["embedding"]]
+        for r in _md5_emb_768(spark, sf_dir)
+        .filter(F.col("doc_id").isin(*qids))
+        .collect()
+    }
+    if len(qvecs) != len(qids):
+        raise ValueError(
+            f"svc_search_batch_ivf_768: query docs {qids} not all "
+            f"embeddable in {sf_dir}"
+        )
+    requests = [
+        {
+            "query_vec": qvecs[3],
+            "filter": {"@gte": {"n_chars": 200}},
+            "limit": 5,
+        },
+        {
+            "query_vec": qvecs[7],
+            "filter": {
+                "@or": [
+                    {"@eq": {"source": "src5"}},
+                    {"@gte": {"n_chars": 300}},
+                ]
+            },
+            "limit": 5,
+        },
+        {"query_vec": qvecs[11], "limit": 3},
+    ]
+    out = svc.search_batch(requests, nprobe=2)
+    return out.select(
+        "request_id",
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "similarity",
+        "rank",
+    ).orderBy("request_id", "rank")
+
+
+QUERIES.update({"svc_search_batch_ivf_768": svc_search_batch_ivf_768})
+
+
 def ann_ivf_batch_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BATCHED probe against the materialized IVF layout
     (operators/ann.ivf_batch_topk_indexed): two query vectors ride ONE

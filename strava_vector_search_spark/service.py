@@ -107,6 +107,9 @@ class SearchService:
     # when attaching un-normalized external embeddings
     assume_normalized: bool = True
     embeddings: DataFrame | None = field(default=None, repr=False)
+    # materialized IVF serving layout (build_ivf / search_batch)
+    ivf_path: str | None = field(default=None, repr=False)
+    ivf_cluster_col: str = "cluster"
 
     def build(self) -> "SearchService":
         """Materialize the index: embed the search column into a narrow
@@ -127,6 +130,149 @@ class SearchService:
             emb = emb.withColumnRenamed(vec_id_col, self.id_col)
         self.embeddings = emb
         return self
+
+    # -- materialized IVF serving layout -------------------------------
+
+    def build_ivf(
+        self,
+        ivf_path: str,
+        cluster_col: str | None = None,
+        n_clusters: int = 16,
+        seed: int = 42,
+    ) -> "SearchService":
+        """Materialize the cluster-partitioned IVF serving layout for
+        :meth:`search_batch`: the built/attached embeddings joined with
+        the declared ATTRIBUTES (so batch filters evaluate on the pruned
+        scan without a corpus join-back), coarse-quantized either by an
+        existing ``cluster_col`` attribute (deterministic — the
+        oracle-replayable lane) or by a seeded KMeans fit (the learned
+        production quantizer, fit input fixed-width partitioned so the
+        solution doesn't drift with parallelism), written via
+        operators/ann.write_ivf_index + write_ivf_centroids. One build
+        serves every later batch; incremental freshness is
+        ann.append_to_ivf_index / streaming.ivf_stream territory."""
+        import os
+
+        from strava_vector_search_spark.operators.ann import (
+            compute_centroids,
+            kmeans_assign,
+            write_ivf_index,
+        )
+
+        if self.embeddings is None:
+            raise RuntimeError(
+                "service not built: call build() or attach_embeddings()"
+            )
+        emb = self.embeddings
+        if self.attributes:
+            emb = emb.join(
+                self.corpus.select(self.id_col, *self.attributes),
+                self.id_col,
+            )
+        if cluster_col is None:
+            emb = kmeans_assign(
+                emb.repartition(
+                    self.spark.sparkContext.defaultParallelism, self.id_col
+                ).sortWithinPartitions(self.id_col),
+                num_clusters=n_clusters,
+                seed=seed,
+            )
+            cluster_col = "cluster"
+        write_ivf_index(emb, ivf_path, cluster_col=cluster_col)
+        # centroids INSIDE the index dir (underscore-prefixed — parquet
+        # partition discovery ignores it), not ann.write_ivf_centroids'
+        # sibling `<path>_centroids`: the service layout is one
+        # self-contained directory, so atomic-rename generation protocols
+        # (_cached_layout) move the whole artifact in one rename
+        compute_centroids(emb, cluster_col).select(
+            "cluster", "centroid"
+        ).write.mode("overwrite").parquet(
+            os.path.join(ivf_path, "_centroids")
+        )
+        self.ivf_path = ivf_path
+        self.ivf_cluster_col = cluster_col
+        return self
+
+    def search_batch(
+        self,
+        requests: list[dict],
+        nprobe: int = 2,
+        k_default: int = 10,
+    ) -> DataFrame:
+        """Serve MANY JSON requests in ONE pruned scan of the
+        MATERIALIZED IVF layout — the production cache-refresh shape
+        (the reference's "batch multiple user queries together",
+        02:421): the union of all requests' probed clusters lands in the
+        scan as PartitionFilters (unprobed clusters never READ), each
+        request's DSL filter compiles into the scored stream BEFORE its
+        rank window (filter-then-rank, same evaluation order as
+        :meth:`search`), and per-request limits cut the ranked stream.
+        Returns (request_id, id, attribute columns, cluster, similarity,
+        rank). vs :func:`search_many`: that is the exact full-scan batch;
+        this reads only the probed fraction of the index — the scale
+        path once the corpus dwarfs the query batch."""
+        import os
+
+        from strava_vector_search_spark.operators.ann import (
+            ivf_batch_topk_indexed,
+        )
+
+        if self.ivf_path is None:
+            raise RuntimeError(
+                "no IVF layout: call build_ivf() before search_batch()"
+            )
+        cents = self.spark.read.parquet(
+            os.path.join(self.ivf_path, "_centroids")
+        )
+        rows = []
+        limits = []
+        attrs = set(self.attributes) if self.attributes else None
+        preds = []
+        for i, req in enumerate(requests):
+            if isinstance(req, str):
+                req = json.loads(req)
+            if "query_vec" in req:
+                qv = [float(x) for x in req["query_vec"]]
+            elif "query" in req:
+                qv = [
+                    float(x)
+                    for x in hash_embed_text(
+                        self.spark, req["query"], self.dim
+                    )
+                ]
+            else:
+                raise FilterDSLError(
+                    "request needs 'query' or 'query_vec'"
+                )
+            rows.append((i, qv))
+            limits.append(int(req.get("limit", k_default)))
+            c = F.col("request_id") == i
+            if req.get("filter"):
+                c = c & compile_filter(req["filter"], attrs)
+            preds.append(c)
+        queries_df = self.spark.createDataFrame(
+            rows, "request_id int, query_vec array<double>"
+        )
+        ranked = ivf_batch_topk_indexed(
+            self.spark,
+            self.ivf_path,
+            queries_df,
+            k=max(limits),
+            nprobe=nprobe,
+            cluster_col=self.ivf_cluster_col,
+            id_col=self.id_col,
+            centroids=cents,
+            query_id_col="request_id",
+            pre_rank_filter=reduce(or_, preds),
+        )
+        lim = reduce(
+            or_,
+            [
+                (F.col("request_id") == i) & (F.col("rank") <= l)
+                for i, l in enumerate(limits)
+            ],
+        )
+        return ranked.filter(lim)
 
     # -- query serve ---------------------------------------------------
 

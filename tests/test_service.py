@@ -193,3 +193,70 @@ def test_search_many_filter_before_rank(spark, svc):
     assert len(out) == 3
     assert all(r["sport_type"] == "ride" for r in out)
     assert sorted(r["rank"] for r in out) == [1, 2, 3]
+
+
+class TestSearchBatchIVF:
+    """search_batch over the materialized IVF layout: with nprobe covering
+    EVERY cluster the IVF batch path loses nothing, so each request's
+    slice must equal the brute-force search() result value-for-value
+    (batch == N sequential searches); smaller nprobe stays
+    batch-invariant (one batch == singleton batches unioned)."""
+
+    @pytest.fixture(scope="class")
+    def ivf_svc(self, spark, docs, tmp_path_factory):
+        svc = SearchService(
+            spark,
+            docs,
+            id_col="doc_id",
+            search_col="text",
+            attributes=("sport_type", "difficulty", "distance_meters"),
+            dim=32,
+            # hash embeddings are unit vectors, but route BOTH paths
+            # through full cosine so search() and the IVF scorer share
+            # one similarity expression exactly
+            assume_normalized=False,
+        ).build()
+        path = str(tmp_path_factory.mktemp("svcivf") / "idx")
+        return svc.build_ivf(path, cluster_col="sport_type")
+
+    REQUESTS = [
+        {"query": "hard workout", "limit": 3},
+        {
+            "query": "recovery ride",
+            "filter": {"@gte": {"distance_meters": 4000}},
+            "limit": 2,
+        },
+        {
+            "query": "drills",
+            "filter": {"@eq": {"sport_type": "swim"}},
+            "limit": 5,
+        },
+    ]
+
+    @staticmethod
+    def _rows(df):
+        return [
+            (r["doc_id"], r["similarity"], r["rank"])
+            for r in df.orderBy("rank").collect()
+        ]
+
+    def test_batch_equals_sequential_search_at_full_probe(self, ivf_svc):
+        batch = ivf_svc.search_batch(self.REQUESTS, nprobe=3)
+        for i, req in enumerate(self.REQUESTS):
+            got = self._rows(batch.filter(F.col("request_id") == i))
+            want = self._rows(ivf_svc.search(req))
+            assert got == want, f"request {i}"
+
+    def test_batch_invariance_under_pruning(self, ivf_svc):
+        batch = ivf_svc.search_batch(self.REQUESTS, nprobe=1)
+        for i, req in enumerate(self.REQUESTS):
+            got = self._rows(batch.filter(F.col("request_id") == i))
+            want = self._rows(ivf_svc.search_batch([req], nprobe=1))
+            assert got == want, f"request {i}"
+
+    def test_search_batch_without_layout_raises(self, spark, docs):
+        svc = SearchService(
+            spark, docs, id_col="doc_id", search_col="text", dim=32
+        ).build()
+        with pytest.raises(RuntimeError, match="build_ivf"):
+            svc.search_batch([{"query": "x"}])
