@@ -309,6 +309,7 @@ def write_pq_index(
     id_col: str = "vec_id",
     cluster_col: str | None = None,
     centroids: DataFrame | None = None,
+    stream_batch_col: str | None = None,
 ) -> None:
     """Persist a PQ (or IVF+PQ) index under ``path``:
 
@@ -323,7 +324,15 @@ def write_pq_index(
       load-time validation, like the IVF layout marker.
 
     Parquet doubles round-trip bit-for-bit, so the loaded index is
-    value-identical to the trained one (pinned in test_pq)."""
+    value-identical to the trained one (pinned in test_pq).
+
+    ``stream_batch_col``: stream-managed variant — the code table is
+    partitioned (batch, cluster) so micro-batch appends can
+    dynamic-partition-overwrite exactly their own batch partitions
+    (idempotent replay — the ivf_stream recipe applied to codes;
+    ``codes`` must already carry the column, e.g. lit(-1) for the base).
+    The two code layouts must not mix under one path; the meta stamp
+    records which one this artifact is."""
     import json
     import os
 
@@ -340,9 +349,12 @@ def write_pq_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "codebooks")
     )
+    part_cols = [
+        c for c in (stream_batch_col, cluster_col) if c is not None
+    ]
     w = codes.write.mode("overwrite")
-    if cluster_col is not None:
-        w = w.partitionBy(cluster_col)
+    if part_cols:
+        w = w.partitionBy(*part_cols)
     w.parquet(os.path.join(path, "codes"))
     if centroids is not None:
         centroids.select("cluster", "centroid").write.mode(
@@ -356,6 +368,7 @@ def write_pq_index(
                 "sub": int(sub),
                 "id_col": id_col,
                 "cluster_col": cluster_col,
+                "stream_batch_col": stream_batch_col,
             },
             f,
         )

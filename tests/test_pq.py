@@ -188,7 +188,7 @@ def test_pq_index_roundtrip_identity(spark, emb, books, tmp_path):
     assert not books2.flags.writeable
     assert meta == {
         "m": 8, "k": 256, "sub": 8, "id_col": "vec_id",
-        "cluster_col": "label",
+        "cluster_col": "label", "stream_batch_col": None,
     }
     want = sorted(
         (r["vec_id"], int(r["label"]), r["code"]) for r in codes.collect()
