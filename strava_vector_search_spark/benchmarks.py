@@ -123,7 +123,7 @@ def _loaded_pq768(spark: SparkSession, sf_dir: str):
             centroids=cents_b,
         )
 
-    path = _cached_layout(sf_dir, "documents", "pq768", _build)
+    path = _cached_layout(sf_dir, "documents", "pq768_m96c16v1", _build)
     books, codes, cents, _meta = PQ.load_pq_index(spark, path)
     # fat vectors for the exact rescore come off disk too — a serving
     # session loads the stored corpus table, it never re-embeds
@@ -232,6 +232,42 @@ def dd_cc_incremental_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def dd_semantic_dedup_768_kmeans_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Learned-cell SemDeDup operator path once: ONE pair-kernel run over
+    the KMeans-768 cells + connected components + keep-best. The gate's
+    verification harness (second kernel run at another block size,
+    expression-lane re-score of every pair, within-lang retention
+    cross-check) stays in the correctness gate."""
+    from strava_vector_search_spark.operators.dedup import (
+        dedup_keep_best,
+        semantic_pairs_blas,
+    )
+    from strava_vector_search_spark.queries import _kmeans_ivf_768
+
+    clustered, _cents = _kmeans_ivf_768(spark, sf_dir)
+    pairs = semantic_pairs_blas(
+        clustered, "cluster", "doc_id", "embedding", 0.9
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    base = clustered.join(docs, "doc_id")
+    return dedup_keep_best(
+        base,
+        pairs,
+        "doc_id",
+        quality=(
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint")
+            * F.lit(10_000_000)
+            + F.col("doc_id")
+        ),
+    )
+
+
 # bench.py substitutes these for the same-named gates; correctness still
 # runs the full gates (queries.py) with their exhaustive comparisons.
 LEAN_BENCH = {
@@ -243,4 +279,5 @@ LEAN_BENCH = {
     "ann_ivfpq_persisted_768": ann_ivfpq_persisted_768_bench,
     "ann_ivfpq_topk": ann_ivfpq_topk_bench,
     "dd_cc_incremental": dd_cc_incremental_bench,
+    "dd_semantic_dedup_768_kmeans": dd_semantic_dedup_768_kmeans_bench,
 }

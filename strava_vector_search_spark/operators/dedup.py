@@ -957,6 +957,15 @@ def semantic_pairs_blas(
     clusters). One shuffle to pack (cluster, id-range) blocks, then one
     float64 matmul per block pair — ~100× the per-pair expression fold,
     which recomputes two norms per PAIR instead of one per ROW.
+
+    Blocking-invariance caveat: the emitted pair SET is independent of
+    ``block_size`` exactly when the per-pair cosine is — guaranteed for
+    integer-valued embeddings (every dot/norm term exact in float64, the
+    md5 lane the 768-d gates use), while real-valued embeddings can flip
+    low bits across BLAS blockings and, at a razor-edge threshold, a
+    borderline pair. Operationally irrelevant at any sane threshold
+    margin, but the dd_semantic_dedup_768_kmeans gate's identical-set
+    check is a property of the exact-integer lane, not of floats.
     """
     import numpy as np
     import pandas as pd

@@ -130,10 +130,20 @@ def _train_codebooks_uncached(
     sample_rows: int,
     iters: int,
 ) -> np.ndarray:
+    # Two-phase sample fetch: ids first (8-byte rows), then the vectors
+    # of ONLY those ids. A direct orderBy(id).limit(n).collect() of the
+    # fat vectors executes as TakeOrderedAndProject, whose driver-side
+    # merge receives up to n rows PER PARTITION — at 1M x 768d on 64
+    # partitions that is ~1.6 GB of serialized partials and blows
+    # spark.driver.maxResultSize (found by the sf-amplified scale probe;
+    # invisible at dim 64). The id-list pass ships 8-byte rows through
+    # the same merge; the second pass semi-joins down to <= n rows TOTAL
+    # before any collect. Same ids, same order -> identical codebooks.
+    ids = emb.select(id_col).orderBy(id_col).limit(sample_rows)
     rows = (
         emb.select(id_col, F.col(vector_col).cast("array<double>"))
+        .join(F.broadcast(ids), id_col, "left_semi")
         .orderBy(id_col)
-        .limit(sample_rows)
         .collect()
     )
     X = np.array([r[1] for r in rows], dtype=np.float64)

@@ -6767,7 +6767,7 @@ def _md5_emb_768_unit_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             tmp
         )
 
-    path = _cached_layout(sf_dir, "documents", "md5u768", _build)
+    path = _cached_layout(sf_dir, "documents", "md5u768_v1", _build)
     return _session_memo(
         _MD5U768_STORED_CACHE,
         spark,
@@ -13223,7 +13223,7 @@ def svc_search_batch_ivf_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(tmp: str) -> None:
         svc.build_ivf(tmp, cluster_col="lang")
 
-    path = _cached_layout(sf_dir, "documents", "svcivf768", _build)
+    path = _cached_layout(sf_dir, "documents", "svcivf768_lang_v1", _build)
     svc.ivf_path, svc.ivf_cluster_col = path, "lang"
     qids = (3, 7, 11)
     qvecs = {
@@ -13782,7 +13782,7 @@ def ann_ivfpq_persisted_768(spark: SparkSession, sf_dir: str) -> DataFrame:
             centroids=cents_b,
         )
 
-    path = _cached_layout(sf_dir, "documents", "pq768", _build)
+    path = _cached_layout(sf_dir, "documents", "pq768_m96c16v1", _build)
     books, codes, cents, meta = PQ.load_pq_index(spark, path)
     if meta["cluster_col"] != "cluster" or meta["id_col"] != "doc_id":
         raise ValueError(

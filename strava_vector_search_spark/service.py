@@ -170,6 +170,12 @@ class SearchService:
                 self.id_col,
             )
         if cluster_col is None:
+            if "cluster" in emb.columns:
+                raise ValueError(
+                    "build_ivf: the corpus already has a 'cluster' column "
+                    "— pass cluster_col='cluster' to use it as the coarse "
+                    "quantizer, or rename it (kmeans_assign would collide)"
+                )
             emb = kmeans_assign(
                 emb.repartition(
                     self.spark.sparkContext.defaultParallelism, self.id_col
@@ -221,6 +227,8 @@ class SearchService:
             raise RuntimeError(
                 "no IVF layout: call build_ivf() before search_batch()"
             )
+        if not requests:
+            raise ValueError("search_batch: empty request list")
         cents = self.spark.read.parquet(
             os.path.join(self.ivf_path, "_centroids")
         )

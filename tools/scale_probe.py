@@ -353,9 +353,135 @@ def main() -> None:
             f"recall@10 = {rec:.2f} vs exact; probed clusters hold "
             f"{frac:.1%} of the corpus — with cluster-partitioned parquet "
             "that fraction IS the bytes read per query batch"))
+    # ---- round 11: PQ at production parameters (m=96) over 1M x 768 —
+    # the one-off artifact build (train + encode + persist) vs the
+    # per-session load, and the composed IVFPQ probe (VERDICT r10 #2/#3)
+    from strava_vector_search_spark.operators import pq as PQ
+
+    t0 = time.time()
+    books768 = PQ.train_codebooks(big768, m=96, id_col="vec_id")
+    train768_sec = time.time() - t0
+    results.append((
+        "pq train m=96 (Lloyd, 4096-row sample)", f"sample of {n_b768:,} x 768d",
+        round(train768_sec, 1),
+        "one-off build cost; driver-side, independent of corpus size "
+        "past the bounded sample"))
+    t0 = time.time()
+    codes768 = PQ.encode_pq(
+        ivf768, books768, id_col="vec_id", keep_cols=("cluster",)
+    ).persist()
+    n_codes = codes768.count()
+    encode768_sec = time.time() - t0
+    results.append((
+        "pq encode m=96", f"{n_codes:,} vecs x 768d -> 96 B codes",
+        round(encode768_sec, 1),
+        "map-only Arrow pass; 3 KB float32/row becomes 96 B (32x) — the "
+        "table that fits cluster RAM at 100 TB raw"))
+    sec, rows = t(lambda: PQ.ivfpq_topk(
+        big768, codes768, books768, qv768, k=10, nprobe=4, n_cand=200,
+        cluster_col="cluster", id_col="vec_id", centroids=cents768,
+    ).collect())
+    ivfpq_rec = len({r["vec_id"] for r in rows} & exact768_1m) / 10
+    results.append((
+        "ivfpq nprobe=4/16 m=96 (768d)", f"{n_codes:,} vecs x 768d", sec,
+        f"recall@10 = {ivfpq_rec:.2f} vs exact; ADC scan of the probed "
+        "clusters' 96 B codes + exact rescore of 200 candidates"))
+    # persisted artifact: build once (write), then the serving-session
+    # shape — load codebooks + probe, no retrain
+    pq_dir = _tf.mkdtemp(prefix="svs_pqidx768_") + "/idx"
+    t0 = time.time()
+    PQ.write_pq_index(
+        codes768, books768, pq_dir, id_col="vec_id",
+        cluster_col="cluster", centroids=cents768,
+    )
+    write_sec = time.time() - t0
+    t0 = time.time()
+    lb, lcodes, lcents, _meta = PQ.load_pq_index(spark, pq_dir)
+    sec, _ = t(lambda: PQ.ivfpq_topk(
+        big768, lcodes, lb, qv768, k=10, nprobe=4, n_cand=200,
+        cluster_col="cluster", id_col="vec_id", centroids=lcents,
+    ).collect())
+    load_probe_sec = time.time() - t0
+    results.append((
+        "ivfpq persisted: load + probe", f"{n_codes:,} vecs x 768d",
+        round(load_probe_sec, 1),
+        f"artifact write {write_sec:.1f}s one-off; a fresh session loads "
+        f"the 24K-row codebook table and serves (probe {sec:.1f}s of "
+        f"that) — replaces the {train768_sec:.0f}s train + "
+        f"{encode768_sec:.0f}s encode every session paid without the "
+        "artifact"))
+    codes768.unpersist()
+
+    # ---- round 11: SemDeDup pair kernel — LEARNED KMeans-16 cells vs a
+    # skewed low-cardinality cell key at 100K x 768 (VERDICT r10 #1): the
+    # quadratic bound is the largest cell, so the cell key IS the scale
+    # knob. threshold=0.999: replicas are exact dups, so pair volume
+    # stays bounded by the replication structure, not noise.
+    from strava_vector_search_spark.operators.dedup import (
+        semantic_pairs_blas as _spb,
+    )
+
+    sem = (
+        big768.filter(F.col("vec_id") % 10 == 0)  # 100K slice
+        .join(
+            ivf768.select("vec_id", "cluster"), "vec_id"
+        )
+        .withColumn(
+            # skewed 5-value stand-in for `lang`: ~44% in one cell, like
+            # the corpus the gates measured
+            "skew_cell",
+            F.when(F.pmod(F.col("vec_id"), 100) < 44, F.lit(0))
+            .otherwise(F.pmod(F.col("vec_id"), 4) + 1)
+            .cast("int"),
+        )
+        .persist()
+    )
+    n_sem = sem.count()
+    for cell, tag in (("cluster", "kmeans-16 cells"), ("skew_cell", "5 skewed cells")):
+        csizes = [
+            r["n"]
+            for r in sem.groupBy(cell).agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        frac = max(csizes) / n_sem
+        sec, n = t(lambda c=cell: _spb(
+            sem, c, "vec_id", "embedding", 0.999
+        ).count())
+        results.append((
+            f"semantic_pairs_blas ({tag})", f"{n_sem:,} vecs x 768d", sec,
+            f"{n:,} pairs >= 0.999; largest cell = {frac:.1%} of corpus — "
+            "the quadratic term is (largest cell)^2, which is why the "
+            "learned-cell gate (dd_semantic_dedup_768_kmeans) replaces "
+            "the lang cell for production"))
+    sem.unpersist()
+
     big768.unpersist()
     ivf768.unpersist()
     cents768.unpersist()
+
+    # ---- round 11: the staged-normalize service-build embedder at scale
+    # (the r10 96s->1.2s CollapseProject fix, measured at corpus size
+    # instead of 500 docs; also exercises the zero-drop aggregate)
+    from strava_vector_search_spark.functions.embed import (
+        hash_embedding_table as _het,
+    )
+
+    docs50k = (
+        docs.crossJoin(spark.range(100).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"), "text"
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_d50 = docs50k.count()
+    sec, n = t(lambda: _het(docs50k, "doc_id", "text", dim=768).count())
+    results.append((
+        "service build embed (hash, 768d)", f"{n_d50:,} docs", sec,
+        f"{n:,} embeddings; staged-normalize projections keep the "
+        "normalize O(dim) per row (the un-staged form was O(dim^2): 96 s "
+        "for 500 docs), zero-norm docs dropped+countable at the sparse "
+        "aggregate"))
+    docs50k.unpersist()
 
     # ---- near-dup: exact blocked BLAS vs LSH at 30K vectors
     mid_emb = (
@@ -1418,6 +1544,16 @@ def main() -> None:
         "  map-only fused-kernel signatures + one band-key shuffle, with r as",
         "  the selectivity knob (r=16 for the ≥0.9 regime). MLlib's",
         "  approxSimilarityJoin is kept only as the API-parity entry.",
+        "- **PQ is a stored artifact**: codebooks train once on a bounded",
+        "  sample (size-independent), encode is one map-only Arrow pass, and",
+        "  serving sessions LOAD the persisted codebooks+codes (see the",
+        "  'ivfpq persisted' row) — per-session retraining is a shape bug the",
+        "  artifact removes. Streamed appends encode against the FROZEN",
+        "  codebooks (streaming/pq_stream), never retrain.",
+        "- **SemDeDup's quadratic bound is the largest CELL**: the table's",
+        "  kmeans-16 vs 5-skewed-cells rows measure the same kernel at the",
+        "  same N with only the cell key changed — the learned quantizer is",
+        "  what keeps (largest cell)^2 sub-corpus at 100 TB.",
         "- **CDC merge** broadcasts the change feed: a 3M-row snapshot merges a",
         "  428K-row feed in ~3 s with the snapshot scanned once and never",
         "  shuffled — the property that holds when the snapshot is 100 TB and",
