@@ -60,10 +60,13 @@ HEADLINE = [
     "ann_ivf_batch_partition_pruned",
     "ann_pq_topk_768",
     "ann_ivfpq_topk_768",
+    "ann_ivfpq_persisted_768",
     "vs_batch_topk_768",
     "dd_semantic_pairs_768",
+    "dd_semantic_dedup_768_kmeans",
     "svc_index_build_stats_768",
     "svc_search_dsl_768",
+    "svc_search_batch_ivf_768",
     "ann_ivf_append_assign",
     "ann_srp_topk",
     "ann_srp_near_dup",

@@ -601,21 +601,28 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
     },
     "dd_semantic_pairs_768": {
-        # SemDeDup pair kernel at width 768: rank-dense block packing
-        # partial-combines; the block-pair join is the designed
-        # within-cell quadratic (bounded by the largest cell); scoring
-        # is one float64 matmul per block pair in Arrow batches
-        "python_kernel": "MapInPandas",
-        "partial_agg": "partial_",
+        # SemDeDup pair kernel at width 768 — since r11 the gate READS
+        # the _semantic_pairs_768_lang session kernel (a checkpointed
+        # LogicalRDD shared with the learned-cell gate's retention
+        # cross-check), so the MapInPandas/packing stages live in the
+        # kernel's one-off build, not in this gate's visible plan. The
+        # visible plan must stay a flat checkpoint scan + order — no
+        # recompute of the kernel per call
+        "flat_lineage": "ExistingRDD|LogicalRDD",
         "no_cartesian": "!CartesianProduct",
         "no_rowwise_python": "!BatchEvalPython",
+        "no_join": "!Join",
     },
     "svc_index_build_stats_768": {
         # service index build at width 768: pure-expression embed +
-        # staged normalize (no Python), one partial-combined invariant
-        # aggregate, no join anywhere
+        # staged normalize (no Python), partial-combined invariant
+        # aggregates. Since r11 the n_zero_vectors column rides a 1-row
+        # broadcast nested-loop cross of the two aggregates — the ONLY
+        # join allowed is that broadcast; a hash/merge join of the
+        # corpus would mean the metric went through a real join
         "partial_agg": "partial_",
-        "no_join": "!Join",
+        "broadcast_join": "BroadcastNestedLoopJoin",
+        "no_shuffle_join": "!SortMergeJoin",
         "no_python": "!BatchEvalPython",
     },
     "vs_batch_topk_768": {
@@ -648,6 +655,51 @@ EXPECTATIONS: dict[str, dict] = {
         "window_group_limit": "WindowGroupLimit",
         "no_cartesian": "!CartesianProduct",
         "no_python": "!BatchEvalPython",
+    },
+    "svc_search_batch_ivf_768": {
+        # service batch over the materialized IVF layout: the probed-
+        # cluster union lands as PartitionFilters on the lang-partitioned
+        # scan (unprobed clusters never read), per-request attachment and
+        # query vectors ride broadcasts, per-request top-k is a
+        # WindowGroupLimit, DSL filters evaluate pre-rank as expressions
+        "partition_filters_in": "PartitionFilters: \\[.*lang.* IN ",
+        "broadcast_join": "BroadcastHashJoin",
+        "window_group_limit": "WindowGroupLimit",
+        "no_cartesian": "!CartesianProduct",
+        "no_python": "!BatchEvalPython",
+    },
+    "ann_ivfpq_persisted_768": {
+        # persisted IVF+PQ serve path (lean twin: load + one query): the
+        # ADC scan over the LOADED cluster-partitioned code table is the
+        # Arrow kernel; candidate/rescore joins broadcast; top-k is a
+        # heap; no per-session retrain means no Lloyd-loop lineage
+        "python_kernel": "MapInPandas",
+        "broadcast_join": "BroadcastHashJoin",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_cartesian": "!CartesianProduct",
+    },
+    "dd_semantic_dedup_768_kmeans": {
+        # learned-cell SemDeDup (lean twin: one kernel run + keep-best):
+        # the pair kernel runs inside the connected-components step
+        # (driver union-find below the edge threshold), so the VISIBLE
+        # plan is the label attach (broadcast) + one partial-combined
+        # max_by — the kernel plan itself is audited by the
+        # semantic_pairs_blas_kernel section below
+        "partial_agg": "partial_",
+        "broadcast_join": "BroadcastHashJoin",
+        "no_cartesian": "!CartesianProduct",
+        "no_rowwise_python": "!BatchEvalPython",
+    },
+    "semantic_pairs_blas_kernel": {
+        # the SemDeDup pair kernel invoked DIRECTLY (plan-only section —
+        # the gates read its session-memoized checkpoint, which hides
+        # this shape): rank-dense block packing partial-combines, one
+        # Arrow-batched float64 matmul per block pair, the block-pair
+        # join is the designed within-cell quadratic — never a cartesian
+        # of rows, never row-at-a-time Python
+        "python_kernel": "MapInPandas",
+        "partial_agg": "partial_",
+        "no_rowwise_python": "!BatchEvalPython",
     },
     "svc_search_dsl_768": {
         # service path at production width: the compiled DSL predicate is
@@ -1125,11 +1177,28 @@ def main() -> None:
     ]
     from strava_vector_search_spark.benchmarks import LEAN_BENCH
 
+    def _semantic_pairs_blas_kernel(spark, sf_dir):
+        # direct (un-memoized) kernel invocation for the plan audit
+        from pyspark.sql import functions as F
+
+        from strava_vector_search_spark.operators.dedup import (
+            semantic_pairs_blas,
+        )
+        from strava_vector_search_spark.queries import _md5_emb_768, load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        emb = _md5_emb_768(spark, sf_dir).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        return semantic_pairs_blas(emb, "lang", "doc_id", "embedding", 0.9)
+
+    PLAN_ONLY = {"semantic_pairs_blas_kernel": _semantic_pairs_blas_kernel}
+
     failures = []
     for name, checks in EXPECTATIONS.items():
         # heavy property gates: audit the operator-path twin bench.py
         # times, not the gate's internal-collect LocalTableScan
-        fn = LEAN_BENCH.get(name) or QUERIES[name]
+        fn = PLAN_ONLY.get(name) or LEAN_BENCH.get(name) or QUERIES[name]
         df = fn(spark, SF_DIR)
         df.collect()  # materialize so AQE finalizes the plan
         plan = df._jdf.queryExecution().executedPlan().toString()
