@@ -67,6 +67,7 @@ HEADLINE = [
     "svc_index_build_stats_768",
     "svc_search_dsl_768",
     "svc_search_batch_ivf_768",
+    "svc_search_approx_768",
     "ann_ivf_append_assign",
     "ann_srp_topk",
     "ann_srp_near_dup",

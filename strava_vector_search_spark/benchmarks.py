@@ -98,18 +98,15 @@ def ann_kmeans_ivf_topk_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _loaded_pq768(spark: SparkSession, sf_dir: str):
-    """(books, codes, cents, emb) — the PERSISTED IVF+PQ-768 artifact
-    (built once per corpus generation under the fingerprinted /tmp
-    layout, then LOADED — the production session shape the
-    ann_ivfpq_persisted_768 gate pins) plus the in-session fat vector
-    table for exact rescoring. Shared by the PQ-768 lean twins so the
-    bench measures load-and-serve, not per-session retraining."""
+def _pq768_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the persisted IVF+PQ-768 artifact under the fingerprinted
+    /tmp layout protocol, building it once per corpus generation on a
+    miss — the one build-or-locate step every load-and-serve twin and
+    the service attach share."""
     from strava_vector_search_spark.operators import pq as PQ
     from strava_vector_search_spark.queries import (
         _cached_layout,
         _ivfpq_768_index,
-        _md5_emb_768_unit_stored,
     )
 
     def _build(tmp: str) -> None:
@@ -123,11 +120,62 @@ def _loaded_pq768(spark: SparkSession, sf_dir: str):
             centroids=cents_b,
         )
 
-    path = _cached_layout(sf_dir, "documents", "pq768_m96c16v1", _build)
+    return _cached_layout(sf_dir, "documents", "pq768_m96c16v1", _build)
+
+
+def _loaded_pq768(spark: SparkSession, sf_dir: str):
+    """(books, codes, cents, emb) — the PERSISTED IVF+PQ-768 artifact
+    (built once per corpus generation under the fingerprinted /tmp
+    layout, then LOADED — the production session shape the
+    ann_ivfpq_persisted_768 gate pins) plus the in-session fat vector
+    table for exact rescoring. Shared by the PQ-768 lean twins so the
+    bench measures load-and-serve, not per-session retraining."""
+    from strava_vector_search_spark.operators import pq as PQ
+    from strava_vector_search_spark.queries import (
+        _md5_emb_768_unit_stored,
+    )
+
+    path = _pq768_artifact_path(spark, sf_dir)
     books, codes, cents, _meta = PQ.load_pq_index(spark, path)
     # fat vectors for the exact rescore come off disk too — a serving
     # session loads the stored corpus table, it never re-embeds
     return books, codes, cents, _md5_emb_768_unit_stored(spark, sf_dir)
+
+
+def svc_search_approx_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate service serve path once: attach the persisted IVF+PQ
+    artifact, one filtered search_approx. The exact-path comparison
+    harness stays in the correctness gate."""
+    from strava_vector_search_spark.queries import (
+        _md5_emb_768_unit_stored,
+    )
+    from strava_vector_search_spark.service import SearchService
+
+    docs = load_table(spark, sf_dir, "documents")
+    svc = SearchService(
+        spark,
+        docs,
+        id_col="doc_id",
+        search_col="text",
+        attributes=("lang", "source", "n_chars"),
+        dim=768,
+        assume_normalized=True,
+    ).attach_embeddings(
+        _md5_emb_768_unit_stored(spark, sf_dir), vec_id_col="doc_id"
+    )
+    svc.attach_pq_index(_pq768_artifact_path(spark, sf_dir))
+    qrow = svc.embeddings.filter(F.col("doc_id") == 3).head()
+    qv = [float(x) for x in qrow["embedding"]]
+    return svc.search_approx(
+        {
+            "query_vec": qv,
+            "columns": ["lang", "n_chars"],
+            "filter": {"@gte": {"n_chars": 150}},
+            "limit": 10,
+        },
+        nprobe=4,
+        n_cand=200,
+    )
 
 
 def ann_pq_topk_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +316,7 @@ def dd_semantic_dedup_768_kmeans_bench(
     )
 
 
+
 # bench.py substitutes these for the same-named gates; correctness still
 # runs the full gates (queries.py) with their exhaustive comparisons.
 LEAN_BENCH = {
@@ -280,4 +329,5 @@ LEAN_BENCH = {
     "ann_ivfpq_topk": ann_ivfpq_topk_bench,
     "dd_cc_incremental": dd_cc_incremental_bench,
     "dd_semantic_dedup_768_kmeans": dd_semantic_dedup_768_kmeans_bench,
+    "svc_search_approx_768": svc_search_approx_768_bench,
 }

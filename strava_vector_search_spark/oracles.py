@@ -461,6 +461,18 @@ SELECT (SELECT COUNT(*) FROM documents
        true AS mean_recall_ge_080, true AS probe_sims_exact
 """
 
+# svc_search_approx_768 — the service serving through the persisted
+# IVF+PQ artifact with metadata-filters-first semantics: invariants
+# (recall vs the exact service path, shared-hit similarity identity,
+# filter leak-proofness) + the data-anchored corpus count.
+ORACLES["svc_search_approx_768"] = f"""
+SELECT (SELECT COUNT(*) FROM documents
+        WHERE doc_id <> 0 AND text IS NOT NULL
+          AND len({_TOKS}) > 0)::BIGINT AS n_corpus,
+       96 AS code_bytes, true AS recall_ge_060,
+       true AS sims_exact, true AS filter_respected
+"""
+
 # Same contract at production width through the SERVICE build path.
 ORACLES["svc_index_build_stats_768"] = f"""
 SELECT COUNT(*)::BIGINT AS n_rows, 768 AS min_dim, 768 AS max_dim,

@@ -13270,6 +13270,99 @@ def svc_search_batch_ivf_768(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"svc_search_batch_ivf_768": svc_search_batch_ivf_768})
 
 
+def svc_search_approx_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVICE serving the reference's own scale prescription —
+    "1M+ documents: consider approximate search" (02:438-442) — through
+    the PERSISTED IVF+PQ artifact: SearchService.attach_pq_index loads
+    the codebooks + 96-byte code table + coarse centroids built once
+    per corpus generation (the ann_ivfpq_persisted_768 artifact,
+    shared), and search_approx serves a JSON request with metadata
+    filters FIRST (02:406 — the DSL predicate runs on the narrow corpus
+    scan and semi-joins the code table, so filtered-out rows never
+    enter ADC or consume candidate slots), nprobe=4 coarse probe, ADC
+    candidate scan, exact rescore on the stored unit vectors.
+
+    Invariants oracle (codebooks/KMeans aren't ANSI-SQL-expressible):
+
+    * ``recall_ge_060`` — recall@10 vs the EXACT service path
+      (:meth:`search`, same request, same filter) — measured
+      0.6/1.0/0.7 at sf0.001/0.01/0.1, deterministic;
+    * ``sims_exact`` — every shared hit carries the IDENTICAL
+      similarity (both paths rescore with the same dot scorer on the
+      same stored vectors — the approximation is candidate recall
+      only);
+    * ``filter_respected`` — every approximate hit satisfies the DSL
+      predicate (pre-filtering cannot leak a filtered row);
+    * ``code_bytes`` = 96, ``n_corpus`` data-anchored."""
+    from strava_vector_search_spark.operators import pq as PQ
+    from strava_vector_search_spark.service import SearchService
+
+    docs = load_table(spark, sf_dir, "documents")
+    svc = SearchService(
+        spark,
+        docs,
+        id_col="doc_id",
+        search_col="text",
+        attributes=("lang", "source", "n_chars"),
+        dim=768,
+        assume_normalized=True,
+    ).attach_embeddings(
+        _md5_emb_768_unit_stored(spark, sf_dir), vec_id_col="doc_id"
+    )
+
+    def _build(tmp: str) -> None:
+        _emb, cents_b, books_b, codes_b = _ivfpq_768_index(spark, sf_dir)
+        PQ.write_pq_index(
+            codes_b,
+            books_b,
+            tmp,
+            id_col="doc_id",
+            cluster_col="cluster",
+            centroids=cents_b,
+        )
+
+    path = _cached_layout(sf_dir, "documents", "pq768_m96c16v1", _build)
+    svc.attach_pq_index(path)
+    n_corpus = svc.embeddings.count()
+    qrow = svc.embeddings.filter(F.col("doc_id") == 3).head()
+    if qrow is None:
+        raise ValueError(
+            f"svc_search_approx_768: query doc 3 not embeddable in {sf_dir}"
+        )
+    qv = [float(x) for x in qrow["embedding"]]
+    request = {
+        "query_vec": qv,
+        "columns": ["lang", "n_chars"],
+        "filter": {"@gte": {"n_chars": 150}},
+        "limit": 10,
+    }
+    approx_rows = svc.search_approx(request, nprobe=4, n_cand=200).collect()
+    approx = {r["doc_id"]: r["similarity"] for r in approx_rows}
+    exact = {
+        r["doc_id"]: r["similarity"] for r in svc.search(request).collect()
+    }
+    common = set(approx) & set(exact)
+    recall = len(common) / max(len(exact), 1)
+    sims_exact = all(approx[i] == exact[i] for i in common)
+    filter_respected = all(r["n_chars"] >= 150 for r in approx_rows)
+    return spark.createDataFrame(
+        [
+            (
+                n_corpus,
+                int(svc.pq_index[0].shape[0]),
+                bool(recall >= 0.6),
+                bool(sims_exact),
+                bool(filter_respected),
+            )
+        ],
+        "n_corpus bigint, code_bytes int, recall_ge_060 boolean,"
+        " sims_exact boolean, filter_respected boolean",
+    )
+
+
+QUERIES.update({"svc_search_approx_768": svc_search_approx_768})
+
+
 def ann_ivf_batch_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BATCHED probe against the materialized IVF layout
     (operators/ann.ivf_batch_topk_indexed): two query vectors ride ONE

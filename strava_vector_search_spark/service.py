@@ -110,6 +110,8 @@ class SearchService:
     # materialized IVF serving layout (build_ivf / search_batch)
     ivf_path: str | None = field(default=None, repr=False)
     ivf_cluster_col: str = "cluster"
+    # persisted IVF+PQ artifact (attach_pq_index / search_approx)
+    pq_index: tuple | None = field(default=None, repr=False)
 
     def build(self) -> "SearchService":
         """Materialize the index: embed the search column into a narrow
@@ -281,6 +283,120 @@ class SearchService:
             ],
         )
         return ranked.filter(lim)
+
+    # -- compressed (IVF+PQ) approximate serving ------------------------
+
+    def attach_pq_index(self, path: str) -> "SearchService":
+        """Attach a persisted IVF+PQ artifact (operators/pq
+        .write_pq_index) as the service's APPROXIMATE serving index —
+        the reference's "1M+ documents: consider approximate search"
+        (02:438-442) at the service layer: a fresh serving session
+        LOADS codebooks + the 96-byte code table, it never retrains.
+        The artifact's id column must match the service's; the coarse
+        centroid table must be present (search_approx probes it)."""
+        from strava_vector_search_spark.operators import pq as PQ
+
+        books, codes, cents, meta = PQ.load_pq_index(self.spark, path)
+        if meta["id_col"] != self.id_col:
+            raise ValueError(
+                f"attach_pq_index: artifact id_col {meta['id_col']!r} != "
+                f"service id_col {self.id_col!r}"
+            )
+        if cents is None or meta["cluster_col"] is None:
+            raise ValueError(
+                "attach_pq_index: artifact has no coarse quantizer "
+                "(centroids/cluster_col) — search_approx needs IVF+PQ, "
+                "not plain PQ"
+            )
+        self.pq_index = (
+            books,
+            codes.localCheckpoint(eager=False),
+            cents.localCheckpoint(eager=False),
+            meta,
+        )
+        return self
+
+    def search_approx(
+        self, request: dict | str, nprobe: int = 4, n_cand: int = 200
+    ) -> DataFrame:
+        """Serve one JSON request through the COMPRESSED index: metadata
+        filters first (02:406 — the DSL predicate runs on the narrow
+        corpus scan and semi-joins the code table, so filtered-out rows
+        never enter ADC and never consume candidate slots), probe the
+        loaded coarse centroids, ADC-scan the surviving probed codes,
+        exact-rescore ``n_cand`` candidates against the stored
+        embeddings, and return :meth:`search`'s wire shape (requested
+        columns + similarity + rank). The approximation is candidate
+        recall only — shared hits carry similarities identical to
+        :meth:`search`'s (same scorer on the same stored vectors)."""
+        from strava_vector_search_spark.operators import pq as PQ
+        from strava_vector_search_spark.operators.search import (
+            brute_force_topk,
+        )
+
+        if isinstance(request, str):
+            request = json.loads(request)
+        if self.pq_index is None:
+            raise RuntimeError(
+                "no PQ index: call attach_pq_index() before "
+                "search_approx()"
+            )
+        if self.embeddings is None:
+            raise RuntimeError(
+                "service not built: call build() or attach_embeddings()"
+            )
+        books, codes, cents, meta = self.pq_index
+        if "query_vec" in request:
+            qv = [float(x) for x in request["query_vec"]]
+        elif "query" in request:
+            qv = [
+                float(x)
+                for x in hash_embed_text(
+                    self.spark, request["query"], self.dim
+                )
+            ]
+        else:
+            raise FilterDSLError("request needs 'query' or 'query_vec'")
+        limit = int(request.get("limit", 10))
+        cols = list(
+            request.get("columns", self.columns or self.corpus.columns)
+        )
+        if request.get("filter"):
+            attrs = set(self.attributes) if self.attributes else None
+            pred = compile_filter(request["filter"], attrs)
+            keep_ids = self.corpus.filter(pred).select(self.id_col)
+            # semi-join, planner-chosen strategy: the qualifying-id side
+            # can be any size, so no forced broadcast
+            codes = codes.join(keep_ids, self.id_col, "left_semi")
+        probed = PQ.probe_clusters(cents, qv, nprobe)
+        cand_codes = codes.join(
+            F.broadcast(probed),
+            codes[meta["cluster_col"]] == probed["cluster"],
+            "left_semi",
+        )
+        cand = PQ.pq_candidates(
+            cand_codes, books, qv, n_cand=n_cand, id_col=self.id_col
+        )
+        pruned = self.embeddings.join(
+            F.broadcast(cand.select(self.id_col)),
+            self.id_col,
+            "left_semi",
+        )
+        top = brute_force_topk(
+            pruned,
+            qv,
+            k=limit,
+            id_col=self.id_col,
+            assume_normalized=self.assume_normalized,
+        )
+        base = top.join(self.corpus, self.id_col)
+        rank_w = F.row_number().over(
+            Window.orderBy(F.desc("similarity"), F.asc(self.id_col))
+        ).cast("bigint")
+        out_cols = [self.id_col] if self.id_col not in cols else []
+        return base.select(
+            *out_cols, *cols, "similarity"
+        ).withColumn("rank", rank_w)
 
     # -- query serve ---------------------------------------------------
 

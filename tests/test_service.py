@@ -260,3 +260,65 @@ class TestSearchBatchIVF:
         ).build()
         with pytest.raises(RuntimeError, match="build_ivf"):
             svc.search_batch([{"query": "x"}])
+
+
+class TestSearchApproxPQ:
+    def test_requires_attached_index_and_build(self, spark, docs):
+        svc = SearchService(
+            spark, docs, id_col="doc_id", search_col="text", dim=32
+        ).build()
+        with pytest.raises(RuntimeError, match="attach_pq_index"):
+            svc.search_approx({"query": "x"})
+
+    def test_refuses_plain_pq_artifact(self, spark, docs, tmp_path):
+        """search_approx needs the coarse quantizer — a plain PQ artifact
+        (no centroids/cluster) is refused at attach, not at query time."""
+        from strava_vector_search_spark.functions.embed import (
+            hash_embedding_table,
+        )
+        from strava_vector_search_spark.operators import pq as PQ
+
+        emb = hash_embedding_table(docs, "doc_id", "text", dim=32)
+        books = PQ.train_codebooks(emb, m=8, id_col="doc_id")
+        codes = PQ.encode_pq(emb, books, id_col="doc_id")
+        path = str(tmp_path / "plainpq")
+        PQ.write_pq_index(codes, books, path, id_col="doc_id")
+        svc = SearchService(
+            spark, docs, id_col="doc_id", search_col="text", dim=32
+        ).build()
+        with pytest.raises(ValueError, match="coarse quantizer"):
+            svc.attach_pq_index(path)
+
+    def test_id_col_mismatch_refused(self, spark, docs, tmp_path):
+        from strava_vector_search_spark.functions.embed import (
+            hash_embedding_table,
+        )
+        from strava_vector_search_spark.operators import pq as PQ
+        from strava_vector_search_spark.operators.ann import (
+            compute_centroids,
+            kmeans_assign,
+        )
+
+        emb = kmeans_assign(
+            hash_embedding_table(docs, "doc_id", "text", dim=32),
+            num_clusters=2,
+            seed=1,
+        )
+        books = PQ.train_codebooks(emb, m=8, id_col="doc_id")
+        codes = PQ.encode_pq(
+            emb, books, id_col="doc_id", keep_cols=("cluster",)
+        )
+        path = str(tmp_path / "pqidx")
+        PQ.write_pq_index(
+            codes, books, path, id_col="doc_id", cluster_col="cluster",
+            centroids=compute_centroids(emb, "cluster"),
+        )
+        svc = SearchService(
+            spark,
+            docs.withColumnRenamed("doc_id", "item_id"),
+            id_col="item_id",
+            search_col="text",
+            dim=32,
+        ).build()
+        with pytest.raises(ValueError, match="id_col"):
+            svc.attach_pq_index(path)

@@ -701,6 +701,16 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_rowwise_python": "!BatchEvalPython",
     },
+    "svc_search_approx_768": {
+        # service approximate serve (lean twin: attach persisted IVF+PQ,
+        # one filtered search_approx): metadata filter semi-joins the
+        # code table BEFORE the ADC kernel (MapInPandas), candidate and
+        # rescore joins broadcast, top-k is a heap, never a cartesian
+        "python_kernel": "MapInPandas",
+        "broadcast_join": "BroadcastHashJoin",
+        "top_k_no_sort": "TakeOrderedAndProject",
+        "no_cartesian": "!CartesianProduct",
+    },
     "svc_search_dsl_768": {
         # service path at production width: the compiled DSL predicate is
         # pushed into the documents parquet scan (filter BELOW the
