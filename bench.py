@@ -68,6 +68,7 @@ HEADLINE = [
     "svc_search_dsl_768",
     "svc_search_batch_ivf_768",
     "svc_search_approx_768",
+    "svc_search_batch_kmeans_768",
     "ann_ivf_append_assign",
     "ann_srp_topk",
     "ann_srp_near_dup",

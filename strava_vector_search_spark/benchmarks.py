@@ -317,6 +317,65 @@ def dd_semantic_dedup_768_kmeans_bench(
 
 
 
+
+def svc_search_batch_kmeans_768_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Learned-quantizer service batch serve path once: one 3-request
+    search_batch over the materialized KMeans layout. The
+    batch-vs-singletons / filter-leak / scan-fraction harness stays in
+    the correctness gate."""
+    from strava_vector_search_spark.queries import (
+        _cached_layout,
+        _md5_emb_768,
+    )
+    from strava_vector_search_spark.service import SearchService
+
+    docs = load_table(spark, sf_dir, "documents")
+    svc = SearchService(
+        spark,
+        docs,
+        id_col="doc_id",
+        search_col="text",
+        attributes=("lang", "source", "n_chars"),
+        dim=768,
+        assume_normalized=False,
+    ).attach_embeddings(_md5_emb_768(spark, sf_dir), vec_id_col="doc_id")
+
+    def _build(tmp: str) -> None:
+        svc.build_ivf(tmp, cluster_col=None, n_clusters=16, seed=42)
+
+    path = _cached_layout(sf_dir, "documents", "svcivf768_km16_v1", _build)
+    svc.ivf_path, svc.ivf_cluster_col = path, "cluster"
+    qvecs = {
+        int(r["doc_id"]): [float(x) for x in r["embedding"]]
+        for r in _md5_emb_768(spark, sf_dir)
+        .filter(F.col("doc_id").isin(3, 7, 11))
+        .collect()
+    }
+    return svc.search_batch(
+        [
+            {
+                "query_vec": qvecs[3],
+                "filter": {"@gte": {"n_chars": 200}},
+                "limit": 5,
+            },
+            {
+                "query_vec": qvecs[7],
+                "filter": {
+                    "@or": [
+                        {"@eq": {"source": "src5"}},
+                        {"@gte": {"n_chars": 300}},
+                    ]
+                },
+                "limit": 5,
+            },
+            {"query_vec": qvecs[11], "limit": 3},
+        ],
+        nprobe=4,
+    )
+
+
 # bench.py substitutes these for the same-named gates; correctness still
 # runs the full gates (queries.py) with their exhaustive comparisons.
 LEAN_BENCH = {
@@ -330,4 +389,5 @@ LEAN_BENCH = {
     "dd_cc_incremental": dd_cc_incremental_bench,
     "dd_semantic_dedup_768_kmeans": dd_semantic_dedup_768_kmeans_bench,
     "svc_search_approx_768": svc_search_approx_768_bench,
+    "svc_search_batch_kmeans_768": svc_search_batch_kmeans_768_bench,
 }

@@ -461,6 +461,19 @@ SELECT (SELECT COUNT(*) FROM documents
        true AS mean_recall_ge_080, true AS probe_sims_exact
 """
 
+# svc_search_batch_kmeans_768 — the service batch path over the LEARNED
+# 16-cluster quantizer (production twin of the lang-cell value pin):
+# invariants (batching never changes results, filters never leak across
+# requests, probed fraction bounded) + the anchored corpus count.
+ORACLES["svc_search_batch_kmeans_768"] = f"""
+SELECT (SELECT COUNT(*) FROM documents
+        WHERE doc_id <> 0 AND text IS NOT NULL
+          AND len({_TOKS}) > 0)::BIGINT AS n_corpus,
+       16 AS n_clusters, 3 AS n_requests,
+       true AS batch_equals_singletons, true AS filters_respected,
+       true AS scan_frac_le_045
+"""
+
 # svc_search_approx_768 — the service serving through the persisted
 # IVF+PQ artifact with metadata-filters-first semantics: invariants
 # (recall vs the exact service path, shared-hit similarity identity,

@@ -13270,6 +13270,145 @@ def svc_search_batch_ivf_768(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"svc_search_batch_ivf_768": svc_search_batch_ivf_768})
 
 
+def svc_search_batch_kmeans_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The service batch path over the LEARNED coarse quantizer — the
+    production twin of ``svc_search_batch_ivf_768`` (whose ``lang``
+    cells exist so DuckDB can replay values; 5 skewed values are not a
+    production quantizer — the twinning pattern of the IVF family):
+    SearchService.build_ivf with a seeded 16-cluster KMeans fit
+    materializes the cluster-partitioned layout + attributes +
+    centroids, and search_batch serves the SAME three requests as the
+    lang gate in one pruned scan. Invariants (seeded KMeans is not
+    ANSI-SQL-expressible):
+
+    * ``batch_equals_singletons`` — the 3-request batch is
+      value-identical (doc_id, similarity, rank per request) to three
+      singleton search_batch calls: batching changes cost, never
+      results;
+    * ``filters_respected`` — every returned row satisfies its own
+      request's DSL predicate (the disjunction cannot leak rows across
+      requests);
+    * ``scan_frac_le_045`` — the probed clusters hold at most 45% of
+      the corpus averaged over requests (measured 0.23-0.33 mean,
+      0.42 worst single request at nprobe=4/16); with the
+      cluster-partitioned layout this IS the fraction of a 100 TB
+      index read per batch.
+
+    ``n_corpus`` anchors to the data. Layout built once per corpus
+    generation (_cached_layout, versioned kind)."""
+    from strava_vector_search_spark.operators.ann import (
+        rank_probed_clusters,
+    )
+    from strava_vector_search_spark.service import SearchService
+
+    docs = load_table(spark, sf_dir, "documents")
+    svc = SearchService(
+        spark,
+        docs,
+        id_col="doc_id",
+        search_col="text",
+        attributes=("lang", "source", "n_chars"),
+        dim=768,
+        assume_normalized=False,
+    ).attach_embeddings(_md5_emb_768(spark, sf_dir), vec_id_col="doc_id")
+
+    def _build(tmp: str) -> None:
+        svc.build_ivf(tmp, cluster_col=None, n_clusters=16, seed=42)
+
+    path = _cached_layout(sf_dir, "documents", "svcivf768_km16_v1", _build)
+    svc.ivf_path, svc.ivf_cluster_col = path, "cluster"
+    part = spark.read.parquet(path)
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in part.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_corpus = sum(sizes.values())
+    qids = (3, 7, 11)
+    qvecs = {
+        int(r["doc_id"]): [float(x) for x in r["embedding"]]
+        for r in _md5_emb_768(spark, sf_dir)
+        .filter(F.col("doc_id").isin(*qids))
+        .collect()
+    }
+    if len(qvecs) != len(qids):
+        raise ValueError(
+            f"svc_search_batch_kmeans_768: query docs {qids} not all "
+            f"embeddable in {sf_dir}"
+        )
+    nprobe = 4
+    cents = spark.read.parquet(path + "/_centroids")
+    queries = spark.createDataFrame(
+        [(i, qvecs[d]) for i, d in enumerate(qids)],
+        "query_id int, query_vec array<double>",
+    )
+    probed: dict[int, set] = {}
+    for r in rank_probed_clusters(cents, queries, nprobe).collect():
+        probed.setdefault(r["query_id"], set()).add(r["cluster"])
+    scan_frac = sum(
+        sizes[c] for i in range(len(qids)) for c in probed[i]
+    ) / (n_corpus * len(qids))
+    requests = [
+        {
+            "query_vec": qvecs[3],
+            "filter": {"@gte": {"n_chars": 200}},
+            "limit": 5,
+        },
+        {
+            "query_vec": qvecs[7],
+            "filter": {
+                "@or": [
+                    {"@eq": {"source": "src5"}},
+                    {"@gte": {"n_chars": 300}},
+                ]
+            },
+            "limit": 5,
+        },
+        {"query_vec": qvecs[11], "limit": 3},
+    ]
+    batch_rows = svc.search_batch(requests, nprobe=nprobe).collect()
+    got: dict[int, list] = {i: [] for i in range(len(requests))}
+    for r in batch_rows:
+        got[r["request_id"]].append(
+            (r["doc_id"], r["similarity"], r["rank"])
+        )
+    batch_equals_singletons = all(
+        sorted(
+            (r["doc_id"], r["similarity"], r["rank"])
+            for r in svc.search_batch([req], nprobe=nprobe).collect()
+        )
+        == sorted(got[i])
+        for i, req in enumerate(requests)
+    )
+    preds = [
+        lambda r: r["n_chars"] >= 200,
+        lambda r: r["source"] == "src5" or r["n_chars"] >= 300,
+        lambda r: True,
+    ]
+    filters_respected = all(
+        preds[r["request_id"]](r) for r in batch_rows
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_corpus,
+                16,
+                len(requests),
+                bool(batch_equals_singletons),
+                bool(filters_respected),
+                bool(scan_frac <= 0.45),
+            )
+        ],
+        "n_corpus bigint, n_clusters int, n_requests int,"
+        " batch_equals_singletons boolean, filters_respected boolean,"
+        " scan_frac_le_045 boolean",
+    )
+
+
+QUERIES.update({"svc_search_batch_kmeans_768": svc_search_batch_kmeans_768})
+
+
 def svc_search_approx_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVICE serving the reference's own scale prescription —
     "1M+ documents: consider approximate search" (02:438-442) — through

@@ -701,6 +701,20 @@ EXPECTATIONS: dict[str, dict] = {
         "partial_agg": "partial_",
         "no_rowwise_python": "!BatchEvalPython",
     },
+    "svc_search_batch_kmeans_768": {
+        # learned-quantizer service batch (lean twin: one 3-request
+        # search_batch): probed-union literal IN lands as
+        # PartitionFilters on the KMeans-cluster-partitioned layout,
+        # per-request attach + query vectors broadcast, per-request
+        # top-k is a WindowGroupLimit
+        # IN for few probed values, INSET once Catalyst switches to the
+        # set form (the 3-request union probes ~11 of 16 clusters)
+        "partition_filters_in": "PartitionFilters: \\[.*cluster.* IN(SET)? ",
+        "broadcast_join": "BroadcastHashJoin",
+        "window_group_limit": "WindowGroupLimit",
+        "no_cartesian": "!CartesianProduct",
+        "no_python": "!BatchEvalPython",
+    },
     "svc_search_approx_768": {
         # service approximate serve (lean twin: attach persisted IVF+PQ,
         # one filtered search_approx): metadata filter semi-joins the
