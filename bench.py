@@ -24,6 +24,16 @@ what a fresh session pays before the shared session kernels and codegen
 warm up — so the warm-kernel headline and the cold cost are both measured
 numbers (VERDICT r9 item 4).
 
+Drift adjudication (VERDICT r11 item 1): after the headline pass the
+whole list runs SPARK_GRAFT_BENCH_PASSES-1 (default 1) more warm passes,
+time-separated; every pass's per-query wall is committed in the snapshot
+(``pass_sec``), so transient machine load — which hits disjoint query
+sets in different passes — is adjudicable from committed JSON alone.
+``value`` stays the pass-A median-low total (the protocol every prior
+round used, so round-over-round comparison is like-for-like);
+``value_adjudicated`` sums each query's min across passes (drift-robust);
+``drift_suspects`` lists queries whose passes disagree >1.5x.
+
 The heaviest property gates are substituted with their operator-path-only
 twins from strava_vector_search_spark/benchmarks.py (VERDICT r02 item 2):
 the gates' 5-query exact-comparison harnesses stay in the correctness path;
@@ -314,15 +324,31 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # Drift adjudication (VERDICT r11 item 1): a single pass over the
+    # headline list cannot distinguish "this query regressed" from "the
+    # machine was loaded during this query's 10-second window" — r11's
+    # committed snapshot carried a +16% total that three uncommitted
+    # re-runs showed was drift. Now the whole list runs in PASSES
+    # separated in time (pass A with `reps` reps/query feeding the
+    # protocol-stable headline; each later pass one warm rep/query), and
+    # EVERY pass's per-query map is committed in the snapshot. Transient
+    # load shows up as pass disagreement on disjoint query sets;
+    # `value_adjudicated` (sum of per-query min across passes) is the
+    # drift-robust total, answerable from committed JSON alone.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
     cold_timings: dict[str, float] = {}
+    pass_timings: dict[str, list[float]] = {}
     lean_used: list[str] = []
+    bench_fns = []
     for name in HEADLINE:
         fn = LEAN_BENCH.get(name) or QUERIES.get(name)
         if fn is None:
             continue
         if name in LEAN_BENCH:
             lean_used.append(name)
+        bench_fns.append((name, fn))
+    for name, fn in bench_fns:
         samples = []
         for _ in range(reps):
             t0 = time.time()
@@ -333,6 +359,12 @@ def main() -> None:
         # actually-observed sample (ADVICE r03 item 2).
         timings[name] = round(statistics.median_low(samples), 3)
         cold_timings[name] = round(samples[0], 3)
+        pass_timings[name] = [timings[name]]
+    for _ in range(passes - 1):
+        for name, fn in bench_fns:
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            pass_timings[name].append(round(time.time() - t0, 3))
 
     total = round(sum(timings.values()), 3)
     # rep-1 total: what a FRESH session pays, before the session kernels
@@ -350,18 +382,38 @@ def main() -> None:
         name: {
             "sec": sec,
             "cold_sec": cold_timings[name],
+            "pass_sec": pass_timings[name],
+            "min_sec": min(pass_timings[name]),
             "lean": name in LEAN_BENCH,
         }
         for name, sec in timings.items()
+    }
+    total_adjudicated = round(
+        sum(min(v) for v in pass_timings.values()), 3
+    )
+    pass_totals = [
+        round(sum(v[i] for v in pass_timings.values()), 3)
+        for i in range(passes)
+    ]
+    # queries whose passes disagree >1.5x — the drift suspects a reader
+    # should check before calling a regression
+    drift_suspects = {
+        name: v
+        for name, v in sorted(pass_timings.items())
+        if min(v) > 0 and max(v) / min(v) > 1.5
     }
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "value_cold_rep1": total_cold,
+        "value_adjudicated": total_adjudicated,
+        "pass_totals": pass_totals,
+        "drift_suspects": drift_suspects,
         "unit": "sec",
         "sf": sf_val,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "reps": reps,
+        "passes": passes,
         "protocol": "median_low_of_reps",
         "lean": lean_used,
         "queries": per_query,
@@ -414,11 +466,14 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "value_cold_rep1": total_cold,
+                "value_adjudicated": total_adjudicated,
+                "pass_totals": pass_totals,
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "protocol": "median_low_of_reps",
                 "reps": reps,
+                "passes": passes,
                 "lean": lean_used,
                 "queries": slowest,
                 "queries_full": snap_path,

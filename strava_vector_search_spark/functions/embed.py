@@ -222,7 +222,17 @@ def hash_embed_text(spark, text: str, dim: int = DEFAULT_DIM) -> list[float]:
     share one code path, then collect the single vector.
     """
     one = spark.createDataFrame([(0, text)], "id int, t string")
-    return hash_embedding_table(one, "id", "t", dim).collect()[0]["embedding"]
+    rows = hash_embedding_table(one, "id", "t", dim).collect()
+    if not rows:
+        # hash_embedding_table drops zero-norm rows at the sparse aggregate
+        # (no [a-z0-9] tokens, or every token weight hashed to 0), so the
+        # 1-row query frame can come back empty. Fail with intent instead of
+        # an IndexError — mirrors _md5_query_vec_768's guard on the 768 lane.
+        raise ValueError(
+            "query text embeds to an empty/zero vector (no [a-z0-9] tokens "
+            "or all token weights are 0); cannot rank by cosine similarity"
+        )
+    return rows[0]["embedding"]
 
 
 def model_embedder(

@@ -1198,6 +1198,21 @@ def srp_topk_indexed(
 # KMeans coarse quantizer + MLlib LSH (the 1M+ regime builders)
 
 
+def default_ivf_cells(n_rows: int, floor: int = 16, cap: int = 65536) -> int:
+    """Production IVF cell count for an ``n_rows`` corpus: ~sqrt(N)
+    (the standard IVF sizing — per-cell size and cell count grow
+    together, so scan fraction at fixed nprobe falls as 1/sqrt(N)),
+    floored so tiny gate corpora keep the historical k=16 layout and
+    capped so the centroid table stays a driver-trivial broadcast
+    (65536 x 768 doubles = 400 MB is already generous; real deployments
+    shard beyond that). A FIXED small k is the scale-killer this
+    replaces: at k=16 partition pruning bottoms out at nprobe/16 of the
+    corpus no matter how large N grows."""
+    import math
+
+    return max(floor, min(cap, int(math.isqrt(max(1, int(n_rows))))))
+
+
 def kmeans_assign(
     emb: DataFrame,
     num_clusters: int = 16,

@@ -43,6 +43,13 @@ from strava_vector_search_spark.operators.search import (
 
 _CODEBOOK_CACHE: dict[tuple, np.ndarray] = {}
 
+# _plan_digest temporarily raises the session-wide
+# spark.sql.debug.maxToStringFields for its render; serialize the
+# set/render/restore window so concurrent threads sharing the
+# SparkSession can't observe or clobber the raised value. The cache the
+# digest feeds is process-local, so a process-local lock suffices.
+_PLAN_DIGEST_LOCK = __import__("threading").Lock()
+
 
 def _plan_digest(df: DataFrame) -> tuple[int, str] | None:
     """Collision-proof cache identity for a DataFrame's analyzed plan:
@@ -62,15 +69,16 @@ def _plan_digest(df: DataFrame) -> tuple[int, str] | None:
     key = "spark.sql.debug.maxToStringFields"
     try:
         canon = df._jdf.queryExecution().analyzed().canonicalized()
-        old = conf.get(key, None)
-        conf.set(key, str(1 << 30))
-        try:
-            rendered = canon.toString()
-        finally:
-            if old is None:
-                conf.unset(key)
-            else:
-                conf.set(key, old)
+        with _PLAN_DIGEST_LOCK:
+            old = conf.get(key, None)
+            conf.set(key, str(1 << 30))
+            try:
+                rendered = canon.toString()
+            finally:
+                if old is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, old)
         return (
             int(canon.semanticHash()),
             hashlib.sha256(rendered.encode("utf-8")).hexdigest(),
@@ -146,6 +154,16 @@ def _train_codebooks_uncached(
         .orderBy(id_col)
         .collect()
     )
+    # Precondition: id_col is unique. With duplicate ids the semi-join
+    # returns MORE than sample_rows rows (the old direct limit capped
+    # exactly), silently changing the trained codebooks and re-opening
+    # the driver-result-size exposure the two-phase fetch closed.
+    if len(rows) > sample_rows:
+        raise ValueError(
+            f"{id_col} is not unique: two-phase sample fetched {len(rows)} "
+            f"rows for a {sample_rows}-row sample; dedupe ids before "
+            "training codebooks"
+        )
     X = np.array([r[1] for r in rows], dtype=np.float64)
     n, d = X.shape
     if d % m:

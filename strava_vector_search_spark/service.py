@@ -36,6 +36,7 @@ from strava_vector_search_spark.functions.embed import (
     hash_embed_text,
     hash_embedding_table,
 )
+from strava_vector_search_spark.operators.ann import default_ivf_cells
 from strava_vector_search_spark.operators.search import brute_force_topk
 
 
@@ -139,7 +140,7 @@ class SearchService:
         self,
         ivf_path: str,
         cluster_col: str | None = None,
-        n_clusters: int = 16,
+        n_clusters: int | None = None,
         seed: int = 42,
     ) -> "SearchService":
         """Materialize the cluster-partitioned IVF serving layout for
@@ -148,11 +149,18 @@ class SearchService:
         scan without a corpus join-back), coarse-quantized either by an
         existing ``cluster_col`` attribute (deterministic — the
         oracle-replayable lane) or by a seeded KMeans fit (the learned
-        production quantizer, fit input fixed-width partitioned so the
-        solution doesn't drift with parallelism), written via
+        production quantizer; the fit input is repartitioned to a FIXED
+        literal width so the kmeans|| init sees the same partitioning on
+        any machine — defaultParallelism varies by core count and MLlib's
+        init is partitioning-sensitive), written via
         operators/ann.write_ivf_index + write_ivf_centroids. One build
         serves every later batch; incremental freshness is
-        ann.append_to_ivf_index / streaming.ivf_stream territory."""
+        ann.append_to_ivf_index / streaming.ivf_stream territory.
+
+        ``n_clusters=None`` derives the cell count from corpus size via
+        :func:`default_ivf_cells` (~sqrt(N), the production IVF sizing) —
+        a fixed small k caps partition pruning at nprobe/k of the corpus
+        regardless of N, which is the 100 TB scale-killer."""
         import os
 
         from strava_vector_search_spark.operators.ann import (
@@ -178,14 +186,22 @@ class SearchService:
                     "— pass cluster_col='cluster' to use it as the coarse "
                     "quantizer, or rename it (kmeans_assign would collide)"
                 )
+            if n_clusters is None:
+                n_clusters = default_ivf_cells(emb.count())
             emb = kmeans_assign(
-                emb.repartition(
-                    self.spark.sparkContext.defaultParallelism, self.id_col
-                ).sortWithinPartitions(self.id_col),
+                emb.repartition(32, self.id_col).sortWithinPartitions(
+                    self.id_col
+                ),
                 num_clusters=n_clusters,
                 seed=seed,
             )
             cluster_col = "cluster"
+        elif n_clusters is not None:
+            raise ValueError(
+                "build_ivf: n_clusters only applies to the learned "
+                "(cluster_col=None) lane — an existing cluster column "
+                "fixes the cell count"
+            )
         write_ivf_index(emb, ivf_path, cluster_col=cluster_col)
         # centroids INSIDE the index dir (underscore-prefixed — parquet
         # partition discovery ignores it), not ann.write_ivf_centroids'
@@ -234,55 +250,105 @@ class SearchService:
         cents = self.spark.read.parquet(
             os.path.join(self.ivf_path, "_centroids")
         )
-        rows = []
-        limits = []
+        # Per-request limit and filter identity ride the broadcast
+        # queries table as DATA columns instead of compiling into the
+        # expression tree: the old shape OR-reduced one predicate per
+        # request for the DSL filters AND one per request for the limit
+        # cut, so a production cache-refresh batch of 10^4 requests grew
+        # a 10^4-term expression and blew up Catalyst analysis time.
+        # Now the limit cut is ONE column comparison (rank <= _limit,
+        # _limit joined in with the query vector) and the filter union
+        # is bounded by the number of DISTINCT filter bodies in the
+        # batch — requests sharing a filter share one compiled branch
+        # (batch workloads repeat a handful of filter shapes; a batch
+        # of thousands of all-distinct filters is thousands of
+        # independent queries, not a batch).
         attrs = set(self.attributes) if self.attributes else None
-        preds = []
+        parsed: list[tuple[list[float] | None, dict]] = []
+        texts: list[tuple[int, str]] = []
         for i, req in enumerate(requests):
             if isinstance(req, str):
                 req = json.loads(req)
             if "query_vec" in req:
                 qv = [float(x) for x in req["query_vec"]]
             elif "query" in req:
-                qv = [
-                    float(x)
-                    for x in hash_embed_text(
-                        self.spark, req["query"], self.dim
-                    )
-                ]
+                # defer: text queries embed in ONE table job below, not
+                # one 1-row collect per request (a 10^4-request batch
+                # would otherwise run 10^4 driver-side Spark jobs
+                # before the scan even starts)
+                qv = None
+                texts.append((i, req["query"]))
             else:
                 raise FilterDSLError(
                     "request needs 'query' or 'query_vec'"
                 )
-            rows.append((i, qv))
-            limits.append(int(req.get("limit", k_default)))
-            c = F.col("request_id") == i
-            if req.get("filter"):
-                c = c & compile_filter(req["filter"], attrs)
-            preds.append(c)
+            parsed.append((qv, req))
+        embedded: dict[int, list[float]] = {}
+        if texts:
+            tdf = self.spark.createDataFrame(
+                texts, "request_id int, t string"
+            )
+            embedded = {
+                r["request_id"]: [float(x) for x in r["embedding"]]
+                for r in hash_embedding_table(
+                    tdf, "request_id", "t", self.dim
+                ).collect()
+            }
+            missing = sorted(i for i, _ in texts if i not in embedded)
+            if missing:
+                raise ValueError(
+                    f"requests {missing} embed to empty/zero vectors "
+                    "(no [a-z0-9] tokens or all token weights are 0); "
+                    "cannot rank by cosine similarity"
+                )
+        rows = []
+        filter_ids: dict[str, int] = {}
+        compiled: list[Column] = []
+        any_unfiltered = False
+        for i, (qv, req) in enumerate(parsed):
+            if qv is None:
+                qv = embedded[i]
+            flt = req.get("filter")
+            if flt:
+                key = json.dumps(flt, sort_keys=True)
+                fid = filter_ids.get(key)
+                if fid is None:
+                    fid = len(compiled)
+                    filter_ids[key] = fid
+                    compiled.append(compile_filter(flt, attrs))
+            else:
+                fid = -1
+                any_unfiltered = True
+            rows.append((i, qv, int(req.get("limit", k_default)), fid))
         queries_df = self.spark.createDataFrame(
-            rows, "request_id int, query_vec array<double>"
+            rows,
+            "request_id int, query_vec array<double>, "
+            "_limit int, _filter_id int",
         )
+        pre = None
+        if compiled:
+            preds = [
+                (F.col("_filter_id") == F.lit(j)) & c
+                for j, c in enumerate(compiled)
+            ]
+            if any_unfiltered:
+                preds.insert(0, F.col("_filter_id") == F.lit(-1))
+            pre = reduce(or_, preds)
         ranked = ivf_batch_topk_indexed(
             self.spark,
             self.ivf_path,
             queries_df,
-            k=max(limits),
+            k=max(r[2] for r in rows),
             nprobe=nprobe,
             cluster_col=self.ivf_cluster_col,
             id_col=self.id_col,
             centroids=cents,
             query_id_col="request_id",
-            pre_rank_filter=reduce(or_, preds),
+            pre_rank_filter=pre,
         )
-        lim = reduce(
-            or_,
-            [
-                (F.col("request_id") == i) & (F.col("rank") <= l)
-                for i, l in enumerate(limits)
-            ],
+        return ranked.filter(F.col("rank") <= F.col("_limit")).drop(
+            "_limit", "_filter_id"
         )
-        return ranked.filter(lim)
 
     # -- compressed (IVF+PQ) approximate serving ------------------------
 
@@ -307,6 +373,14 @@ class SearchService:
                 "attach_pq_index: artifact has no coarse quantizer "
                 "(centroids/cluster_col) — search_approx needs IVF+PQ, "
                 "not plain PQ"
+            )
+        if meta["m"] * meta["sub"] != self.dim:
+            raise ValueError(
+                f"attach_pq_index: artifact encodes dim "
+                f"{meta['m'] * meta['sub']} (m={meta['m']} x sub="
+                f"{meta['sub']}) but the service dim is {self.dim} — "
+                "the artifact must be built over the same (and "
+                "identically normalized) embedding table it will serve"
             )
         self.pq_index = (
             books,

@@ -261,6 +261,72 @@ class TestSearchBatchIVF:
         with pytest.raises(RuntimeError, match="build_ivf"):
             svc.search_batch([{"query": "x"}])
 
+    def test_production_batch_size_bounded_plan(self, ivf_svc):
+        """1,000 requests through one search_batch: the expression tree
+        must grow with DISTINCT filter bodies (3 here), not requests —
+        the old shape OR-reduced one predicate per request for both the
+        DSL filters and the limit cut, so Catalyst analysis time blew up
+        linearly in batch size. Pins (a) no per-request predicate in the
+        optimized plan, (b) value parity with sequential search() on a
+        sample, (c) per-request limits still honored."""
+        import time
+
+        from strava_vector_search_spark.functions.embed import (
+            hash_embed_text,
+        )
+
+        filters = [
+            None,
+            {"@eq": {"sport_type": "run"}},
+            {"@gte": {"distance_meters": 4000}},
+            {"@and": [
+                {"@eq": {"sport_type": "ride"}},
+                {"@lte": {"distance_meters": 35000}},
+            ]},
+        ]
+        texts = ["hard workout", "recovery ride", "drills", "hill climb"]
+        vecs = [hash_embed_text(ivf_svc.spark, t, dim=32) for t in texts]
+        reqs = []
+        for i in range(1000):
+            req = {"query_vec": vecs[i % 4], "limit": 1 + i % 4}
+            if filters[i % 4]:
+                req["filter"] = filters[i % 4]
+            reqs.append(req)
+        t0 = time.monotonic()
+        batch = ivf_svc.search_batch(reqs, nprobe=3)
+        plan = batch._jdf.queryExecution().optimizedPlan().toString()
+        analysis_sec = time.monotonic() - t0
+        # structural: the limit cut and filter routing are data-joined,
+        # not compiled per request — the old shape mentioned request_id
+        # in >=2000 predicate terms ((request_id = i) per filter and per
+        # limit cut); now it appears only as join/window attribute refs
+        # (a handful), and the filter union has one branch per DISTINCT
+        # filter body (3 + the unfiltered branch), not per request
+        assert plan.count("request_id") < 100, plan.count("request_id")
+        assert plan.count("_filter_id") < 40, plan.count("_filter_id")
+        # and analysis stays interactive (the per-request OR chain took
+        # minutes at this size; generous bound for loaded CI machines)
+        assert analysis_sec < 60, f"plan analysis took {analysis_sec:.1f}s"
+        out = batch.collect()
+        by_req = {}
+        for r in out:
+            by_req.setdefault(r["request_id"], []).append(r)
+        # per-request limits honored
+        for i, rows in by_req.items():
+            assert len(rows) <= 1 + i % 4
+        # value parity with the sequential path on a sample (nprobe=3
+        # covers every cluster, so the batch path loses nothing)
+        for i in (0, 1, 2, 3, 997, 998, 999):
+            got = sorted(
+                (r["doc_id"], r["similarity"], r["rank"])
+                for r in by_req.get(i, [])
+            )
+            want = sorted(
+                (r["doc_id"], r["similarity"], r["rank"])
+                for r in ivf_svc.search(reqs[i]).collect()
+            )
+            assert got == want, f"request {i}"
+
 
 class TestSearchApproxPQ:
     def test_requires_attached_index_and_build(self, spark, docs):
