@@ -80,6 +80,8 @@ HEADLINE = [
     "svc_search_approx_768",
     "svc_search_batch_kmeans_768",
     "ann_ivf_append_assign",
+    "ann_ivf_cells_scaling_768",
+    "ann_ivf_clustered_recall_768",
     "ann_srp_topk",
     "ann_srp_near_dup",
     "dd_bloom_sharded_decontaminate",

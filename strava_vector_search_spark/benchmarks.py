@@ -376,6 +376,69 @@ def svc_search_batch_kmeans_768_bench(
     )
 
 
+def ann_ivf_cells_scaling_768_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hi-k IVF operator path once: the prebuilt sqrt-N-cell session
+    index (_kmeans_ivf_768_hi) + ONE batched pruned pass for 5 query
+    vectors. The dual-layout comparison harness (full-scan baseline,
+    scan accounting at both k) stays in the correctness gate."""
+    from strava_vector_search_spark.operators.ann import ivf_batch_topk
+    from strava_vector_search_spark.queries import _kmeans_ivf_768_hi
+
+    clustered, cents, _k_hi = _kmeans_ivf_768_hi(spark, sf_dir)
+    qids = (3, 7, 11, 19, 23)
+    qrows = (
+        clustered.filter(F.col("doc_id").isin(*qids))
+        .select("doc_id", "embedding")
+        .collect()
+    )
+    queries = spark.createDataFrame(
+        [(int(r["doc_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id bigint, query_vec array<double>",
+    )
+    return ivf_batch_topk(
+        clustered,
+        queries,
+        k=10,
+        nprobe=4,
+        cluster_col="cluster",
+        id_col="doc_id",
+        centroids=cents,
+    )
+
+
+def ann_ivf_clustered_recall_768_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Planted-geometry IVF operator path once: prebuilt 96-cell index
+    (_planted_ivf_768) + ONE batched pruned pass; the recall/scan
+    accounting harness stays in the correctness gate."""
+    from strava_vector_search_spark.operators.ann import ivf_batch_topk
+    from strava_vector_search_spark.queries import _planted_ivf_768
+
+    clustered, cents = _planted_ivf_768(spark, sf_dir)
+    qids = (3, 7, 11, 19, 23)
+    qrows = (
+        clustered.filter(F.col("doc_id").isin(*qids))
+        .select("doc_id", "embedding")
+        .collect()
+    )
+    queries = spark.createDataFrame(
+        [(int(r["doc_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id bigint, query_vec array<double>",
+    )
+    return ivf_batch_topk(
+        clustered,
+        queries,
+        k=5,
+        nprobe=4,
+        cluster_col="cluster",
+        id_col="doc_id",
+        centroids=cents,
+    )
+
+
 # bench.py substitutes these for the same-named gates; correctness still
 # runs the full gates (queries.py) with their exhaustive comparisons.
 LEAN_BENCH = {
@@ -390,4 +453,6 @@ LEAN_BENCH = {
     "dd_semantic_dedup_768_kmeans": dd_semantic_dedup_768_kmeans_bench,
     "svc_search_approx_768": svc_search_approx_768_bench,
     "svc_search_batch_kmeans_768": svc_search_batch_kmeans_768_bench,
+    "ann_ivf_cells_scaling_768": ann_ivf_cells_scaling_768_bench,
+    "ann_ivf_clustered_recall_768": ann_ivf_clustered_recall_768_bench,
 }

@@ -1213,6 +1213,138 @@ def default_ivf_cells(n_rows: int, floor: int = 16, cap: int = 65536) -> int:
     return max(floor, min(cap, int(math.isqrt(max(1, int(n_rows))))))
 
 
+def split_oversized_cells(
+    clustered: DataFrame,
+    max_frac: float = 0.10,
+    cluster_col: str = "cluster",
+    vector_col: str = "embedding",
+    max_rounds: int = 3,
+) -> DataFrame:
+    """Re-split learned cells whose population exceeds ``max_frac`` of
+    the corpus — the balance guard for every plan whose cost is bounded
+    by the LARGEST cell (SemDeDup's quadratic within-cell term, IVF scan
+    fraction when a probed cell is huge). Skew in real embedding spaces
+    is the rule, not the exception: one dominant language/domain can
+    swallow half the corpus into one cell, and then the learned layout
+    is no better than the skewed categorical key it replaced.
+
+    Each oversized cell c is sub-split into ``ceil(n_c / (max_frac*N))``
+    children by a PROJECTION-QUANTILE cut, not another KMeans: rows are
+    scored by their dot product with the cell's longest axis (centroid →
+    farthest member, deterministic tie-break by the first column) and
+    bucketed at the score's approximate quantiles. Quantile cuts are
+    balanced BY CONSTRUCTION — an SSE-minimizing sub-KMeans is not: on
+    the common skew geometry (a dense blob plus scattered outliers) it
+    peels a handful of outliers per fit and leaves the dominant mass
+    whole, so a cap enforced by KMeans never converges. The cut is one
+    distributed aggregate (percentile_approx) plus a map-side bucket
+    assignment — no global sort, no single-partition window. Children
+    are numbered from ``max_id + 1`` upward; rows of well-sized cells
+    keep their ids, so downstream artifacts keyed by those ids stay
+    valid. approx quantiles can overshoot the cap slightly, so the
+    split repeats up to ``max_rounds`` times on cells that remain
+    oversized; a cell of near-identical vectors (zero-length axis, or
+    every score at one value) is left as-is — splitting identical
+    points by anything but an arbitrary hash would be a lie about the
+    geometry; callers needing a hard cap can shard such a cell by id
+    hash themselves.
+
+    Driver work is bounded: the per-round cell census is |cells| rows
+    and the fit loop runs over at most 1/max_frac oversized cells.
+    Centroids are NOT recomputed here — run :func:`compute_centroids`
+    on the result (sub-cells need their own centroids for probing).
+    Cluster ids must be integers (the learned kmeans lanes' shape);
+    categorical quantizers re-split by re-keying, not by this function.
+    """
+    import math
+
+    if not (0 < max_frac < 1):
+        raise ValueError(f"max_frac must be in (0,1), got {max_frac}")
+    out = clustered
+    for rnd in range(max_rounds):
+        counts = (
+            out.groupBy(cluster_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        total = sum(r["n"] for r in counts)
+        cap = max_frac * total
+        oversized = sorted(
+            (r[cluster_col], r["n"]) for r in counts if r["n"] > cap
+        )
+        if not oversized:
+            break
+        next_id = max(r[cluster_col] for r in counts) + 1
+        oversized_ids = [c for c, _ in oversized]
+        parts = [out.filter(~F.col(cluster_col).isin(oversized_ids))]
+        progressed = False
+        for c, n_c in oversized:
+            sub_k = max(2, math.ceil(n_c / cap))
+            cell = out.filter(F.col(cluster_col) == c)
+            first_col = cell.columns[0]
+            vec = F.col(vector_col).cast("array<double>")
+            dim = len(cell.select(vec.alias("v")).first()["v"])
+            # cut axis = cell centroid → farthest member (ties → lowest
+            # first_col). Two bounded collects: one dim-wide avg row,
+            # one 1-row argmax.
+            cent_row = cell.select(
+                *[
+                    F.avg(F.element_at(vec, i + 1)).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            ).first()
+            cent = [float(x) for x in cent_row]
+            cent_lit = F.array(*[F.lit(v) for v in cent])
+            dist2 = F.aggregate(
+                F.zip_with(vec, cent_lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            far = (
+                cell.select(
+                    F.col(first_col), vec.alias("v"), dist2.alias("d2")
+                )
+                .orderBy(F.desc("d2"), F.asc(first_col))
+                .first()
+            )
+            axis = [float(a) - b for a, b in zip(far["v"], cent)]
+            if not any(axis):
+                continue  # identical vectors: no spatial split exists
+            axis_lit = F.array(*[F.lit(v) for v in axis])
+            score = F.aggregate(
+                F.zip_with(vec, axis_lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            scored = cell.withColumn("_split_score", score)
+            qs = [i / sub_k for i in range(1, sub_k)]
+            cuts = [
+                float(q)
+                for q in scored.select(
+                    F.percentile_approx("_split_score", qs, 10000).alias(
+                        "q"
+                    )
+                ).first()["q"]
+            ]
+            child = F.lit(0)
+            for cut in cuts:
+                child = child + F.when(
+                    F.col("_split_score") > cut, 1
+                ).otherwise(0)
+            sub = scored.withColumn(
+                cluster_col, (child + F.lit(next_id)).cast("int")
+            ).drop("_split_score")
+            progressed = True
+            parts.append(sub)
+            next_id += sub_k
+        from functools import reduce as _reduce
+
+        out = _reduce(lambda a, b: a.unionByName(b), parts)
+        if not progressed:
+            break
+    return out
+
+
 def kmeans_assign(
     emb: DataFrame,
     num_clusters: int = 16,

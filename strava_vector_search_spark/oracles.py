@@ -8568,3 +8568,36 @@ SELECT g.cw AS cohort_week, g.age_weeks, s.n_users, g.n_active,
 FROM grid g JOIN sizes s USING (cw)
 ORDER BY cohort_week, age_weeks
 """
+
+
+# ann_ivf_cells_scaling_768 — the coarse-quantizer scaling property
+# (k=16 vs ~sqrt(N) cells on the md5-768 corpus). Seeded MLlib KMeans
+# isn't ANSI-SQL-expressible, so the oracle pins the data-anchored
+# corpus count, the DERIVED production cell count (GREATEST(64,
+# FLOOR(SQRT(n))) — the same sizing rule as
+# operators/ann.default_ivf_cells), and the contract booleans — the
+# ann_kmeans_ivf_topk_768 treatment.
+ORACLES["ann_ivf_cells_scaling_768"] = f"""
+WITH nc AS (
+  SELECT COUNT(*) AS n FROM documents
+  WHERE doc_id <> 0 AND text IS NOT NULL AND len({_TOKS}) > 0
+)
+SELECT n::BIGINT AS n_corpus, 16 AS k_lo,
+       GREATEST(64, LEAST(65536, CAST(FLOOR(SQRT(n)) AS INT))) AS k_hi,
+       4 AS nprobe, 10 AS k,
+       true AS scan_ratio_le_040, true AS efficiency_ratio_ge_150,
+       true AS scan_hi_le_012, true AS maxcell_lo_le_030,
+       true AS maxcell_hi_le_012, true AS recall_hi_ge_040
+FROM nc
+"""
+
+
+# ann_ivf_clustered_recall_768 — IVF on planted-structure geometry (the
+# real-embedding regime). The planted vectors are md5-expressible but
+# the learned quantizer is not, so: corpus anchor + contract booleans.
+ORACLES["ann_ivf_clustered_recall_768"] = """
+SELECT COUNT(*)::BIGINT AS n_corpus, 96 AS n_cells, 4 AS nprobe,
+       5 AS k, true AS recall_ge_060, true AS scan_frac_le_005,
+       true AS maxcell_le_005
+FROM documents
+"""

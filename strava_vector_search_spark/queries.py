@@ -14307,3 +14307,321 @@ def ev_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ev_retention_matrix": ev_retention_matrix})
+
+
+_KMEANS_IVF768_HI_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _kmeans_ivf_768_hi(spark: SparkSession, sf_dir: str):
+    """(clustered, centroids, k_hi) — the PRODUCTION-SIZED coarse
+    quantizer over the md5-768 corpus: ``k_hi = max(64,
+    default_ivf_cells(N))`` cells (~sqrt(N), the standard IVF sizing)
+    instead of the fixed k=16 the original gates inherited. A fixed
+    small k caps partition pruning at nprobe/16 of the corpus forever;
+    sqrt-N cells let the scanned fraction FALL as the corpus grows —
+    the property that keeps the ANN serve path viable at 100 TB
+    (reference regime "1M+ documents: consider approximate search",
+    02_method2_manual_vector_embedding.sql:438-442). Same memoization
+    and fixed-width fit partitioning as :func:`_kmeans_ivf_768`."""
+    from strava_vector_search_spark.operators.ann import (
+        compute_centroids,
+        default_ivf_cells,
+        kmeans_assign,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _KMEANS_IVF768_HI_CACHE if k[0] != app_id]:
+        del _KMEANS_IVF768_HI_CACHE[stale]
+    key = (app_id, sf_dir.rstrip("/"))
+    if key not in _KMEANS_IVF768_HI_CACHE:
+        emb = _md5_emb_768(spark, sf_dir)
+        k_hi = max(64, default_ivf_cells(emb.count()))
+        clustered = kmeans_assign(
+            emb.repartition(32, "doc_id").sortWithinPartitions("doc_id"),
+            num_clusters=k_hi,
+            seed=42,
+        ).localCheckpoint(eager=False)
+        cents = compute_centroids(clustered, "cluster").localCheckpoint(
+            eager=False
+        )
+        _KMEANS_IVF768_HI_CACHE[key] = (clustered, cents, k_hi)
+    return _KMEANS_IVF768_HI_CACHE[key]
+
+
+def _ivf_quality(spark, clustered, cents, queries, qids, k, nprobe, full):
+    """(recall, scan_frac, maxcell_frac, n_corpus) for one IVF layout —
+    shared accounting of the cells-scaling gates: probed-cluster
+    population over corpus size is exactly the fraction of a
+    cluster-partitioned 100 TB table READ per query batch."""
+    from strava_vector_search_spark.operators.ann import (
+        ivf_batch_topk,
+        rank_probed_clusters,
+    )
+
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in clustered.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(sizes.values())
+    probed = {q: set() for q in qids}
+    for r in rank_probed_clusters(cents, queries, nprobe).collect():
+        probed[r["query_id"]].add(r["cluster"])
+    ivf = {
+        (r["query_id"], r["doc_id"])
+        for r in ivf_batch_topk(
+            clustered,
+            queries,
+            k=k,
+            nprobe=nprobe,
+            cluster_col="cluster",
+            id_col="doc_id",
+            centroids=cents,
+        )
+        .select("query_id", "doc_id")
+        .collect()
+    }
+    recall = sum(1 for p in full if p in ivf) / len(full)
+    scan = sum(sizes[c] for q in qids for c in probed[q]) / (
+        n * len(qids)
+    )
+    return recall, scan, max(sizes.values()) / n, n
+
+
+def ann_ivf_cells_scaling_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer SCALING property (VERDICT r11 item 1): the same
+    md5-768 corpus indexed at k=16 (the historical layout) and at
+    ``k_hi = max(64, ~sqrt(N))`` (the production sizing), probed with
+    the identical rule at nprobe=4, and compared on the two numbers a
+    100 TB capacity plan turns on — scanned fraction and recall per
+    unit scanned:
+
+    * ``scan_ratio_le_040`` — the hi-k layout reads at most 40% of what
+      k=16 reads per query batch (measured 0.21-0.27: scan fraction
+      falls ~linearly in 1/k at fixed nprobe);
+    * ``efficiency_ratio_ge_150`` — recall per scanned fraction is at
+      least 1.5x the k=16 layout's (measured 2.5-3.1x: pruning buys
+      MORE recall per byte read as cells shrink);
+    * ``scan_hi_le_012`` — absolute scanned fraction at k_hi is <= 12%
+      (measured 6-10.5%; k=16 bottoms out at 29-35%);
+    * ``maxcell_lo_le_030`` / ``maxcell_hi_le_012`` — the largest-cell
+      fraction (the balance guard of VERDICT r11 item 4; the quadratic
+      bound of SemDeDup and the worst-case probe cost) at both k;
+    * ``recall_hi_ge_040`` — recall@10 stays usable at k_hi on this
+      WORST-CASE corpus: md5 embeddings are near-random, the geometry
+      with the least cluster structure an IVF can face (real model
+      embedding spaces cluster — see ann_ivf_clustered_recall_768 for
+      the structured-corpus twin where recall stays ~1.0 at <=5%
+      scanned).
+
+    Seeded fits on fixed-width partitions → deterministic per corpus;
+    the booleans are the contract, the measured values live in this
+    docstring and SCALE.md (1M x 768 rows). Not ANSI-SQL-expressible
+    (seeded MLlib KMeans) — the oracle pins the data-anchored corpus
+    count, the DERIVED k_hi (GREATEST(64, FLOOR(SQRT(n)))), and the
+    contract booleans, like ann_kmeans_ivf_topk_768."""
+    from strava_vector_search_spark.operators.search import batch_topk
+
+    lo_clustered, lo_cents = _kmeans_ivf_768(spark, sf_dir)
+    hi_clustered, hi_cents, k_hi = _kmeans_ivf_768_hi(spark, sf_dir)
+    k, nprobe, qids = 10, 4, (3, 7, 11, 19, 23)
+    qrows = (
+        lo_clustered.filter(F.col("doc_id").isin(*qids))
+        .select("doc_id", "embedding")
+        .collect()
+    )
+    if len(qrows) != len(qids):
+        raise ValueError(
+            f"ann_ivf_cells_scaling_768: query docs {qids} not all "
+            f"embeddable in {sf_dir} (got {len(qrows)})"
+        )
+    queries = spark.createDataFrame(
+        [
+            (int(r["doc_id"]), [float(x) for x in r["embedding"]])
+            for r in qrows
+        ],
+        "query_id bigint, query_vec array<double>",
+    )
+    # ground truth is clustering-agnostic: one full-scan batch top-k
+    full = {
+        (r["query_id"], r["doc_id"])
+        for r in batch_topk(lo_clustered, queries, k=k, id_col="doc_id")
+        .select("query_id", "doc_id")
+        .collect()
+    }
+    r_lo, s_lo, m_lo, n_corpus = _ivf_quality(
+        spark, lo_clustered, lo_cents, queries, qids, k, nprobe, full
+    )
+    r_hi, s_hi, m_hi, _ = _ivf_quality(
+        spark, hi_clustered, hi_cents, queries, qids, k, nprobe, full
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_corpus,
+                16,
+                int(k_hi),
+                nprobe,
+                k,
+                bool(s_hi / s_lo <= 0.40),
+                bool((r_hi / s_hi) / (r_lo / s_lo) >= 1.5),
+                bool(s_hi <= 0.12),
+                bool(m_lo <= 0.30),
+                bool(m_hi <= 0.12),
+                bool(r_hi >= 0.40),
+            )
+        ],
+        "n_corpus bigint, k_lo int, k_hi int, nprobe int, k int, "
+        "scan_ratio_le_040 boolean, efficiency_ratio_ge_150 boolean, "
+        "scan_hi_le_012 boolean, maxcell_lo_le_030 boolean, "
+        "maxcell_hi_le_012 boolean, recall_hi_ge_040 boolean",
+    )
+
+
+QUERIES.update({"ann_ivf_cells_scaling_768": ann_ivf_cells_scaling_768})
+
+
+_PLANTED_IVF768_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _planted_ivf_768(spark: SparkSession, sf_dir: str):
+    """(clustered, centroids) — a 96-cell learned IVF over a corpus with
+    PLANTED cluster structure: doc ``topic = doc_id % 96``, embedding =
+    topic-center + 0.3x per-doc noise, both md5-derived elementwise
+    (deterministic, no RNG state). Real model embedding spaces cluster
+    by topic/language/domain; the md5 corpus used by the other ANN
+    gates is near-random — the IVF worst case — so this kernel supplies
+    the structured-geometry twin: the regime the production sqrt-N
+    sizing is designed for. Within-topic cosine ~0.96, cross-topic ~0;
+    the seeded KMeans recovers cells aligned with planted topics."""
+    from strava_vector_search_spark.operators.ann import (
+        compute_centroids,
+        kmeans_assign,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _PLANTED_IVF768_CACHE if k[0] != app_id]:
+        del _PLANTED_IVF768_CACHE[stale]
+    key = (app_id, sf_dir.rstrip("/"))
+    if key not in _PLANTED_IVF768_CACHE:
+        n_topics, eps = 96, 0.3
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        idx = F.sequence(F.lit(1), F.lit(768))
+
+        def u01(prefix, key_col, i):
+            # md5-driven uniform in [-0.5, 0.5): the same
+            # hash-as-deterministic-randomness idiom as the md5 embedder
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.lit(prefix),
+                                key_col.cast("string"),
+                                i.cast("string"),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(float(16**6))
+                - 0.5
+            )
+
+        emb = docs.withColumn(
+            "topic", F.col("doc_id") % n_topics
+        ).select(
+            "doc_id",
+            F.transform(
+                idx,
+                lambda i: u01("c", F.col("topic"), i)
+                + F.lit(eps) * u01("n", F.col("doc_id"), i),
+            ).alias("embedding"),
+        )
+        clustered = kmeans_assign(
+            emb.repartition(32, "doc_id").sortWithinPartitions("doc_id"),
+            num_clusters=n_topics,
+            seed=42,
+        ).localCheckpoint(eager=False)
+        cents = compute_centroids(clustered, "cluster").localCheckpoint(
+            eager=False
+        )
+        _PLANTED_IVF768_CACHE[key] = (clustered, cents)
+    return _PLANTED_IVF768_CACHE[key]
+
+
+def ann_ivf_clustered_recall_768(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production IVF claim on CLUSTERABLE geometry (the regime of
+    real model embeddings, which the near-random md5 corpus cannot
+    exhibit): 96 learned cells over the planted-structure 768-d corpus
+    (:func:`_planted_ivf_768`), nprobe=4, top-5 — and the three numbers
+    that justify sqrt-N cells at 100 TB:
+
+    * ``recall_ge_060`` — recall@5 vs the full scan (measured 1.000 at
+      every SF: planted neighbors live in the probed cells);
+    * ``scan_frac_le_005`` — <=5% of the corpus read per query batch
+      (measured 3.8-4.4%: nprobe/k_cells of a balanced layout);
+    * ``maxcell_le_005`` — largest cell <=5% of the corpus (measured
+      ~2.2%: learned cells track planted topics, nothing swallows the
+      corpus — the balance property split_oversized_cells enforces when
+      geometry is skewed).
+
+    Together with ann_ivf_cells_scaling_768 (worst-case geometry) this
+    brackets the ANN serve path: random data → pruning still wins per
+    byte scanned; structured data → ~perfect recall at 1/20th the
+    read. Seeded fit, fixed-width partitions → deterministic. Oracle
+    pins the corpus count + contract booleans (KMeans not
+    SQL-expressible)."""
+    from strava_vector_search_spark.operators.search import batch_topk
+
+    clustered, cents = _planted_ivf_768(spark, sf_dir)
+    k, nprobe, qids = 5, 4, (3, 7, 11, 19, 23)
+    qrows = (
+        clustered.filter(F.col("doc_id").isin(*qids))
+        .select("doc_id", "embedding")
+        .collect()
+    )
+    queries = spark.createDataFrame(
+        [
+            (int(r["doc_id"]), [float(x) for x in r["embedding"]])
+            for r in qrows
+        ],
+        "query_id bigint, query_vec array<double>",
+    )
+    full = {
+        (r["query_id"], r["doc_id"])
+        for r in batch_topk(clustered, queries, k=k, id_col="doc_id")
+        .select("query_id", "doc_id")
+        .collect()
+    }
+    recall, scan, maxcell, n_corpus = _ivf_quality(
+        spark, clustered, cents, queries, qids, k, nprobe, full
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_corpus,
+                96,
+                nprobe,
+                k,
+                bool(recall >= 0.60),
+                bool(scan <= 0.05),
+                bool(maxcell <= 0.05),
+            )
+        ],
+        "n_corpus bigint, n_cells int, nprobe int, k int, "
+        "recall_ge_060 boolean, scan_frac_le_005 boolean, "
+        "maxcell_le_005 boolean",
+    )
+
+
+QUERIES.update(
+    {"ann_ivf_clustered_recall_768": ann_ivf_clustered_recall_768}
+)

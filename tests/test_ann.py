@@ -373,3 +373,80 @@ def test_srp_kernels_agree_on_adversarial_boundary_vectors(spark):
     for i, v in rows:
         py = A.srp_query_keys(v)
         assert [expr[i][b] for b in range(16)] == py, f"vec {i} desync"
+
+
+def test_split_oversized_cells_balances_skewed_layout(spark):
+    """The balance guard: a corpus where one learned cell swallows ~75%
+    of rows gets re-split so every cell's fraction lands under (or
+    near) the cap, well-sized cells keep their ids, no rows are lost,
+    and new ids never collide with survivors."""
+    import numpy as np
+
+    from strava_vector_search_spark.operators import ann as A
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 300 rows in one loose blob at the origin; 100 spread far away
+    for i in range(300):
+        rows.append((i, (rng.standard_normal(16) * 0.5).tolist()))
+    for i in range(300, 400):
+        c = rng.standard_normal(16) * 20
+        rows.append((i, (c + rng.standard_normal(16) * 0.1).tolist()))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    clustered = A.kmeans_assign(df, num_clusters=4, seed=1)
+    fracs = {
+        r["cluster"]: r["n"] / 400
+        for r in clustered.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert max(fracs.values()) > 0.5, "fixture should start skewed"
+    split = A.split_oversized_cells(clustered, max_frac=0.3)
+    out_fracs = {
+        r["cluster"]: r["n"] / 400
+        for r in split.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # KMeans children of a uniform blob are roughly spatial halves, not
+    # exact thirds — allow modest overshoot of the cap
+    assert max(out_fracs.values()) <= 0.4, out_fracs
+    assert split.count() == 400
+    # rows of well-sized cells keep their assignment verbatim
+    keep_ids = [c for c, f in fracs.items() if f <= 0.3]
+    before = {
+        (r["vec_id"], r["cluster"])
+        for r in clustered.filter(
+            F.col("cluster").isin(keep_ids)
+        ).collect()
+    }
+    after = {
+        (r["vec_id"], r["cluster"])
+        for r in split.filter(F.col("cluster").isin(keep_ids)).collect()
+    }
+    assert before == after
+    # new sub-cell ids start past the old max
+    old_max = max(fracs)
+    new_ids = set(out_fracs) - set(fracs)
+    assert new_ids and all(i > old_max for i in new_ids)
+
+
+def test_split_oversized_cells_noop_when_balanced(spark):
+    import numpy as np
+
+    from strava_vector_search_spark.operators import ann as A
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(200)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    clustered = A.kmeans_assign(df, num_clusters=8, seed=2)
+    split = A.split_oversized_cells(clustered, max_frac=0.5)
+    assert sorted(split.collect()) == sorted(clustered.collect())
