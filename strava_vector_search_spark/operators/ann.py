@@ -1455,6 +1455,63 @@ def append_to_srp_index(
     wide.sortWithinPartitions(f"k{sort_band}").write.mode("append").parquet(path)
 
 
+def compact_ivf_index(
+    spark,
+    path: str,
+    cluster_col: str = "cluster",
+    id_col: str = "vec_id",
+) -> None:
+    """Compact an append-fragmented PLAIN IVF layout back to ONE file per
+    cluster partition, preserving everything :func:`compact_index` (the
+    SRP compactor) would destroy on this layout: the ``<cluster>=…``
+    partition directories (pruning!), the ``_centroids`` table the
+    service stores INSIDE the index dir (service.build_ivf — the
+    sibling-dir seam SELFREVIEW r11 bug #3 warned about), and the
+    ``_ivf_layout`` marker. Streaming appends
+    (:func:`append_to_ivf_index`, streaming/ivf_stream) write one file
+    per micro-batch per touched cluster; at 100 TB this is the nightly
+    job that restores scan efficiency — ``repartition(cluster_col)``
+    routes each cluster to exactly one task, so each partition dir
+    comes back as one file, re-sorted by ``id_col`` within the file so
+    row-group min/max selectivity on the id survives.
+
+    Same local-FS swap protocol as compact_index (write new tree,
+    rename old away, rename new in, delete old); on an object store the
+    two renames become a manifest flip. Underscore-prefixed artifacts
+    are MOVED from the old tree into the new one before the swap, so a
+    crash between the renames loses no artifact — the old tree still
+    exists under ``__old`` until the delete."""
+    import os
+    import shutil
+
+    assert_ivf_layout(path, IVF_LAYOUT_PLAIN, "compact_ivf_index")
+    tmp = path.rstrip("/") + "__compacting"
+    (
+        spark.read.parquet(path)
+        .repartition(F.col(cluster_col))
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy(cluster_col)
+        .parquet(tmp)
+    )
+    # carry the non-data artifacts (centroids table, layout marker, …)
+    # into the compacted tree; _SUCCESS already belongs to the new write
+    for name in os.listdir(path):
+        if name.startswith("_") and name != "_SUCCESS":
+            dst = os.path.join(tmp, name)
+            if os.path.exists(dst):
+                shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(
+                    dst
+                )
+            os.rename(os.path.join(path, name), dst)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    if read_ivf_layout(path) is None:
+        write_ivf_layout_marker(path, IVF_LAYOUT_PLAIN)
+
+
 def compact_index(
     spark,
     path: str,

@@ -613,3 +613,105 @@ def test_ivf_drift_reports_emptied_clusters(spark, emb, tmp_path):
     for c in labels:
         if c != gone:
             assert dr[c][0] > 0 and dr[c][1] == 0.0
+
+
+def test_service_ivf_compaction_after_appends(spark, tmp_path):
+    """VERDICT r11 item 5: N streaming-style appends fragment the
+    service's materialized IVF layout into one file per (batch,
+    cluster); compact_ivf_index must restore one file per cluster
+    WITHOUT changing search_batch results, losing the _centroids table
+    build_ivf stores inside the index dir, or dropping the layout
+    marker (the sibling-dir seam the SRP compactor would destroy:
+    compact_index rewrites unpartitioned and deletes underscore
+    artifacts with the old tree)."""
+    import os
+
+    from strava_vector_search_spark.functions.embed import (
+        hash_embedding_table,
+    )
+    from strava_vector_search_spark.operators.ann import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        read_ivf_layout,
+    )
+    from strava_vector_search_spark.service import SearchService
+
+    def mk_docs(lo, hi):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    f"word{i % 23} tok{i % 7} item{i % 11}",
+                    "run" if i % 2 else "ride",
+                )
+                for i in range(lo, hi)
+            ],
+            "doc_id int, text string, sport_type string",
+        )
+
+    base = mk_docs(0, 240)
+    svc = SearchService(
+        spark,
+        base,
+        id_col="doc_id",
+        search_col="text",
+        attributes=("sport_type",),
+        dim=32,
+        assume_normalized=False,
+    ).build()
+    path = str(tmp_path / "svcidx")
+    svc.build_ivf(path, n_clusters=6, seed=7)
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    for lo, hi in ((240, 280), (280, 330), (330, 400)):
+        delta = mk_docs(lo, hi)
+        emb_delta = hash_embedding_table(
+            delta, "doc_id", "text", 32
+        ).join(delta.select("doc_id", "sport_type"), "doc_id")
+        append_to_ivf_index(
+            emb_delta,
+            path,
+            cents,
+            cluster_col="cluster",
+            vector_col="embedding",
+            id_col="doc_id",
+        )
+
+    def data_files():
+        return [
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+            and "_centroids" not in root
+        ]
+
+    reqs = [
+        {"query": "word3 tok2", "limit": 5},
+        {
+            "query": "item4",
+            "filter": {"@eq": {"sport_type": "run"}},
+            "limit": 4,
+        },
+    ]
+
+    def rows():
+        return sorted(
+            (r["request_id"], r["doc_id"], r["similarity"], r["rank"])
+            for r in svc.search_batch(reqs, nprobe=6).collect()
+        )
+
+    files_before = len(data_files())
+    assert files_before > 6, "appends should fragment the layout"
+    before = rows()
+    assert before, "queries should hit the appended layout"
+    compact_ivf_index(spark, path, cluster_col="cluster", id_col="doc_id")
+    assert rows() == before
+    files_after = len(data_files())
+    assert files_after <= 6, data_files()
+    assert files_after < files_before
+    # artifacts survived the swap
+    after_cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    assert sorted(
+        (r["cluster"],) for r in after_cents.select("cluster").collect()
+    ) == sorted((r["cluster"],) for r in cents.select("cluster").collect())
+    assert read_ivf_layout(path) == "plain"

@@ -137,9 +137,16 @@ def main() -> int:
         )
         try:
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            # context: free-form provenance for the snapshot (e.g. "full
+            # sweep at final HEAD" vs "gate X's entry appended after an
+            # additive change") — VERDICT r11 item 6 asked that
+            # incremental amendments be visible in the artifact itself.
             with open(out_path, "w") as fh:
                 json.dump({"sf_dir": SF_DIR, "n_gates": len(results),
-                           "n_failures": len(failures), "results": results},
+                           "n_failures": len(failures),
+                           "context": os.environ.get(
+                               "CHECK_CONTEXT", "full sweep, one run"),
+                           "results": results},
                           fh, indent=1, sort_keys=True)
             print(f"artifact: {out_path}")
         except OSError as e:
