@@ -78,6 +78,7 @@ HEADLINE = [
     "svc_search_dsl_768",
     "svc_search_batch_ivf_768",
     "svc_search_approx_768",
+    "svc_search_approx_batch_768",
     "svc_search_batch_kmeans_768",
     "ann_ivf_append_assign",
     "ann_ivf_cells_scaling_768",

@@ -178,6 +178,54 @@ def svc_search_approx_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def svc_search_approx_batch_768_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batched approximate serve path once: attach the persisted IVF+PQ
+    artifact, ONE search_approx_batch over 3 requests (two sharing a
+    filter body -> one shared ADC pass). The sequential-parity harness
+    stays in the correctness gate."""
+    from strava_vector_search_spark.queries import (
+        _md5_emb_768_unit_stored,
+    )
+    from strava_vector_search_spark.service import SearchService
+
+    docs = load_table(spark, sf_dir, "documents")
+    svc = SearchService(
+        spark,
+        docs,
+        id_col="doc_id",
+        search_col="text",
+        attributes=("lang", "source", "n_chars"),
+        dim=768,
+        assume_normalized=True,
+    ).attach_embeddings(
+        _md5_emb_768_unit_stored(spark, sf_dir), vec_id_col="doc_id"
+    )
+    svc.attach_pq_index(_pq768_artifact_path(spark, sf_dir))
+    qrows = {
+        r["doc_id"]: [float(x) for x in r["embedding"]]
+        for r in svc.embeddings.filter(F.col("doc_id").isin(3, 7)).collect()
+    }
+    return svc.search_approx_batch(
+        [
+            {"query_vec": qrows[3], "limit": 10},
+            {
+                "query_vec": qrows[7],
+                "filter": {"@gte": {"n_chars": 150}},
+                "limit": 8,
+            },
+            {
+                "query_vec": qrows[3],
+                "filter": {"@gte": {"n_chars": 150}},
+                "limit": 5,
+            },
+        ],
+        nprobe=4,
+        n_cand=200,
+    )
+
+
 def ann_pq_topk_768_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-768 query path once from the LOADED artifact: no per-session
     train (codebooks come off disk), one full ADC scan + exact rescore.
@@ -454,5 +502,6 @@ LEAN_BENCH = {
     "svc_search_approx_768": svc_search_approx_768_bench,
     "svc_search_batch_kmeans_768": svc_search_batch_kmeans_768_bench,
     "ann_ivf_cells_scaling_768": ann_ivf_cells_scaling_768_bench,
+    "svc_search_approx_batch_768": svc_search_approx_batch_768_bench,
     "ann_ivf_clustered_recall_768": ann_ivf_clustered_recall_768_bench,
 }

@@ -524,3 +524,111 @@ def ivfpq_topk(
         id_col=id_col,
         assume_normalized=True,
     )
+
+
+def pq_candidates_batch(
+    codes: DataFrame,
+    books: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    probed: dict[int, set],
+    n_cand: int = 100,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """(query_id, id, adc_score) — MANY queries' ADC candidate generation
+    in ONE pass over the code table: the batched twin of
+    :func:`pq_candidates`, with the per-query cluster mask applied INSIDE
+    the Arrow kernel so each query's candidates come only from ITS probed
+    clusters (single-request vs batch parity: same LUT math, same probe
+    rule, same (score DESC, id ASC) tie handling — a query never picks up
+    a candidate from a cluster it did not probe, which would silently
+    raise batch recall above the single path's).
+
+    Per batch: one (Q, B) score matrix assembled by m gather-adds from
+    the stacked (Q, m, k) LUTs, masked by probe membership
+    (probe-matrix fancy index — no per-row Python), then the
+    deterministic local top-``n_cand`` per query; only batch-local
+    winners reach the global per-query rank, so the shuffle carries
+    n_batches * Q * n_cand tiny rows. The global cut is a per-query
+    ranking window — WindowGroupLimit keeps map tasks bounded."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    m, _, sub = books.shape
+    q_ids = [int(q) for q, _v in queries]
+    luts = np.stack(
+        [
+            np.einsum(
+                "mkd,md->mk",
+                books,
+                np.asarray(v, dtype=np.float64).reshape(m, sub),
+            )
+            for _q, v in queries
+        ]
+    )
+    union = sorted({c for cs in probed.values() for c in cs})
+    cl_index = {c: j for j, c in enumerate(union)}
+    probe_mat = np.zeros((len(q_ids), len(union)), dtype=bool)
+    for qi, q in enumerate(q_ids):
+        for c in probed.get(q, ()):
+            probe_mat[qi, cl_index[c]] = True
+    id_type = codes.schema[id_col].dataType.simpleString()
+
+    def _scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(
+                len(pdf), m
+            )
+            cl = pdf[cluster_col].map(cl_index).to_numpy()
+            known = cl == cl  # rows outside the union map to NaN
+            if not known.all():
+                pdf = pdf[known]
+                C = C[known]
+                cl = cl[known]
+                if not len(pdf):
+                    continue
+            cl = cl.astype(np.int64)
+            S = np.zeros((len(q_ids), len(pdf)))
+            for j in range(m):
+                S += luts[:, j, C[:, j]]
+            S = S.round(6)
+            allowed = probe_mat[:, cl]
+            ids = pdf[id_col].to_numpy()
+            outs = []
+            for qi, q in enumerate(q_ids):
+                sel = np.flatnonzero(allowed[qi])
+                if not len(sel):
+                    continue
+                s_q = S[qi, sel]
+                ids_q = ids[sel]
+                keep = _local_topk_ties(s_q, ids_q, n_cand)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q,
+                            id_col: ids_q[keep],
+                            "adc_score": s_q[keep],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    from strava_vector_search_spark.operators.util import (
+        rebalance_for_kernel,
+    )
+
+    local = rebalance_for_kernel(codes).mapInPandas(
+        _scan, f"query_id bigint, {id_col} {id_type}, adc_score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc(id_col)
+    )
+    return (
+        local.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_cand)
+        .drop("_r")
+    )

@@ -8601,3 +8601,16 @@ SELECT COUNT(*)::BIGINT AS n_corpus, 96 AS n_cells, 4 AS nprobe,
        true AS maxcell_le_005
 FROM documents
 """
+
+
+# svc_search_approx_batch_768 — batched compressed serving through the
+# persisted IVF+PQ artifact; the pinned property is request-for-request
+# identity with the single-request path (KMeans/codebooks not
+# SQL-expressible): corpus anchor + contract booleans.
+ORACLES["svc_search_approx_batch_768"] = f"""
+SELECT (SELECT COUNT(*) FROM documents
+        WHERE doc_id <> 0 AND text IS NOT NULL
+          AND len({_TOKS}) > 0)::BIGINT AS n_corpus,
+       3 AS n_requests, 96 AS code_bytes,
+       true AS batch_equals_sequential, true AS filter_respected
+"""

@@ -14625,3 +14625,126 @@ def ann_ivf_clustered_recall_768(
 QUERIES.update(
     {"ann_ivf_clustered_recall_768": ann_ivf_clustered_recall_768}
 )
+
+
+def svc_search_approx_batch_768(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCHED approximate serving through the persisted IVF+PQ artifact
+    — the compressed-lane twin of ``svc_search_batch_*`` and the last
+    cell of the serving matrix (single exact / batch pruned-exact /
+    single compressed / batch compressed): one
+    :meth:`SearchService.search_approx_batch` call serves several JSON
+    requests with ONE ADC pass per DISTINCT filter body over the
+    96-byte code table (requests sharing a filter share the pass; each
+    request's candidates come only from ITS probed clusters — the mask
+    rides inside the Arrow kernel). The production cache-refresh shape
+    once the corpus outgrows even the pruned full-vector scan
+    (reference regime 02:438-442 + the batching prescription 02:421).
+
+    Invariants oracle (codebooks/KMeans not ANSI-SQL-expressible):
+
+    * ``batch_equals_sequential`` — request-for-request identity with
+      :meth:`search_approx` on (doc_id, similarity, rank): same probe
+      rule, same ADC candidates, same exact rescore — batching is an
+      execution change, never a semantic one;
+    * ``filter_respected`` — no filtered request leaks a row its DSL
+      predicate rejects (pre-ADC semi-join, slots never consumed);
+    * ``code_bytes`` = 96, ``n_requests`` = 3, ``n_corpus``
+      data-anchored."""
+    from strava_vector_search_spark.operators import pq as PQ
+    from strava_vector_search_spark.service import SearchService
+
+    docs = load_table(spark, sf_dir, "documents")
+    svc = SearchService(
+        spark,
+        docs,
+        id_col="doc_id",
+        search_col="text",
+        attributes=("lang", "source", "n_chars"),
+        dim=768,
+        assume_normalized=True,
+    ).attach_embeddings(
+        _md5_emb_768_unit_stored(spark, sf_dir), vec_id_col="doc_id"
+    )
+
+    def _build(tmp: str) -> None:
+        _emb, cents_b, books_b, codes_b = _ivfpq_768_index(spark, sf_dir)
+        PQ.write_pq_index(
+            codes_b,
+            books_b,
+            tmp,
+            id_col="doc_id",
+            cluster_col="cluster",
+            centroids=cents_b,
+        )
+
+    path = _cached_layout(sf_dir, "documents", "pq768_m96c16v1", _build)
+    svc.attach_pq_index(path)
+    n_corpus = svc.embeddings.count()
+    qrows = {
+        r["doc_id"]: [float(x) for x in r["embedding"]]
+        for r in svc.embeddings.filter(
+            F.col("doc_id").isin(3, 7)
+        ).collect()
+    }
+    if set(qrows) != {3, 7}:
+        raise ValueError(
+            f"svc_search_approx_batch_768: query docs 3/7 not "
+            f"embeddable in {sf_dir}"
+        )
+    reqs = [
+        {"query_vec": qrows[3], "limit": 10},
+        {
+            "query_vec": qrows[7],
+            "filter": {"@gte": {"n_chars": 150}},
+            "limit": 8,
+        },
+        # shares request 1's filter body: must reuse its ADC pass
+        {
+            "query_vec": qrows[3],
+            "filter": {"@gte": {"n_chars": 150}},
+            "limit": 5,
+        },
+    ]
+    batch_rows = svc.search_approx_batch(
+        reqs, nprobe=4, n_cand=200
+    ).collect()
+    by_req: dict[int, list] = {}
+    for r in batch_rows:
+        by_req.setdefault(r["request_id"], []).append(r)
+    equal = True
+    for i, req in enumerate(reqs):
+        got = sorted(
+            (r["doc_id"], r["similarity"], r["rank"])
+            for r in by_req.get(i, [])
+        )
+        want = sorted(
+            (r["doc_id"], r["similarity"], r["rank"])
+            for r in svc.search_approx(req, nprobe=4, n_cand=200).collect()
+        )
+        if got != want:
+            equal = False
+    filter_respected = all(
+        r["n_chars"] >= 150
+        for i in (1, 2)
+        for r in by_req.get(i, [])
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_corpus,
+                len(reqs),
+                int(svc.pq_index[0].shape[0]),
+                bool(equal),
+                bool(filter_respected),
+            )
+        ],
+        "n_corpus bigint, n_requests int, code_bytes int, "
+        "batch_equals_sequential boolean, filter_respected boolean",
+    )
+
+
+QUERIES.update(
+    {"svc_search_approx_batch_768": svc_search_approx_batch_768}
+)

@@ -142,6 +142,8 @@ class SearchService:
         cluster_col: str | None = None,
         n_clusters: int | None = None,
         seed: int = 42,
+        fit_fraction: float = 1.0,
+        max_iter: int | None = None,
     ) -> "SearchService":
         """Materialize the cluster-partitioned IVF serving layout for
         :meth:`search_batch`: the built/attached embeddings joined with
@@ -160,7 +162,18 @@ class SearchService:
         ``n_clusters=None`` derives the cell count from corpus size via
         :func:`default_ivf_cells` (~sqrt(N), the production IVF sizing) —
         a fixed small k caps partition pruning at nprobe/k of the corpus
-        regardless of N, which is the 100 TB scale-killer."""
+        regardless of N, which is the 100 TB scale-killer.
+
+        ``fit_fraction < 1`` is the production TWO-PHASE build: Lloyd's
+        iterations run over a deterministic hash sample (xxhash64 of the
+        id — same rows on any cluster), then the FULL corpus is assigned
+        to the fitted centroids in one map-side pass
+        (operators/ann.assign_to_centroids — zero shuffle of the
+        embedding table). Nobody runs 20 Lloyd's passes over 100 TB;
+        the coarse quantizer trains on a sample and only the O(N·k·d)
+        assignment touches everything. ``max_iter`` caps the fit's
+        iterations (None = MLlib's 20) — at high k the refinement
+        passes buy assignment quality, never correctness."""
         import os
 
         from strava_vector_search_spark.operators.ann import (
@@ -188,13 +201,42 @@ class SearchService:
                 )
             if n_clusters is None:
                 n_clusters = default_ivf_cells(emb.count())
-            emb = kmeans_assign(
-                emb.repartition(32, self.id_col).sortWithinPartitions(
+            if not (0 < fit_fraction <= 1):
+                raise ValueError(
+                    f"build_ivf: fit_fraction must be in (0, 1], got "
+                    f"{fit_fraction}"
+                )
+            fit_in = emb
+            if fit_fraction < 1.0:
+                fit_in = emb.filter(
+                    F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(10000))
+                    < int(fit_fraction * 10000)
+                )
+            fitted = kmeans_assign(
+                fit_in.repartition(32, self.id_col).sortWithinPartitions(
                     self.id_col
                 ),
                 num_clusters=n_clusters,
                 seed=seed,
+                max_iter=max_iter,
             )
+            if fit_fraction < 1.0:
+                from strava_vector_search_spark.operators.ann import (
+                    assign_to_centroids,
+                )
+
+                fit_cents = compute_centroids(
+                    fitted, "cluster"
+                ).localCheckpoint(eager=False)
+                emb = assign_to_centroids(
+                    emb,
+                    fit_cents,
+                    vector_col="embedding",
+                    cluster_col="cluster",
+                    id_col=self.id_col,
+                )
+            else:
+                emb = fitted
             cluster_col = "cluster"
         elif n_clusters is not None:
             raise ValueError(
@@ -216,6 +258,74 @@ class SearchService:
         self.ivf_path = ivf_path
         self.ivf_cluster_col = cluster_col
         return self
+
+    def _parse_batch_requests(
+        self, requests: list[dict], k_default: int
+    ) -> tuple[list[tuple], list[Column], bool]:
+        """Shared batch-request front end of :meth:`search_batch` and
+        :meth:`search_approx_batch`: returns (rows, compiled,
+        any_unfiltered) where rows is [(request_id, query_vec, limit,
+        filter_id)], compiled holds one predicate per DISTINCT filter
+        body (requests sharing a filter share an id — expression growth
+        is bounded by distinct filters, not batch size), and filter_id
+        -1 marks unfiltered requests. Text queries embed in ONE table
+        job, not one 1-row collect per request (a 10^4-request batch
+        would otherwise run 10^4 driver-side Spark jobs before the scan
+        even starts)."""
+        attrs = set(self.attributes) if self.attributes else None
+        parsed: list[tuple[list[float] | None, dict]] = []
+        texts: list[tuple[int, str]] = []
+        for i, req in enumerate(requests):
+            if isinstance(req, str):
+                req = json.loads(req)
+            if "query_vec" in req:
+                qv = [float(x) for x in req["query_vec"]]
+            elif "query" in req:
+                qv = None
+                texts.append((i, req["query"]))
+            else:
+                raise FilterDSLError(
+                    "request needs 'query' or 'query_vec'"
+                )
+            parsed.append((qv, req))
+        embedded: dict[int, list[float]] = {}
+        if texts:
+            tdf = self.spark.createDataFrame(
+                texts, "request_id int, t string"
+            )
+            embedded = {
+                r["request_id"]: [float(x) for x in r["embedding"]]
+                for r in hash_embedding_table(
+                    tdf, "request_id", "t", self.dim
+                ).collect()
+            }
+            missing = sorted(i for i, _ in texts if i not in embedded)
+            if missing:
+                raise ValueError(
+                    f"requests {missing} embed to empty/zero vectors "
+                    "(no [a-z0-9] tokens or all token weights are 0); "
+                    "cannot rank by cosine similarity"
+                )
+        rows = []
+        filter_ids: dict[str, int] = {}
+        compiled: list[Column] = []
+        any_unfiltered = False
+        for i, (qv, req) in enumerate(parsed):
+            if qv is None:
+                qv = embedded[i]
+            flt = req.get("filter")
+            if flt:
+                key = json.dumps(flt, sort_keys=True)
+                fid = filter_ids.get(key)
+                if fid is None:
+                    fid = len(compiled)
+                    filter_ids[key] = fid
+                    compiled.append(compile_filter(flt, attrs))
+            else:
+                fid = -1
+                any_unfiltered = True
+            rows.append((i, qv, int(req.get("limit", k_default)), fid))
+        return rows, compiled, any_unfiltered
 
     def search_batch(
         self,
@@ -263,63 +373,9 @@ class SearchService:
         # (batch workloads repeat a handful of filter shapes; a batch
         # of thousands of all-distinct filters is thousands of
         # independent queries, not a batch).
-        attrs = set(self.attributes) if self.attributes else None
-        parsed: list[tuple[list[float] | None, dict]] = []
-        texts: list[tuple[int, str]] = []
-        for i, req in enumerate(requests):
-            if isinstance(req, str):
-                req = json.loads(req)
-            if "query_vec" in req:
-                qv = [float(x) for x in req["query_vec"]]
-            elif "query" in req:
-                # defer: text queries embed in ONE table job below, not
-                # one 1-row collect per request (a 10^4-request batch
-                # would otherwise run 10^4 driver-side Spark jobs
-                # before the scan even starts)
-                qv = None
-                texts.append((i, req["query"]))
-            else:
-                raise FilterDSLError(
-                    "request needs 'query' or 'query_vec'"
-                )
-            parsed.append((qv, req))
-        embedded: dict[int, list[float]] = {}
-        if texts:
-            tdf = self.spark.createDataFrame(
-                texts, "request_id int, t string"
-            )
-            embedded = {
-                r["request_id"]: [float(x) for x in r["embedding"]]
-                for r in hash_embedding_table(
-                    tdf, "request_id", "t", self.dim
-                ).collect()
-            }
-            missing = sorted(i for i, _ in texts if i not in embedded)
-            if missing:
-                raise ValueError(
-                    f"requests {missing} embed to empty/zero vectors "
-                    "(no [a-z0-9] tokens or all token weights are 0); "
-                    "cannot rank by cosine similarity"
-                )
-        rows = []
-        filter_ids: dict[str, int] = {}
-        compiled: list[Column] = []
-        any_unfiltered = False
-        for i, (qv, req) in enumerate(parsed):
-            if qv is None:
-                qv = embedded[i]
-            flt = req.get("filter")
-            if flt:
-                key = json.dumps(flt, sort_keys=True)
-                fid = filter_ids.get(key)
-                if fid is None:
-                    fid = len(compiled)
-                    filter_ids[key] = fid
-                    compiled.append(compile_filter(flt, attrs))
-            else:
-                fid = -1
-                any_unfiltered = True
-            rows.append((i, qv, int(req.get("limit", k_default)), fid))
+        rows, compiled, any_unfiltered = self._parse_batch_requests(
+            requests, k_default
+        )
         queries_df = self.spark.createDataFrame(
             rows,
             "request_id int, query_vec array<double>, "
@@ -471,6 +527,129 @@ class SearchService:
         return base.select(
             *out_cols, *cols, "similarity"
         ).withColumn("rank", rank_w)
+
+    def search_approx_batch(
+        self,
+        requests: list[dict],
+        nprobe: int = 4,
+        n_cand: int = 200,
+        k_default: int = 10,
+    ) -> DataFrame:
+        """Serve MANY JSON requests through the COMPRESSED index in one
+        ADC pass per DISTINCT filter — the batched twin of
+        :meth:`search_approx`, completing the serving matrix
+        (search = single exact, search_batch = batch pruned-exact,
+        search_approx = single compressed, this = batch compressed: the
+        cache-refresh shape once the corpus outgrows even the pruned
+        full-vector scan). Request-for-request it returns EXACTLY what
+        sequential :meth:`search_approx` calls return (pinned in
+        pytest): per-request filters run on the narrow corpus scan and
+        semi-join the code table BEFORE ADC, so filtered-out rows never
+        consume candidate slots; each request's candidates come only
+        from ITS probed clusters (the mask rides inside the Arrow
+        kernel); the exact rescore scores only (request, candidate)
+        pairs, never another request's finds.
+
+        One ADC scan serves every request that shares a filter body —
+        expression and job growth are bounded by DISTINCT filters (the
+        :meth:`search_batch` contract), and requests are grouped, so a
+        10^4-request refresh with a handful of filter shapes costs a
+        handful of passes over the 96 B/row code table. Returns
+        (request_id, id, corpus columns, similarity, rank)."""
+        from strava_vector_search_spark.functions.vector import (
+            similarity,
+        )
+        from strava_vector_search_spark.operators import pq as PQ
+
+        if self.pq_index is None:
+            raise RuntimeError(
+                "no PQ index: call attach_pq_index() before "
+                "search_approx_batch()"
+            )
+        if self.embeddings is None:
+            raise RuntimeError(
+                "service not built: call build() or attach_embeddings()"
+            )
+        if not requests:
+            raise ValueError("search_approx_batch: empty request list")
+        books, codes, cents, meta = self.pq_index
+        rows, compiled, _any_unfiltered = self._parse_batch_requests(
+            requests, k_default
+        )
+        cand_parts = []
+        for fid in sorted({r[3] for r in rows}):
+            group = [r for r in rows if r[3] == fid]
+            gcodes = codes
+            if fid >= 0:
+                keep_ids = self.corpus.filter(compiled[fid]).select(
+                    self.id_col
+                )
+                gcodes = codes.join(keep_ids, self.id_col, "left_semi")
+            gq = self.spark.createDataFrame(
+                [(i, qv) for i, qv, _l, _f in group],
+                "query_id bigint, query_vec array<double>",
+            )
+            from strava_vector_search_spark.operators.ann import (
+                rank_probed_clusters,
+            )
+
+            probed: dict[int, set] = {i: set() for i, *_ in group}
+            for r in rank_probed_clusters(cents, gq, nprobe).collect():
+                probed[r["query_id"]].add(r["cluster"])
+            union = sorted({c for cs in probed.values() for c in cs})
+            cand_parts.append(
+                PQ.pq_candidates_batch(
+                    gcodes.filter(
+                        F.col(meta["cluster_col"]).isin(union)
+                    ),
+                    books,
+                    [(i, qv) for i, qv, _l, _f in group],
+                    probed,
+                    n_cand=n_cand,
+                    id_col=self.id_col,
+                    cluster_col=meta["cluster_col"],
+                )
+            )
+        cand = reduce(lambda a, b: a.unionByName(b), cand_parts).select(
+            F.col("query_id").cast("int").alias("request_id"),
+            self.id_col,
+        )
+        limits_df = self.spark.createDataFrame(
+            [(i, l) for i, _qv, l, _f in rows],
+            "request_id int, _limit int",
+        )
+        qvec_df = self.spark.createDataFrame(
+            [(i, qv) for i, qv, _l, _f in rows],
+            "request_id int, _qv array<double>",
+        )
+        scored = (
+            self.embeddings.join(F.broadcast(cand), self.id_col)
+            .join(F.broadcast(qvec_df), "request_id")
+            .withColumn(
+                "similarity",
+                similarity(
+                    F.col("embedding"),
+                    F.col("_qv"),
+                    self.assume_normalized,
+                ),
+            )
+        )
+        w = Window.partitionBy("request_id").orderBy(
+            F.desc("similarity"), F.asc(self.id_col)
+        )
+        ranked = (
+            scored.withColumn(
+                "rank", F.row_number().over(w).cast("bigint")
+            )
+            .join(F.broadcast(limits_df), "request_id")
+            .filter(F.col("rank") <= F.col("_limit"))
+            .drop("_qv", "_limit", "embedding")
+        )
+        cols = list(self.columns or self.corpus.columns)
+        out_cols = [self.id_col] if self.id_col not in cols else []
+        return ranked.join(self.corpus, self.id_col).select(
+            "request_id", *out_cols, *cols, "similarity", "rank"
+        )
 
     # -- query serve ---------------------------------------------------
 

@@ -261,6 +261,55 @@ class TestSearchBatchIVF:
         with pytest.raises(RuntimeError, match="build_ivf"):
             svc.search_batch([{"query": "x"}])
 
+    def test_build_ivf_two_phase_fit_matches_full_probe_search(
+        self, spark, tmp_path
+    ):
+        """fit_fraction < 1 (the production sample-fit + map-side
+        assign build): every row lands in a fitted cell, the centroid
+        artifact matches the cell set, and full-probe search_batch
+        equals the brute-force search() on the same corpus."""
+        import os
+
+        docs = spark.createDataFrame(
+            [
+                (i, f"alpha{i % 13} beta{i % 5} gamma{i % 3}", "x")
+                for i in range(1, 500)
+            ],
+            "doc_id int, text string, kind string",
+        )
+        svc = SearchService(
+            spark,
+            docs,
+            id_col="doc_id",
+            search_col="text",
+            dim=32,
+            assume_normalized=False,
+        ).build()
+        path = str(tmp_path / "idx2p")
+        svc.build_ivf(
+            path, n_clusters=8, seed=5, fit_fraction=0.3, max_iter=5
+        )
+        part = spark.read.parquet(path)
+        cents = spark.read.parquet(os.path.join(path, "_centroids"))
+        cell_set = {r["cluster"] for r in cents.select("cluster").collect()}
+        assert part.count() == svc.embeddings.count()
+        assert {
+            r["cluster"] for r in part.select("cluster").distinct().collect()
+        } <= cell_set
+        assert len(cell_set) <= 8
+        req = {"query": "alpha3 beta2", "limit": 5}
+        got = [
+            (r["doc_id"], r["similarity"], r["rank"])
+            for r in svc.search_batch([req], nprobe=len(cell_set))
+            .orderBy("rank")
+            .collect()
+        ]
+        want = [
+            (r["doc_id"], r["similarity"], r["rank"])
+            for r in svc.search(req).orderBy("rank").collect()
+        ]
+        assert got == want
+
     def test_production_batch_size_bounded_plan(self, ivf_svc):
         """1,000 requests through one search_batch: the expression tree
         must grow with DISTINCT filter bodies (3 here), not requests —
@@ -354,6 +403,100 @@ class TestSearchApproxPQ:
         ).build()
         with pytest.raises(ValueError, match="coarse quantizer"):
             svc.attach_pq_index(path)
+
+    @pytest.fixture(scope="class")
+    def pq_svc(self, spark, tmp_path_factory):
+        """Service with a working IVF+PQ artifact attached: 200 docs,
+        4 learned coarse cells, m=8 codes over dim-32 hash embeddings."""
+        from strava_vector_search_spark.operators import pq as PQ
+        from strava_vector_search_spark.operators.ann import (
+            compute_centroids,
+            kmeans_assign,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (
+                    i,
+                    f"theta{i % 19} iota{i % 7} kappa{i % 4}",
+                    "run" if i % 2 else "ride",
+                    1000 * (i % 9),
+                )
+                for i in range(1, 201)
+            ],
+            "doc_id int, text string, sport_type string, "
+            "distance_meters int",
+        )
+        svc = SearchService(
+            spark,
+            corpus,
+            id_col="doc_id",
+            search_col="text",
+            attributes=("sport_type", "distance_meters"),
+            dim=32,
+            assume_normalized=False,
+        ).build()
+        emb = kmeans_assign(svc.embeddings, num_clusters=4, seed=3)
+        books = PQ.train_codebooks(emb, m=8, id_col="doc_id")
+        codes = PQ.encode_pq(
+            emb, books, id_col="doc_id", keep_cols=("cluster",)
+        )
+        path = str(tmp_path_factory.mktemp("pq") / "idx")
+        PQ.write_pq_index(
+            codes, books, path, id_col="doc_id", cluster_col="cluster",
+            centroids=compute_centroids(emb, "cluster"),
+        )
+        return svc.attach_pq_index(path)
+
+    APPROX_REQS = [
+        {"query": "theta3 iota2", "limit": 4},
+        {
+            "query": "kappa1",
+            "filter": {"@eq": {"sport_type": "run"}},
+            "limit": 3,
+        },
+        {
+            "query": "iota5 kappa2",
+            "filter": {"@gte": {"distance_meters": 4000}},
+            "limit": 5,
+        },
+        # shares request 1's filter body — must reuse its ADC pass
+        {
+            "query": "theta7",
+            "filter": {"@eq": {"sport_type": "run"}},
+            "limit": 2,
+        },
+    ]
+
+    def test_approx_batch_equals_sequential_approx(self, pq_svc):
+        """Request-for-request parity: one search_approx_batch call ==
+        N sequential search_approx calls (same probe rule, same ADC
+        candidates, same exact rescore) across filtered, unfiltered,
+        and filter-sharing requests."""
+        batch = pq_svc.search_approx_batch(
+            self.APPROX_REQS, nprobe=2, n_cand=20
+        ).collect()
+        by_req = {}
+        for r in batch:
+            by_req.setdefault(r["request_id"], []).append(
+                (r["doc_id"], r["similarity"], r["rank"])
+            )
+        for i, req in enumerate(self.APPROX_REQS):
+            got = sorted(by_req.get(i, []))
+            want = sorted(
+                (r["doc_id"], r["similarity"], r["rank"])
+                for r in pq_svc.search_approx(
+                    req, nprobe=2, n_cand=20
+                ).collect()
+            )
+            assert got == want, f"request {i}"
+
+    def test_approx_batch_requires_artifact(self, spark, docs):
+        svc = SearchService(
+            spark, docs, id_col="doc_id", search_col="text", dim=32
+        ).build()
+        with pytest.raises(RuntimeError, match="attach_pq_index"):
+            svc.search_approx_batch([{"query": "x"}])
 
     def test_id_col_mismatch_refused(self, spark, docs, tmp_path):
         from strava_vector_search_spark.functions.embed import (
