@@ -82,6 +82,7 @@ HEADLINE = [
     "svc_search_batch_kmeans_768",
     "ann_ivf_append_assign",
     "ann_ivf_cells_scaling_768",
+    "ann_ivfpq_residual_768",
     "ann_ivf_clustered_recall_768",
     "ann_srp_topk",
     "ann_srp_near_dup",

@@ -487,6 +487,43 @@ def ann_ivf_clustered_recall_768_bench(
     )
 
 
+def ann_ivfpq_residual_768_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual-ADC (IVFADC) serve path once: probe the coarse
+    centroids, offset-ADC over the probed residual codes, exact
+    rescore. The gate's raw-lane comparison and 5-query error sweep
+    stay in correctness; this times what a query actually costs —
+    identical scan shape to the raw lane plus one gather-add."""
+    from strava_vector_search_spark.operators import pq as PQ
+    from strava_vector_search_spark.queries import (
+        _planted_residual_ivfpq_768,
+    )
+
+    clustered, cents, _rb, _rc, res_books, res_codes = (
+        _planted_residual_ivfpq_768(spark, sf_dir)
+    )
+    qv = [
+        float(x)
+        for x in clustered.filter(F.col("doc_id") == 3).head()[
+            "embedding"
+        ]
+    ]
+    return PQ.ivfpq_topk(
+        clustered,
+        res_codes,
+        res_books,
+        qv,
+        k=10,
+        nprobe=4,
+        n_cand=100,
+        cluster_col="cluster",
+        id_col="doc_id",
+        centroids=cents,
+        residual=True,
+    )
+
+
 # bench.py substitutes these for the same-named gates; correctness still
 # runs the full gates (queries.py) with their exhaustive comparisons.
 LEAN_BENCH = {
@@ -502,6 +539,7 @@ LEAN_BENCH = {
     "svc_search_approx_768": svc_search_approx_768_bench,
     "svc_search_batch_kmeans_768": svc_search_batch_kmeans_768_bench,
     "ann_ivf_cells_scaling_768": ann_ivf_cells_scaling_768_bench,
+    "ann_ivfpq_residual_768": ann_ivfpq_residual_768_bench,
     "svc_search_approx_batch_768": svc_search_approx_batch_768_bench,
     "ann_ivf_clustered_recall_768": ann_ivf_clustered_recall_768_bench,
 }

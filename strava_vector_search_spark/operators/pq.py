@@ -266,22 +266,90 @@ def encode_pq(
     ).mapInPandas(_enc, schema)
 
 
+def residualize(
+    clustered: DataFrame,
+    centroids: DataFrame,
+    vector_col: str = "embedding",
+    cluster_col: str = "cluster",
+    out_col: str = "residual",
+) -> DataFrame:
+    """Append ``out_col`` = vector − assigned coarse centroid — the
+    residual the IVFADC recipe (Jégou et al. 2011 §III) quantizes
+    instead of the raw vector: once the coarse quantizer has absorbed
+    the between-cell structure, the residual is the small within-cell
+    remainder, so the SAME m bytes of PQ budget quantize a much tighter
+    distribution (on clustered corpora — exactly the regime where the
+    production sqrt-N coarse sizing lives — the ADC error drops by the
+    cell radius / corpus radius ratio). JVM-side only: a broadcast join
+    against the ≤65536-row centroid table plus one ``zip_with``
+    subtract — no Python in the pass, the fat column count grows by
+    one, and the plan stays whole-stage-codegen around the join."""
+    cent = centroids.select(
+        F.col("cluster").alias(cluster_col),
+        F.col("centroid").alias("_cent"),
+    )
+    return (
+        clustered.join(F.broadcast(cent), cluster_col)
+        .withColumn(
+            out_col,
+            F.zip_with(
+                F.col(vector_col).cast("array<double>"),
+                F.col("_cent"),
+                lambda a, b: a - b,
+            ),
+        )
+        .drop("_cent")
+    )
+
+
+def _cell_offsets_scalar(
+    centroid_vecs: dict[int, "np.ndarray"], query_vec: list[float]
+) -> dict[int, float]:
+    """{cluster: q · centroid} — the per-cell constant of residual ADC.
+
+    With inner-product scoring the residual decomposition is exact and
+    cheap: q·x = q·(c + r) = q·c + q·r, so the residual LUT is CELL-
+    INDEPENDENT (one (m × k) table per query, same as the raw lane) and
+    the cell identity enters only through this scalar — unlike L2
+    residual ADC, which needs a fresh LUT per probed cell. Bounded by
+    the probed-cell count, computed driver-side."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    return {
+        int(c): float(np.dot(q, np.asarray(v, dtype=np.float64)))
+        for c, v in centroid_vecs.items()
+    }
+
+
 def pq_candidates(
     codes: DataFrame,
     books: np.ndarray,
     query_vec: list[float],
     n_cand: int = 100,
     id_col: str = "vec_id",
+    centroid_vecs: dict[int, "np.ndarray"] | None = None,
+    cluster_col: str = "cluster",
 ) -> DataFrame:
     """Global top-``n_cand`` ids by ADC inner-product score. Per Arrow batch:
     build nothing, look up the precomputed (m × k) table, local top under
     the deterministic tie rule; only batch-local winners reach the global
-    rank, so the shuffle is n_batches · n_cand tiny rows."""
+    rank, so the shuffle is n_batches · n_cand tiny rows.
+
+    ``centroid_vecs`` (residual-encoded codes only): the probed cells'
+    coarse centroids; each row's score gains the scalar q·centroid of
+    ITS cell before the local top (see :func:`_cell_offsets_scalar`).
+    ``codes`` must then carry ``cluster_col``, and every scanned row's
+    cell must be present — a row from an unprobed/unknown cell fails
+    loudly rather than scoring without its offset."""
     import pandas as pd
 
     m, _, sub = books.shape
     q = np.asarray(query_vec, dtype=np.float64).reshape(m, sub)
     lut = np.einsum("mkd,md->mk", books, q)
+    offsets = (
+        None
+        if centroid_vecs is None
+        else _cell_offsets_scalar(centroid_vecs, query_vec)
+    )
     id_type = codes.schema[id_col].dataType.simpleString()
 
     def _scan(batches):
@@ -291,7 +359,21 @@ def pq_candidates(
             C = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(
                 len(pdf), m
             )
-            s = lut[np.arange(m)[None, :], C].sum(1).round(6)
+            s = lut[np.arange(m)[None, :], C].sum(1)
+            if offsets is not None:
+                off = (
+                    pdf[cluster_col]
+                    .map(offsets)
+                    .to_numpy(dtype=np.float64, na_value=np.nan)
+                )
+                if np.isnan(off).any():
+                    raise ValueError(
+                        "pq_candidates: scanned a residual code row whose "
+                        f"{cluster_col} has no centroid offset — the scan "
+                        "must be pre-filtered to the probed cells"
+                    )
+                s = s + off
+            s = s.round(6)
             ids = pdf[id_col].to_numpy()
             keep = _local_topk_ties(s, ids, n_cand)
             yield pd.DataFrame({id_col: ids[keep], "adc_score": s[keep]})
@@ -352,6 +434,7 @@ def write_pq_index(
     cluster_col: str | None = None,
     centroids: DataFrame | None = None,
     stream_batch_col: str | None = None,
+    residual: bool = False,
 ) -> None:
     """Persist a PQ (or IVF+PQ) index under ``path``:
 
@@ -374,7 +457,19 @@ def write_pq_index(
     (idempotent replay — the ivf_stream recipe applied to codes;
     ``codes`` must already carry the column, e.g. lit(-1) for the base).
     The two code layouts must not mix under one path; the meta stamp
-    records which one this artifact is."""
+    records which one this artifact is.
+
+    ``residual=True`` stamps the artifact as residual-encoded (codes
+    built over :func:`residualize` output): a loader then knows ADC
+    needs the per-cell q·centroid offsets — mixing the two encodings
+    silently degrades recall, so the stamp travels with the codes.
+    Requires the coarse quantizer (``cluster_col`` + ``centroids``)."""
+    if residual and (cluster_col is None or centroids is None):
+        raise ValueError(
+            "write_pq_index: residual=True needs cluster_col AND "
+            "centroids — residual codes are meaningless without their "
+            "coarse quantizer"
+        )
     import json
     import os
 
@@ -411,6 +506,9 @@ def write_pq_index(
                 "id_col": id_col,
                 "cluster_col": cluster_col,
                 "stream_batch_col": stream_batch_col,
+                # absent in pre-residual artifacts -> loaders default to
+                # False (raw encoding), so old indexes keep serving
+                "residual": bool(residual),
             },
             f,
         )
@@ -491,6 +589,7 @@ def ivfpq_topk(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF + PQ composed — the standard billion-scale ANN recipe (FAISS
     IVFPQ): IVF prunes WHICH codes are scanned (cluster semi-join →
@@ -501,6 +600,11 @@ def ivfpq_topk(
     ``codes`` must carry ``cluster_col`` (encode with
     ``encode_pq(..., keep_cols=(cluster_col,))``). Centroid probe and
     rescore follow the ivf_topk / pq_topk_refined contracts exactly.
+
+    ``residual=True``: the codes were encoded over
+    :func:`residualize` output (true IVFADC) — ADC adds each probed
+    cell's q·centroid scalar; the probed centroid VECTORS are collected
+    (bounded by nprobe) to compute the offsets.
     """
     from strava_vector_search_spark.operators.ann import compute_centroids
 
@@ -512,7 +616,23 @@ def ivfpq_topk(
         codes[cluster_col] == probed["cluster"],
         "left_semi",
     )
-    cand = pq_candidates(cand_codes, books, query_vec, n_cand, id_col)
+    centroid_vecs = None
+    if residual:
+        centroid_vecs = {
+            int(r["cluster"]): r["centroid"]
+            for r in centroids.join(
+                F.broadcast(probed), "cluster", "left_semi"
+            ).collect()
+        }
+    cand = pq_candidates(
+        cand_codes,
+        books,
+        query_vec,
+        n_cand,
+        id_col,
+        centroid_vecs=centroid_vecs,
+        cluster_col=cluster_col,
+    )
     pruned = emb.join(
         F.broadcast(cand.select(id_col)), on=id_col, how="left_semi"
     )
@@ -534,6 +654,7 @@ def pq_candidates_batch(
     n_cand: int = 100,
     id_col: str = "vec_id",
     cluster_col: str = "cluster",
+    centroid_vecs: dict[int, "np.ndarray"] | None = None,
 ) -> DataFrame:
     """(query_id, id, adc_score) — MANY queries' ADC candidate generation
     in ONE pass over the code table: the batched twin of
@@ -550,7 +671,14 @@ def pq_candidates_batch(
     deterministic local top-``n_cand`` per query; only batch-local
     winners reach the global per-query rank, so the shuffle carries
     n_batches * Q * n_cand tiny rows. The global cut is a per-query
-    ranking window — WindowGroupLimit keeps map tasks bounded."""
+    ranking window — WindowGroupLimit keeps map tasks bounded.
+
+    ``centroid_vecs`` (residual-encoded codes only): coarse centroid
+    vectors covering every cluster in the probe union; scoring adds the
+    (Q × cells) matrix of q·centroid constants via the same fancy index
+    as the probe mask — the batched form of the IVFADC offset (see
+    :func:`_cell_offsets_scalar`). A union cluster with no centroid
+    fails at matrix build, before any executor work."""
     import pandas as pd
 
     from pyspark.sql import Window
@@ -573,6 +701,25 @@ def pq_candidates_batch(
     for qi, q in enumerate(q_ids):
         for c in probed.get(q, ()):
             probe_mat[qi, cl_index[c]] = True
+    offset_mat = None
+    if centroid_vecs is not None:
+        missing = [c for c in union if c not in centroid_vecs]
+        if missing:
+            raise ValueError(
+                "pq_candidates_batch: probe union clusters "
+                f"{missing} have no centroid vector — residual ADC "
+                "needs every probed cell's q·centroid offset"
+            )
+        cent_mat = np.stack(
+            [
+                np.asarray(centroid_vecs[c], dtype=np.float64)
+                for c in union
+            ]
+        )  # (cells, d)
+        q_mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for _q, v in queries]
+        )  # (Q, d)
+        offset_mat = q_mat @ cent_mat.T  # (Q, cells): q·centroid
     id_type = codes.schema[id_col].dataType.simpleString()
 
     def _scan(batches):
@@ -594,6 +741,8 @@ def pq_candidates_batch(
             S = np.zeros((len(q_ids), len(pdf)))
             for j in range(m):
                 S += luts[:, j, C[:, j]]
+            if offset_mat is not None:
+                S += offset_mat[:, cl]
             S = S.round(6)
             allowed = probe_mat[:, cl]
             ids = pdf[id_col].to_numpy()

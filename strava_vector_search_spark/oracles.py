@@ -8614,3 +8614,14 @@ SELECT (SELECT COUNT(*) FROM documents
        3 AS n_requests, 96 AS code_bytes,
        true AS batch_equals_sequential, true AS filter_respected
 """
+
+
+# ann_ivfpq_residual_768 — residual PQ (IVFADC) vs raw PQ, budget-matched
+# over the planted clustered corpus; learned quantizer + Lloyd codebooks
+# are not SQL-expressible, so: corpus anchor + contract booleans.
+ORACLES["ann_ivfpq_residual_768"] = """
+SELECT COUNT(*)::BIGINT AS n_corpus, 96 AS code_bytes, 4 AS nprobe,
+       10 AS k, true AS err_ratio_le_050, true AS recall_res_ge_080,
+       true AS recall_res_ge_raw
+FROM documents
+"""

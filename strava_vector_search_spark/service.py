@@ -504,8 +504,24 @@ class SearchService:
             codes[meta["cluster_col"]] == probed["cluster"],
             "left_semi",
         )
+        # residual-stamped artifact (IVFADC): ADC needs each probed
+        # cell's q·centroid offset — a bounded nprobe-row collect
+        centroid_vecs = None
+        if meta.get("residual"):
+            centroid_vecs = {
+                int(r["cluster"]): r["centroid"]
+                for r in cents.join(
+                    F.broadcast(probed), "cluster", "left_semi"
+                ).collect()
+            }
         cand = PQ.pq_candidates(
-            cand_codes, books, qv, n_cand=n_cand, id_col=self.id_col
+            cand_codes,
+            books,
+            qv,
+            n_cand=n_cand,
+            id_col=self.id_col,
+            centroid_vecs=centroid_vecs,
+            cluster_col=meta["cluster_col"],
         )
         pruned = self.embeddings.join(
             F.broadcast(cand.select(self.id_col)),
@@ -597,6 +613,16 @@ class SearchService:
             for r in rank_probed_clusters(cents, gq, nprobe).collect():
                 probed[r["query_id"]].add(r["cluster"])
             union = sorted({c for cs in probed.values() for c in cs})
+            # residual-stamped artifact (IVFADC): the batch kernel adds
+            # the (Q × cells) q·centroid matrix — union-bounded collect
+            centroid_vecs = None
+            if meta.get("residual"):
+                centroid_vecs = {
+                    int(r["cluster"]): r["centroid"]
+                    for r in cents.filter(
+                        F.col("cluster").isin(union)
+                    ).collect()
+                }
             cand_parts.append(
                 PQ.pq_candidates_batch(
                     gcodes.filter(
@@ -608,6 +634,7 @@ class SearchService:
                     n_cand=n_cand,
                     id_col=self.id_col,
                     cluster_col=meta["cluster_col"],
+                    centroid_vecs=centroid_vecs,
                 )
             )
         cand = reduce(lambda a, b: a.unionByName(b), cand_parts).select(
