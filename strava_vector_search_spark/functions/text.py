@@ -15,6 +15,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from strava_vector_search_spark.functions.vector import (
+    lit_double_array,
+    lit_string_array,
+)
+
 # small multilingual stopword seed lists for the lang-id heuristic
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
@@ -57,7 +62,7 @@ def punct_ratio(text: Column) -> Column:
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     toks = tokens(text)
-    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    stop = lit_string_array(LANG_STOPWORDS[lang])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
     return F.when(F.size(toks) > 0, F.round(n_stop / F.size(toks), 6)).otherwise(0.0)
 
@@ -84,7 +89,7 @@ def lang_id(text: Column) -> Column:
     toks = tokens(text)
 
     def _score(stop_words: tuple[str, ...]) -> Column:
-        stop = F.array(*[F.lit(w) for w in stop_words])
+        stop = lit_string_array(stop_words)
         # NB: the lambda must take exactly one arg — F.filter treats a
         # second arg as the element index
         return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
@@ -138,7 +143,7 @@ def lang_id_ngram(text: Column) -> Column:
     ).otherwise(F.array())
 
     def _score(profile: tuple[str, ...]) -> Column:
-        sig = F.array(*[F.lit(t) for t in profile])
+        sig = lit_string_array(profile)
         return F.size(F.filter(tris, lambda t: F.array_contains(sig, t)))
 
     scores = {lang: _score(LANG_TRIGRAMS[lang]) for lang in sorted(LANG_TRIGRAMS)}
@@ -372,7 +377,7 @@ def hashed_linear_score_tokens(ts: Column, buckets: int = 1024) -> Column:
     """
     from strava_vector_search_spark.operators.dedup import md5_int
 
-    wtab = F.array(*[F.lit(w) for w in hashed_weight_table(buckets)])
+    wtab = lit_double_array(hashed_weight_table(buckets))
 
     def w(t: Column) -> Column:
         slot = F.pmod(md5_int(t), F.lit(buckets))

@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from strava_vector_search_spark.functions.vector import cosine_similarity_rounded
+from strava_vector_search_spark.functions.vector import (
+    cosine_similarity_rounded,
+    lit_double_array,
+)
 from strava_vector_search_spark.operators.search import brute_force_topk
 
 
@@ -81,7 +84,7 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = compute_centroids(emb, cluster_col, vector_col)
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = lit_double_array(query_vec)
     probed = (
         centroids.withColumn(
             "cdist", cosine_similarity_rounded(F.col("centroid"), qcol)
@@ -440,7 +443,7 @@ def assign_to_centroids(
                 (
                     -cosine_similarity_rounded(
                         F.col(vector_col),
-                        F.array(*[F.lit(float(x)) for x in r["centroid"]]),
+                        lit_double_array(r["centroid"]),
                     )
                 ).alias("ns"),
                 F.lit(r["cluster"]).alias("c"),
@@ -1034,7 +1037,7 @@ def srp_topk(
 
     from strava_vector_search_spark.functions.vector import similarity
 
-    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    qarr = lit_double_array(query_vec)
     withq = base.withColumn(
         "_q",
         F.transform(
@@ -1182,7 +1185,7 @@ def srp_topk_indexed(
     for b, qk in enumerate(qkeys):
         c = F.col(f"k{b}") == F.lit(qk)
         collide = c if collide is None else (collide | c)
-    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    qarr = lit_double_array(query_vec)
     return (
         df.filter(collide)
         .withColumn(
@@ -1294,7 +1297,7 @@ def split_oversized_cells(
                 ]
             ).first()
             cent = [float(x) for x in cent_row]
-            cent_lit = F.array(*[F.lit(v) for v in cent])
+            cent_lit = lit_double_array(cent)
             dist2 = F.aggregate(
                 F.zip_with(vec, cent_lit, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
@@ -1310,7 +1313,7 @@ def split_oversized_cells(
             axis = [float(a) - b for a, b in zip(far["v"], cent)]
             if not any(axis):
                 continue  # identical vectors: no spatial split exists
-            axis_lit = F.array(*[F.lit(v) for v in axis])
+            axis_lit = lit_double_array(axis)
             score = F.aggregate(
                 F.zip_with(vec, axis_lit, lambda a, b: a * b),
                 F.lit(0.0),

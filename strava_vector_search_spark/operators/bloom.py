@@ -84,7 +84,9 @@ def _pow2() -> Column:
     (whose pyspark wrapper takes only literal shifts). Built lazily —
     Column construction needs an active SparkContext, which import time
     (pytest collection) does not have."""
-    return F.array(*[F.lit(1 << j).cast("bigint") for j in range(WORD_BITS)])
+    from strava_vector_search_spark.functions.vector import lit_long_array
+
+    return lit_long_array([1 << j for j in range(WORD_BITS)])
 
 
 def _position(key: Column, i: int, m_bits: int) -> Column:

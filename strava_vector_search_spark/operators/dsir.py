@@ -79,7 +79,20 @@ def score_log_weights(
     an in-expression fold over the token array against the literal ratio
     table; DECIMAL(28,12) accumulator so evaluation order cannot move the
     double sum. Map-only: no join, no shuffle."""
-    table = F.array(*[F.lit(round(r, 9)).cast("decimal(28,12)") for r in ratios])
+    # one py4j round-trip for the whole 512-entry literal table (the
+    # unrolled F.array(*[F.lit(...).cast(...)]) form paid ~2 socket
+    # round-trips per bucket — see functions.vector.lit_double_array).
+    # repr(round(r, 9)) is the shortest round-tripping decimal of the
+    # rounded double; parsing it (exact decimal or double literal) and
+    # rescaling to (28,12) HALF_UP yields the identical decimal the
+    # double→decimal cast produced.
+    table = F.expr(
+        "array("
+        + ",".join(
+            f"CAST({round(r, 9)!r} AS DECIMAL(28,12))" for r in ratios
+        )
+        + ")"
+    )
     ts = tokens(F.col(text_col))
     log_w = F.aggregate(
         ts,

@@ -564,9 +564,10 @@ def probe_clusters(
     recall check silently compares against the wrong cluster set)."""
     from strava_vector_search_spark.functions.vector import (
         cosine_similarity_rounded,
+        lit_double_array,
     )
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = lit_double_array(query_vec)
     return (
         centroids.withColumn(
             "cdist", cosine_similarity_rounded(F.col("centroid"), qcol)

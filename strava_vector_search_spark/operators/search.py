@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from strava_vector_search_spark.functions.vector import similarity
+from strava_vector_search_spark.functions.vector import (
+    lit_double_array,
+    lit_long_array,
+    lit_string_array,
+    similarity,
+)
 
 # Reference similarity rubric (README.md:86-90) and the enacted cutoffs
 # (02:309-315): >0.80 excellent hit, >0.70 good hit, else miss.
@@ -74,7 +79,7 @@ def brute_force_topk(
     determinism (reference top-k is tie-unstable; SURVEY §7 risk 5).
     """
     if isinstance(query_vec, list):
-        query_vec = F.array(*[F.lit(float(x)) for x in query_vec])
+        query_vec = lit_double_array(query_vec)
     df = corpus
     if predicate is not None:
         df = df.filter(predicate)
@@ -111,7 +116,7 @@ def similarity_histogram(
     hash aggregate on 5 keys (no skew possible).
     """
     if isinstance(query_vec, list):
-        query_vec = F.array(*[F.lit(float(x)) for x in query_vec])
+        query_vec = lit_double_array(query_vec)
     s = similarity(F.col(vector_col), query_vec, assume_normalized)
     bucket = (
         F.when(s >= 0.90, "0.90+ (Excellent)")
@@ -392,8 +397,8 @@ def hybrid_topk(
     """
     from strava_vector_search_spark.functions.vector import similarity
 
-    terms = F.array_distinct(F.array(*[F.lit(t.lower()) for t in query_terms]))
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    terms = F.array_distinct(lit_string_array([t.lower() for t in query_terms]))
+    qcol = lit_double_array(query_vec)
     df = corpus
     if predicate is not None:
         df = df.filter(predicate)
@@ -464,8 +469,8 @@ def matryoshka_topk(
     qp_norm_lit = None
     if isinstance(query_vec, list):
         qf = [float(x) for x in query_vec]
-        q_full = F.array(*[F.lit(x) for x in qf])
-        q_pref = F.array(*[F.lit(x) for x in qf[:prefix_dims]])
+        q_full = lit_double_array(qf)
+        q_pref = lit_double_array(qf[:prefix_dims])
         # fold the query-prefix norm on the driver: a literal, not a
         # per-row aggregate expression (Catalyst does not constant-fold
         # the higher-order fold)
@@ -524,7 +529,7 @@ def binary_sign_words(
     interpreter. The fold keeps generated code size constant in ``dim``.
     """
     v = vec.cast("array<double>")
-    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(word_bits)])
+    masks = lit_long_array([1 << i for i in range(word_bits)])
 
     def word_fold(w: int) -> Column:
         def step(acc, i):
@@ -617,7 +622,7 @@ def binary_topk(
     cand = (
         scored.orderBy(F.asc("hamming"), F.asc(id_col)).limit(candidates)
     )
-    q_full = F.array(*[F.lit(x) for x in qf])
+    q_full = lit_double_array(qf)
     return (
         df.join(F.broadcast(cand), id_col)
         .withColumn("similarity", similarity(F.col(vector_col), q_full))
@@ -681,7 +686,7 @@ def binary_topk_indexed(
         .orderBy(F.asc("hamming"), F.asc(id_col))
         .limit(candidates)
     )
-    q_full = F.array(*[F.lit(x) for x in qf])
+    q_full = lit_double_array(qf)
     return (
         df.join(F.broadcast(cand), id_col)
         .withColumn("similarity", similarity(F.col(vector_col), q_full))

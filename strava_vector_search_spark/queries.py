@@ -20,6 +20,10 @@ from strava_vector_search_spark.io.tables import (
     load_events,
     load_table,
 )
+from strava_vector_search_spark.functions.vector import (
+    lit_double_array,
+    lit_long_array,
+)
 from strava_vector_search_spark.operators import search as S
 
 # ---------------------------------------------------------------------------
@@ -1057,7 +1061,7 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset_exact = True
     for qid in qids:
         qv = _query_vec(spark, sf_dir, qid)
-        qcol = F.array(*[F.lit(float(x)) for x in qv])
+        qcol = lit_double_array(qv)
 
         def run(df, cen, probe_n):
             return [
@@ -1618,7 +1622,7 @@ def vs_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", quantize_int8(F.col("embedding")).alias("q8")
     )
     qv = _query_vec(spark, sf_dir, 6)
-    qcol = quantize_int8(F.array(*[F.lit(float(x)) for x in qv]))
+    qcol = quantize_int8(lit_double_array(qv))
     return (
         q8.withColumn("qsim", F.round(quantized_dot(F.col("q8"), qcol), 6))
         .filter(F.col("vec_id") != 6)
@@ -2968,7 +2972,7 @@ def vs_hybrid_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_vectors(spark, sf_dir)
     stats = _bm25_stats(spark, sf_dir, "corpus")
     qv = _query_vec(spark, sf_dir, 8)
-    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    qcol = lit_double_array(qv)
     scored = corpus.filter(F.col("doc_id") != 8).select(
         "doc_id",
         "lang",
@@ -5084,7 +5088,7 @@ def vs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_vectors(spark, sf_dir)
     stats = _bm25_stats(spark, sf_dir, "corpus")
     qv = _query_vec(spark, sf_dir, 9)
-    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    qcol = lit_double_array(qv)
     base = corpus.filter(F.col("doc_id") != 9).select(
         "doc_id",
         F.round(
@@ -5940,7 +5944,7 @@ def vs_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcols = []
     for qid in qids:
         qv = _query_vec(spark, sf_dir, qid)
-        qcols.append(F.array(*[F.lit(float(x)) for x in qv]))
+        qcols.append(lit_double_array(qv))
     from strava_vector_search_spark.functions.vector import dot_product
 
     scored = emb.filter(F.col("embedding").isNotNull()).select(
@@ -7266,7 +7270,7 @@ def vs_mean_pool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 5)
-    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    qcol = lit_double_array(qv)
     pooled = compute_centroids(emb, "label")
     return (
         pooled.select(
@@ -12212,7 +12216,7 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gb = g.select("doc_id", bits.alias("bits")).localCheckpoint(
         eager=False
     )
-    pow2 = F.array(*[F.lit(1 << j).cast("bigint") for j in range(16)])
+    pow2 = lit_long_array([1 << j for j in range(16)])
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(3)),
         lambda b: F.aggregate(
@@ -12479,7 +12483,7 @@ def ann_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _cached_layout(sf_dir, "embeddings", "ivfpart", _build)
     part = spark.read.parquet(path)
     qv = _query_vec(spark, sf_dir, 11)
-    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    qcol = lit_double_array(qv)
     probes = [
         r["cluster"]
         for r in compute_centroids(emb)
@@ -12764,7 +12768,7 @@ def smp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _dist_to(vec: list[float]) -> F.Column:
-        lit = F.array(*[F.lit(float(x)) for x in vec])
+        lit = lit_double_array(vec)
         return F.round(
             F.lit(1.0)
             - cosine_similarity_rounded(F.col("embedding"), lit),
@@ -12888,6 +12892,9 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"ev_markov_stationary": ev_markov_stationary})
 
 
+_MD5_QUERY_VEC_768_CACHE: dict[tuple[str, int], list[float]] = {}
+
+
 def _md5_query_vec_768(
     spark: SparkSession, sf_dir: str, gate: str, doc_id: int = 0
 ) -> list[float]:
@@ -12900,11 +12907,19 @@ def _md5_query_vec_768(
     build now (functions/embed), but the QUERY vector never passes
     through a build, so its zero check lives here — full-cosine scoring
     against a zero query would raise DIVIDE_BY_ZERO under ANSI with no
-    hint of the cause."""
+    hint of the cause.
+
+    Memoized per (sf_dir, doc_id) like :func:`_query_vec`: the vector is
+    a pure function of the parquet file, and the unmemoized form re-paid
+    a 1-row scan job plus the 768-d local embed at every gate
+    construction (once per bench rep across ~20 consumers)."""
     from strava_vector_search_spark.functions.embed import (
         md5_embed_text_local,
     )
 
+    key = (sf_dir.rstrip("/"), doc_id)
+    if key in _MD5_QUERY_VEC_768_CACHE:
+        return _MD5_QUERY_VEC_768_CACHE[key]
     qrow = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") == doc_id)
@@ -12923,6 +12938,7 @@ def _md5_query_vec_768(
             f"non-zero weight in {sf_dir} — its embedding is the zero "
             "vector (full-cosine scoring would divide by zero under ANSI)"
         )
+    _MD5_QUERY_VEC_768_CACHE[key] = qv
     return qv
 
 
