@@ -196,12 +196,21 @@ def batch_topk_blas(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     meta_cols: list[str] | None = None,
+    assume_normalized: bool = True,
 ) -> DataFrame:
-    """BLAS kernel for :func:`batch_topk` on L2-normalized vectors: the
-    (small, by definition) query table is collected into a Q matrix, each
-    Arrow batch of the corpus is scored with ONE ``Q @ V.T`` matmul, and
-    only the per-batch per-query top-k survive into the global window rank —
-    nq*k rows per batch instead of nq*|batch|.
+    """BLAS kernel for :func:`batch_topk`: the (small, by definition)
+    query table is collected into a Q matrix, each Arrow batch of the
+    corpus is scored with ONE ``Q @ V.T`` matmul, and only the per-batch
+    per-query top-k survive into the global window rank — nq*k rows per
+    batch instead of nq*|batch|.
+
+    ``assume_normalized`` DEFAULTS to True (the lane's historical
+    contract: pre-normalized corpora, dot == cosine). Pass False for
+    unnormalized corpora: full cosine via einsum row norms + query
+    norms, exactly :func:`brute_force_topk_blas`'s formula — on
+    integer-valued embeddings (the md5 parity kernel) it is
+    BIT-IDENTICAL to the expression lane by the same exact-below-2^53
+    argument, so value-hash oracles carry over unchanged.
 
     Same results as the expression form (scores round to 6 dp — the
     vs_topk_blas-proven contract); one corpus scan total. ``meta_cols``
@@ -214,6 +223,13 @@ def batch_topk_blas(
     qids = np.array([r[query_id_col] for r in qrows])
     qmat = np.stack([np.asarray(r[query_vec_col], dtype="float64") for r in qrows])
     nq = len(qids)
+    qnorms = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+    if not assume_normalized and (qnorms == 0.0).any():
+        raise ValueError(
+            "batch_topk_blas: zero-norm query vector(s), e.g. query_id="
+            f"{qids[qnorms == 0.0][0]!r} — cosine is undefined (the "
+            "expression lane raises DIVIDE_BY_ZERO under ANSI mode)"
+        )
     id_type = corpus.schema[id_col].dataType.simpleString()
     qid_type = queries.schema[query_id_col].dataType.simpleString()
 
@@ -231,7 +247,20 @@ def batch_topk_blas(
                 continue
             ids = pdf["_id"].to_numpy()
             mat = np.stack(pdf["_vec"].to_numpy()).astype("float64")
-            scores = np.round(qmat @ mat.T, 6)  # nq x nb
+            dots = qmat @ mat.T  # nq x nb
+            if assume_normalized:
+                scores = np.round(dots, 6)
+            else:
+                rn = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+                if (rn == 0.0).any():
+                    raise ValueError(
+                        "batch_topk_blas: zero-norm corpus vector(s), "
+                        f"e.g. id={ids[rn == 0.0][0]!r} — cosine is "
+                        "undefined (the expression lane raises "
+                        "DIVIDE_BY_ZERO under ANSI mode); filter them "
+                        "out before scoring"
+                    )
+                scores = np.round(dots / (qnorms[:, None] * rn[None, :]), 6)
             nb = scores.shape[1]
             take = min(k, nb)
             # Per-query local top-k. The local prune must never drop a row

@@ -13654,12 +13654,19 @@ def vs_batch_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's prescribed batching optimization (02:421) at
     production width, under a full value-level oracle: three stored
     768-d query vectors ride ONE corpus scan via operators/search
-    .batch_topk (broadcast query table, per-query rank window —
-    WindowGroupLimit, so map tasks keep <=k rows per query), full-cosine
-    scoring on the unnormalized md5 corpus. The 64-d twin is
+    .batch_topk_blas (collected Q matrix, one float64 matmul + einsum
+    row norms per Arrow batch, per-batch per-query top-k survivors into
+    the global rank window), full-cosine scoring on the unnormalized md5
+    corpus. The BLAS lane is bit-identical to the expression form here
+    because the md5 embeddings are integer-valued (exact dots/norms
+    below 2^53 — the brute_force_topk_blas argument, lane-parity-pinned
+    in tests/test_search.py), so the gate keeps its value-hash oracle;
+    it replaced the expression batch_topk (three 768-step codegen folds
+    per corpus row per query — measured ~9.5 s exec at sf0.1 vs ~2 s on
+    this lane, optimization guide §4.2). The 64-d twin is
     ``vs_batch_topk``; this pins the batch path's per-query tie-breaks
     and rank attachment at VECTOR(FLOAT, 768) (02:88)."""
-    from strava_vector_search_spark.operators.search import batch_topk
+    from strava_vector_search_spark.operators.search import batch_topk_blas
 
     emb = _md5_emb_768(spark, sf_dir)
     qids = (3, 7, 11)
@@ -13676,7 +13683,9 @@ def vs_batch_topk_768(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"vs_batch_topk_768: query docs {qids} not all embeddable "
             f"in {sf_dir}"
         )
-    return batch_topk(emb, queries, k=5, id_col="doc_id")
+    return batch_topk_blas(
+        emb, queries, k=5, id_col="doc_id", assume_normalized=False
+    )
 
 
 QUERIES.update({"vs_batch_topk_768": vs_batch_topk_768})

@@ -136,6 +136,60 @@ def test_batch_topk_blas_matches_expression(spark, sf_dir):
     assert expr == blas
 
 
+def test_batch_topk_blas_full_cosine_bit_identical_on_integer_vecs(spark):
+    """assume_normalized=False (r12 optimization: vs_batch_topk_768 rides
+    this lane): on integer-valued vectors the matmul+einsum full cosine
+    must be BIT-identical to the expression lane — same exactness
+    argument as brute_force_topk_blas, now pinned for the batch kernel."""
+    import random
+
+    from strava_vector_search_spark.operators.search import (
+        batch_topk,
+        batch_topk_blas,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (i, [float(rng.randint(0, 9999)) for _ in range(32)])
+        for i in range(120)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+    queries = corpus.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    expr = {
+        (r["query_id"], r["doc_id"], r["similarity"], r["rank"])
+        for r in batch_topk(corpus, queries, k=7, assume_normalized=False)
+        .select("query_id", "doc_id", "similarity", "rank")
+        .collect()
+    }
+    blas = {
+        (r["query_id"], r["doc_id"], r["similarity"], r["rank"])
+        for r in batch_topk_blas(
+            corpus, queries, k=7, assume_normalized=False
+        )
+        .select("query_id", "doc_id", "similarity", "rank")
+        .collect()
+    }
+    assert expr == blas
+
+
+def test_batch_topk_blas_full_cosine_refuses_zero_norm_query(spark):
+    import pytest
+
+    from strava_vector_search_spark.operators.search import batch_topk_blas
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "doc_id bigint, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "query_id bigint, query_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="zero-norm query"):
+        batch_topk_blas(corpus, queries, k=2, assume_normalized=False)
+
+
 def test_blas_kernels_accept_string_ids(spark, sf_dir):
     """Output schemas derive from the input id type — string doc ids must
     round-trip (regression: the schema was once hardcoded to long)."""
