@@ -48,23 +48,20 @@ SCALE = 1_000_000  # rank fixed-point scale: 1.0 == 1e6
 BROADCAST_NODES_THRESHOLD = 1_000_000
 
 
-def _pagerank_core(
-    edges: DataFrame,
-    seeds: DataFrame | None,
-    src: str,
-    dst: str,
-    seed_col: str,
-    iterations: int,
-    damping_pct: int,
-    scale: int,
-    broadcast_ranks: bool | None,
-) -> DataFrame:
-    """Shared fixed-point PageRank loop (one definition — the global and
-    personalized variants differ ONLY in where the restart mass lands, so
-    the join/aggregate/checkpoint discipline can never drift between
-    them). ``seeds is None`` = every node restarts (global PageRank);
-    otherwise only seed nodes do (random walk with restart). Returns
-    ``(node, is_seed, rank_fp)``.
+def prepare_pagerank_graph(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Seed-independent PageRank prep: ``(edeg, base_nodes, n_nodes)``.
+
+    ``edeg`` = degree-attached edge list, ``base_nodes`` = the distinct
+    node set, both lazily checkpointed; ``n_nodes`` = the node count
+    (the broadcast-vs-shuffle decision input). Split out of
+    :func:`_pagerank_core` (r12 optimization) so callers that run
+    SEVERAL pagerank variants over the SAME edge set (g_pagerank and
+    g_ppr share the symmetric trade graph) can build this once per
+    session and pass it via ``prepared=`` — the prep is three checkpoint
+    plannings plus a count job per call, re-paid per gate per bench rep
+    when not shared.
     """
     # checkpoint the edge projection: deg, edeg and nodes each read it (the
     # union in nodes twice), so an un-checkpointed upstream derivation
@@ -80,7 +77,34 @@ def _pagerank_core(
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    return edeg, base_nodes, base_nodes.count()
+
+
+def _pagerank_core(
+    edges: DataFrame,
+    seeds: DataFrame | None,
+    src: str,
+    dst: str,
+    seed_col: str,
+    iterations: int,
+    damping_pct: int,
+    scale: int,
+    broadcast_ranks: bool | None,
+    prepared: tuple[DataFrame, DataFrame, int] | None = None,
+) -> DataFrame:
+    """Shared fixed-point PageRank loop (one definition — the global and
+    personalized variants differ ONLY in where the restart mass lands, so
+    the join/aggregate/checkpoint discipline can never drift between
+    them). ``seeds is None`` = every node restarts (global PageRank);
+    otherwise only seed nodes do (random walk with restart). Returns
+    ``(node, is_seed, rank_fp)``. ``prepared`` (from
+    :func:`prepare_pagerank_graph`) skips the seed-independent prep.
+    """
+    if prepared is None:
+        prepared = prepare_pagerank_graph(edges, src, dst)
+    edeg, base_nodes, n_nodes = prepared
     if seeds is None:
         nodes = base_nodes.withColumn("is_seed", F.lit(1))
     else:
@@ -94,7 +118,9 @@ def _pagerank_core(
         )
     nodes = nodes.localCheckpoint(eager=False)
     if broadcast_ranks is None:
-        broadcast_ranks = nodes.count() <= BROADCAST_NODES_THRESHOLD
+        # node count comes from the prep (base_nodes and nodes have the
+        # same node set) — no extra count job per variant
+        broadcast_ranks = n_nodes <= BROADCAST_NODES_THRESHOLD
 
     def _maybe_bcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_ranks else df
@@ -146,6 +172,7 @@ def pagerank_fixedpoint(
     damping_pct: int = DAMPING_PCT,
     scale: int = SCALE,
     broadcast_ranks: bool | None = None,
+    prepared: tuple[DataFrame, DataFrame, int] | None = None,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list, exact fixed-point form.
 
@@ -169,7 +196,7 @@ def pagerank_fixedpoint(
     """
     return _pagerank_core(
         edges, None, src, dst, "node", iterations, damping_pct, scale,
-        broadcast_ranks,
+        broadcast_ranks, prepared,
     ).select("node", "rank_fp")
 
 
@@ -257,6 +284,7 @@ def personalized_pagerank_fixedpoint(
     damping_pct: int = DAMPING_PCT,
     scale: int = SCALE,
     broadcast_ranks: bool | None = None,
+    prepared: tuple[DataFrame, DataFrame, int] | None = None,
 ) -> DataFrame:
     """Personalized PageRank: the restart mass lands ONLY on ``seeds``
     (rank' = (1-d)·e_S + d·A·rank), so rank measures proximity to the seed
@@ -274,5 +302,5 @@ def personalized_pagerank_fixedpoint(
     """
     return _pagerank_core(
         edges, seeds, src, dst, seed_col, iterations, damping_pct, scale,
-        broadcast_ranks,
+        broadcast_ranks, prepared,
     )
