@@ -626,10 +626,13 @@ EXPECTATIONS: dict[str, dict] = {
         "no_python": "!BatchEvalPython",
     },
     "vs_batch_topk_768": {
-        # batch search at production width: the 3-row query table rides
-        # a broadcast nested-loop (never a cartesian); per-query top-5
-        # is a WindowGroupLimit, so no task sorts the scored corpus
-        "broadcast_join": "BroadcastNestedLoopJoin",
+        # batch search at production width rides the BLAS lane (r12
+        # optimization): queries collect into the Q matrix inside the
+        # Arrow kernel (MapInPandas — one matmul per batch, per-batch
+        # per-query top-k survivors), so the broadcast query join is
+        # gone; per-query top-5 over the survivors is a WindowGroupLimit,
+        # so no task sorts the scored corpus; no row-at-a-time Python
+        "python_kernel": "MapInPandas",
         "window_group_limit": "WindowGroupLimit",
         "no_cartesian": "!CartesianProduct",
         "no_python": "!BatchEvalPython",
