@@ -32,7 +32,11 @@ sets in different passes — is adjudicable from committed JSON alone.
 ``value`` stays the pass-A median-low total (the protocol every prior
 round used, so round-over-round comparison is like-for-like);
 ``value_adjudicated`` sums each query's min across passes (drift-robust);
-``drift_suspects`` lists queries whose passes disagree >1.5x.
+``drift_suspects`` lists queries whose passes disagree >1.5x. The stdout
+line's top-15 "queries" tail is selected and valued by that same
+per-query min (r13, VERDICT r12 item 6) so the printed set no longer
+rotates with single-pass drift; totals and the full snapshot keep the
+pass-A protocol unchanged.
 
 The heaviest property gates are substituted with their operator-path-only
 twins from strava_vector_search_spark/benchmarks.py (VERDICT r02 item 2):
@@ -458,9 +462,18 @@ def main() -> None:
 
     # stdout: ONE compact line (tail-window safe). "queries" carries only
     # the slowest 15 so the line stays well under typical capture windows;
-    # the complete map lives in queries_full.
+    # the complete map lives in queries_full. Selection AND value use the
+    # per-query MIN across passes (r13, VERDICT r12 item 6): the pass-A
+    # number rotates with machine drift, so the printed top-15 set churned
+    # round-over-round and PERF mis-read the rotation as dropped/regressed
+    # queries. The min is the drift-stable statistic the r12 adjudication
+    # already committed per query (``min_sec`` in the snapshot); pass-A
+    # medians remain in the snapshot (``sec``/``pass_sec``) unchanged.
     slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+        sorted(
+            ((n, round(min(v), 3)) for n, v in pass_timings.items()),
+            key=lambda kv: -kv[1],
+        )[:15]
     )
     # protocol/reps/lean ride along on stdout so a consumer parsing stdout
     # alone sees when the workload definition changed (ADVICE r03 item 1).

@@ -54,10 +54,25 @@ def lit_double_array(values) -> Column:
 
 def lit_long_array(values) -> Column:
     """Literal ``array<bigint>`` in one py4j round-trip (see
-    :func:`lit_double_array` for why)."""
+    :func:`lit_double_array` for why).
+
+    ``-2**63`` (LONG_MIN) has no SQL literal spelling — the lexer reads
+    ``-9223372036854775808L`` as unary minus applied to an out-of-range
+    bigint literal and raises a ParseException — so any value at LONG_MIN
+    falls back to the unrolled ``F.lit`` form (mirroring
+    :func:`lit_double_array`'s non-finite fallback). Values outside the
+    signed-64-bit range are refused up front: the unrolled form would
+    otherwise fail deep inside py4j with an opaque overflow."""
     vals = [int(x) for x in values]
     if not vals:
         return F.array().cast("array<bigint>")
+    if any(not (-(1 << 63) <= v < (1 << 63)) for v in vals):
+        raise ValueError(
+            "lit_long_array: value outside signed 64-bit range: "
+            f"{next(v for v in vals if not (-(1 << 63) <= v < (1 << 63)))}"
+        )
+    if any(v == -(1 << 63) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
     return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
 
 

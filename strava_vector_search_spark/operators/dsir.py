@@ -85,7 +85,19 @@ def score_log_weights(
     # repr(round(r, 9)) is the shortest round-tripping decimal of the
     # rounded double; parsing it (exact decimal or double literal) and
     # rescaling to (28,12) HALF_UP yields the identical decimal the
-    # double→decimal cast produced.
+    # double→decimal cast produced. A non-finite ratio has no SQL
+    # spelling (CAST(inf AS DECIMAL) is a construction-time
+    # ParseException) — refuse it here with the offending bucket named;
+    # bucket_log_ratios smooths every count so its output is always
+    # finite, making a non-finite entry caller error, not data.
+    import math
+
+    for i, r in enumerate(ratios):
+        if not math.isfinite(r):
+            raise ValueError(
+                f"score_log_weights: ratios[{i}] = {r!r} is not finite; "
+                "log-ratio tables must be smoothed (see bucket_log_ratios)"
+            )
     table = F.expr(
         "array("
         + ",".join(

@@ -103,6 +103,11 @@ def _pagerank_core(
     :func:`prepare_pagerank_graph`) skips the seed-independent prep.
     """
     if prepared is None:
+        if edges is None:
+            raise ValueError(
+                "pagerank: pass either an edge DataFrame or prepared= "
+                "(from prepare_pagerank_graph); got neither"
+            )
         prepared = prepare_pagerank_graph(edges, src, dst)
     edeg, base_nodes, n_nodes = prepared
     if seeds is None:

@@ -67,3 +67,20 @@ def test_selection_deterministic_under_repartition(spark):
         ).collect()
     ]
     assert a == b and len(a) == 20
+
+
+def test_score_log_weights_refuses_nonfinite_ratio(spark):
+    # a non-finite ratio would render as CAST(inf AS DECIMAL(28,12)) and
+    # die at F.expr parse time with an opaque ParseException; the guard
+    # names the offending bucket instead (ADVICE r12)
+    import math
+
+    import pytest
+
+    from strava_vector_search_spark.operators.dsir import score_log_weights
+
+    docs = _docs(spark, ["tok1 tok2 tok3"])
+    bad = [0.0] * 8
+    bad[5] = math.inf
+    with pytest.raises(ValueError, match=r"ratios\[5\]"):
+        score_log_weights(docs, bad, buckets=8)

@@ -167,3 +167,13 @@ def test_max_degree_guard_drops_pairs_keeps_denominators(spark):
     # but hub still counts toward the neighbor-set sizes
     assert (guarded[("A", "B")]["n1"], guarded[("A", "B")]["n2"]) == (2, 2)
     assert guarded[("A", "B")]["inter"] == 1
+
+
+def test_pagerank_refuses_no_edges_and_no_prepared():
+    # edges=None is only legal with prepared= (ADVICE r12): without the
+    # guard this crashed inside prepare_pagerank_graph with an
+    # AttributeError on None.select
+    import pytest
+
+    with pytest.raises(ValueError, match="prepared"):
+        pagerank_fixedpoint(None, iterations=1)

@@ -66,6 +66,26 @@ def test_long_array_parity(spark):
     assert t.simpleString() == "array<bigint>"
 
 
+def test_long_array_long_min_falls_back(spark):
+    # -2**63 has no SQL literal spelling (the lexer parses it as unary
+    # minus on an out-of-range bigint and throws); the helper must fall
+    # back to the unrolled F.lit form (ADVICE r12)
+    df = spark.range(1)
+    vals = [-(2**63), 0, 2**63 - 1]
+    old = _one(df, F.array(*[F.lit(v).cast("long") for v in vals]))
+    new = _one(df, lit_long_array(vals))
+    assert old == new
+
+
+def test_long_array_out_of_range_refused():
+    import pytest
+
+    with pytest.raises(ValueError, match="64-bit"):
+        lit_long_array([2**63])
+    with pytest.raises(ValueError, match="64-bit"):
+        lit_long_array([-(2**63) - 1])
+
+
 def test_string_array_parity_with_active_chars(spark):
     df = spark.range(1)
     vals = ["the", "it's", "back\\slash", 'quote"d', "unié", "tab\there",

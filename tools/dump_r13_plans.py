@@ -1,7 +1,7 @@
-"""Dump .explain('formatted') for the round-12-touched gates.
+"""Dump .explain('formatted') for the round-13-touched gates.
 
-Usage: python tools/dump_r12_plans.py <label> [gate ...]
-Writes plans/r12/<gate>_<label>.txt for each gate (label: before|after).
+Usage: python tools/dump_r13_plans.py <label> [gate ...]
+Writes plans/r13/<gate>_<label>.txt for each gate (label: before|after).
 Run with label=before from a worktree at the pre-optimization commit and
 label=after at HEAD; the judge checks plan claims against these files.
 """
@@ -16,33 +16,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from strava_vector_search_spark.queries import QUERIES  # noqa: E402
 from strava_vector_search_spark.session import get_spark  # noqa: E402
 
-# default: every gate the r12 optimization round touched, grouped by change
+# default: every gate the r13 optimization round touched, grouped by change
 DEFAULT_GATES = [
-    # literal-array sites (claim: plan UNCHANGED, construction-time only)
-    "vs_topk_filtered",
-    "vs_similarity_histogram",
-    "vs_hybrid_topk",
-    "vs_topk_filtered_768",
-    "tx_hash_classifier",
-    "dm_dsir_select",
-    # batch_topk -> batch_topk_blas (claim: 768-step codegen folds -> MapInPandas)
-    "vs_batch_topk_768",
-    # worker-side model cache (claim: plan unchanged; ArrowEvalPython stays)
-    "s7_model_embed_contract",
-    # shared prepare_pagerank_graph prep for g_pagerank/g_ppr (claim: plan
-    # UNCHANGED — Scan ExistingRDD stays; the prep's checkpoint plannings
-    # and count job are paid once per session instead of per gate); the
-    # rest of this group had NO r12 code change (the persist() conversion
-    # was tried and REVERTED — see OPTIMIZATION_r12.md), dumped only to
-    # document that their plans did not move
-    "g_pagerank",
-    "g_ppr",
-    "ab_spearman_corr",
+    # shared _minhash_pairs session kernel (claim: the LSH+verify subtree
+    # becomes one Scan ExistingRDD leaf in each consumer's plan; the
+    # measuring gate dd_minhash_lsh_verified keeps the full pipeline)
+    "dd_connected_components",
+    "dd_cluster_keep_best",
+    "dd_component_stats",
+    "dd_soft_dedup_weights",
+    "smp_leakage_safe_split",
+    "dd_minhash_lsh_verified",
+    # shared bloom eval-keys/filter session kernels (claim: the filter
+    # build's explode+distinct+bit_or subtree becomes Scan ExistingRDD in
+    # the probe's dense-scatter subquery; probe side unchanged)
+    "dd_bloom_decontaminate",
+    "dd_bloom_prefilter_exact",
+    "dd_bloom_sharded_decontaminate",
+    # ml_confusion_metrics single-pass marginals (claim: 3 scans of the
+    # checkpointed cm + full_outer/left joins -> 1 explode + 1 aggregate;
+    # the cm localCheckpoint is gone)
     "ml_confusion_metrics",
-    "mm_phash_near_dup",
-    "w_pareto_abc",
-    "dd_cc_incremental",
-    "ann_ivf_topk_768",
 ]
 
 
@@ -53,10 +47,10 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        "r13",
     )
     os.makedirs(out_dir, exist_ok=True)
-    spark = get_spark("dump-r12-plans")
+    spark = get_spark("dump-r13-plans")
     spark.sparkContext.setLogLevel("FATAL")
     for name in gates:
         fn = QUERIES.get(name)
