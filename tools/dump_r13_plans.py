@@ -37,6 +37,12 @@ DEFAULT_GATES = [
     # checkpointed cm + full_outer/left joins -> 1 explode + 1 aggregate;
     # the cm localCheckpoint is gone)
     "ml_confusion_metrics",
+    # shared _markov_transition_counts session kernel (claim: the
+    # sessionize + lag + count subtree — two user-keyed window shuffles —
+    # becomes one Scan ExistingRDD leaf in both markov gates' plans;
+    # ev_session_paths keeps the full pipeline)
+    "ev_markov_transition_matrix",
+    "ev_markov_stationary",
 ]
 
 
