@@ -1065,12 +1065,15 @@ EXPECTATIONS: dict[str, dict] = {
         "no_python": "!BatchEvalPython",
     },
     "ev_markov_stationary": {
-        # events fold ONCE into the |states|^2 transition kernel; the
-        # sessionizing windows are user_id-keyed (scalable), the
-        # fixed-point iteration runs on the tiny kernel via a 1-row
+        # events fold ONCE into the |states|^2 transition kernel (r13:
+        # the user_id-keyed sessionize windows live inside the shared
+        # _markov_transition_counts checkpoint, so the VISIBLE plan
+        # starts at its Scan ExistingRDD leaf — the window discipline is
+        # asserted on ev_session_paths, which keeps the full pipeline);
+        # the fixed-point iteration runs on the tiny kernel via a 1-row
         # broadcast (BroadcastNestedLoopJoin), never a cartesian
         "partial_agg": "partial_",
-        "keyed_window": "Window",
+        "kernel_leaf": "ExistingRDD|LogicalRDD",
         "one_row_broadcast": "BroadcastNestedLoopJoin",
         "no_cartesian": "!CartesianProduct",
         "no_python": "!BatchEvalPython",
@@ -1143,10 +1146,12 @@ EXPECTATIONS: dict[str, dict] = {
         "no_cartesian": "!CartesianProduct",
     },
     "ev_markov_stationary": {
-        # ONE corpus shuffle (the session kernel); the power iteration
-        # runs over the |states|^2 kernel with partial-combined sums
+        # ONE corpus shuffle (the session kernel — r13: behind the
+        # shared _markov_transition_counts checkpoint leaf); the power
+        # iteration runs over the |states|^2 kernel with
+        # partial-combined sums
         "partial_agg": "partial_sum",
-        "partitioned_window": "Window",
+        "kernel_leaf": "ExistingRDD|LogicalRDD",
         "no_cartesian": "!CartesianProduct",
     },
     "dd_bloom_prefilter_exact": {
